@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` maps every implemented operator (SURVEY.md §2) to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` provides the
+equivalent DuckDB SQL over the same parquet tables.
+
+Column aliases match between the Spark and SQL sides; money sums are
+made order-independent via a DECIMAL(18,2) detour (see
+bht_etl_app_spark/plans/tpch.py docstring) so value hashes line up.
 """
 
 from __future__ import annotations
@@ -12,27 +15,384 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.session import load_table
+from bht_etl_app_spark.functions.exprs import codebook_recode_expr
+from bht_etl_app_spark.operators import (
+    brand_dictionary,
+    crosstab_table,
+    freq_table,
+    full_tabulation,
+    multi_dim_tabulation,
+    nps_table,
+    safe_value_counts,
+    satisfaction_table,
+    selected_counts,
+)
+from bht_etl_app_spark.plans import tpch
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: weighted multi-dim tabulation (reference A5) over
+    lineitem at sf0.001. Driver checks rows > 0."""
+    lineitem = load_table(spark, SF0001, "lineitem")
+    return multi_dim_tabulation(
+        lineitem, ["l_returnflag", "l_linestatus"],
+        weight_col="l_quantity", percent_by="total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+_SEL_SQL = (
+    "SELECT '{c}' AS brand, CAST(sum(CASE WHEN {c} IS NOT NULL"
+    " AND trim(CAST({c} AS VARCHAR)) <> ''"
+    " AND lower(CAST({c} AS VARCHAR)) <> '0' THEN 1 ELSE 0 END) AS BIGINT) AS count"
+    " FROM events"
+)
+
+_CODEBOOK_MKTSEGMENT = {
+    "BUILDING": "Construction",
+    "AUTOMOBILE": "Auto",
+    "MACHINERY": "Industrial",
+}
+
+_BRAND_GROUPS = {
+    "Unaided": ["UA_Indomie", "ua-sedaap", "UA_Mie_Gelas"],
+    "Aided": ["aa_Indomie", "AA-Supermi"],
+}
+
+
+def _q_freq_orderpriority(spark, sf_dir):
+    return freq_table(load_table(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+def _q_freq_returnflag_weighted(spark, sf_dir):
+    return freq_table(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag",
+        weight_col="l_quantity",
+    )
+
+
+def _q_value_counts_orderstatus(spark, sf_dir):
+    return safe_value_counts(load_table(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+def _q_multidim_level_pct(spark, sf_dir):
+    return multi_dim_tabulation(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        weight_col="l_quantity", percent_by="l_returnflag",
+    )
+
+
+def _q_multidim_total_pct(spark, sf_dir):
+    return multi_dim_tabulation(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        weight_col="l_quantity", percent_by="total",
+    )
+
+
+def _q_selected_counts(spark, sf_dir):
+    return selected_counts(
+        load_table(spark, sf_dir, "events"), ["event_type", "props", "value"]
+    )
+
+
+def _q_csat(spark, sf_dir):
+    df = satisfaction_table(load_table(spark, sf_dir, "events"), "value")
+    return df.select("metric", F.round("value", 6).alias("value"))
+
+
+def _q_nps(spark, sf_dir):
+    return nps_table(load_table(spark, sf_dir, "events"), "value")
+
+
+def _q_tabulation_nation(spark, sf_dir):
+    return full_tabulation(load_table(spark, sf_dir, "nation"))
+
+
+def _crosstab(spark, sf_dir, percent):
+    return crosstab_table(
+        load_table(spark, sf_dir, "lineitem"),
+        rows="l_returnflag", cols="l_linestatus",
+        weight_col="l_quantity", percent=percent,
+        include_totals=True, decimals=1, col_values=["F", "O"],
+    )
+
+
+def _q_codebook_recode(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    recoded = cust.withColumn(
+        "c_mktsegment", codebook_recode_expr("c_mktsegment", _CODEBOOK_MKTSEGMENT)
+    )
+    return safe_value_counts(recoded, "c_mktsegment")
+
+
+def _q_brand_dictionary(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return brand_dictionary(docs, "lang", _BRAND_GROUPS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # ---- reference operators (SURVEY.md §2) ----
+        "freq_orderpriority": _q_freq_orderpriority,
+        "freq_returnflag_weighted": _q_freq_returnflag_weighted,
+        "value_counts_orderstatus": _q_value_counts_orderstatus,
+        "multidim_level_pct": _q_multidim_level_pct,
+        "multidim_total_pct": _q_multidim_total_pct,
+        "selected_counts_events": _q_selected_counts,
+        "csat_summary": _q_csat,
+        "nps_summary": _q_nps,
+        "tabulation_nation": _q_tabulation_nation,
+        "crosstab_row_pct": lambda s, d: _crosstab(s, d, "row"),
+        "crosstab_col_pct": lambda s, d: _crosstab(s, d, "col"),
+        "crosstab_total_pct": lambda s, d: _crosstab(s, d, "total"),
+        "codebook_recode_counts": _q_codebook_recode,
+        "brand_dictionary": _q_brand_dictionary,
+        # ---- general query surface over the fixtures ----
+        "q1_pricing_summary": lambda s, d: tpch.q1_pricing_summary(
+            load_table(s, d, "lineitem")
+        ),
+        "q3_top_orders": lambda s, d: tpch.q3_top_orders(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q5_region_nation_revenue": lambda s, d: tpch.q5_region_nation_revenue(
+            load_table(s, d, "region"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "top_parts_per_brand": lambda s, d: tpch.top_parts_per_brand(
+            load_table(s, d, "part")
+        ),
+        "customers_without_orders": lambda s, d: tpch.customers_without_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
+        "active_order_customers": lambda s, d: tpch.active_order_customers(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
+        "orders_by_year": lambda s, d: tpch.orders_by_year(
+            load_table(s, d, "orders")
+        ),
+        "events_hourly": lambda s, d: tpch.events_hourly(
+            load_table(s, d, "events")
+        ),
+    }
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same parquet tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sel_union = "\nUNION ALL\n".join(
+        _SEL_SQL.format(c=c) for c in ["event_type", "props", "value"]
+    )
+
+    crosstab_common = """
+WITH piv AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+         sum(CASE WHEN CAST(l_linestatus AS VARCHAR) = 'F'
+                  THEN coalesce(CAST(l_quantity AS DOUBLE), 0.0) ELSE 0 END) AS "F",
+         sum(CASE WHEN CAST(l_linestatus AS VARCHAR) = 'O'
+                  THEN coalesce(CAST(l_quantity AS DOUBLE), 0.0) ELSE 0 END) AS "O"
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1
+),
+counts AS (
+  SELECT l_returnflag, "F", "O" FROM piv
+  UNION ALL
+  SELECT 'Total', coalesce(sum("F"),0.0), coalesce(sum("O"),0.0) FROM piv
+)
+"""
+
+    return {
+        "freq_orderpriority": """
+WITH g AS (
+  SELECT trim(coalesce(CAST(o_orderpriority AS VARCHAR), 'nan')) AS value,
+         CAST(count(*) AS DOUBLE) AS count
+  FROM orders GROUP BY 1
+)
+SELECT 'o_orderpriority' AS "column", value, count,
+       round_even(count / (SELECT sum(count) FROM g) * 100, 1) AS pct_total
+FROM g
+""",
+        "freq_returnflag_weighted": """
+WITH g AS (
+  SELECT trim(coalesce(CAST(l_returnflag AS VARCHAR), 'nan')) AS value,
+         sum(coalesce(CAST(l_quantity AS DOUBLE), 0.0)) AS count
+  FROM lineitem GROUP BY 1
+)
+SELECT 'l_returnflag' AS "column", value, count,
+       round_even(count / (SELECT sum(count) FROM g) * 100, 1) AS pct_total
+FROM g
+""",
+        "value_counts_orderstatus": """
+SELECT trim(CAST(o_orderstatus AS VARCHAR)) AS option, count(*) AS count
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+GROUP BY 1
+""",
+        "multidim_level_pct": """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(coalesce(CAST(l_quantity AS DOUBLE), 0.0)) AS count
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, count,
+       round_even(count / nullif(sum(count) OVER (PARTITION BY l_returnflag), 0.0) * 100, 1) AS pct
+FROM g
+""",
+        "multidim_total_pct": """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(coalesce(CAST(l_quantity AS DOUBLE), 0.0)) AS count
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, count,
+       round_even(count / nullif((SELECT sum(count) FROM g), 0.0) * 100, 1) AS pct
+FROM g
+""",
+        "selected_counts_events": sel_union,
+        "csat_summary": """
+WITH s AS (SELECT CAST(value AS DOUBLE) AS v FROM events),
+mx AS (SELECT max(v) AS m FROM s),
+a AS (
+  SELECT avg(v) AS mean,
+         CAST(sum(CASE WHEN v >= (SELECT m FROM mx) - 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS top2,
+         CAST(count(v) AS DOUBLE) AS n
+  FROM s
+)
+SELECT 'mean' AS metric, round(mean, 6) AS value FROM a
+UNION ALL SELECT 'top2_box', round(top2, 6) FROM a
+UNION ALL SELECT 'n', round(n, 6) FROM a
+""",
+        "nps_summary": """
+WITH s AS (SELECT CAST(value AS DOUBLE) AS v FROM events),
+a AS (
+  SELECT CAST(sum(CASE WHEN v >= 0 AND v <= 6 THEN 1 ELSE 0 END) AS DOUBLE) AS detr,
+         CAST(sum(CASE WHEN v >= 7 AND v <= 8 THEN 1 ELSE 0 END) AS DOUBLE) AS pas,
+         CAST(sum(CASE WHEN v >= 9 AND v <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS prom,
+         CAST(count(v) AS DOUBLE) AS n
+  FROM s
+)
+SELECT 'nps' AS metric, (prom / nullif(n, 0.0) - detr / nullif(n, 0.0)) * 100 AS value FROM a
+UNION ALL SELECT 'n', n FROM a
+UNION ALL SELECT 'promoters', prom FROM a
+UNION ALL SELECT 'passives', pas FROM a
+UNION ALL SELECT 'detractors', detr FROM a
+""",
+        "tabulation_nation": """
+WITH s AS (
+  SELECT trim(coalesce(CAST(n_nationkey AS VARCHAR), 'nan')) AS k1,
+         trim(coalesce(CAST(n_name AS VARCHAR), 'nan')) AS k2,
+         trim(coalesce(CAST(n_regionkey AS VARCHAR), 'nan')) AS k3
+  FROM nation
+)
+SELECT 'n_nationkey' AS "column", k1 AS value, count(*) AS count FROM s GROUP BY 2
+UNION ALL
+SELECT 'n_name', k2, count(*) FROM s GROUP BY 2
+UNION ALL
+SELECT 'n_regionkey', k3, count(*) FROM s GROUP BY 2
+""",
+        "crosstab_row_pct": crosstab_common + """,
+pct0 AS (
+  SELECT l_returnflag,
+         round_even("F" / nullif("F" + "O", 0.0) * 100, 1) AS "F",
+         round_even("O" / nullif("F" + "O", 0.0) * 100, 1) AS "O"
+  FROM piv
+),
+pcts AS (
+  SELECT l_returnflag, "F", "O" FROM pct0
+  UNION ALL
+  SELECT 'Total', 100.0, 100.0
+)
+SELECT l_returnflag, "F", "O", coalesce("F",0.0) + coalesce("O",0.0) AS "Total",
+       'count' AS __type__ FROM counts
+UNION ALL
+SELECT l_returnflag, "F", "O", coalesce("F",0.0) + coalesce("O",0.0), '%_row' FROM pcts
+""",
+        "crosstab_col_pct": crosstab_common + """,
+pct0 AS (
+  SELECT l_returnflag,
+         round_even("F" / nullif((SELECT sum("F") FROM piv), 0.0) * 100, 1) AS "F",
+         round_even("O" / nullif((SELECT sum("O") FROM piv), 0.0) * 100, 1) AS "O"
+  FROM piv
+),
+pcts AS (
+  SELECT l_returnflag, "F", "O" FROM pct0
+  UNION ALL
+  SELECT 'Total', coalesce(sum("F"),0.0), coalesce(sum("O"),0.0) FROM pct0
+)
+SELECT l_returnflag, "F", "O", coalesce("F",0.0) + coalesce("O",0.0) AS "Total",
+       'count' AS __type__ FROM counts
+UNION ALL
+SELECT l_returnflag, "F", "O", 100.0, '%_col' FROM pcts
+""",
+        "crosstab_total_pct": crosstab_common + """,
+pct0 AS (
+  SELECT l_returnflag,
+         round_even("F" / nullif((SELECT coalesce(sum("F"),0.0) + coalesce(sum("O"),0.0) FROM piv), 0.0) * 100, 1) AS "F",
+         round_even("O" / nullif((SELECT coalesce(sum("F"),0.0) + coalesce(sum("O"),0.0) FROM piv), 0.0) * 100, 1) AS "O"
+  FROM piv
+),
+pcts AS (
+  SELECT l_returnflag, "F", "O" FROM pct0
+  UNION ALL
+  SELECT 'Total', coalesce(sum("F"),0.0), coalesce(sum("O"),0.0) FROM pct0
+)
+SELECT l_returnflag, "F", "O", coalesce("F",0.0) + coalesce("O",0.0) AS "Total",
+       'count' AS __type__ FROM counts
+UNION ALL
+SELECT l_returnflag, "F", "O", coalesce("F",0.0) + coalesce("O",0.0), '%_total' FROM pcts
+""",
+        "codebook_recode_counts": """
+WITH r AS (
+  SELECT coalesce(
+           CASE CAST(c_mktsegment AS VARCHAR)
+             WHEN 'BUILDING' THEN 'Construction'
+             WHEN 'AUTOMOBILE' THEN 'Auto'
+             WHEN 'MACHINERY' THEN 'Industrial'
+           END,
+           CAST(c_mktsegment AS VARCHAR)
+         ) AS v
+  FROM customer
+)
+SELECT trim(v) AS option, count(*) AS count
+FROM r WHERE v IS NOT NULL AND trim(v) <> ''
+GROUP BY 1
+""",
+        "brand_dictionary": """
+SELECT 'TOM' AS "group", brand FROM (
+  SELECT DISTINCT trim(CAST(lang AS VARCHAR)) AS brand
+  FROM documents WHERE lang IS NOT NULL AND trim(CAST(lang AS VARCHAR)) <> ''
+)
+UNION ALL
+SELECT * FROM (VALUES
+  ('Unaided', 'Indomie'), ('Unaided', 'Mie Gelas'), ('Unaided', 'sedaap'),
+  ('Aided', 'Indomie'), ('Aided', 'Supermi')
+) AS t("group", brand)
+""",
+        "q1_pricing_summary": tpch.Q1_SQL,
+        "q3_top_orders": tpch.Q3_SQL,
+        "q5_region_nation_revenue": tpch.Q5_SQL,
+        "top_parts_per_brand": tpch.TOP_PARTS_SQL,
+        "customers_without_orders": tpch.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "active_order_customers": tpch.ACTIVE_ORDER_CUSTOMERS_SQL,
+        "orders_by_year": tpch.ORDERS_BY_YEAR_SQL,
+        "events_hourly": tpch.EVENTS_HOURLY_SQL,
+    }

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at the configured scale
+factor and prints ONE JSON line with per-query and total wall times.
+
+Env:
+  SPARK_GRAFT_SF_DIR  fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default all cores)
+
+Usage: python bench.py [query ...]   (no args = full headline set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_nation_revenue",
+    "top_parts_per_brand",
+    "orders_by_year",
+    "events_hourly",
+    "freq_returnflag_weighted",
+    "multidim_total_pct",
+    "crosstab_row_pct",
+    "selected_counts_events",
+    "tabulation_nation",
+    "csat_summary",
+    "nps_summary",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as mod
+    from bht_etl_app_spark import get_spark
+
+    spark = get_spark("bht-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = mod.queries()
+    names = sys.argv[1:] or [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warmup on a trivial job so q1 isn't charged for startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = len(rows)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
