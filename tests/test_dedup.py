@@ -1,0 +1,101 @@
+"""Tests for dedup operators: exact, n-gram Jaccard, MinHash LSH,
+SimHash, embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.operators import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+TEXT_A = "the cat sat on the mat and looked at the dog outside the window today"
+TEXT_A2 = TEXT_A.replace("today", "tonight")  # near-dup of A
+TEXT_B = "completely different content about spark dataframes and shuffles everywhere"
+
+DOCS = [
+    (0, TEXT_A),
+    (1, "The   cat sat on the mat and looked at the dog outside the window today"),
+    (2, TEXT_A2),
+    (3, TEXT_B),
+    (4, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_normalized_duplicates(docs):
+    rows = {r["doc_id"]: r for r in dedup_exact(docs).collect()}
+    # doc 1 differs from doc 0 only by case/whitespace -> same group
+    assert 0 in rows and rows[0]["group_size"] == 2
+    assert 1 not in rows  # loser of min-id
+    assert rows[2]["group_size"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # 0 and 1 are identical after normalization -> jaccard 1.0
+    assert pairs[(0, 1)] == 1.0
+    # 0 and 2 differ by one word -> high but < 1
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_short_doc_no_shingles(docs):
+    # "tiny" has < 3 tokens: must not crash, must produce no pairs
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0).where(
+        (F.col("id_a") == 4) | (F.col("id_b") == 4)
+    )
+    assert pairs.count() == 0
+
+
+def test_minhash_lsh_recovers_near_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in got  # identical pair must survive banding
+    # verified jaccard matches the exact computation
+    assert got[(0, 1)] == 1.0
+
+
+def test_minhash_signature_deterministic(docs):
+    a = minhash_signatures(docs).orderBy("doc_id").collect()
+    b = minhash_signatures(docs).orderBy("doc_id").collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]
+    # identical normalized docs share a signature
+    assert a[0]["sig"] == a[1]["sig"]
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert hamming(sh[0], sh[1]) == 0  # same tokens after lowering
+    assert hamming(sh[0], sh[2]) <= 12  # one word swapped
+    assert hamming(sh[0], sh[3]) > 12  # unrelated text
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # ~parallel to 0
+            (2, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs

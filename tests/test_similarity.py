@@ -1,0 +1,71 @@
+"""Tests for similarity search: exact knn, knn join, LSH bucketing."""
+
+import math
+
+import pytest
+
+from bht_etl_app_spark.operators import (
+    ann_lsh_topk,
+    knn_for_query,
+    knn_join,
+    random_hyperplane_lsh,
+)
+
+VECS = [
+    (0, [1.0, 0.0]),
+    (1, [0.9, 0.1]),
+    (2, [0.0, 1.0]),
+    (3, [-1.0, 0.0]),
+    (4, [0.7, 0.7]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_knn_for_query_exact(emb):
+    got = knn_for_query(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 4]
+    assert got[0]["cosine"] == 1.0
+    assert got[1]["cosine"] == pytest.approx(_cos([1, 0], [0.9, 0.1]), abs=1e-6)
+
+
+def test_knn_join_per_query_topk(spark, emb):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "q_id long, embedding array<float>",
+    )
+    got = knn_join(queries, emb, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    assert sorted(by_q[100]) == [(1, 0), (2, 1)]
+    assert sorted(by_q[200])[0] == (1, 2)
+    assert len(by_q[100]) == 2
+
+
+def test_lsh_buckets_separate_opposites(emb):
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r["bucket"] for r in random_hyperplane_lsh(emb, planes).collect()}
+    # v0=[1,0]: bit0 (x>0) set, bit1 (y>0) unset -> bucket 1
+    assert got[0] == 1
+    assert got[2] == 2  # y>0 only
+    assert got[3] == 0  # both non-positive
+    assert got[4] == 3  # both positive
+
+
+def test_ann_lsh_topk_contains_true_neighbors(emb):
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = [r["vec_id"] for r in ann_lsh_topk(emb, [1.0, 0.0], planes, k=3).collect()]
+    # exact top-3 is [0, 1, 4]; multiprobe over 1-bit flips must find them
+    assert got[0] == 0
+    assert set(got) <= {0, 1, 4}
