@@ -1,0 +1,70 @@
+"""Sinks for the output table bundle (reference app.py:592-615).
+
+The reference collects every table into one Excel workbook / JSON
+document — outputs are small aggregates by construction. We keep
+those driver-side sinks (with an explicit row cap guarding against
+misuse on raw tables) and add the scale path: one parquet directory
+per table via distributed ``df.write``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+DEFAULT_ROW_CAP = 1_000_000
+
+
+def _capped_pandas(name: str, df: DataFrame, row_cap: int):
+    capped = df.limit(row_cap + 1).toPandas()
+    if len(capped) > row_cap:
+        raise ValueError(
+            f"table '{name}' exceeds the driver-side sink row cap "
+            f"({row_cap}); use write_parquet_bundle for large tables"
+        )
+    return capped
+
+
+def write_excel_bundle(
+    tables: dict[str, DataFrame], path: str, row_cap: int = DEFAULT_ROW_CAP
+) -> None:
+    """Multi-sheet Excel workbook, sheet names truncated to Excel's
+    31-char limit (app.py:596). Driver-side by design; needs an excel
+    engine installed."""
+    try:
+        import pandas as pd
+
+        writer = pd.ExcelWriter(path)
+    except (ImportError, ValueError) as e:
+        raise ImportError(
+            "Excel sink needs an engine (pip install openpyxl or xlsxwriter)"
+        ) from e
+    with writer:
+        for name, df in tables.items():
+            _capped_pandas(name, df, row_cap).to_excel(
+                writer, index=False, sheet_name=name[:31]
+            )
+
+
+def write_json_bundle(
+    tables: dict[str, DataFrame], path: str, row_cap: int = DEFAULT_ROW_CAP
+) -> None:
+    """Single JSON document ``{name: [records...]}`` (app.py:607-615)."""
+    bundle = {
+        name: _capped_pandas(name, df, row_cap).to_dict(orient="records")
+        for name, df in tables.items()
+    }
+    with open(path, "w") as f:
+        json.dump(bundle, f, indent=2, default=str)
+
+
+def write_parquet_bundle(
+    tables: dict[str, DataFrame], out_dir: str, mode: str = "overwrite"
+) -> None:
+    """Scale sink: one parquet directory per table, written
+    distributed. The path a 100 TB pipeline actually uses; Excel/JSON
+    stay for the small preview tier."""
+    for name, df in tables.items():
+        df.write.mode(mode).parquet(os.path.join(out_dir, name))

@@ -1,0 +1,187 @@
+"""Structured Streaming path over the events table (extension — the
+reference has no streaming at all; SURVEY.md §2.4/§7).
+
+Event-time processing with watermarks over the fixture schema
+``(event_id, ts, user_id, event_type, value, props)``:
+
+- tumbling / sliding windows via ``F.window``
+- session windows via ``F.session_window``
+- custom stateful aggregation via ``applyInPandasWithState``
+
+The batch equivalents (plans/tpch.events_hourly) share the same
+aggregation expressions, so results are comparable batch-vs-stream —
+the standard way to validate a streaming pipeline.
+
+Scale posture: state size is bounded by the watermark (late data
+beyond it is dropped and its state evicted); keys partition the state
+store, so stateful ops scale horizontally with shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream: each parquet file in ``path`` becomes
+    (part of) a micro-batch. The file source requires an explicit
+    schema; swap for Kafka by replacing this reader only."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window per event type with late-data
+    tolerance = watermark. Same aggregate as the batch events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window: each event lands in window/slide overlapping
+    windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. State for a session is evicted once the watermark
+    passes its close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+_RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def _update_running(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Custom stateful op: per-user running (count, sum) across
+    micro-batches — the applyInPandasWithState kernel."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def stateful_user_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming aggregation via
+    ``applyInPandasWithState``: per-user running totals, emitted every
+    micro-batch (update mode). State partitions by user_id across the
+    cluster; Arrow moves batches to Python."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "update"
+):
+    """Run a streaming frame into an in-memory table (testing/debug
+    sink). Returns the StreamingQuery; caller awaits/stops it."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,154 @@
+"""End-to-end pipeline tests: CSV ingest -> codebook recode -> mapping
+config -> transform -> sinks, checked against the pandas reference
+kernels."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from bht_etl_app_spark.config import MappingConfig, guess_mapping
+from bht_etl_app_spark.io import (
+    apply_codebook,
+    read_codebook,
+    read_table,
+    write_json_bundle,
+    write_parquet_bundle,
+)
+from bht_etl_app_spark.pipeline import BhtPipeline
+from tests import pandas_ref as ref
+from tests.conftest import assert_frames_equal
+
+CFG = {
+    "respondent_id": "resp_id",
+    "demographics": ["gender", "age_group"],
+    "awareness": {"tom": "tom_brand", "unaided": ["UA_Indomie", "UA_Sedaap"], "aided": ["aa_Supermi"]},
+    "usage": {"ever_used": ["UA_Indomie"], "bumo": [], "consider": ["missing_col"]},
+    "satisfaction": {"csat": "csat"},
+    "nps": {"score": "nps_score"},
+}
+
+
+def test_guess_mapping_heuristics():
+    cols = [
+        "Respondent ID", "Gender", "Age", "TOM Brand", "UA_Indomie",
+        "AA_Supermi", "Ever used X", "BUMO", "Consider_Set", "OSAT", "NPS",
+    ]
+    m = guess_mapping(cols)
+    assert m["respondent_id"] == "Respondent ID"
+    assert set(m["demographics"]) == {"Gender", "Age"}
+    assert m["awareness"]["tom"] == "TOM Brand"
+    assert m["awareness"]["unaided"] == ["UA_Indomie"]
+    assert m["awareness"]["aided"] == ["AA_Supermi"]
+    assert m["usage"]["ever_used"] == ["Ever used X"]
+    assert m["usage"]["bumo"] == ["BUMO"]
+    assert m["usage"]["consider"] == ["Consider_Set"]
+    assert m["satisfaction"]["csat"] == "OSAT"
+    assert m["nps"]["score"] == "NPS"
+
+
+def test_config_round_trip(tmp_path):
+    cfg = MappingConfig.from_dict(CFG)
+    p = str(tmp_path / "mapping_config.json")
+    cfg.save(p)
+    loaded = MappingConfig.load(p)
+    assert loaded == cfg
+    assert loaded.to_dict() == CFG
+
+
+def test_transform_tables_match_reference(spark, survey_pdf, survey_sdf):
+    out = BhtPipeline(CFG).transform(survey_sdf, cache=False)
+    assert set(out) == {
+        "awareness_tom", "awareness_unaided", "awareness_aided",
+        "usage_ever_used",
+        "satisfaction_summary", "nps_summary",
+        "brand_dictionary", "tabulation",
+    }
+    exp_tom = ref.safe_value_counts(survey_pdf["tom_brand"]).rename(
+        columns={"option": "brand"}
+    )
+    assert_frames_equal(out["awareness_tom"], exp_tom)
+    exp_unaided = ref.selected_counts(survey_pdf, ["UA_Indomie", "UA_Sedaap"])
+    assert_frames_equal(out["awareness_unaided"], exp_unaided)
+    exp_nps = ref.nps_table(survey_pdf, "nps_score")
+    assert_frames_equal(out["nps_summary"], exp_nps, sort_by=["metric"])
+    exp_tab = ref.full_tabulation(survey_pdf)
+    assert_frames_equal(out["tabulation"], exp_tab)
+
+
+def test_brand_dictionary_contents(spark, survey_sdf):
+    out = BhtPipeline(CFG).transform(survey_sdf, cache=False)
+    rows = {(r["group"], r["brand"]) for r in out["brand_dictionary"].collect()}
+    assert ("TOM", "Indomie") in rows        # trimmed data value
+    assert ("Unaided", "Indomie") in rows    # decoded from UA_Indomie
+    assert ("Unaided", "Sedaap") in rows
+    assert ("Aided", "Supermi") in rows
+    assert ("Consideration", "missing col") in rows  # decode is metadata-only
+
+
+def test_nps_short_form(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "nps string")
+    from bht_etl_app_spark.operators import nps_table
+
+    short = BhtPipeline(CFG).nps_short_form(nps_table(df, "nps"))
+    got = {r["metric"]: r["value"] for r in short.collect()}
+    assert got == {"nps": None, "n": 0.0}
+
+
+def test_csv_ingest_and_codebook(spark, survey_pdf, tmp_path):
+    csv_path = str(tmp_path / "survey.csv")
+    survey_pdf.to_csv(csv_path, index=False)
+    df = read_table(spark, csv_path)
+    assert df.count() == len(survey_pdf)
+
+    cb_path = str(tmp_path / "codebook.csv")
+    pd.DataFrame(
+        {
+            "column": ["gender", "gender", "csat"],
+            "value": ["M", "F", "5"],
+            "label": ["Male", "Female", "Excellent"],
+        }
+    ).to_csv(cb_path, index=False)
+    cb = read_codebook(spark, cb_path)
+    recoded = apply_codebook(df, cb)
+    vals = {r["gender"] for r in recoded.select("gender").distinct().collect()}
+    assert "Male" in vals and "Female" in vals and "M" not in vals
+    # unmapped values fall back to the original
+    csat_vals = {r["csat"] for r in recoded.select("csat").distinct().collect()}
+    assert "Excellent" in csat_vals and "4" in csat_vals
+
+
+def test_codebook_schema_validation(spark, tmp_path):
+    bad = str(tmp_path / "bad.csv")
+    pd.DataFrame({"column": ["a"], "wrong": ["b"]}).to_csv(bad, index=False)
+    with pytest.raises(ValueError, match="column,value,label"):
+        read_codebook(spark, bad)
+
+
+def test_unsupported_extension(spark):
+    with pytest.raises(ValueError, match="Unsupported file type"):
+        read_table(spark, "/tmp/nope.txt")
+
+
+def test_json_and_parquet_bundles(spark, survey_sdf, tmp_path):
+    out = BhtPipeline(CFG).transform(survey_sdf, cache=False)
+    small = {k: out[k] for k in ("awareness_tom", "nps_summary")}
+    jp = str(tmp_path / "bundle.json")
+    write_json_bundle(small, jp)
+    bundle = json.load(open(jp))
+    assert set(bundle) == set(small)
+    assert {r["metric"] for r in bundle["nps_summary"]} == {
+        "nps", "n", "promoters", "passives", "detractors",
+    }
+
+    pq = str(tmp_path / "pq")
+    write_parquet_bundle(small, pq)
+    back = spark.read.parquet(os.path.join(pq, "awareness_tom"))
+    assert back.count() == small["awareness_tom"].count()
+
+
+def test_json_bundle_row_cap(spark, survey_sdf, tmp_path):
+    out = {"tab": survey_sdf}
+    with pytest.raises(ValueError, match="row cap"):
+        write_json_bundle(out, str(tmp_path / "x.json"), row_cap=2)

@@ -1,0 +1,95 @@
+"""Structured Streaming tests: file source -> windowed/stateful aggs
+-> memory sink, validated against the batch equivalents."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.session import load_table
+from bht_etl_app_spark.streaming import (
+    read_event_stream,
+    sessionized_counts,
+    sliding_event_counts,
+    stateful_user_running_totals,
+    stream_to_memory,
+    tumbling_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Re-write the fixture events as proper-timestamp parquet files
+    (two files -> two-ish micro-batches)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, SF, "events")
+    events.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run(spark, df, name, output_mode="update"):
+    q = stream_to_memory(df, name, output_mode=output_mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = _run(spark, tumbling_event_counts(stream), "t_tumbling")
+    events = spark.read.parquet(stream_dir)
+    exp = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n_events"] for r in exp.collect()}
+    # update-mode memory sink may emit a key several times; last wins
+    assert g == e
+
+
+def test_sliding_windows_overlap(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    got = _run(spark, sliding_event_counts(stream), "t_sliding")
+    rows = got.collect()
+    assert len(rows) > 0
+    # one event contributes to window/slide = 4 overlapping windows:
+    # total (window,type) rows must exceed the tumbling row count
+    tumb = spark.sql("SELECT count(DISTINCT window_start) AS n FROM t_tumbling").head()["n"]
+    slid = got.select("window_start").distinct().count()
+    assert slid > tumb
+
+
+def test_session_windows(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    # session-window aggregation only supports append/complete output
+    got = _run(
+        spark, sessionized_counts(stream, gap="30 minutes"), "t_sessions",
+        output_mode="append",
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r["session_end"] > r["session_start"]
+    assert r["n_events"] >= 1
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = _run(spark, stateful_user_running_totals(stream), "t_state")
+    # in update mode the memory sink appends each emission; take the max
+    # (running totals are monotone) and compare with the batch truth
+    final = (
+        spark.sql("SELECT user_id, max(n_events) AS n FROM t_state GROUP BY user_id")
+        .collect()
+    )
+    events = spark.read.parquet(stream_dir)
+    exp = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_map = {r["user_id"]: r["n"] for r in final}
+    assert got_map == exp
