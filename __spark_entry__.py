@@ -45,7 +45,7 @@ from bht_etl_app_spark.operators import (
     synth_media_from_documents,
     token_stats,
 )
-from bht_etl_app_spark.plans import tpch
+from bht_etl_app_spark.plans import analytics, tpch
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -239,7 +239,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "knn_vec0": _q_knn_vec0,
         "near_dup_embeddings": _q_near_dup_embeddings,
+        # ---- multi-level aggs / pushdown / subqueries / skew ----
+        "rollup_region_nation": lambda s, d: analytics.rollup_region_nation_revenue(
+            load_table(s, d, "region"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "cube_order_stats": lambda s, d: analytics.cube_order_stats(
+            load_table(s, d, "orders")
+        ),
+        "q6_revenue_delta": lambda s, d: analytics.q6_revenue_delta(
+            load_table(s, d, "lineitem")
+        ),
+        "high_value_customers": lambda s, d: analytics.high_value_customers(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
+        "monthly_order_stats": lambda s, d: analytics.monthly_order_stats(
+            load_table(s, d, "orders")
+        ),
+        "distinct_parts_per_supplier": lambda s, d: analytics.distinct_parts_per_supplier(
+            load_table(s, d, "lineitem")
+        ),
+        "salted_user_event_totals": lambda s, d: analytics.salted_user_event_totals(
+            load_table(s, d, "events")
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
+        "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
+            load_table(s, d, "lineitem")
+        ),
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
         "image_features_demo": _q_image_features,
@@ -450,6 +479,13 @@ SELECT * FROM (VALUES
         "active_order_customers": tpch.ACTIVE_ORDER_CUSTOMERS_SQL,
         "orders_by_year": tpch.ORDERS_BY_YEAR_SQL,
         "events_hourly": tpch.EVENTS_HOURLY_SQL,
+        "rollup_region_nation": analytics.ROLLUP_SQL,
+        "cube_order_stats": analytics.CUBE_SQL,
+        "q6_revenue_delta": analytics.Q6_SQL,
+        "high_value_customers": analytics.HIGH_VALUE_CUSTOMERS_SQL,
+        "monthly_order_stats": analytics.MONTHLY_ORDER_STATS_SQL,
+        "distinct_parts_per_supplier": analytics.DISTINCT_PARTS_SQL,
+        "salted_user_event_totals": analytics.SALTED_USER_EVENT_TOTALS_SQL,
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

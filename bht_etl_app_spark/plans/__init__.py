@@ -1,3 +1,3 @@
-from bht_etl_app_spark.plans import tpch
+from bht_etl_app_spark.plans import analytics, tpch
 
-__all__ = ["tpch"]
+__all__ = ["analytics", "tpch"]

@@ -1,0 +1,222 @@
+"""Additional analytic surface: multi-level aggregation (rollup/cube
+with grouping flags), filter-pushdown-heavy scans, semi/anti join
+subquery shapes, date truncation, distinct + approx-distinct, and the
+skew-resistant salted aggregation pattern.
+
+These demonstrate engine breadth beyond the reference's operators
+(SURVEY.md §2.4) — all native DataFrame API, Catalyst-optimized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def rollup_region_nation_revenue(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame,
+) -> DataFrame:
+    """ROLLUP over (region, nation) with grouping flags — subtotal and
+    grand-total rows in one pass (the one-pass generalization of the
+    reference's hand-rolled crosstab margins)."""
+    disc = (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every subtotal combination."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q6_revenue_delta(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: a single filter-heavy scan where every predicate
+    pushes to parquet (range on date, between on discount, < on
+    quantity) and only 3 columns are read."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def high_value_customers(customer: DataFrame, orders: DataFrame, min_total: float = 400000.0) -> DataFrame:
+    """Semi join (EXISTS subquery shape): customers with at least one
+    order above the threshold."""
+    big = orders.where(F.col("o_totalprice") > min_total)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+HIGH_VALUE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+"""
+
+
+def monthly_order_stats(orders: DataFrame) -> DataFrame:
+    """Date truncation + multiple date parts in one aggregate."""
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+            F.quarter("o_orderdate").cast("long").alias("quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_order"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
+        )
+    )
+
+
+MONTHLY_ORDER_STATS_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_order,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def distinct_parts_per_supplier(lineitem: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — shuffles (key, value) pairs.
+    For 100 TB cardinality estimation use approx_distinct_parts (HLL,
+    one pass, no distinct shuffle) — approximate, so rows-only checked."""
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+DISTINCT_PARTS_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY 1
+"""
+
+
+def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog approximate distinct — the scale path (single pass,
+    fixed-size sketch per group, no distinct shuffle). Engine-specific
+    sketch values -> rows-only contract check."""
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+def salted_user_event_totals(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-resistant two-stage aggregation: pre-aggregate on
+    (key, random-ish salt) to spread a hot key across ``salt_buckets``
+    reducers, then combine per key. The salt is derived
+    deterministically from event_id so results are reproducible.
+
+    Identical result to a plain groupBy (the oracle checks exactly
+    that); at scale this is the pattern for power-law keys where one
+    user owns 1% of all events.
+    """
+    salted = events.withColumn(
+        "__salt__", F.pmod(F.col("event_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("user_id", "__salt__").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("v"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+SALTED_USER_EVENT_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
