@@ -45,7 +45,7 @@ from bht_etl_app_spark.operators import (
     synth_media_from_documents,
     token_stats,
 )
-from bht_etl_app_spark.plans import analytics, tpch
+from bht_etl_app_spark.plans import analytics, tpch, windows
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -166,6 +166,16 @@ def _q_near_dup_embeddings(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
+def _q_ann_lsh_topk(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, len(qv))).tolist()
+    return ann_lsh_topk(emb, qv, planes, k=5)
+
+
 def _q_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
@@ -265,10 +275,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_event_totals": lambda s, d: analytics.salted_user_event_totals(
             load_table(s, d, "events")
         ),
+        # ---- windows / time-series / percentiles / set ops ----
+        "customer_order_ranks": lambda s, d: windows.customer_order_ranks(
+            load_table(s, d, "orders")
+        ),
+        "customer_order_gaps": lambda s, d: windows.customer_order_gaps(
+            load_table(s, d, "orders")
+        ),
+        "running_monthly_revenue": lambda s, d: windows.running_monthly_revenue(
+            load_table(s, d, "orders")
+        ),
+        "sessionized_event_stats": lambda s, d: windows.sessionized_event_stats(
+            load_table(s, d, "events")
+        ),
+        "purchase_asof_prior_view": lambda s, d: windows.purchase_asof_prior_view(
+            load_table(s, d, "events")
+        ),
+        "order_price_percentiles": lambda s, d: windows.order_price_percentiles(
+            load_table(s, d, "orders")
+        ),
+        "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
+            load_table(s, d, "events")
+        ),
+        "view_not_purchase_user_days": lambda s, d: windows.view_not_purchase_user_days(
+            load_table(s, d, "events")
+        ),
+        # ---- further TPC-H join shapes ----
+        "q4_order_priority": lambda s, d: tpch.q4_order_priority(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "q12_priority_by_linestatus": lambda s, d: tpch.q12_priority_by_linestatus(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "q14_promo_revenue": lambda s, d: tpch.q14_promo_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
+        "q15_top_supplier": lambda s, d: tpch.q15_top_supplier(
+            load_table(s, d, "supplier"), load_table(s, d, "lineitem")
+        ),
+        "q18_large_volume_orders": lambda s, d: tpch.q18_large_volume_orders(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q19_disjunctive_revenue": lambda s, d: tpch.q19_disjunctive_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
+        "q22_above_avg_suppliers": lambda s, d: tpch.q22_above_avg_suppliers(
+            load_table(s, d, "supplier")
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
         ),
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
         "image_features_demo": _q_image_features,
@@ -486,6 +546,21 @@ SELECT * FROM (VALUES
         "monthly_order_stats": analytics.MONTHLY_ORDER_STATS_SQL,
         "distinct_parts_per_supplier": analytics.DISTINCT_PARTS_SQL,
         "salted_user_event_totals": analytics.SALTED_USER_EVENT_TOTALS_SQL,
+        "customer_order_ranks": windows.CUSTOMER_ORDER_RANKS_SQL,
+        "customer_order_gaps": windows.CUSTOMER_ORDER_GAPS_SQL,
+        "running_monthly_revenue": windows.RUNNING_MONTHLY_REVENUE_SQL,
+        "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
+        "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,
+        "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
+        "purchase_and_click_users": windows.PURCHASE_AND_CLICK_USERS_SQL,
+        "view_not_purchase_user_days": windows.VIEW_NOT_PURCHASE_USER_DAYS_SQL,
+        "q4_order_priority": tpch.Q4_SQL,
+        "q12_priority_by_linestatus": tpch.Q12_SQL,
+        "q14_promo_revenue": tpch.Q14_SQL,
+        "q15_top_supplier": tpch.Q15_SQL,
+        "q18_large_volume_orders": tpch.Q18_SQL,
+        "q19_disjunctive_revenue": tpch.Q19_SQL,
+        "q22_above_avg_suppliers": tpch.Q22_SQL,
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

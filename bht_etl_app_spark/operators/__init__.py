@@ -33,6 +33,11 @@ from bht_etl_app_spark.operators.multimodal import (
     image_features,
     synth_media_from_documents,
 )
+from bht_etl_app_spark.operators.timeseries import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
 
 __all__ = [
     "safe_value_counts",
@@ -60,4 +65,7 @@ __all__ = [
     "token_stats",
     "image_features",
     "synth_media_from_documents",
+    "asof_join",
+    "session_stats",
+    "sessionize",
 ]

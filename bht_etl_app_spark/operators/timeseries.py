@@ -1,0 +1,168 @@
+"""Time-series operators: sessionization and as-of join.
+
+The reference app has no time-series surface (SURVEY.md §2.4 — no
+window functions, no streams; reference `app.py` is survey tabulation
+only), so these are engine extensions in the north-star direction:
+the operations an event/training-data pipeline needs at scale.
+
+Scale posture (100 TB):
+- ``sessionize`` shuffles once on the user key and then does a linear
+  in-partition window scan — no driver state, no collect. Skewed power
+  users make one partition hot; AQE skew-split handles the shuffle
+  side, and the window scan is O(events-per-user).
+- ``asof_join`` uses the tagged-union + window trick: both inputs are
+  shuffled ONCE on the join key, unioned, sorted within partitions by
+  (time, side), and each left row picks up the most recent right
+  payload with ``last(ignorenulls)``. This is one shuffle + one sort —
+  no per-row range probe, no broadcast requirement, no O(n·m) blow-up;
+  it scales to arbitrarily large sides (vs. DuckDB's ASOF JOIN which
+  we use only as the small-scale oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str = "event_id",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign per-user session ids: a new session starts when the gap
+    since the user's previous event exceeds ``gap_seconds``.
+
+    Gap arithmetic is done in integer microseconds (``unix_micros``)
+    so sub-second timestamps are handled exactly and deterministically
+    (the fixture ``events.ts`` has microsecond precision).
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__new_session__", new_session)
+        .withColumn(out_col, F.sum("__new_session__").over(run).cast("long"))
+        .drop("__new_session__")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Sessionize then aggregate one row per (user, session)."""
+    s = sessionize(events, user_col=user_col, ts_col=ts_col, gap_seconds=gap_seconds)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return s.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: for every left row, attach the
+    ``payload`` columns of the right row with the greatest
+    ``right_time`` <= ``left_time`` for the same key; nulls when no
+    such row exists.
+
+    Right rows sharing (key, time) are deduplicated first, keeping the
+    row with the greatest ``right_tiebreak`` — this pins the result
+    deterministically (DuckDB's ASOF JOIN is ambiguous on such ties).
+
+    Implementation: tag both sides, union, and within each key take a
+    running ``last(payload, ignorenulls=True)`` ordered by
+    (time, side) with right rows (side=0) sorting before left rows
+    (side=1) at equal timestamps, making the match inclusive. One
+    shuffle per side, one sort — see module docstring for why this is
+    the 100 TB-safe shape.
+    """
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left columns: {overlap}")
+
+    dedup_w = Window.partitionBy(right_key, right_time).orderBy(
+        F.col(right_tiebreak).desc()
+    )
+    right_dedup = (
+        right.withColumn("__rn__", F.row_number().over(dedup_w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+    left_aug = left.select(
+        "*",
+        *[
+            F.lit(None).cast(right_dedup.schema[p].dataType).alias(p)
+            for p in payload
+        ],
+        F.col(left_time).alias("__t__"),
+        F.lit(1).alias("__side__"),
+    )
+    # the right side contributes the key column (under the left key's
+    # name), typed nulls for every other left column, and the payload
+    right_aug = right_dedup.select(
+        *[
+            (
+                F.col(right_key).cast(left.schema[c].dataType)
+                if c == left_key
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in left.columns
+        ],
+        *[F.col(p) for p in payload],
+        F.col(right_time).alias("__t__"),
+        F.lit(0).alias("__side__"),
+    )
+
+    combined = left_aug.unionByName(right_aug)
+    w = (
+        Window.partitionBy(left_key)
+        .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    match_struct = F.last(
+        F.when(F.col("__side__") == 0, F.struct(*[F.col(p) for p in payload])),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        combined.withColumn("__match__", match_struct)
+        .where(F.col("__side__") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"__match__.{p}").alias(p) for p in payload],
+        )
+    )

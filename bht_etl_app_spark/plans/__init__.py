@@ -1,3 +1,3 @@
-from bht_etl_app_spark.plans import analytics, tpch
+from bht_etl_app_spark.plans import analytics, tpch, windows
 
-__all__ = ["analytics", "tpch"]
+__all__ = ["analytics", "tpch", "windows"]

@@ -1,0 +1,276 @@
+"""Window-function, sessionization, as-of, percentile and set-op
+query surface.
+
+The reference has NO window functions, time-series ops, percentiles
+or set algebra (SURVEY.md §2.4); this module is the engine's
+general-analytics extension of those categories, expressed with
+native Spark windows / set ops so Catalyst handles the physical plan
+(one shuffle per partition key, in-partition sorts, AQE-coalesced
+output).
+
+Determinism rules (so DuckDB value-hashes match):
+- every window ORDER BY carries a unique tiebreak column;
+- money/quantity sums run through DECIMAL(18,2) then cast to double;
+- ranks/counters cast to long;
+- time gaps use integer microseconds (``unix_micros`` /
+  ``epoch_us``) — the fixture timestamps have sub-second precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bht_etl_app_spark.operators.timeseries import asof_join, session_stats
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# ranking / lag / running totals
+# ---------------------------------------------------------------------------
+
+def customer_order_ranks(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer with row_number / rank / dense_rank.
+    One shuffle on o_custkey; both windows share the partitioning so
+    Spark plans a single exchange with two in-partition sorts."""
+    w_det = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_det).cast("long").alias("rn"),
+            F.rank().over(w_price).cast("long").alias("rnk"),
+            F.dense_rank().over(w_price).cast("long").alias("drnk"),
+        )
+        .where(F.col("rn") <= k)
+    )
+
+
+CUSTOMER_ORDER_RANKS_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+         CAST(rank()       OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Days since the customer's previous order (lag); null for the
+    first order. Single shuffle on o_custkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("gap_days"),
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+FROM orders
+"""
+
+
+def running_monthly_revenue(orders: DataFrame) -> DataFrame:
+    """Per-priority cumulative monthly revenue: aggregate to month
+    grain first (map-side combine shrinks the shuffle), then a running
+    DECIMAL sum per priority — exact, so the cumulative doubles are
+    bit-identical across engines."""
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.col("rev").cast("double").alias("month_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+RUNNING_MONTHLY_REVENUE_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month,
+       CAST(rev AS DOUBLE) AS month_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY month
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization + as-of join (operators in operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def sessionized_event_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    return session_stats(
+        events, user_col="user_id", ts_col="ts",
+        gap_seconds=gap_seconds, value_col="value",
+    )
+
+
+SESSIONIZED_EVENT_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def purchase_asof_prior_view(events: DataFrame) -> DataFrame:
+    """As-of join within the events table: every 'purchase' event gets
+    the most recent prior (inclusive) 'view' by the same user, plus
+    the gap in microseconds; nulls when the user never viewed before
+    purchasing."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = asof_join(
+        purchases, views,
+        left_key="user_id", right_key="user_id",
+        left_time="ts", right_time="view_ts",
+        payload=["view_event_id", "view_ts"],
+        right_tiebreak="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).cast("long").alias("gap_us"),
+    )
+
+
+PURCHASE_ASOF_PRIOR_VIEW_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.view_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.view_ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentiles
+# ---------------------------------------------------------------------------
+
+def order_price_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per priority (Spark `percentile`
+    == DuckDB `quantile_cont`: both linear interpolation). Exact
+    percentile sorts each group; the 100 TB path is
+    `approx_percentile` (t-digest sketch, single pass) — same API
+    shape, kept exact here so the oracle can hash-match."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.bround(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.bround(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.bround(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORDER_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       round_even(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round_even(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round_even(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+def purchase_and_click_users(events: DataFrame) -> DataFrame:
+    """INTERSECT (distinct semantics): users with both a purchase and
+    a click."""
+    p = events.where(F.col("event_type") == "purchase").select("user_id")
+    c = events.where(F.col("event_type") == "click").select("user_id")
+    return p.intersect(c)
+
+
+PURCHASE_AND_CLICK_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+
+def view_not_purchase_user_days(events: DataFrame) -> DataFrame:
+    """EXCEPT (distinct semantics): (user, day) pairs with a view but
+    no purchase that day."""
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    v = events.where(F.col("event_type") == "view").select("user_id", day)
+    p = events.where(F.col("event_type") == "purchase").select("user_id", day)
+    return v.subtract(p)
+
+
+VIEW_NOT_PURCHASE_USER_DAYS_SQL = """
+SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+"""

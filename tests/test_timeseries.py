@@ -1,0 +1,103 @@
+"""Unit tests for sessionize / session_stats / asof_join on tiny
+literal frames covering the edge cases: gap exactly at the threshold,
+ties on timestamp, no-match nulls, payload-type preservation."""
+
+from datetime import datetime
+
+import pytest
+
+from bht_etl_app_spark.operators.timeseries import asof_join, session_stats, sessionize
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # user 1: 3 events, second gap exactly 1800s (same session —
+        # threshold is strict '>'), third gap 1801s (new session)
+        (1, 1, _ts("2024-01-01T00:00:00"), 10.0),
+        (2, 1, _ts("2024-01-01T00:30:00"), 20.0),
+        (3, 1, _ts("2024-01-01T01:00:01"), 30.0),
+        # user 2: single event
+        (4, 2, _ts("2024-01-01T05:00:00"), 5.0),
+        # user 3: tie on ts -> event_id breaks the tie deterministically
+        (5, 3, _ts("2024-01-01T00:00:00"), 1.0),
+        (6, 3, _ts("2024-01-01T00:00:00"), 2.0),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_threshold_strict(spark, tiny_events):
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(tiny_events).collect()
+    }
+    assert got[1] == 1 and got[2] == 1  # 1800s gap stays in session
+    assert got[3] == 2                   # 1801s gap opens a new one
+    assert got[4] == 1
+    assert got[5] == 1 and got[6] == 1   # tie: same session
+
+
+def test_session_stats(spark, tiny_events):
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in session_stats(tiny_events, value_col="value").collect()
+    }
+    assert got[(1, 1)] == (2, 30.0)
+    assert got[(1, 2)] == (1, 30.0)
+    assert got[(2, 1)] == (1, 5.0)
+    assert got[(3, 1)] == (2, 3.0)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),
+            (2, 100, _ts("2024-01-01T12:00:00")),
+            (3, 200, _ts("2024-01-01T09:00:00")),  # before any right row
+            (4, 300, _ts("2024-01-01T09:00:00")),  # key with no right rows
+        ],
+        "lid long, key long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T10:00:00"), 7, "a"),   # ties lid=1 exactly (inclusive)
+            (100, _ts("2024-01-01T11:00:00"), 8, "b"),
+            (100, _ts("2024-01-01T11:00:00"), 9, "c"),   # same ts: tiebreak keeps rid=9
+            (200, _ts("2024-01-01T09:30:00"), 10, "d"),
+        ],
+        "rkey long, rt timestamp, rid long, tag string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, asof_frames):
+    left, right = asof_frames
+    got = {
+        r["lid"]: (r["rid"], r["tag"])
+        for r in asof_join(
+            left, right,
+            left_key="key", right_key="rkey",
+            left_time="t", right_time="rt",
+            payload=["rid", "tag"], right_tiebreak="rid",
+        ).collect()
+    }
+    assert got[1] == (7, "a")        # equal timestamp matches (inclusive)
+    assert got[2] == (9, "c")        # latest right row; tie resolved to max rid
+    assert got[3] == (None, None)    # left precedes every right row
+    assert got[4] == (None, None)    # key absent from right
+
+
+def test_asof_payload_collision_raises(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right.withColumnRenamed("rid", "lid"),
+            left_key="key", right_key="rkey",
+            left_time="t", right_time="rt",
+            payload=["lid"], right_tiebreak="lid",
+        )
