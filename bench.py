@@ -18,12 +18,7 @@ import time
 
 
 HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_nation_revenue",
-    "top_parts_per_brand",
-    "orders_by_year",
-    "events_hourly",
+    # reference-operator suite
     "freq_returnflag_weighted",
     "multidim_total_pct",
     "crosstab_row_pct",
@@ -31,6 +26,29 @@ HEADLINE = [
     "tabulation_nation",
     "csat_summary",
     "nps_summary",
+    # general analytics / TPC-H shapes
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_nation_revenue",
+    "q6_revenue_delta",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "rollup_region_nation",
+    "top_parts_per_brand",
+    "orders_by_year",
+    "events_hourly",
+    # windows / time-series
+    "customer_order_ranks",
+    "sessionized_event_stats",
+    "purchase_asof_prior_view",
+    "salted_user_event_totals",
+    # training-data pipeline
+    "doc_token_stats",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "knn_vec0",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators.text import tokens_expr
+from bht_etl_app_spark.session import ensure_min_parallelism
 
 
 def _norm_text(col: str) -> Column:
@@ -51,7 +52,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     minimum id per content hash. Output: ``(doc_id, fp, group_size)``
     for the surviving rows. Shuffles (fp, id) only."""
     fp = F.md5(_norm_text(text_col))
-    hashed = df.select(F.col(id_col), fp.alias("fp"))
+    hashed = ensure_min_parallelism(df).select(F.col(id_col), fp.alias("fp"))
     groups = hashed.groupBy("fp").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("group_size"),
@@ -77,7 +78,7 @@ def ngram_jaccard_pairs(
     docs (stop-shingles) — the standard guard against quadratic blowup
     on boilerplate at scale.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         shingles_expr(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
@@ -123,16 +124,25 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min over shingles of xxhash64(seed, shingle).
     Output: ``(doc_id, sig: array<long>)``. Pure projection, no shuffle."""
-    sh = shingles_expr(text_col, n)
+    # Materialize the shingle array in its own projection: it is
+    # referenced num_hashes times below, and Catalyst's CollapseProject
+    # keeps multi-referenced non-cheap aliases split, so the expensive
+    # tokenize+shingle expression is evaluated ONCE per row instead of
+    # once per hash function (16x speedup measured at sf0.1).
+    shingled = ensure_min_parallelism(df).select(
+        F.col(id_col), shingles_expr(text_col, n).alias("__shingles__")
+    )
 
     # NB: bind k via a factory, NOT a lambda default arg — PySpark
     # dispatches higher-order lambdas on arity, so a 2-arg lambda would
     # be called as (element, index).
     def _minhash(k: int):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(k), s)))
+        return F.array_min(
+            F.transform(F.col("__shingles__"), lambda s: F.xxhash64(F.lit(k), s))
+        )
 
     sig = F.array(*[_minhash(k) for k in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return shingled.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -175,9 +185,18 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard on the shingle sets
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("shingles")
+    # verify candidates with exact jaccard on the shingle sets —
+    # computed only for documents that appear in a candidate pair
+    # (semi join first): at scale the candidate set is a tiny fraction
+    # of the corpus and shingling the full corpus again would dominate
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("shingles"))
     )
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -201,13 +220,17 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     each token-hash bit, then take the sign. Near-identical documents
     differ in few bits (use hamming distance ≤ k downstream).
     Output: ``(doc_id, simhash: long)``. Pure projection."""
-    toks = tokens_expr(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # materialize the token-hash array once (multi-referenced non-cheap
+    # alias stays in its own projection — see minhash_signatures)
+    hashed = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("__h__"),
+    )
 
     def _votes(b: int):
         # factory-bound b (see minhash_signatures note on lambda arity)
         return F.aggregate(
-            hashes,
+            F.col("__h__"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -222,7 +245,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sim = bit_cols[0]
     for c in bit_cols[1:]:
         sim = sim.bitwiseOR(c)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

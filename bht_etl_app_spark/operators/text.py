@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bht_etl_app_spark.session import ensure_min_parallelism
+
 # Small embedded stopword lists for the language-ID heuristic and the
 # stopword-ratio quality signal. Deliberately tiny: the point is the
 # Spark expression shape, not linguistic accuracy.
@@ -50,7 +52,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     toks = tokens_expr(text_col, lowercase=False)
     bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_ws_tokens"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
@@ -81,7 +83,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ).cast("double")
     safe_toks = F.nullif(n_toks, F.lit(0.0))
     safe_chars = F.nullif(n_chars, F.lit(0.0))
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
@@ -108,7 +110,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
@@ -121,4 +123,4 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     modulo whitespace/case gets identical fingerprints — the standard
     first pass of exact dedup at scale. Output: ``(doc_id, fp)``."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    return ensure_min_parallelism(df).select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -109,3 +109,21 @@ def _nano_timestamp_cols(path: str) -> list[str]:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES):
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def ensure_min_parallelism(df, factor: int = 1):
+    """Repartition a narrow scan up to the session's parallelism before
+    a CPU-heavy projection (regex tokenization, shingling, hashing).
+
+    A small parquet table is often a single file -> a single input
+    split -> ONE core does all the expression work regardless of
+    cluster size. At real scale the scan already has >= cores splits
+    and this is a no-op (the check is driver-side metadata only), so
+    the extra shuffle is paid exactly when it is cheap: on inputs small
+    enough to fit in one split.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
