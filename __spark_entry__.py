@@ -45,7 +45,7 @@ from bht_etl_app_spark.operators import (
     synth_media_from_documents,
     token_stats,
 )
-from bht_etl_app_spark.plans import analytics, tpch, windows
+from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -292,6 +292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")
         ),
         "order_price_percentiles": lambda s, d: windows.order_price_percentiles(
+            load_table(s, d, "orders")
+        ),
+        "session_window_stats": lambda s, d: windows.session_window_stats(
+            load_table(s, d, "events")
+        ),
+        "error_recent_click_counts": lambda s, d: windows.error_recent_click_counts(
+            load_table(s, d, "events")
+        ),
+        "embedding_norms": lambda s, d: arrays.embedding_norms(
+            load_table(s, d, "embeddings")
+        ),
+        "token_frequencies": lambda s, d: arrays.token_frequencies(
+            load_table(s, d, "documents")
+        ),
+        "quantity_moments": lambda s, d: arrays.quantity_moments(
+            load_table(s, d, "lineitem")
+        ),
+        "statuses_per_priority": lambda s, d: arrays.statuses_per_priority(
             load_table(s, d, "orders")
         ),
         "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
@@ -552,6 +570,12 @@ SELECT * FROM (VALUES
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,
         "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
+        "session_window_stats": windows.SESSION_WINDOW_STATS_SQL,
+        "error_recent_click_counts": windows.ERROR_RECENT_CLICK_COUNTS_SQL,
+        "embedding_norms": arrays.EMBEDDING_NORMS_SQL,
+        "token_frequencies": arrays.TOKEN_FREQUENCIES_SQL,
+        "quantity_moments": arrays.QUANTITY_MOMENTS_SQL,
+        "statuses_per_priority": arrays.STATUSES_PER_PRIORITY_SQL,
         "purchase_and_click_users": windows.PURCHASE_AND_CLICK_USERS_SQL,
         "view_not_purchase_user_days": windows.VIEW_NOT_PURCHASE_USER_DAYS_SQL,
         "q4_order_priority": tpch.Q4_SQL,

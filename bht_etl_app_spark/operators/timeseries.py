@@ -83,6 +83,57 @@ def session_stats(
     return s.groupBy(user_col, "session_id").agg(*aggs)
 
 
+def range_join_recent(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    before_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Time-range left join: attach every right row with
+    ``right_time`` in the half-open window
+    ``(left_time - before_seconds, left_time]`` for the same key;
+    left rows with no match survive with nulls.
+
+    Spark has no native band/range-join optimization, so a naive
+    theta-join would be a per-key cross product. This uses the
+    standard bucketed equi-join: both sides are bucketed by
+    ``bucket_seconds`` (default = the window width), the right side is
+    exploded into the (at most 2) buckets it can match, and the exact
+    range predicate rides along as a residual join condition. The join
+    is then a plain shuffled equi-join on (key, bucket) — candidate
+    fan-out is bounded by rows-per-bucket, and the whole thing is one
+    shuffle per side at any scale.
+
+    Left/right column names must be disjoint (alias on the caller).
+    """
+    if set(left.columns) & set(right.columns):
+        raise ValueError("left/right columns must be disjoint; alias the right side")
+    bucket_seconds = bucket_seconds or before_seconds
+    bw = bucket_seconds * 1_000_000
+    before_us = before_seconds * 1_000_000
+
+    l = left.withColumn("__lb__", F.floor(F.unix_micros(F.col(left_time)) / F.lit(bw)))
+    r = right.withColumn(
+        "__rb0__", F.floor(F.unix_micros(F.col(right_time)) / F.lit(bw))
+    ).withColumn(
+        "__rb__", F.explode(F.array(F.col("__rb0__"), F.col("__rb0__") + 1))
+    )
+    lt = F.unix_micros(F.col(left_time))
+    rt = F.unix_micros(F.col(right_time))
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col("__lb__") == F.col("__rb__"))
+        & (rt <= lt)
+        & (rt > lt - before_us)
+    )
+    return l.join(r, cond, "left").select(*left.columns, *right.columns)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,3 +1,3 @@
-from bht_etl_app_spark.plans import analytics, tpch, windows
+from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
 
-__all__ = ["analytics", "tpch", "windows"]
+__all__ = ["analytics", "arrays", "tpch", "windows"]

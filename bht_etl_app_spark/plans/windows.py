@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bht_etl_app_spark.operators.timeseries import asof_join, session_stats
+from bht_etl_app_spark.operators.timeseries import (
+    asof_join,
+    range_join_recent,
+    session_stats,
+)
 
 
 def _dec(col: str):
@@ -208,6 +212,91 @@ SELECT p.event_id, p.user_id, v.view_event_id,
        CAST(epoch_us(p.ts) - epoch_us(v.view_ts) AS BIGINT) AS gap_us
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native Spark ``session_window`` in BATCH mode (same operator the
+    streaming path uses, streaming/events.py:sessionized_counts) —
+    cross-validates the engine's built-in session semantics against the
+    gap-island formulation the oracle uses.
+
+    Spark's session merge rule: an event extends the session iff its
+    ts is STRICTLY inside [start, last_ts + gap); a gap of exactly
+    ``gap`` starts a new session — hence the >= in the oracle SQL
+    (note the off-by-one difference from ``sessionize``'s strict->
+    threshold, which follows the classic islands convention).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def error_recent_click_counts(events: DataFrame, before_seconds: int = 300) -> DataFrame:
+    """Range join (bucketed-band trick, operators/timeseries.py:
+    range_join_recent): for every 'error' event, how many 'click'
+    events the same user made in the preceding 5 minutes (inclusive of
+    the error instant, exclusive of -5:00 exactly)."""
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = range_join_recent(
+        errors, clicks,
+        left_key="user_id", right_key="c_user",
+        left_time="ts", right_time="c_ts",
+        before_seconds=before_seconds,
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("c_ts").alias("n_recent_clicks")
+    )
+
+
+ERROR_RECENT_CLICK_COUNTS_SQL = """
+SELECT e.event_id, e.user_id, COUNT(c.c_ts) AS n_recent_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click') c
+  ON c.c_user = e.user_id
+ AND c.c_ts <= e.ts
+ AND c.c_ts > e.ts - INTERVAL 5 MINUTE
+GROUP BY 1, 2
 """
 
 

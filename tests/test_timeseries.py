@@ -101,3 +101,44 @@ def test_asof_payload_collision_raises(spark, asof_frames):
             left_time="t", right_time="rt",
             payload=["lid"], right_tiebreak="lid",
         )
+
+
+def test_range_join_recent_boundaries(spark):
+    from bht_etl_app_spark.operators.timeseries import range_join_recent
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T01:00:00"))], "lid long, key long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (5, _ts("2024-01-01T00:55:00"), 1),  # exactly -300s: EXCLUDED
+            (5, _ts("2024-01-01T00:55:00.000001"), 2),  # just inside
+            (5, _ts("2024-01-01T01:00:00"), 3),  # equal ts: included
+            (5, _ts("2024-01-01T01:00:01"), 4),  # future: excluded
+            (6, _ts("2024-01-01T00:59:00"), 5),  # other key
+        ],
+        "rkey long, rt timestamp, rid long",
+    )
+    got = range_join_recent(
+        left, right,
+        left_key="key", right_key="rkey",
+        left_time="t", right_time="rt", before_seconds=300,
+    )
+    assert sorted(r["rid"] for r in got.collect() if r["rid"] is not None) == [2, 3]
+
+
+def test_range_join_recent_no_match_survives(spark):
+    from bht_etl_app_spark.operators.timeseries import range_join_recent
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T01:00:00"))], "lid long, key long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01T02:00:00"), 1)], "rkey long, rt timestamp, rid long"
+    )
+    rows = range_join_recent(
+        left, right,
+        left_key="key", right_key="rkey",
+        left_time="t", right_time="rt", before_seconds=300,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["rid"] is None
