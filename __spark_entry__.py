@@ -342,6 +342,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_above_avg_suppliers": lambda s, d: tpch.q22_above_avg_suppliers(
             load_table(s, d, "supplier")
         ),
+        "q7_nation_volume": lambda s, d: tpch.q7_nation_volume(
+            load_table(s, d, "supplier"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+        ),
+        "q10_returned_top_customers": lambda s, d: tpch.q10_returned_top_customers(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+        ),
+        "q13_order_count_distribution": lambda s, d: tpch.q13_order_count_distribution(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
+        "q17_small_quantity_revenue": lambda s, d: tpch.q17_small_quantity_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -585,6 +604,10 @@ SELECT * FROM (VALUES
         "q18_large_volume_orders": tpch.Q18_SQL,
         "q19_disjunctive_revenue": tpch.Q19_SQL,
         "q22_above_avg_suppliers": tpch.Q22_SQL,
+        "q7_nation_volume": tpch.Q7_SQL,
+        "q10_returned_top_customers": tpch.Q10_SQL,
+        "q13_order_count_distribution": tpch.Q13_SQL,
+        "q17_small_quantity_revenue": tpch.Q17_SQL,
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

@@ -523,3 +523,164 @@ FROM supplier, pos
 WHERE CAST(s_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
 GROUP BY 1
 """
+
+
+def q7_nation_volume(
+    supplier: DataFrame, customer: DataFrame, orders: DataFrame,
+    lineitem: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume
+    by year, restricted to one nation pair in either direction. Two
+    broadcast dim joins (nation twice under different aliases) hang
+    off the orders⋈lineitem fact join."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("volume"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_top_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-k.
+    Deterministic top-k: DECIMAL revenue (exact -> no ULP ties) with
+    c_custkey as the final tiebreak."""
+    disc = (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice") * disc).alias("rev"))
+    )
+    return (
+        rev.orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select("c_custkey", "c_name", "n_name", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+ORDER BY rev DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left outer join, count of the join key, then
+    a second groupBy over the counts)."""
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average subquery — lineitem
+    rows with quantity below 20% of their part's average quantity.
+    The per-part average is a groupBy joined back on the part key (the
+    decorrelated plan Catalyst would produce for the subquery); the
+    0.2 threshold comparison is exact decimal (avg as sum/count via
+    multiplicative compare: 5 * qty * n < total)."""
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(_dec("l_quantity")).alias("qty_total"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    j = (
+        lineitem.join(F.broadcast(part.where(F.col("p_brand") == "Brand#23")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("p_key"))
+        .where(
+            _dec("l_quantity") * F.lit(5) * F.col("qty_n") < F.col("qty_total")
+        )
+    )
+    return j.agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_key,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+         COUNT(*) AS qty_n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = p_key
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_total
+"""
