@@ -1,3 +1,9 @@
+from bht_etl_app_spark.io.layout import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+    write_range_sorted,
+)
 from bht_etl_app_spark.io.readers import apply_codebook, read_codebook, read_table
 from bht_etl_app_spark.io.sinks import (
     write_excel_bundle,
@@ -9,6 +15,10 @@ __all__ = [
     "apply_codebook",
     "read_codebook",
     "read_table",
+    "read_bucketed",
+    "write_bucketed",
+    "write_partitioned",
+    "write_range_sorted",
     "write_excel_bundle",
     "write_json_bundle",
     "write_parquet_bundle",

@@ -1,0 +1,72 @@
+"""Physical data layout: the write-side half of 100 TB performance.
+
+The reference app has no storage story at all (in-memory pandas,
+SURVEY.md §1.3); at scale, layout decisions dominate query cost:
+
+- ``write_partitioned``: hive-style directory partitioning -> partition
+  PRUNING (a filter on the partition column skips whole directories
+  before any IO; visible as ``PartitionFilters`` in the scan node).
+- ``write_range_sorted``: range-repartition + in-partition sort ->
+  tight parquet min/max row-group stats, so range predicates skip row
+  groups inside files, and downstream merge-sorts are cheap.
+- ``write_bucketed``: hash-bucketed (+ optionally sorted) catalog
+  table -> joins/aggregations on the bucket key need NO shuffle
+  (Exchange disappears from the plan; each task zips bucket i with
+  bucket i). The classic fact-table co-location strategy.
+
+All three are thin, opinionated wrappers over native DataFrameWriter
+features — the value is choosing them per column role, not mechanism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet. Choose low-cardinality,
+    filter-heavy columns (date, category); high-cardinality partition
+    columns create a small-file explosion."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-partitioned, within-file sorted parquet: file k
+    holds keys < file k+1, rows sorted inside — parquet min/max stats
+    become precise, so point/range scans skip almost everything."""
+    parts = df.repartitionByRange(num_files, *sort_cols) if num_files else df.repartitionByRange(*sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (requires a catalog — bucketing
+    metadata lives there, not in the files). Two tables bucketed the
+    same way join WITHOUT any Exchange."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

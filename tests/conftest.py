@@ -14,7 +14,16 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 def spark():
     from bht_etl_app_spark import get_spark
 
-    s = get_spark("bht-tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="bht-warehouse-")
+    s = get_spark(
+        "bht-tests",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.warehouse.dir": warehouse,
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
