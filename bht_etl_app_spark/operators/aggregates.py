@@ -80,7 +80,13 @@ def freq_table(
             F.lit(col).alias("column"),
             "value",
             "count",
-            F.bround(F.col("count") / F.col("__total__") * 100, decimals).alias("pct_total"),
+            # nullif guard: an all-zero weight vector gives total = 0;
+            # pandas emits NaN (0/0) there, our NULL is the Spark analog
+            # (and ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+            F.bround(
+                F.col("count") / F.nullif(F.col("__total__"), F.lit(0.0)) * 100,
+                decimals,
+            ).alias("pct_total"),
         )
         .orderBy(F.desc("count"), "value")
     )
@@ -175,7 +181,9 @@ def satisfaction_table(df: DataFrame, csat_col: str) -> DataFrame:
             F.avg(s).alias("mean"),
             (
                 F.sum((s >= F.col("__mx__") - 1).cast("long"))
-                / F.count(F.lit(1))
+                # nullif: empty input -> 0 rows; pandas .mean() of an
+                # empty mask is NaN, our NULL (ANSI would raise)
+                / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0))
             ).alias("top2"),
             F.count(s).alias("n"),
         )

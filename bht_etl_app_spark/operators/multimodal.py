@@ -120,3 +120,83 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("content", BinaryType()),
+])
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def fake_image_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize (PIL ``Image.resize``
+    in a real deployment): truncates/pads the byte payload to
+    width*height so batch-shape behavior is exact and testable."""
+    target = width * height
+    return (content + b"\x00" * target)[:target]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_image_resize,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Resize plumbing over mapInPandas: binary in -> binary out with
+    fixed target dims. Same partition-sizing rules as image_features;
+    output rows carry the (re-encoded) payload, so downstream writers
+    should go straight to a partitioned sink."""
+    imgs = media.where(F.col("kind") == "image").select("media_id", "content")
+    if repartition_to:
+        imgs = imgs.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "width": width,
+                "height": height,
+                "content": [resize_fn(bytes(b), width, height) for b in pdf["content"]],
+            })
+
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def fake_audio_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real audio decoder (librosa/ffmpeg
+    in a real deployment — raise NotImplementedError there until
+    wired). Derives a stable pseudo-duration and RMS from the bytes."""
+    n = len(content)
+    dur = round(n / 16000.0, 6)
+    rms = round((sum(b * b for b in content[:256]) / max(min(n, 256), 1)) ** 0.5, 6)
+    return {"n_bytes": n, "duration_s": dur, "rms": rms}
+
+
+def audio_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict[str, Any]] = fake_audio_decode,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Audio feature extraction over mapInPandas (duration, RMS)."""
+    auds = media.where(F.col("kind") == "audio").select("media_id", "content")
+    if repartition_to:
+        auds = auds.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_fn(bytes(b)) for b in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
