@@ -176,6 +176,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, qv, planes, k=5)
 
 
+def _q_sql_interface(spark, sf_dir):
+    """SQL-text surface parity: the same engine via spark.sql over
+    registered views (any reference user can work in pure SQL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_v GROUP BY 1
+        """
+    )
+
+
 def _q_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
@@ -300,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_recent_click_counts": lambda s, d: windows.error_recent_click_counts(
             load_table(s, d, "events")
         ),
+        "latest_event_per_user": lambda s, d: windows.latest_event_per_user(
+            load_table(s, d, "events")
+        ),
+        "sql_orders_by_status": _q_sql_interface,
         "embedding_norms": lambda s, d: arrays.embedding_norms(
             load_table(s, d, "embeddings")
         ),
@@ -591,6 +609,12 @@ SELECT * FROM (VALUES
         "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
         "session_window_stats": windows.SESSION_WINDOW_STATS_SQL,
         "error_recent_click_counts": windows.ERROR_RECENT_CLICK_COUNTS_SQL,
+        "latest_event_per_user": windows.LATEST_EVENT_PER_USER_SQL,
+        "sql_orders_by_status": """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+""",
         "embedding_norms": arrays.EMBEDDING_NORMS_SQL,
         "token_frequencies": arrays.TOKEN_FREQUENCIES_SQL,
         "quantity_moments": arrays.QUANTITY_MOMENTS_SQL,

@@ -67,8 +67,10 @@ def main():
     qs = mod.queries()
     names = sys.argv[1:] or [n for n in HEADLINE if n in qs]
 
-    # JVM/codegen warmup on a trivial job so q1 isn't charged for startup
+    # JVM/codegen + parquet-reader warmup on trivial jobs so the first
+    # query isn't charged for session startup (region is 5 rows)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
     for name in names:

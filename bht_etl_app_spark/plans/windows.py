@@ -328,6 +328,36 @@ FROM orders GROUP BY 1
 """
 
 
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Latest-record-per-key compaction (the upsert/snapshot pattern:
+    dedupe an append-only log to its newest state per key). One shuffle
+    on the key; at scale this is the standard CDC/merge read-side
+    materialization."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # set operations
 # ---------------------------------------------------------------------------
