@@ -379,6 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": lambda s, d: tpch.q17_small_quantity_revenue(
             load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
+        "q16_supplier_counts": lambda s, d: tpch.q16_supplier_counts(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+        ),
+        "q21_sole_late_supplier": lambda s, d: tpch.q21_sole_late_supplier(
+            load_table(s, d, "supplier"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -632,6 +642,8 @@ FROM orders GROUP BY 1
         "q10_returned_top_customers": tpch.Q10_SQL,
         "q13_order_count_distribution": tpch.Q13_SQL,
         "q17_small_quantity_revenue": tpch.Q17_SQL,
+        "q16_supplier_counts": tpch.Q16_SQL,
+        "q21_sole_late_supplier": tpch.Q21_SQL,
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

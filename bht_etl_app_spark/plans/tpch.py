@@ -684,3 +684,85 @@ JOIN per_part ON l_partkey = p_key
 WHERE p_brand = 'Brand#23'
   AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_total
 """
+
+
+def q16_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN subquery exclusion (planned as a left-anti join —
+    safe here because s_suppkey is non-null; a nullable NOT IN needs
+    the null-aware anti join Spark also provides)."""
+    excluded = supplier.where(F.col("s_name").like("%3%")).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            (F.col("p_brand") != "Brand#12")
+            & F.col("p_size").isin(1, 5, 9, 13)
+        )
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%')
+GROUP BY 1, 2, 3
+"""
+
+
+def q21_sole_late_supplier(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS pair): per multi-supplier
+    order, find the supplier who was the ONLY one to ship late
+    (>60 days after the order date), and count such orders per
+    supplier. The exists/not-exists pair collapses into one grouped
+    pass over the joined fact — per order: distinct suppliers,
+    distinct late suppliers, and (when exactly one) that supplier."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    culprits = per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (
+        culprits.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MIN(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
