@@ -166,6 +166,16 @@ def _q_near_dup_embeddings(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
+def _q_knn_join(spark, sf_dir):
+    from bht_etl_app_spark.operators import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return knn_join(q, emb, k=3)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     import numpy as np
 
@@ -317,6 +327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": lambda s, d: windows.latest_event_per_user(
             load_table(s, d, "events")
         ),
+        "moving_avg_revenue": lambda s, d: windows.moving_avg_revenue(
+            load_table(s, d, "orders")
+        ),
+        "knn_join_sample": _q_knn_join,
         "sql_orders_by_status": _q_sql_interface,
         "embedding_norms": lambda s, d: arrays.embedding_norms(
             load_table(s, d, "embeddings")
@@ -620,6 +634,21 @@ SELECT * FROM (VALUES
         "session_window_stats": windows.SESSION_WINDOW_STATS_SQL,
         "error_recent_click_counts": windows.ERROR_RECENT_CLICK_COUNTS_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_PER_USER_SQL,
+        "moving_avg_revenue": windows.MOVING_AVG_REVENUE_SQL,
+        "knn_join_sample": """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT q_id, vec_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c)
+SELECT * FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 3
+""",
         "sql_orders_by_status": """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

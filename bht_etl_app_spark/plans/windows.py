@@ -328,6 +328,47 @@ FROM orders GROUP BY 1
 """
 
 
+def moving_avg_revenue(orders: DataFrame, frame: int = 3) -> DataFrame:
+    """Sliding ROWS frame: 3-month moving average of monthly revenue
+    per priority. The average divides an exact decimal frame-sum by
+    the frame row count (both window aggregates over the same frame),
+    so values are engine-independent."""
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(-(frame - 1), Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.bround(
+            F.sum("rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double"),
+            6,
+        ).alias("moving_avg_revenue"),
+    )
+
+
+MOVING_AVG_REVENUE_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month,
+       round_even(CAST(SUM(rev) OVER w AS DOUBLE)
+                  / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS moving_avg_revenue
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Latest-record-per-key compaction (the upsert/snapshot pattern:
     dedupe an append-only log to its newest state per key). One shuffle

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "freq_returnflag_weighted",
     "multidim_total_pct",
     "knn_vec0",              # broadcast query-vector literal compare
+    "knn_join_sample",       # exact kNN baseline: deliberate |Q|x|C| scoring
     "ann_lsh_topk",
     "minhash_lsh_pairs",
     "image_features_demo",
