@@ -70,3 +70,32 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb``. Small files are the silent killer of
+    100 TB scans (per-file open cost, starved row groups, pressured
+    drivers listing millions of objects); nightly compaction of
+    streaming sink output is standard hygiene.
+
+    Returns the number of output files chosen. Local-fs sizing here;
+    on object storage, size from the catalog/manifest instead.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode(mode).parquet(dst)
+    return n

@@ -185,3 +185,48 @@ def stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_partials(
+    events: DataFrame, out_path: str, checkpoint: str
+):
+    """foreachBatch sink: write per-micro-batch PARTIAL aggregates
+    (tagged with batch_id) in append mode — the idempotent streaming
+    sink pattern for engines without transactional merge. Partials are
+    re-aggregable (count/decimal-sum are associative), so readers get
+    exact totals via ``combine_partials`` and replays just overwrite
+    the same batch_id's contribution deterministically.
+
+    State never accumulates on the driver; each batch is one bounded
+    Spark job."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def combine_partials(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the per-batch partials back to exact totals."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        )
+    )

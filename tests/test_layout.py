@@ -90,3 +90,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from bht_etl_app_spark.io.layout import compact
+
+    events = load_table(spark, SF, "events")
+    shattered = str(tmp_path / "shattered")
+    events.repartition(32).write.parquet(shattered)
+    assert len(glob.glob(shattered + "/part-*.parquet")) == 32
+
+    compacted = str(tmp_path / "compacted")
+    n = compact(spark, shattered, compacted, target_file_mb=128)
+    assert n == 1  # tiny dataset -> one file
+    assert len(glob.glob(compacted + "/part-*.parquet")) == 1
+    assert spark.read.parquet(compacted).count() == events.count()

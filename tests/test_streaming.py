@@ -93,3 +93,32 @@ def test_stateful_running_totals(spark, stream_dir):
     }
     got_map = {r["user_id"]: r["n"] for r in final}
     assert got_map == exp
+
+
+def test_foreach_batch_partials_fold_to_batch_totals(spark, stream_dir, tmp_path):
+    from bht_etl_app_spark.streaming.events import (
+        combine_partials,
+        foreach_batch_partials,
+    )
+
+    src = stream_dir
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_partials(read_event_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in combine_partials(spark, out).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == exp
