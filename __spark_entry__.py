@@ -344,6 +344,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statuses_per_priority": lambda s, d: arrays.statuses_per_priority(
             load_table(s, d, "orders")
         ),
+        "price_histogram": lambda s, d: arrays.price_histogram(
+            load_table(s, d, "orders")
+        ),
+        "qty_price_correlation": lambda s, d: arrays.qty_price_correlation(
+            load_table(s, d, "lineitem")
+        ),
+        "props_key_counts": lambda s, d: arrays.props_key_counts(
+            load_table(s, d, "events")
+        ),
         "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
             load_table(s, d, "events")
         ),
@@ -658,6 +667,9 @@ FROM orders GROUP BY 1
         "token_frequencies": arrays.TOKEN_FREQUENCIES_SQL,
         "quantity_moments": arrays.QUANTITY_MOMENTS_SQL,
         "statuses_per_priority": arrays.STATUSES_PER_PRIORITY_SQL,
+        "price_histogram": arrays.PRICE_HISTOGRAM_SQL,
+        "qty_price_correlation": arrays.QTY_PRICE_CORRELATION_SQL,
+        "props_key_counts": arrays.PROPS_KEY_COUNTS_SQL,
         "purchase_and_click_users": windows.PURCHASE_AND_CLICK_USERS_SQL,
         "view_not_purchase_user_days": windows.VIEW_NOT_PURCHASE_USER_DAYS_SQL,
         "q4_order_priority": tpch.Q4_SQL,

@@ -127,3 +127,85 @@ SELECT o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders GROUP BY 1
 """
+
+
+def price_histogram(orders: DataFrame, bucket_width: float = 60000.0) -> DataFrame:
+    """Numeric binning (grouped histogram) with fixed-width buckets via
+    explicit floor division — the same double arithmetic on both
+    engines (width_bucket exists in Spark but not DuckDB; an identical
+    expression beats two 'equivalent' builtins for differential
+    testing). One pass, map-side combinable."""
+    b = F.floor(F.col("o_totalprice") / F.lit(bucket_width)).cast("long")
+    return orders.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def qty_price_correlation(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation per return flag derived from EXACT decimal
+    power sums (like quantity_moments): built-in corr() accumulates
+    doubles in partition order and is NOT reproducible across
+    partitionings; this formulation is, at the cost of one extra
+    product column in the map-side aggregate."""
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select("l_returnflag", "n", F.bround(corr, 6).alias("corr_qty_price"))
+
+
+QTY_PRICE_CORRELATION_SQL = """
+WITH a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round_even((n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM a
+"""
+
+
+def props_key_counts(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column (get_json_object stays JVM-side) and count per value."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+PROPS_KEY_COUNTS_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
