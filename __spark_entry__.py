@@ -32,6 +32,7 @@ from bht_etl_app_spark.operators import (
 )
 from bht_etl_app_spark.operators import (
     ann_lsh_topk,
+    dedup_clusters,
     dedup_exact,
     embedding_near_dup_pairs,
     fingerprint,
@@ -42,6 +43,7 @@ from bht_etl_app_spark.operators import (
     ngram_jaccard_pairs,
     quality_scores,
     simhash64,
+    tfidf_top_terms,
     synth_media_from_documents,
     token_stats,
 )
@@ -352,6 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "props_key_counts": lambda s, d: arrays.props_key_counts(
             load_table(s, d, "events")
+        ),
+        "tfidf_top_terms": lambda s, d: tfidf_top_terms(
+            load_table(s, d, "documents"), k=5
+        ),
+        "near_dup_clusters": lambda s, d: dedup_clusters(
+            ngram_jaccard_pairs(load_table(s, d, "documents"), threshold=0.8)
         ),
         "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
             load_table(s, d, "events")
@@ -670,6 +678,72 @@ FROM orders GROUP BY 1
         "price_histogram": arrays.PRICE_HISTOGRAM_SQL,
         "qty_price_correlation": arrays.QTY_PRICE_CORRELATION_SQL,
         "props_key_counts": arrays.PROPS_KEY_COUNTS_SQL,
+        "near_dup_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM ex a JOIN ex b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.8
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round_even(tf * (ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT * FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
         "purchase_and_click_users": windows.PURCHASE_AND_CLICK_USERS_SQL,
         "view_not_purchase_user_days": windows.VIEW_NOT_PURCHASE_USER_DAYS_SQL,
         "q4_order_priority": tpch.Q4_SQL,

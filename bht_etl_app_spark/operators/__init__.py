@@ -10,6 +10,7 @@ from bht_etl_app_spark.operators.aggregates import (
 )
 from bht_etl_app_spark.operators.crosstab import crosstab_table
 from bht_etl_app_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -25,6 +26,7 @@ from bht_etl_app_spark.operators.similarity import (
 )
 from bht_etl_app_spark.operators.text import (
     fingerprint,
+    tfidf_top_terms,
     language_id,
     quality_scores,
     token_stats,
@@ -49,6 +51,7 @@ __all__ = [
     "full_tabulation",
     "brand_dictionary",
     "crosstab_table",
+    "dedup_clusters",
     "dedup_exact",
     "embedding_near_dup_pairs",
     "minhash_lsh_pairs",
@@ -60,6 +63,7 @@ __all__ = [
     "knn_join",
     "random_hyperplane_lsh",
     "fingerprint",
+    "tfidf_top_terms",
     "language_id",
     "quality_scores",
     "token_stats",

@@ -124,3 +124,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     first pass of exact dedup at scale. Output: ``(doc_id, fp)``."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return ensure_min_parallelism(df).select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1
+    (smoothed); score = tf * idf, rounded to 6dp. Ties broken
+    alphabetically so the top-k set is deterministic.
+
+    Shape at scale: one explode + two groupBys (term stats shuffle on
+    the term, per-doc top-k shuffles on the doc id) and a broadcast of
+    the 1-row corpus count — no quadratic anything; document frequency
+    is the classic skewed key, handled by map-side combine.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n__"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.bround(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n__") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

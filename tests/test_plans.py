@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "freq_orderpriority",
     "freq_returnflag_weighted",
     "multidim_total_pct",
+    "tfidf_top_terms",       # crossJoin(broadcast(1-row corpus count))
     "knn_vec0",              # broadcast query-vector literal compare
     "knn_join_sample",       # exact kNN baseline: deliberate |Q|x|C| scoring
     "ann_lsh_topk",
