@@ -420,6 +420,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"),
             load_table(s, d, "lineitem"),
         ),
+        "q2_min_cost_supplier": lambda s, d: tpch.q2_min_cost_supplier(
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "region"),
+        ),
+        "q8_market_share": lambda s, d: tpch.q8_market_share(
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "region"),
+        ),
+        "q9_product_type_profit": lambda s, d: tpch.q9_product_type_profit(
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "nation"),
+        ),
+        "q11_important_part_values": lambda s, d: tpch.q11_important_part_values(
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+        ),
+        "q20_dominant_part_suppliers": lambda s, d: tpch.q20_dominant_part_suppliers(
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "part"),
+            load_table(s, d, "nation"),
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -759,6 +793,11 @@ SELECT * FROM (
         "q17_small_quantity_revenue": tpch.Q17_SQL,
         "q16_supplier_counts": tpch.Q16_SQL,
         "q21_sole_late_supplier": tpch.Q21_SQL,
+        "q2_min_cost_supplier": tpch.Q2_SQL,
+        "q8_market_share": tpch.Q8_SQL,
+        "q9_product_type_profit": tpch.Q9_SQL,
+        "q11_important_part_values": tpch.Q11_SQL,
+        "q20_dominant_part_suppliers": tpch.Q20_SQL,
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

@@ -766,3 +766,319 @@ FROM per_order JOIN supplier ON late_supp = s_suppkey
 WHERE n_supp >= 2 AND n_late = 1
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q20). The fixtures have no
+# partsupp table, so the supply relation is proxied by lineitem
+# aggregates — per-(part, supplier) min price stands in for
+# ps_supplycost, shipped-quantity sums for ps_availqty. Each query
+# keeps the original's PLAN shape (correlated-min decorrelation,
+# market-share conditional ratio, threshold-vs-global-aggregate,
+# nested semi-join chain), which is what the engine exercises.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, region: DataFrame,
+    region_name: str = "EUROPE", p_type: str = "STANDARD", max_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region.
+    The correlated MIN subquery decorrelates into a groupBy over the
+    supply relation joined back on (part, cost) — exactly the plan
+    Catalyst produces for the SQL form. Supplier/nation/region dims
+    broadcast; the supply aggregate shuffles once on the part key.
+    DECIMAL min keeps the cost-equality join exact."""
+    supply = lineitem.groupBy(
+        F.col("l_partkey").alias("sp_partkey"),
+        F.col("l_suppkey").alias("sp_suppkey"),
+    ).agg(F.min(_dec("l_extendedprice")).alias("supply_cost"))
+    regional_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    regional_cost = supply.join(
+        F.broadcast(regional_supp), F.col("sp_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = regional_cost.groupBy(F.col("sp_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    wanted = part.where(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    )
+    return (
+        regional_cost.join(
+            min_cost,
+            (F.col("sp_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(wanted), F.col("sp_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy("supply_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+regional AS (
+  SELECT sp_partkey, sp_suppkey, supply_cost, s_name, n_name
+  FROM supply
+  JOIN supplier ON sp_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_name, n_name, p_partkey, p_name,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
+FROM regional
+JOIN (SELECT sp_partkey AS mc_partkey, MIN(supply_cost) AS min_cost
+      FROM regional GROUP BY 1) mc
+  ON sp_partkey = mc_partkey AND supply_cost = min_cost
+JOIN part ON sp_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size <= 15
+ORDER BY supply_cost, p_partkey, s_name
+LIMIT 100
+"""
+
+
+def q8_market_share(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA", share_nation: str = "NATION_2",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a regional market, per
+    year — conditional-sum ratio over a 6-way join. part filters first
+    (broadcast), customer-side nation/region broadcast to scope the
+    market, supplier-side nation broadcast to tag the share nation."""
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    cust_nation = (
+        nation.join(F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        lineitem.join(F.broadcast(part.where(F.col("p_type") == p_type)),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == share_nation, vol)).alias("nation_vol"),
+        F.sum(vol).alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        F.bround(
+            F.coalesce(F.col("nation_vol"), F.lit(0).cast("decimal(18,2)")).cast("double")
+            / F.col("total_vol").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.col("total_vol").cast("double").alias("total_volume"),
+    ).orderBy("o_year")
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round_even(
+         CAST(COALESCE(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END),
+                  0) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO'
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q9_product_type_profit(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+    orders: DataFrame, nation: DataFrame,
+    name_fragment: str = "bolt",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    whose name contains a fragment. (No partsupp -> profit is the
+    discounted revenue term only; the join tree — fact ⋈ filtered
+    part ⋈ supplier ⋈ nation ⋈ orders — is the original's.)"""
+    profit = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").contains(name_fragment))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_part_values(
+    supplier: DataFrame, lineitem: DataFrame, nation: DataFrame,
+    nation_name: str = "NATION_3", ppm_threshold: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value (shipped by one nation's
+    suppliers) exceeds a fraction of that nation's total — a grouped
+    aggregate filtered against a broadcast 1-row global aggregate.
+    Threshold compare is multiplicative in DECIMAL (value * N > total)
+    so the cut is exact; sums are re-cast to DECIMAL(18,2) first to
+    keep the product in range on both engines."""
+    nation_supp = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("part_value"))
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(18,2)").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") * F.lit(ppm_threshold) > F.col("total_value"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part,
+     (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) AS total_value FROM per_part) t
+WHERE part_value * 1000 > total_value
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q20_dominant_part_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, part: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1", name_prefix: str = "small",
+    year: int = 1996,
+) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain planned as semi
+    joins — suppliers in one nation who were the DOMINANT shipper
+    (>50% of the year's quantity) of some qualifying part. The inner
+    per-(part, supplier) aggregate reuses itself for the per-part
+    total (one shuffle, two aggregation levels), then a semi join
+    reduces suppliers. Multiplicative DECIMAL compare keeps the 50%
+    cut exact."""
+    qualifying = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    shipped = (
+        lineitem.where(F.year("l_shipdate") == year)
+        .join(F.broadcast(qualifying), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("supp_qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("supp_qty").cast("decimal(18,2)").alias("part_qty")
+    )
+    dominant = shipped.join(
+        per_part, F.col("l_partkey") == F.col("pp_partkey")
+    ).where(F.col("supp_qty") * F.lit(2) > F.col("part_qty"))
+    return (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1996 AND p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT l_suppkey FROM shipped
+  JOIN (SELECT l_partkey AS pp_partkey,
+               CAST(SUM(supp_qty) AS DECIMAL(18,2)) AS part_qty
+        FROM shipped GROUP BY 1) pp
+    ON l_partkey = pp_partkey
+  WHERE supp_qty * 2 > part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+"""

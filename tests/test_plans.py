@@ -21,6 +21,7 @@ NESTED_LOOP_OK = {
     "near_dup_jaccard",      # inverted index; tiny dim cross for guards
     "q15_top_supplier",      # crossJoin(broadcast(1-row max))
     "q22_above_avg_suppliers",  # crossJoin(broadcast(1-row avg))
+    "q11_important_part_values",  # crossJoin(broadcast(1-row total value))
     "crosstab_col_pct",      # crossJoin(broadcast(1-row column sums))
     "crosstab_total_pct",    # crossJoin(broadcast(1-row grand total))
     # grand-total / max denominators: crossJoin(broadcast(1-row agg)) is
