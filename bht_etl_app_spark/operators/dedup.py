@@ -162,6 +162,8 @@ def minhash_lsh_pairs(
     each band bucket is small (tunable via bands/rows-per-band), so
     candidate generation is linear-ish rather than quadratic.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sigs.select(
@@ -178,12 +180,22 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    # persist the banded signatures: the self-join below references the
+    # pipeline twice and Catalyst does NOT reuse the exchange across
+    # the two aliased sides, so without this the tokenize->shingle->
+    # 16x-minhash projection (the dominant cost) runs twice. (bands x
+    # (id, band, bh)) rows are tiny relative to the corpus — the
+    # canonical thing to materialize at 100 TB too.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        # referenced three times below (cand_ids twice via union + the
+        # verify join) — persist instead of recomputing the band join
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verify candidates with exact jaccard on the shingle sets —
     # computed only for documents that appear in a candidate pair
