@@ -47,6 +47,7 @@ from bht_etl_app_spark.operators import (
     synth_media_from_documents,
     token_stats,
 )
+from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
 
 SF0001 = "/root/testdata/sf0.001"
@@ -186,6 +187,43 @@ def _q_ann_lsh_topk(spark, sf_dir):
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((8, len(qv))).tolist()
     return ann_lsh_topk(emb, qv, planes, k=5)
+
+
+def _winnow(spark, sf_dir):
+    from bht_etl_app_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _split_counts(spark, sf_dir):
+    from bht_etl_app_spark.operators.sampling import split_counts
+
+    return split_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _pack_sequences(spark, sf_dir):
+    from bht_etl_app_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    from bht_etl_app_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.where(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    qv = [float(x) for x in head[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in head[1:5]]
+    return ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from bht_etl_app_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 50).select(
+        "doc_id", "lang", "sample_rank"
+    )
 
 
 def _q_sql_interface(spark, sf_dir):
@@ -358,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(
             load_table(s, d, "documents"), k=5
         ),
+        "winnow_fingerprints": lambda s, d: _winnow(s, d),
+        "train_test_split_counts": lambda s, d: _split_counts(s, d),
+        "stratified_sample_docs": _q_stratified_sample,
+        "pack_sequences_bins": lambda s, d: _pack_sequences(s, d),
         "near_dup_clusters": lambda s, d: dedup_clusters(
             ngram_jaccard_pairs(load_table(s, d, "documents"), threshold=0.8)
         ),
@@ -459,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem")
         ),
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
         "image_features_demo": _q_image_features,
@@ -712,6 +755,10 @@ FROM orders GROUP BY 1
         "price_histogram": arrays.PRICE_HISTOGRAM_SQL,
         "qty_price_correlation": arrays.QTY_PRICE_CORRELATION_SQL,
         "props_key_counts": arrays.PROPS_KEY_COUNTS_SQL,
+        "winnow_fingerprints": sampling.WINNOW_FINGERPRINTS_SQL,
+        "train_test_split_counts": sampling.TRAIN_TEST_SPLIT_SQL,
+        "stratified_sample_docs": sampling.STRATIFIED_SAMPLE_SQL,
+        "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "near_dup_clusters": """
 WITH RECURSIVE toks AS (
   SELECT doc_id,

@@ -1,0 +1,187 @@
+"""Deterministic sampling / splitting / packing operators for
+training-data pipelines.
+
+Randomness is replaced everywhere by content hashes (md5 of the id),
+so every operator is a pure function of its input: re-runs, retries
+and cluster re-schedules produce byte-identical outputs, and a SQL
+oracle can reproduce them exactly. This is the standard trick for
+reproducible dataset splits at scale — no RNG state, no seed
+plumbing, no per-partition nondeterminism.
+
+Scale posture: split and stratified-sample are one narrow projection
+(+ one per-group window for the sample); packing is a running sum
+window partitioned by source so each source packs independently in
+parallel (a global pack order would serialize onto one partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bht_etl_app_spark.session import ensure_min_parallelism
+
+
+def _id_hash(id_col: str) -> Column:
+    """md5 hex of the stringified id — the deterministic 'random' key."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_hex_threshold: str = "cccc",
+    include_hash: bool = False,
+) -> DataFrame:
+    """Deterministic train/test assignment: a row is 'train' when the
+    first 4 hex chars of md5(id) sort below ``test_hex_threshold``
+    ('cccc' ~ 0.7999 train fraction). Stable under re-runs, appends,
+    and reorderings — membership depends only on the id.
+
+    Output: input columns + ``split`` ('train'/'test').
+    """
+    h = F.substring(_id_hash(id_col), 1, 4)
+    out = ensure_min_parallelism(df).withColumn(
+        "split",
+        F.when(h < F.lit(test_hex_threshold), F.lit("train")).otherwise(F.lit("test")),
+    )
+    return out.withColumn("id_hash", _id_hash(id_col)) if include_hash else out
+
+
+def split_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-split row counts for `train_test_split` — the sanity check a
+    pipeline runs before training. Output: ``(split, n)``."""
+    return (
+        train_test_split(df, id_col)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_per_stratum: int = 50,
+) -> DataFrame:
+    """Deterministic stratified sampling: within each stratum, keep
+    the ``n_per_stratum`` rows with the smallest md5(id) — a uniform
+    (hash-random) but fully reproducible per-group sample. One shuffle
+    on the stratum key; per-group top-k via row_number (rank by hash,
+    id tiebreak so duplicate-hash pathologies stay deterministic).
+
+    Output: input columns + ``sample_rank``.
+    """
+    w = Window.partitionBy(strata_col).orderBy(_id_hash(id_col).asc(), F.col(id_col).asc())
+    return (
+        ensure_min_parallelism(df)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: order documents (by id,
+    within each source), lay their token counts end-to-end, and cut
+    every ``budget`` tokens — each document is assigned to the chunk
+    where it starts. This is GPT-style pretraining packing expressed
+    as an exclusive running sum: bin = floor(cumsum_before / budget).
+
+    Partitioned by source so every source packs independently and in
+    parallel — an unpartitioned global order would funnel 100 TB
+    through one task. One shuffle (the window partition).
+
+    Output: ``(source, doc_id, n_tokens, start_offset, bin)``.
+    """
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(source_col), F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum("n_tokens").over(w)
+    start = (cum_incl - F.col("n_tokens")).alias("start_offset")
+    return toks.select(
+        source_col, id_col, "n_tokens",
+        start,
+        F.floor((cum_incl - F.col("n_tokens")) / budget).alias("bin"),
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+SELECT split, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, sample_rank
+FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 50
+"""
+
+PACK_SEQUENCES_SQL = """
+SELECT source, doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+FROM (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+  )
+)
+"""
+
+WINNOW_FINGERPRINTS_SQL = """
+SELECT doc_id, unnest(list_distinct(sel)) AS fp
+FROM (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(gh) - 4 + 2),
+           i -> list_min(list_slice(gh, i, i + 3))
+         ) AS sel
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(norm) - 7 >= 4 THEN
+             list_transform(range(1, len(norm) - 8 + 2),
+                            i -> md5(substring(norm, i, 8)))
+           ELSE [] END AS gh
+    FROM (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+  )
+  WHERE len(gh) >= 4
+)
+"""

@@ -147,3 +147,68 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max dot product over the centroid list — centroids are
+    the caller's, e.g. a k-means fit or a deterministic sample). The
+    assignment is one narrow projection: each row scores against the
+    literal centroid matrix inside codegen; no shuffle, no Python.
+
+    Output: ``(vec_id, list_id)`` — the inverted-file lists. At scale
+    you'd write this partitioned by ``list_id`` so probes prune files.
+    """
+    scores = [
+        dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    assign = F.when(scores[0] == best, F.lit(0))
+    for i in range(1, len(scores)):
+        assign = assign.when(scores[i] == best, F.lit(i))
+    return emb.select(F.col(id_col), assign.cast("long").alias("list_id"))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: score the query against the
+    centroid list driver-side (it's a tiny literal matrix), probe the
+    ``nprobe`` nearest inverted lists, and run exact cosine only on
+    vectors in those lists. The standard ANN recall/cost dial:
+    nprobe=len(centroids) degenerates to exact search.
+
+    Output: ``(vec_id, cosine)`` (≤ k rows).
+    """
+    q_scores = sorted(
+        (
+            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(centroids)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_lists = [i for _, i in q_scores[:nprobe]]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(assigned, id_col)
+        .where(F.col("list_id").isin(probe_lists))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -175,3 +175,49 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every character k-gram of the normalized text, slide
+    a window of ``window`` consecutive gram hashes, keep each window's
+    minimum, emit the distinct selected hashes. Guarantees any shared
+    substring of length >= k + window - 1 contributes a shared
+    fingerprint — the local-similarity dual of whole-document hashing.
+
+    Pure per-row projection (sequence + transform + array ops), no
+    shuffle; at scale this runs at scan speed. Hashes here are md5 hex
+    strings so a SQL oracle can reproduce them exactly; the 100 TB
+    path swaps md5 for xxhash64 (8-byte hashes, same selection logic).
+
+    Output: ``(doc_id, fp)`` exploded, one row per distinct selected
+    fingerprint; docs shorter than k + window - 1 chars yield no rows.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    gram_hashes = F.when(
+        n_grams >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(norm, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = ensure_min_parallelism(df).select(
+        F.col(id_col), gram_hashes.alias("__gh__")
+    )
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__gh__") - F.lit(window - 1)),
+            lambda i: F.array_min(F.slice("__gh__", i, window)),
+        )
+    )
+    return (
+        hashed.where(F.size("__gh__") >= window)
+        .select(F.col(id_col), F.explode(selected).alias("fp"))
+    )

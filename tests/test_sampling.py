@@ -1,0 +1,99 @@
+"""Tests for deterministic sampling/splitting/packing and winnowing
+fingerprints on tiny hand-checked inputs."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.operators.sampling import (
+    pack_sequences,
+    split_counts,
+    stratified_sample,
+    train_test_split,
+)
+from bht_etl_app_spark.operators.text import winnow_fingerprints
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_train_test_split_matches_hash_rule(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    for i in range(200):
+        expected = "train" if _md5(str(i))[:4] < "cccc" else "test"
+        assert got[i] == expected
+    # deterministic under re-run
+    again = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    assert got == again
+
+
+def test_split_counts_partition(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(500)], "doc_id long, text string"
+    )
+    counts = {r["split"]: r["n"] for r in split_counts(docs).collect()}
+    assert counts["train"] + counts["test"] == 500
+    # hash split should be near 80/20 (wide tolerance; deterministic)
+    assert 320 <= counts["train"] <= 480
+
+
+def test_stratified_sample_caps_per_stratum(spark):
+    rows = [(i, "x", "en" if i % 3 else "es") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(docs, "lang", "doc_id", 10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 10 and len(by_lang["es"]) == 10
+    # selection = smallest md5(id) per stratum
+    en_ids = {i for i, _, lang in rows if lang == "en"}
+    expected = set(sorted(en_ids, key=lambda i: (_md5(str(i)), i))[:10])
+    assert {r["doc_id"] for r in by_lang["en"]} == expected
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c"),        # 3 tokens, start 0, bin 0
+            (2, "s1", "d e f g"),      # 4 tokens, start 3, bin 0
+            (3, "s1", "h i"),          # 2 tokens, start 7, bin 1
+            (4, "s2", "x y z"),        # other source packs independently
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, budget=5).collect()}
+    assert (out[1]["start_offset"], out[1]["bin"]) == (0, 0)
+    assert (out[2]["start_offset"], out[2]["bin"]) == (3, 0)
+    assert (out[3]["start_offset"], out[3]["bin"]) == (7, 1)
+    assert (out[4]["start_offset"], out[4]["bin"]) == (0, 0)
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"CCCC {shared} DDDD"),
+            (3, "completely different content here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=8, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: shared substring of len >= k+window-1 -> shared fp
+    assert fps[1] & fps[2], "docs sharing a long substring must share a fingerprint"
+    # distinct rows only
+    assert len(out) == sum(len(v) for v in fps.values())
+
+
+def test_winnow_short_doc_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny")], "doc_id long, text string"
+    )
+    assert winnow_fingerprints(docs, k=8, window=4).count() == 0

@@ -69,3 +69,25 @@ def test_ann_lsh_topk_contains_true_neighbors(emb):
     # exact top-3 is [0, 1, 4]; multiprobe over 1-bit flips must find them
     assert got[0] == 0
     assert set(got) <= {0, 1, 4}
+
+
+def test_ivf_assign_and_full_probe_equals_exact(spark, emb):
+    from bht_etl_app_spark.operators.similarity import ann_ivf_topk, ivf_assign
+
+    centroids = [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]]
+    got = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, centroids).collect()}
+    assert got[0] == 0   # [1,0] -> centroid 0
+    assert got[2] == 1   # [0,1]-ish -> centroid 1
+    # probing ALL lists degenerates to exact search
+    exact = [r["vec_id"] for r in knn_for_query(emb, [1.0, 0.0], k=3).collect()]
+    full = [
+        r["vec_id"]
+        for r in ann_ivf_topk(emb, [1.0, 0.0], centroids, k=3, nprobe=3).collect()
+    ]
+    assert full == exact
+    # probing 1 list returns only vectors from the query's own list
+    one = {
+        r["vec_id"]
+        for r in ann_ivf_topk(emb, [1.0, 0.0], centroids, k=5, nprobe=1).collect()
+    }
+    assert one <= {v for v, lid in got.items() if lid == 0}
