@@ -230,3 +230,27 @@ def combine_partials(spark: SparkSession, path: str) -> DataFrame:
             F.sum("total_value").cast("double").alias("total_value"),
         )
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, users: DataFrame, user_key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    dimension table. Spark re-plans the static side per micro-batch
+    (so a refreshed dim snapshot is picked up) and broadcasts it when
+    small — the streaming-ETL enrichment pattern; no state is kept
+    because the static side is always wholly available."""
+    return events.join(F.broadcast(users), user_key, "left")
+
+
+def streaming_dedup(
+    events: DataFrame, key: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once event dedup on a key with bounded state:
+    ``dropDuplicates`` keeps one row per key, and the watermark lets
+    the state store evict keys older than the late-data horizon —
+    WITHOUT it, streaming dedup state grows forever. This is the
+    streaming half of the dedup story (dedup.py is the batch half):
+    at-least-once sources (Kafka replays, file re-lists) become
+    effectively-once downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])

@@ -122,3 +122,41 @@ def test_foreach_batch_partials_fold_to_batch_totals(spark, stream_dir, tmp_path
         .collect()
     }
     assert got == exp
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, stream_dir):
+    from bht_etl_app_spark.streaming.events import stream_static_enrich
+
+    users = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    stream = read_event_stream(spark, stream_dir)
+    got = _run(
+        spark, stream_static_enrich(stream, users), "t_enrich", output_mode="append"
+    )
+    rows = got.collect()
+    events_n = spark.read.parquet(stream_dir).count()
+    assert len(rows) == events_n  # left join preserves every event
+    matched = [r for r in rows if r["segment"] is not None]
+    assert matched and all(
+        r["segment"] == f"segment_{r['user_id'] % 3}" for r in matched
+    )
+
+
+def test_streaming_dedup_removes_replayed_batch(spark, stream_dir, tmp_path):
+    from bht_etl_app_spark.streaming.events import streaming_dedup
+
+    # simulate an at-least-once source: the same file delivered twice
+    src = str(tmp_path / "replayed")
+    events = spark.read.parquet(stream_dir)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    import glob, shutil as sh
+    f = glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    sh.copy(f, os.path.join(src, "replay-copy.parquet"))
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    got = _run(spark, streaming_dedup(stream), "t_dedup", output_mode="append")
+    n_distinct = events.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == n_distinct
+    # every key emitted exactly once despite the duplicate delivery
+    assert got.count() == n_distinct
