@@ -49,6 +49,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "knn_vec0",
+    "tfidf_top_terms",
+    "train_test_split_counts",
+    "stratified_sample_docs",
+    "pack_sequences_bins",
 ]
 
 

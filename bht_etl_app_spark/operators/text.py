@@ -145,10 +145,18 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    from pyspark import StorageLevel
+
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: docfreq derives from tf, so without this the
+    # tokenize+explode+groupBy pipeline runs twice (once per branch)
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n__"))
     scored = (
