@@ -72,9 +72,20 @@ def main():
     names = sys.argv[1:] or [n for n in HEADLINE if n in qs]
 
     # JVM/codegen + parquet-reader warmup on trivial jobs so the first
-    # query isn't charged for session startup (region is 5 rows)
+    # query isn't charged for session startup: a codegen'd aggregate,
+    # a 5-row parquet scan (region), and a LIMITed scan+groupBy of the
+    # fact table (touches the parquet footer + a few row groups, warms
+    # the vectorized reader and hash-agg codegen paths; the LIMIT keeps
+    # it O(1) in table size so this stays warmup, not precomputation)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .limit(1000)
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
 
     times: dict[str, float] = {}
     for name in names:

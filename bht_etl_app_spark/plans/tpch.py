@@ -973,7 +973,7 @@ ORDER BY 1, 2 DESC
 
 def q11_important_part_values(
     supplier: DataFrame, lineitem: DataFrame, nation: DataFrame,
-    nation_name: str = "NATION_3", ppm_threshold: int = 1000,
+    nation_name: str = "NATION_3", ppm_threshold: int = 10000,
 ) -> DataFrame:
     """TPC-H Q11 shape: parts whose value (shipped by one nation's
     suppliers) exceeds a fraction of that nation's total — a grouped
@@ -1016,7 +1016,7 @@ WITH per_part AS (
 SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM per_part,
      (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) AS total_value FROM per_part) t
-WHERE part_value * 1000 > total_value
+WHERE part_value * 10000 > total_value
 ORDER BY part_value DESC, l_partkey
 """
 
