@@ -207,6 +207,12 @@ def _pack_sequences(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def _ewma(spark, sf_dir):
+    from bht_etl_app_spark.operators.timeseries import ewma_per_key
+
+    return ewma_per_key(load_table(spark, sf_dir, "events"))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from bht_etl_app_spark.operators.similarity import ann_ivf_topk
 
@@ -502,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ewma_user_values": lambda s, d: _ewma(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
         "image_features_demo": _q_image_features,

@@ -217,3 +217,54 @@ def asof_join(
             *[F.col(f"__match__.{p}").alias(p) for p in payload],
         )
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over event time:
+    ``ewma_t = alpha * v_t + (1 - alpha) * ewma_{t-1}``.
+
+    The recurrence makes each row depend on ALL its predecessors —
+    a running product no SQL window frame can express (a window sum
+    of ``v_i * (1-a)^(t-i)`` via exp/log overflows for long series).
+    This is the one legitimate use of the Python escape hatch:
+    ``applyInPandas`` with a vectorized pandas ``ewm`` kernel per key.
+    Arrow moves each group as a columnar batch; groups partition by
+    the key, so the op scales horizontally like any grouped shuffle,
+    and memory is bounded by the largest single key's history.
+
+    Deterministic: rows ordered by (ts, id) within the key. Output:
+    ``(key, id, ts, value, ewma)`` with ewma rounded to 6dp.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join([
+        f"{key_col} long",
+        f"{id_col} long",
+        f"{ts_col} timestamp",
+        f"{val_col} double",
+        "ewma double",
+    ])
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        ewma = pdf[val_col].fillna(0.0).ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame({
+            key_col: pdf[key_col],
+            id_col: pdf[id_col],
+            ts_col: pdf[ts_col],
+            val_col: pdf[val_col],
+            "ewma": ewma.round(6),
+        })
+
+    return (
+        df.select(key_col, id_col, ts_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(_kernel, schema=out_schema)
+    )

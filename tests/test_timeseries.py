@@ -5,6 +5,7 @@ ties on timestamp, no-match nulls, payload-type preservation."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators.timeseries import asof_join, session_stats, sessionize
 
@@ -142,3 +143,35 @@ def test_range_join_recent_no_match_survives(spark):
         left_time="t", right_time="rt", before_seconds=300,
     ).collect()
     assert len(rows) == 1 and rows[0]["rid"] is None
+
+
+def test_ewma_per_key_matches_recurrence(spark):
+    from bht_etl_app_spark.operators.timeseries import ewma_per_key
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 10.0),
+        (1, 11, "2024-01-01 01:00:00", 20.0),
+        (1, 12, "2024-01-01 02:00:00", 0.0),
+        (2, 20, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r["ewma"] for r in ewma_per_key(df, alpha=0.5).collect()}
+    # hand recurrence, alpha=0.5, adjust=False: e0=v0; e_t=0.5 v_t+0.5 e_{t-1}
+    assert got[10] == 10.0
+    assert got[11] == 15.0
+    assert got[12] == 7.5
+    assert got[20] == 5.0
+
+
+def test_ewma_null_values_treated_as_zero(spark):
+    from bht_etl_app_spark.operators.timeseries import ewma_per_key
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", None), (1, 2, "2024-01-01 01:00:00", 10.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r["ewma"] for r in ewma_per_key(df, alpha=0.5).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 5.0
