@@ -468,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"),
             load_table(s, d, "lineitem"),
         ),
+        "grouping_sets_order_stats": lambda s, d: analytics.grouping_sets_order_stats(
+            load_table(s, d, "orders")
+        ),
         "q2_min_cost_supplier": lambda s, d: tpch.q2_min_cost_supplier(
             load_table(s, d, "part"),
             load_table(s, d, "supplier"),
@@ -847,6 +850,7 @@ SELECT * FROM (
         "q17_small_quantity_revenue": tpch.Q17_SQL,
         "q16_supplier_counts": tpch.Q16_SQL,
         "q21_sole_late_supplier": tpch.Q21_SQL,
+        "grouping_sets_order_stats": analytics.GROUPING_SETS_SQL,
         "q2_min_cost_supplier": tpch.Q2_SQL,
         "q8_market_share": tpch.Q8_SQL,
         "q9_product_type_profit": tpch.Q9_SQL,
