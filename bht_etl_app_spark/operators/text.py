@@ -208,24 +208,23 @@ def winnow_fingerprints(
     fingerprint; docs shorter than k + window - 1 chars yield no rows.
     """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    n_grams = F.length(norm) - F.lit(k - 1)
-    gram_hashes = F.when(
-        n_grams >= window,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.substring(norm, i, F.lit(k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = ensure_min_parallelism(df).select(
-        F.col(id_col), gram_hashes.alias("__gh__")
+    # Filter short docs on the CHEAP normalized length before building
+    # the hash array (size(gram_hashes) >= window <=> len(norm) >=
+    # k+window-1). Filtering on size(__gh__) after the projection gets
+    # predicate-pushed below it with the alias substituted, so the md5
+    # array would be evaluated twice — measured 4.3x at sf0.1.
+    base = ensure_min_parallelism(df).where(F.length(norm) >= k + window - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
+        lambda i: F.md5(F.substring(norm, i, F.lit(k))),
     )
+    hashed = base.select(F.col(id_col), gram_hashes.alias("__gh__"))
+    # least-of-element_at instead of array_min(slice(...)): no per-
+    # window array copy inside the interpreted lambda
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("__gh__") - F.lit(window - 1)),
-            lambda i: F.array_min(F.slice("__gh__", i, window)),
+            lambda i: F.least(*[F.element_at("__gh__", i + j) for j in range(window)]),
         )
     )
-    return (
-        hashed.where(F.size("__gh__") >= window)
-        .select(F.col(id_col), F.explode(selected).alias("fp"))
-    )
+    return hashed.select(F.col(id_col), F.explode(selected).alias("fp"))
