@@ -32,10 +32,17 @@ def _norm_text(col: str) -> Column:
     return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
 
 
-def shingles_expr(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingle array (sorted for determinism).
-    Built with sequence+transform over the token array — pure JVM."""
-    toks = tokens_expr(col)
+def shingles_expr(tok_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (sorted for determinism)
+    over an ALREADY-MATERIALIZED token-array column — pure JVM.
+
+    The token array must be its own projected column, never the
+    inline ``tokens_expr(text)`` tree: higher-order lambdas are
+    interpreted with no common-subexpression elimination, so a token
+    expression referenced inside the per-gram lambda would re-run
+    split+filter once PER GRAM POSITION (measured 5x at sf0.1).
+    ``_shingled()`` below does the two-projection dance."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -44,6 +51,15 @@ def shingles_expr(col: Column | str, n: int = 3) -> Column:
     # invalid slice starts — docs shorter than n tokens get no shingles
     return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, alias: str) -> DataFrame:
+    """(id, shingles) with the token array materialized in its own
+    projection between tokenize and shingle (see shingles_expr)."""
+    return (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
+        .select(F.col(id_col), shingles_expr("__toks__", n).alias(alias))
     )
 
 
@@ -78,11 +94,17 @@ def ngram_jaccard_pairs(
     docs (stop-shingles) — the standard guard against quadratic blowup
     on boilerplate at scale.
     """
-    sh = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        shingles_expr(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    from pyspark import StorageLevel
+
+    sh = _shingled(
+        ensure_min_parallelism(df), text_col, id_col, n, "shingles"
+    ).select(F.col(id_col).alias("id"), "shingles").withColumn("n_sh", F.size("shingles"))
+    # persisted: both self-join sides below reference this pipeline and
+    # Catalyst does not reuse the exchange across aliased sides — see
+    # PERFORMANCE.md materialize-or-recompute rule
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_shingle_df is not None:
         df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         exploded = (
@@ -129,8 +151,8 @@ def minhash_signatures(
     # keeps multi-referenced non-cheap aliases split, so the expensive
     # tokenize+shingle expression is evaluated ONCE per row instead of
     # once per hash function (16x speedup measured at sf0.1).
-    shingled = ensure_min_parallelism(df).select(
-        F.col(id_col), shingles_expr(text_col, n).alias("__shingles__")
+    shingled = _shingled(
+        ensure_min_parallelism(df), text_col, id_col, n, "__shingles__"
     )
 
     # NB: bind k via a factory, NOT a lambda default arg — PySpark
@@ -206,10 +228,10 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-        .select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("shingles"))
-    )
+    sh = _shingled(
+        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
+        text_col, id_col, n, "shingles",
+    ).withColumnRenamed(id_col, "id")
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
