@@ -67,7 +67,10 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     Output: ``(doc_id, n_chars, n_tokens, mean_token_len,
     punct_ratio, stopword_ratio, digit_ratio)``.
     """
-    toks = tokens_expr(text_col)
+    # token array materialized in its own projection: it is referenced
+    # by three independent expressions below, and interpreted lambdas
+    # have no CSE (see _shingled in dedup.py / PERFORMANCE.md)
+    toks = F.col("__toks__")
     n_toks = F.size(toks).cast("double")
     n_chars = F.length(text_col).cast("double")
     punct = F.length(text_col) - F.length(
@@ -84,6 +87,8 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     safe_toks = F.nullif(n_toks, F.lit(0.0))
     safe_chars = F.nullif(n_chars, F.lit(0.0))
     return ensure_min_parallelism(df).select(
+        F.col(id_col), F.col(text_col), tokens_expr(text_col).alias("__toks__")
+    ).select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
@@ -100,7 +105,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hits at all). Output: ``(doc_id, lang_pred, lang_score)`` where
     lang_score is the winning marker-hit count.
     """
-    toks = tokens_expr(text_col)
+    # token array in its own projection — three marker filters below
+    # each reference it, and interpreted lambdas have no CSE
+    toks = F.col("__toks__")
     scores = {}
     for lang in LANG_PRIORITY:
         arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -111,6 +118,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for lang in LANG_PRIORITY:
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return ensure_min_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    ).select(
         F.col(id_col),
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
