@@ -53,6 +53,7 @@ HEADLINE = [
     "train_test_split_counts",
     "stratified_sample_docs",
     "pack_sequences_bins",
+    "winnow_fingerprints",
 ]
 
 
