@@ -213,6 +213,12 @@ def _ewma(spark, sf_dir):
     return ewma_per_key(load_table(spark, sf_dir, "events"))
 
 
+def _dedup_corpus(spark, sf_dir):
+    from bht_etl_app_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from bht_etl_app_spark.operators.similarity import ann_ivf_topk
 
@@ -512,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ewma_user_values": lambda s, d: _ewma(s, d),
+        "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
         "image_features_demo": _q_image_features,

@@ -369,3 +369,41 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full corpus-dedup pipeline, composed from the staged
+    operators the way a 100 TB run would chain them:
+
+    1. exact dedup (hash-groupBy) — removes byte-identical copies for
+       the cost of shuffling (hash, id) pairs;
+    2. MinHash+LSH candidate generation + exact-Jaccard verify on the
+       exact-dedup survivors only;
+    3. connected components over the verified near-dup pairs;
+    4. keep the minimum id per cluster.
+
+    Output: the surviving rows of ``df`` (original columns), i.e. one
+    representative per exact+near duplicate group. Each stage's scale
+    posture is documented on its own operator; the composition adds
+    nothing quadratic.
+    """
+    exact_survivors = dedup_exact(df, text_col, id_col).select(id_col)
+    survivors = df.join(exact_survivors, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(
+        survivors, text_col, id_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    clusters = dedup_clusters(pairs)
+    # non-representatives: cluster members that are not the min id
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return survivors.join(drop, id_col, "left_anti")

@@ -99,3 +99,42 @@ def test_embedding_near_dup(spark):
              for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from bht_etl_app_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                              # exact dup of 1
+            (3, base.replace("today", "tonight")),  # near dup of 1
+            (4, "completely different text about spark engines and parquet files"),
+            (5, "  THE  quick brown fox jumps over the lazy dog again and again today "),
+            # ^ exact dup of 1 modulo case/whitespace normalization
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(docs, threshold=0.5, bands=8, num_hashes=16).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_training_pipeline_example_invariants(spark):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from training_data_pipeline import build_training_set
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train, test = build_training_set(docs)
+    tr = train.select("doc_id").collect()
+    te = test.select("doc_id").collect()
+    tr_ids = {r["doc_id"] for r in tr}
+    te_ids = {r["doc_id"] for r in te}
+    assert len(tr) == len(tr_ids) and len(te) == len(te_ids)  # no dups
+    assert not (tr_ids & te_ids)  # splits disjoint
+    assert tr_ids and te_ids
