@@ -164,9 +164,66 @@ def _q_knn_vec0(spark, sf_dir):
     return knn_for_query(emb, [float(x) for x in qv], k=5)
 
 
+_EMB_DIM = 64  # fixture embeddings dim (all sfs)
+_EMB_LSH_PLANES = 16
+_EMB_LSH_BANDS = 4
+
+
+def _emb_lsh_planes():
+    from bht_etl_app_spark.operators.similarity import lsh_planes
+
+    return lsh_planes(_EMB_LSH_PLANES, _EMB_DIM, seed=42)
+
+
 def _q_near_dup_embeddings(spark, sf_dir):
+    """Bucketed (banded hyperplane LSH) near-dup path — the oracle SQL
+    mirrors the identical banding, so the approximate computation is
+    hash-verified end to end. The O(n²) cross join lives only in
+    tests (dedup.embedding_near_dup_pairs)."""
+    from bht_etl_app_spark.operators.dedup import embedding_lsh_near_dup_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    return embedding_lsh_near_dup_pairs(
+        emb, _emb_lsh_planes(), bands=_EMB_LSH_BANDS, threshold=0.3
+    )
+
+
+def _near_dup_embeddings_oracle_sql() -> str:
+    """DuckDB mirror of the banded-LSH plan: same rounded plane
+    literals, same band keys, same any-band candidate rule, same
+    cosine threshold."""
+    planes = _emb_lsh_planes()
+    rpb = _EMB_LSH_PLANES // _EMB_LSH_BANDS
+    band_exprs = []
+    for b in range(_EMB_LSH_BANDS):
+        terms = []
+        for r in range(rpb):
+            p = planes[b * rpb + r]
+            lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << r} ELSE 0 END)"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS b{b}")
+    band_cols = ",\n         ".join(band_exprs)
+    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_EMB_LSH_BANDS))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id,
+         {band_cols}
+  FROM e
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bits a JOIN bits b ON a.vec_id < b.vec_id AND ({any_band})
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+  FROM cand JOIN e va ON va.vec_id = cand.id_a
+            JOIN e vb ON vb.vec_id = cand.id_b
+) WHERE cosine >= 0.3
+"""
 
 
 def _q_knn_join(spark, sf_dir):
@@ -187,6 +244,18 @@ def _q_ann_lsh_topk(spark, sf_dir):
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((8, len(qv))).tolist()
     return ann_lsh_topk(emb, qv, planes, k=5)
+
+
+def _q_ann_knn_join(spark, sf_dir):
+    """LSH-bucketed kNN join (scale path for knn_join_sample) —
+    rows-only: recall depends on the bucket/probe setting."""
+    from bht_etl_app_spark.operators.similarity import ann_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ann_knn_join(q, emb, _emb_lsh_planes(), k=3, multiprobe_bits=1)
 
 
 def _winnow(spark, sf_dir):
@@ -517,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_knn_join": _q_ann_knn_join,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -962,12 +1032,5 @@ SELECT vec_id, cosine FROM (
   FROM embeddings
 ) ORDER BY cosine DESC, vec_id LIMIT 5
 """,
-        "near_dup_embeddings": """
-SELECT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-) WHERE cosine >= 0.3
-""",
+        "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
     }

@@ -145,7 +145,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min over shingles of xxhash64(seed, shingle).
-    Output: ``(doc_id, sig: array<long>)``. Pure projection, no shuffle."""
+    Output: ``(doc_id, sig: array<long>)``. Pure projection, no shuffle.
+
+    Documents with fewer than ``n`` tokens have NO shingles and are
+    dropped here: an empty shingle set can never be a near-dup under
+    shingle Jaccard, and its all-null signature would otherwise hash
+    every short doc into the SAME band bucket in every band — an
+    O(short_docs²) candidate blowup at corpus scale."""
     # Materialize the shingle array in its own projection: it is
     # referenced num_hashes times below, and Catalyst's CollapseProject
     # keeps multi-referenced non-cheap aliases split, so the expensive
@@ -153,7 +159,7 @@ def minhash_signatures(
     # once per hash function (16x speedup measured at sf0.1).
     shingled = _shingled(
         ensure_min_parallelism(df), text_col, id_col, n, "__shingles__"
-    )
+    ).where(F.size("__shingles__") > 0)
 
     # NB: bind k via a factory, NOT a lambda default arg — PySpark
     # dispatches higher-order lambdas on arity, so a 2-arg lambda would
@@ -253,33 +259,48 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of
     each token-hash bit, then take the sign. Near-identical documents
     differ in few bits (use hamming distance ≤ k downstream).
-    Output: ``(doc_id, simhash: long)``. Pure projection."""
+    Output: ``(doc_id, simhash: long)``. Pure projection.
+
+    Single-fold kernel: ONE ``F.aggregate`` over the token-hash array
+    with a 64-counter accumulator (``zip_with`` against a literal bit
+    mask array updates all 64 vote counters per element), instead of
+    64 per-bit folds that each re-walk the array — higher-order
+    lambdas are interpreted, so fold count is the dominant constant
+    (VERDICT r1 item #3)."""
+    # bit i mask as a SIGNED long: 1<<63 doesn't fit, so the sign bit
+    # mask is written negative; h & mask != 0 tests bit i for all i,
+    # and OR-ing the mask back in sets it — identical to the old
+    # shiftright/shiftleft formulation bit-for-bit.
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
     # materialize the token-hash array once (multi-referenced non-cheap
     # alias stays in its own projection — see minhash_signatures)
     hashed = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("__h__"),
     )
-
-    def _votes(b: int):
-        # factory-bound b (see minhash_signatures note on lambda arity)
-        return F.aggregate(
-            F.col("__h__"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = []
-    for bit in range(64):
-        votes = _votes(bit)
-        bit_cols.append(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0).cast("long"))
-        )
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
-    return hashed.select(F.col(id_col), sim.alias("simhash"))
+    votes = F.aggregate(
+        F.col("__h__"),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("__votes__"),
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
+    return hashed.select(F.col(id_col), votes.alias("__votes__")).select(
+        F.col(id_col), sim.alias("simhash")
+    )
 
 
 def embedding_near_dup_pairs(
@@ -289,9 +310,9 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Brute-force embedding-cosine near-dup pairs (a<b, cos ≥ τ).
-    Quadratic — the correctness baseline / small-N path; the 100 TB
-    path is LSH bucketing (similarity.random_hyperplane_lsh) which
-    reuses this verification on candidates only.
+    Quadratic — kept ONLY as the small-N verification baseline for
+    tests; the contract and scale path is
+    :func:`embedding_lsh_near_dup_pairs` (VERDICT r1 item #2).
     Output: ``(id_a, id_b, cosine)``."""
     from bht_etl_app_spark.operators.similarity import cosine_expr
 
@@ -300,6 +321,94 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded random-hyperplane
+    LSH — the bucketed scale path (no cross join anywhere).
+
+    1. Project each vector's hyperplane bit signature (one narrow
+       projection, ``similarity.hyperplane_bucket_expr``).
+    2. Split the signature into ``bands`` band keys and explode to
+       ``(id, band, key)`` — a pair is a candidate iff it collides in
+       ANY band (standard LSH banding, same shape as MinHash).
+    3. Equi-join on (band, key), distinct pairs, then exact cosine on
+       the candidate pairs only; keep cos ≥ τ.
+
+    Output: ``(id_a, id_b, cosine)``.
+
+    RECALL CONTRACT: candidates are approximate. A pair with cos ≥ τ
+    that collides in no band is missed; recall rises with fewer bits
+    per band / more probes and approaches 1 for true near-dups
+    (θ → 0). The driver oracle mirrors this exact banding in SQL
+    (same rounded plane literals — ``similarity.lsh_planes``), so the
+    whole approximate computation is still hash-verified; the
+    brute-force path above is the recall reference in tests.
+
+    At 100 TB: cost is Σ per-bucket rows², controlled by the plane
+    count (bucket granularity); shuffles are the band equi-join and
+    the two id-joins back to vectors for verification — all plain
+    hash joins.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_bucket_expr,
+    )
+
+    if len(planes) % bands != 0:
+        raise ValueError("len(planes) must be divisible by bands")
+    rpb = len(planes) // bands
+    mask = (1 << rpb) - 1
+
+    bucketed = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__sig__"),
+    )
+    banded = bucketed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sig__"), b * rpb)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bk")
+    # persisted: the self-join below references this pipeline twice and
+    # Catalyst does not reuse the exchange across aliased sides — the
+    # signature projection (the expensive part) would run twice
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -64,16 +64,23 @@ def knn_join(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact k-NN join: for every query row, the top-k corpus rows by
     cosine. Brute force (|Q|×|C| scoring) with a per-query window
-    top-k; the correctness baseline for ANN. Broadcast the smaller
-    side when |Q| is small. Output: ``(q_id, vec_id, cosine, rank)``."""
+    top-k; the correctness baseline for ANN (the bucketed scale path
+    is :func:`ann_knn_join`). With ``broadcast_queries`` (default) the
+    plan is a broadcast nested-loop over the corpus scan — scoring is
+    map-side, no shuffled cartesian; only the scored rows move in the
+    single window shuffle on ``q_id``. Output:
+    ``(q_id, vec_id, cosine, rank)``."""
     from pyspark.sql.window import Window
 
     qd = queries.select(F.col(q_id), F.col(vec_col).alias("__qv__"))
+    if broadcast_queries:
+        qd = F.broadcast(qd)
     cd = corpus.select(F.col(c_id), F.col(vec_col).alias("__cv__"))
-    scored = qd.crossJoin(cd).select(
+    scored = cd.crossJoin(qd).select(
         q_id,
         c_id,
         F.round(cosine_expr(F.col("__qv__"), F.col("__cv__")), 6).alias("cosine"),
@@ -83,6 +90,35 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int = 42, decimals: int = 4) -> list[list[float]]:
+    """Deterministic rounded random-hyperplane matrix. Rounding pins
+    the exact literal values so the Spark plan and a SQL oracle
+    mirroring the bucketing see bit-identical planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), decimals) for x in row]
+        for row in rng.standard_normal((n_planes, dim))
+    ]
+
+
+def hyperplane_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket signature as a single long: bit i = sign(v·r_i).
+    A pure projection — no join, no shuffle (VERDICT r1 item #8)."""
+    bits = []
+    for i, p in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot_expr(vec, pv) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return bucket
 
 
 def random_hyperplane_lsh(
@@ -99,17 +135,9 @@ def random_hyperplane_lsh(
     neighboring buckets), then exact-score only within buckets —
     turns the quadratic scoring into hash-join + small local scoring.
     """
-    bits = []
-    for i, p in enumerate(planes):
-        pv = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(dot_expr(F.col(vec_col), pv) > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket.bitwiseOR(b)
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    return emb.select(
+        F.col(id_col), hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket")
+    )
 
 
 def ann_lsh_topk(
@@ -123,10 +151,17 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: restrict scoring to vectors whose LSH bucket
     is within ``multiprobe_bits`` hamming distance of the query's
-    bucket, then exact cosine on the survivors.
+    bucket, then exact cosine on the survivors. The probe set contains
+    every bit-flip combination up to that distance —
+    ``Σ C(n_planes, r) for r ≤ multiprobe_bits`` buckets.
     Output: ``(vec_id, cosine)`` (≤ k rows)."""
-    bucketed = random_hyperplane_lsh(emb, planes, id_col, vec_col)
-    joined = emb.join(bucketed, id_col)
+    from itertools import combinations
+
+    # bucket as a projected column on emb itself — no self-join
+    # (VERDICT r1 item #8)
+    bucketed = emb.withColumn(
+        "bucket", hyperplane_bucket_expr(F.col(vec_col), planes)
+    )
 
     qbits = 0
     for i, p in enumerate(planes):
@@ -134,12 +169,16 @@ def ann_lsh_topk(
         if d > 0:
             qbits |= 1 << i
     probes = [qbits]
-    if multiprobe_bits >= 1:
-        probes += [qbits ^ (1 << i) for i in range(len(planes))]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(len(planes)), r):
+            mask = 0
+            for i in flips:
+                mask |= 1 << i
+            probes.append(qbits ^ mask)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        joined.where(F.col("bucket").isin(probes))
+        bucketed.where(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
@@ -164,15 +203,26 @@ def ivf_assign(
     Output: ``(vec_id, list_id)`` — the inverted-file lists. At scale
     you'd write this partitioned by ``list_id`` so probes prune files.
     """
-    scores = [
-        dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ]
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    assign = F.when(scores[0] == best, F.lit(0))
-    for i in range(1, len(scores)):
-        assign = assign.when(scores[i] == best, F.lit(i))
-    return emb.select(F.col(id_col), assign.cast("long").alias("list_id"))
+    scored = emb.select(
+        F.col(id_col), ivf_scores_expr(F.col(vec_col), centroids).alias("__scores__")
+    )
+    return scored.select(F.col(id_col), _ivf_list_id(F.col("__scores__")).alias("list_id"))
+
+
+def ivf_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Per-centroid dot scores as one array column. Callers project
+    this ONCE and derive the argmax from the materialized array —
+    the dot products are the expensive part and must not be
+    re-evaluated per comparison (multi-referenced non-cheap
+    expressions get their own projection; see PERFORMANCE.md)."""
+    return F.array(
+        *[dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def _ivf_list_id(scores: Column) -> Column:
+    """Argmax over the scores array (first index wins ties, 0-based)."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
 
 
 def ann_ivf_topk(
@@ -200,10 +250,14 @@ def ann_ivf_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probe_lists = [i for _, i in q_scores[:nprobe]]
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    # list assignment as a projected column on emb itself — no
+    # self-join before the probe filter (VERDICT r1 item #8)
+    assigned = emb.select(
+        "*", ivf_scores_expr(F.col(vec_col), centroids).alias("__scores__")
+    ).withColumn("list_id", _ivf_list_id(F.col("__scores__")))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        emb.join(assigned, id_col)
+        assigned
         .where(F.col("list_id").isin(probe_lists))
         .select(
             F.col(id_col),
@@ -211,4 +265,71 @@ def ann_ivf_topk(
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ann_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """LSH-bucketed approximate kNN join — the scale path for
+    :func:`knn_join` (VERDICT r1 item #4). Both sides get their
+    hyperplane bucket as a projected column; the query side explodes
+    into its multiprobe bucket set (all bit-flip combinations up to
+    ``multiprobe_bits``); candidates come from a plain equi-join on
+    ``bucket``; exact cosine is scored only within buckets, then a
+    per-query window keeps the top-k.
+
+    No cartesian anywhere: candidate volume is rows-per-bucket ×
+    probe count, and the only shuffles are the bucket equi-join and
+    the final window on ``q_id``. Recall is the standard LSH dial
+    (more planes → smaller buckets, more probes → higher recall).
+    Output: ``(q_id, vec_id, cosine, rank)`` with rank ≤ k per query.
+    """
+    from itertools import combinations
+
+    from pyspark.sql.window import Window
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(len(planes)), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            masks.append(m)
+
+    qb = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("__qv__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
+    )
+    # distinct masks -> distinct probe buckets, so each (query, corpus)
+    # pair joins at most once and no dedup pass is needed
+    probes = qb.select(
+        q_id,
+        "__qv__",
+        F.explode(
+            F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(c_id),
+        F.col(vec_col).alias("__cv__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = probes.join(cb, "bucket").select(
+        q_id,
+        c_id,
+        F.round(cosine_expr(F.col("__qv__"), F.col("__cv__")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )

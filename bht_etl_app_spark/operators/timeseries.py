@@ -103,11 +103,14 @@ def range_join_recent(
     theta-join would be a per-key cross product. This uses the
     standard bucketed equi-join: both sides are bucketed by
     ``bucket_seconds`` (default = the window width), the right side is
-    exploded into the (at most 2) buckets it can match, and the exact
-    range predicate rides along as a residual join condition. The join
-    is then a plain shuffled equi-join on (key, bucket) — candidate
-    fan-out is bounded by rows-per-bucket, and the whole thing is one
-    shuffle per side at any scale.
+    exploded into the ``ceil(before_seconds / bucket_seconds) + 1``
+    consecutive buckets a left match can fall in, and the exact range
+    predicate rides along as a residual join condition. The join is
+    then a plain shuffled equi-join on (key, bucket) — candidate
+    fan-out is bounded by rows-per-bucket × bucket count, and the
+    whole thing is one shuffle per side at any scale. Smaller
+    ``bucket_seconds`` trades explode fan-out for tighter candidate
+    sets on dense keys.
 
     Left/right column names must be disjoint (alias on the caller).
     """
@@ -116,12 +119,16 @@ def range_join_recent(
     bucket_seconds = bucket_seconds or before_seconds
     bw = bucket_seconds * 1_000_000
     before_us = before_seconds * 1_000_000
+    # A right row at bucket rb can match left rows with lt in
+    # (rt, rt + before], i.e. left buckets rb .. rb + ceil(before/bw).
+    n_ahead = -(-before_seconds // bucket_seconds)
 
     l = left.withColumn("__lb__", F.floor(F.unix_micros(F.col(left_time)) / F.lit(bw)))
     r = right.withColumn(
         "__rb0__", F.floor(F.unix_micros(F.col(right_time)) / F.lit(bw))
     ).withColumn(
-        "__rb__", F.explode(F.array(F.col("__rb0__"), F.col("__rb0__") + 1))
+        "__rb__",
+        F.explode(F.sequence(F.col("__rb0__"), F.col("__rb0__") + F.lit(n_ahead))),
     )
     lt = F.unix_micros(F.col(left_time))
     rt = F.unix_micros(F.col(right_time))
@@ -240,17 +247,18 @@ def ewma_per_key(
     and memory is bounded by the largest single key's history.
 
     Deterministic: rows ordered by (ts, id) within the key. Output:
-    ``(key, id, ts, value, ewma)`` with ewma rounded to 6dp.
+    ``(key, id, ts, value, ewma)`` with ewma rounded to 6dp; the four
+    input columns keep their incoming types (schema is derived from
+    ``df.schema``, so string keys / non-long ids work unchanged).
     """
     import pandas as pd
 
-    out_schema = ", ".join([
-        f"{key_col} long",
-        f"{id_col} long",
-        f"{ts_col} timestamp",
-        f"{val_col} double",
-        "ewma double",
-    ])
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_schema = df.select(key_col, id_col, ts_col, val_col).schema
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField("ewma", DoubleType())]
+    )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col])

@@ -246,11 +246,15 @@ def stream_static_enrich(
 def streaming_dedup(
     events: DataFrame, key: str = "event_id", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Exactly-once event dedup on a key with bounded state:
-    ``dropDuplicates`` keeps one row per key, and the watermark lets
-    the state store evict keys older than the late-data horizon —
-    WITHOUT it, streaming dedup state grows forever. This is the
-    streaming half of the dedup story (dedup.py is the batch half):
-    at-least-once sources (Kafka replays, file re-lists) become
-    effectively-once downstream."""
-    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
+    """Exactly-once event dedup on the KEY ALONE with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among
+    events whose timestamps fall within the watermark delay of each
+    other, so a replayed event with the same ``event_id`` but a
+    jittered timestamp IS deduplicated (plain
+    ``dropDuplicates([key, ts])`` would let it through), and the
+    state store still evicts keys past the late-data horizon —
+    WITHOUT a watermark, streaming dedup state grows forever. This is
+    the streaming half of the dedup story (dedup.py is the batch
+    half): at-least-once sources (Kafka replays, file re-lists)
+    become effectively-once downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

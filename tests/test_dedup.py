@@ -138,3 +138,49 @@ def test_training_pipeline_example_invariants(spark):
     assert len(tr) == len(tr_ids) and len(te) == len(te_ids)  # no dups
     assert not (tr_ids & te_ids)  # splits disjoint
     assert tr_ids and te_ids
+
+
+def test_minhash_signatures_drop_shingle_less_docs(spark):
+    """Docs shorter than n tokens have no shingles; they must be
+    excluded from the signature/banding stage (ADVICE r1: their
+    all-null signatures collide in every band -> O(short²) candidate
+    blowup at scale) — and they can never be near-dups anyway."""
+    many_short = [(i, "tiny") for i in range(50)] + [(100, TEXT_A), (101, TEXT_A2)]
+    docs = spark.createDataFrame(many_short, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    assert sigs.count() == 2  # only the two long docs
+    # 2-row bands so the jaccard≈0.6 planted pair reliably collides
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, bands=8).collect()
+    }
+    assert pairs == {(100, 101)}  # and never a short-doc pair
+
+
+def test_embedding_lsh_pairs_subset_and_near_dup_recall(spark):
+    """Bucketed LSH pairs must be a subset of the exact cross-join
+    result, and true near-dups (tiny angle) must be recovered."""
+    from bht_etl_app_spark.operators.dedup import embedding_lsh_near_dup_pairs
+    from bht_etl_app_spark.operators.similarity import lsh_planes
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + 1e-3 * rng.standard_normal(16)])]
+    rows += [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(2, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    planes = lsh_planes(16, 16, seed=42)
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_lsh_near_dup_pairs(emb, planes, bands=4, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)          # never invents a pair
+    assert (0, 1) in lsh                   # planted near-identical pair found
+    assert lsh[(0, 1)] == exact[(0, 1)]    # verify stage is the exact cosine

@@ -17,7 +17,8 @@ SF = "/root/testdata/sf0.001"
 # piece: brute-force pair generation (documented small-N baselines)
 # or a broadcast 1-row scalar-aggregate cross join
 NESTED_LOOP_OK = {
-    "near_dup_embeddings",   # quadratic baseline by design
+    # near_dup_embeddings is deliberately NOT here: since r2 it runs
+    # the banded-LSH plan and must stay cartesian-free (VERDICT r1 #2)
     "near_dup_jaccard",      # inverted index; tiny dim cross for guards
     "q15_top_supplier",      # crossJoin(broadcast(1-row max))
     "q22_above_avg_suppliers",  # crossJoin(broadcast(1-row avg))
@@ -33,8 +34,8 @@ NESTED_LOOP_OK = {
     "multidim_total_pct",
     "tfidf_top_terms",       # crossJoin(broadcast(1-row corpus count))
     "knn_vec0",              # broadcast query-vector literal compare
-    "knn_join_sample",       # exact kNN baseline: deliberate |Q|x|C| scoring
-    "ann_lsh_topk",
+    "knn_join_sample",       # exact kNN baseline: broadcast nested-loop
+                             # scoring by design (scale path: ann_knn_join)
     "minhash_lsh_pairs",
     "image_features_demo",
     "simhash_docs",

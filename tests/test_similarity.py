@@ -3,6 +3,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators import (
     ann_lsh_topk,
@@ -91,3 +92,38 @@ def test_ivf_assign_and_full_probe_equals_exact(spark, emb):
         for r in ann_ivf_topk(emb, [1.0, 0.0], centroids, k=5, nprobe=1).collect()
     }
     assert one <= {v for v, lid in got.items() if lid == 0}
+
+
+def test_ann_lsh_multiprobe_distance_two_reaches_bucket(spark):
+    """multiprobe_bits=2 must probe ALL buckets within hamming
+    distance 2 (ADVICE r1: only distance-1 probes were generated)."""
+    # axis-aligned planes in 4d -> bucket bits are coordinate signs
+    planes = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    q = [1.0, 1.0, 1.0, 1.0]            # bucket 1111
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]),      # same bucket
+         (1, [-1.0, 1.0, 1.0, 1.0]),     # hamming 1
+         (2, [-1.0, -1.0, 1.0, 1.0])],   # hamming 2
+        "vec_id long, embedding array<float>",
+    )
+    got1 = {r["vec_id"] for r in ann_lsh_topk(emb2, q, planes, k=5, multiprobe_bits=1).collect()}
+    got2 = {r["vec_id"] for r in ann_lsh_topk(emb2, q, planes, k=5, multiprobe_bits=2).collect()}
+    assert got1 == {0, 1}
+    assert got2 == {0, 1, 2}
+
+
+def test_ann_knn_join_subset_of_exact_with_rank_contract(spark, emb):
+    from bht_etl_app_spark.operators.similarity import ann_knn_join, lsh_planes
+
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding").where("q_id <= 1")
+    exact = {(r["q_id"], r["vec_id"]) for r in knn_join(q, emb, k=5).collect()}
+    planes = lsh_planes(4, 2, seed=42)
+    got = ann_knn_join(q, emb, planes, k=5, multiprobe_bits=1).collect()
+    assert {(r["q_id"], r["vec_id"]) for r in got} <= exact
+    # rank is dense 1..n per query and every query keeps itself (cos=1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(x["rank"] for x in rows) == list(range(1, len(rows) + 1))
+        assert any(x["vec_id"] == qid for x in rows)

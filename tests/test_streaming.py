@@ -160,3 +160,23 @@ def test_streaming_dedup_removes_replayed_batch(spark, stream_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_distinct
     # every key emitted exactly once despite the duplicate delivery
     assert got.count() == n_distinct
+
+
+def test_streaming_dedup_drops_jittered_replay(spark, stream_dir, tmp_path):
+    """A replayed event with the same event_id but a shifted timestamp
+    must still be deduplicated (ADVICE r1: dropDuplicates([key, ts])
+    let it through; dropDuplicatesWithinWatermark([key]) catches it)."""
+    from bht_etl_app_spark.streaming.events import streaming_dedup
+
+    src = str(tmp_path / "jittered")
+    events = spark.read.parquet(stream_dir)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    # replay the same events with +1 minute timestamp jitter (well
+    # inside the 2h watermark) as a second source file
+    events.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    got = _run(spark, streaming_dedup(stream), "t_dedup_jitter", output_mode="append")
+    n_distinct = events.select("event_id").distinct().count()
+    assert got.count() == n_distinct

@@ -175,3 +175,44 @@ def test_ewma_null_values_treated_as_zero(spark):
     got = {r["event_id"]: r["ewma"] for r in ewma_per_key(df, alpha=0.5).collect()}
     assert got[1] == 0.0
     assert got[2] == 5.0
+
+
+def test_range_join_small_buckets_span_full_window(spark):
+    """bucket_seconds < before_seconds: matches several buckets back
+    must still be found (ADVICE r1: the 2-bucket explode dropped them)."""
+    from bht_etl_app_spark.operators.timeseries import range_join_recent
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T01:00:00"))], "lid long, key long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (5, _ts("2024-01-01T00:58:30"), 1),  # 90s back: 3 buckets of 30s
+            (5, _ts("2024-01-01T00:55:00.000001"), 2),  # window edge, ~10 buckets
+            (5, _ts("2024-01-01T00:55:00"), 3),  # exactly -300s: EXCLUDED
+        ],
+        "rkey long, rt timestamp, rid long",
+    )
+    got = range_join_recent(
+        left, right,
+        left_key="key", right_key="rkey",
+        left_time="t", right_time="rt",
+        before_seconds=300, bucket_seconds=30,
+    )
+    assert sorted(r["rid"] for r in got.collect() if r["rid"] is not None) == [1, 2]
+
+
+def test_ewma_string_key_and_schema_follows_input(spark):
+    """ADVICE r1: output schema must derive from the input, not a
+    hardcoded long/long/timestamp/double string."""
+    from bht_etl_app_spark.operators.timeseries import ewma_per_key
+
+    df = spark.createDataFrame(
+        [("u1", 1, "2024-01-01 00:00:00", 10.0), ("u1", 2, "2024-01-01 01:00:00", 20.0)],
+        "user_id string, event_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ewma_per_key(df, alpha=0.5)
+    assert dict(out.dtypes)["user_id"] == "string"
+    assert dict(out.dtypes)["event_id"] == "int"
+    got = {r["event_id"]: (r["user_id"], r["ewma"]) for r in out.collect()}
+    assert got[1] == ("u1", 10.0) and got[2] == ("u1", 15.0)
