@@ -73,9 +73,13 @@ def main():
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures = []
+    timings = {}
+    from time import perf_counter
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -84,8 +88,9 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        timings[name] = perf_counter() - t0
         if name not in oracles:
-            print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {timings[name]:.2f}s)")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -113,8 +118,12 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"OK   {name} ({len(srows)} rows)")
+            print(f"OK   {name} ({len(srows)} rows, {timings[name]:.2f}s)")
 
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("\nslowest (spark side):")
+    for n, t in slow:
+        print(f"  {t:6.2f}s {n}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
