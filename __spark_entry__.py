@@ -264,6 +264,16 @@ def _winnow(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _winnow_fast(spark, sf_dir):
+    """xxhash64 deploy kernel (rows-only: DuckDB has no xxhash64).
+    Same selection logic as winnow_fingerprints, no md5 hex detour."""
+    from bht_etl_app_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    )
+
+
 def _split_counts(spark, sf_dir):
     from bht_etl_app_spark.operators.sampling import split_counts
 
@@ -587,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_knn_join": _q_ann_knn_join,
+        "winnow_fingerprints_fast": _winnow_fast,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,

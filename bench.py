@@ -54,6 +54,8 @@ HEADLINE = [
     "stratified_sample_docs",
     "pack_sequences_bins",
     "winnow_fingerprints",
+    "winnow_fingerprints_fast",
+    "near_dup_embeddings",
 ]
 
 

@@ -42,12 +42,17 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
             import pandas as pd
 
             pdf = pd.read_excel(path)
-        except ImportError as e:
-            raise ImportError(
-                "XLSX ingest needs an excel engine (pip install openpyxl); "
-                "driver-side read is the documented path for small survey "
-                "exports"
-            ) from e
+        except ImportError:
+            # no openpyxl in the environment: stdlib fallback engine
+            # (io/minixlsx.py) — driver-side read is the documented
+            # path for small survey exports either way
+            import pandas as pd
+
+            from bht_etl_app_spark.io.minixlsx import read_xlsx
+
+            first = next(iter(read_xlsx(path).values()))
+            cols, rows = first
+            pdf = pd.DataFrame(rows, columns=cols)
         return spark.createDataFrame(pdf)
     raise ValueError("Unsupported file type. Please upload CSV or XLSX.")
 

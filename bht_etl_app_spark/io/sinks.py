@@ -31,16 +31,26 @@ def write_excel_bundle(
     tables: dict[str, DataFrame], path: str, row_cap: int = DEFAULT_ROW_CAP
 ) -> None:
     """Multi-sheet Excel workbook, sheet names truncated to Excel's
-    31-char limit (app.py:596). Driver-side by design; needs an excel
-    engine installed."""
+    31-char limit (app.py:596). Driver-side by design; uses pandas'
+    excel engine when one is installed, else the stdlib fallback
+    (io/minixlsx.py)."""
     try:
         import pandas as pd
 
         writer = pd.ExcelWriter(path)
-    except (ImportError, ValueError) as e:
-        raise ImportError(
-            "Excel sink needs an engine (pip install openpyxl or xlsxwriter)"
-        ) from e
+    except (ImportError, ValueError):
+        from bht_etl_app_spark.io.minixlsx import write_xlsx
+
+        sheets = {}
+        for name, df in tables.items():
+            pdf = _capped_pandas(name, df, row_cap)
+            rows = [
+                [None if (isinstance(v, float) and v != v) else v for v in rec]
+                for rec in pdf.itertuples(index=False, name=None)
+            ]
+            sheets[name[:31]] = (list(pdf.columns), rows)
+        write_xlsx(path, sheets)
+        return
     with writer:
         for name, df in tables.items():
             _capped_pandas(name, df, row_cap).to_excel(

@@ -366,10 +366,7 @@ def embedding_lsh_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    from bht_etl_app_spark.operators.similarity import (
-        cosine_expr,
-        hyperplane_bucket_expr,
-    )
+    from bht_etl_app_spark.operators.similarity import hyperplane_bucket_expr
 
     if len(planes) % bands != 0:
         raise ValueError("len(planes) must be divisible by bands")
@@ -405,15 +402,30 @@ def embedding_lsh_near_dup_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # precompute each vector's norm ONCE instead of twice per
+    # candidate pair inside cosine_expr — the verify stage is the
+    # dominant cost and this is arithmetic-identical (same fold, same
+    # sqrt), so oracle hashes are unaffected
+    from bht_etl_app_spark.operators.similarity import dot_expr, norm_expr
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("n"),
+    )
+    cosine = dot_expr(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .select(
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
             "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -423,6 +435,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     document gets the MINIMUM id reachable through pair edges as its
@@ -438,13 +451,27 @@ def dedup_clusters(
     bounds the worst case.
 
     Output: ``(doc_id, cluster_id)`` for every id appearing in pairs.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` to that directory (HDFS/S3 on a real
+    cluster) instead of ``localCheckpoint`` — localCheckpoint keeps
+    blocks only in executor memory/disk, so an executor loss mid-run
+    kills the job; a 100 TB-corpus iteration needs the durable form
+    (VERDICT r1 item #5). Default stays local for test-speed.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _truncate(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         # materialized once: every round re-joins the edge set
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -464,9 +491,8 @@ def dedup_clusters(
         )
         # truncate lineage every round: without this the lazy plan
         # nests one join level per iteration and analysis/compile time
-        # grows superlinearly (measured 290s -> 30s on a 10-hop chain);
-        # on a cluster this would be checkpoint() to reliable storage
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # grows superlinearly (measured 290s -> 30s on a 10-hop chain)
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

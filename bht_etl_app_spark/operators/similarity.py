@@ -76,15 +76,24 @@ def knn_join(
     ``(q_id, vec_id, cosine, rank)``."""
     from pyspark.sql.window import Window
 
-    qd = queries.select(F.col(q_id), F.col(vec_col).alias("__qv__"))
+    # norms precomputed once per row on each side (not per scored
+    # pair inside cosine_expr) — arithmetic-identical, ~3x less work
+    qd = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("__qv__"),
+        norm_expr(F.col(vec_col)).alias("__qn__"),
+    )
     if broadcast_queries:
         qd = F.broadcast(qd)
-    cd = corpus.select(F.col(c_id), F.col(vec_col).alias("__cv__"))
-    scored = cd.crossJoin(qd).select(
-        q_id,
-        c_id,
-        F.round(cosine_expr(F.col("__qv__"), F.col("__cv__")), 6).alias("cosine"),
+    cd = corpus.select(
+        F.col(c_id),
+        F.col(vec_col).alias("__cv__"),
+        norm_expr(F.col(vec_col)).alias("__cn__"),
     )
+    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
+        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
+    )
+    scored = cd.crossJoin(qd).select(q_id, c_id, F.round(cosine, 6).alias("cosine"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -319,6 +328,7 @@ def ann_knn_join(
     qb = queries.select(
         F.col(q_id),
         F.col(vec_col).alias("__qv__"),
+        norm_expr(F.col(vec_col)).alias("__qn__"),
         hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
     )
     # distinct masks -> distinct probe buckets, so each (query, corpus)
@@ -326,6 +336,7 @@ def ann_knn_join(
     probes = qb.select(
         q_id,
         "__qv__",
+        "__qn__",
         F.explode(
             F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
@@ -333,13 +344,13 @@ def ann_knn_join(
     cb = corpus.select(
         F.col(c_id),
         F.col(vec_col).alias("__cv__"),
+        norm_expr(F.col(vec_col)).alias("__cn__"),
         hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    scored = probes.join(cb, "bucket").select(
-        q_id,
-        c_id,
-        F.round(cosine_expr(F.col("__qv__"), F.col("__cv__")), 6).alias("cosine"),
+    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
+        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
     )
+    scored = probes.join(cb, "bucket").select(q_id, c_id, F.round(cosine, 6).alias("cosine"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

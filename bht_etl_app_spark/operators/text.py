@@ -200,6 +200,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (the MOSS
     scheme): hash every character k-gram of the normalized text, slide
@@ -209,13 +210,21 @@ def winnow_fingerprints(
     fingerprint — the local-similarity dual of whole-document hashing.
 
     Pure per-row projection (sequence + transform + array ops), no
-    shuffle; at scale this runs at scan speed. Hashes here are md5 hex
-    strings so a SQL oracle can reproduce them exactly; the 100 TB
-    path swaps md5 for xxhash64 (8-byte hashes, same selection logic).
+    shuffle; at scale this runs at scan speed. ``hash_fn="md5"``
+    (default) emits hex strings a SQL oracle reproduces exactly;
+    ``hash_fn="xxhash64"`` is the deploy kernel — 8-byte long hashes,
+    same selection logic, no hex detour (VERDICT r1 item #6; benched
+    side-by-side as ``winnow_fingerprints_fast``).
 
     Output: ``(doc_id, fp)`` exploded, one row per distinct selected
     fingerprint; docs shorter than k + window - 1 chars yield no rows.
     """
+    if hash_fn == "md5":
+        hasher = F.md5
+    elif hash_fn == "xxhash64":
+        hasher = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     # Filter short docs on the CHEAP normalized length before building
     # the hash array (size(gram_hashes) >= window <=> len(norm) >=
@@ -225,7 +234,7 @@ def winnow_fingerprints(
     base = ensure_min_parallelism(df).where(F.length(norm) >= k + window - 1)
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
-        lambda i: F.md5(F.substring(norm, i, F.lit(k))),
+        lambda i: hasher(F.substring(norm, i, F.lit(k))),
     )
     hashed = base.select(F.col(id_col), gram_hashes.alias("__gh__"))
     # least-of-element_at instead of array_min(slice(...)): no per-

@@ -152,3 +152,82 @@ def test_json_bundle_row_cap(spark, survey_sdf, tmp_path):
     out = {"tab": survey_sdf}
     with pytest.raises(ValueError, match="row cap"):
         write_json_bundle(out, str(tmp_path / "x.json"), row_cap=2)
+
+
+def test_minixlsx_round_trip_no_spark(tmp_path):
+    """Stdlib XLSX engine: typed cells survive a write/read cycle."""
+    from bht_etl_app_spark.io.minixlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    sheets = {
+        "counts": (["brand", "count", "pct"],
+                   [["Indomie", 41, 51.25], ["Mie <Gelas> & Co", 7, 8.75], ["", 0, None]]),
+        "meta": (["k", "v"], [["rows", 2], ["done", True]]),
+    }
+    write_xlsx(p, sheets)
+    got = read_xlsx(p)
+    assert list(got) == ["counts", "meta"]
+    cols, rows = got["counts"]
+    assert cols == ["brand", "count", "pct"]
+    assert rows[0] == ["Indomie", 41, 51.25]
+    assert rows[1][0] == "Mie <Gelas> & Co"   # XML escaping round-trips
+    assert rows[2] == ["", 0, None]
+    assert got["meta"][1][1] == ["done", True]
+
+
+def test_excel_bundle_round_trip(spark, survey_sdf, tmp_path):
+    """K1 sink -> S2 scan end to end (VERDICT r1 item #9): the excel
+    bundle written by the engine must read back as the same table,
+    whichever engine (openpyxl or the stdlib fallback) is present."""
+    from bht_etl_app_spark.io import write_excel_bundle
+
+    out = str(tmp_path / "bundle.xlsx")
+    long_name = "a_table_name_longer_than_thirty_one_chars"
+    counts = survey_sdf.groupBy("gender").count().orderBy("gender")
+    write_excel_bundle({long_name: counts}, out)
+
+    back = read_table(spark, out)
+    want = [(r["gender"], r["count"]) for r in counts.collect()]
+    got = [(r["gender"], r["count"]) for r in back.orderBy("gender").collect()]
+    assert got == want
+
+    # sheet name truncated to Excel's 31-char limit
+    from bht_etl_app_spark.io.minixlsx import read_xlsx
+    assert list(read_xlsx(out)) == [long_name[:31]]
+
+
+def test_apply_codebook_map_and_join_parity(spark, tmp_path):
+    """VERDICT r1 item #7: the single-projection map-literal strategy
+    and the per-column broadcast-join strategy must agree (including
+    the stringified-lookup + original-fallback quirk)."""
+    df = spark.createDataFrame(
+        [(1, "1", 3.0), (2, "2", None), (3, "9", 1.5)],
+        "resp_id long, gender string, csat double",
+    )
+    cb = spark.createDataFrame(
+        [("gender", "1", "Male"), ("gender", "2", "Female"), ("csat", "3.0", "High")],
+        "column string, value string, label string",
+    )
+    a = apply_codebook(df, cb, strategy="map").orderBy("resp_id").collect()
+    b = apply_codebook(df, cb, strategy="join").orderBy("resp_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["gender"] for r in a] == ["Male", "Female", "9"]  # miss -> original
+    assert [r["csat"] for r in a] == ["High", None, "1.5"]
+
+
+def test_dedup_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    """VERDICT r1 item #5: checkpoint_dir switches lineage truncation
+    to reliable checkpoint() for cluster-durable iteration."""
+    import os
+
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # the reliable checkpoint actually wrote to the directory
+    assert any(files for _, _, files in os.walk(ckpt))
