@@ -42,6 +42,7 @@ from bht_etl_app_spark.operators import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     quality_scores,
+    repetition_signals,
     simhash64,
     tfidf_top_terms,
     synth_media_from_documents,
@@ -340,6 +341,57 @@ def _q_simhash(spark, sf_dir):
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
+def _q_scrub(spark, sf_dir):
+    """PII/URL scrubbing over documents seeded with synthetic URLs and
+    addresses (the corpus itself is URL-free word soup; the seeding is
+    reproduced verbatim in the oracle so the scrubber is actually
+    exercised)."""
+    from bht_etl_app_spark.operators.text import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" ref https://example.com/d?id=1 mail team@example.org"),
+            )
+            .when(F.col("doc_id") % 11 == 0, F.lit(" contact alice@test.net"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return scrub_text(seeded)
+
+
+def _q_kmeans_sizes(spark, sf_dir):
+    """Rows-only: iterative Lloyd's k-means (no SQL oracle for an
+    iterative algorithm); the driver records cluster-count rows."""
+    from bht_etl_app_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=3)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """Rows-only: SemDeDup survivors (k-means -> within-cluster cosine
+    pairs -> connected components -> keep min id per component)."""
+    from bht_etl_app_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, k=8, threshold=0.95, max_iter=3)
+        .where(F.col("kept"))
+        .select("vec_id", "list_id")
+    )
+
+
 def _q_image_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return image_features(synth_media_from_documents(docs))
@@ -590,6 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part"),
             load_table(s, d, "nation"),
         ),
+        "doc_repetition": lambda s, d: repetition_signals(
+            load_table(s, d, "documents")
+        ),
+        "doc_scrubbed": _q_scrub,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -602,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
+        "kmeans_cluster_sizes": _q_kmeans_sizes,
+        "semantic_dedup_survivors": _q_semantic_dedup,
         "image_features_demo": _q_image_features,
     }
     # Driver-coverage rotation: CORRECTNESS_r01 contains EXACTLY the
@@ -1036,6 +1094,46 @@ FROM s
         "doc_fingerprint": """
 SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM documents
+""",
+        "doc_repetition": """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+),
+tg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM t)
+),
+bgc AS (SELECT doc_id, gram, count(*) c FROM bg GROUP BY 1,2),
+bga AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM bgc GROUP BY 1),
+tgc AS (SELECT doc_id, gram, count(*) c FROM tg GROUP BY 1,2),
+tga AS (SELECT doc_id, sum(c) AS total, count(*) AS dist FROM tgc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS distinct_token_ratio,
+       round(CAST(bga.top AS DOUBLE) / bga.total, 6) AS top_bigram_frac,
+       round(1.0 - CAST(tga.dist AS DOUBLE) / tga.total, 6) AS dup_trigram_frac
+FROM t LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+WHERE len(tk) > 0
+""",
+        "doc_scrubbed": """
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' ref https://example.com/d?id=1 mail team@example.org'
+                      WHEN doc_id % 11 = 0 THEN ' contact alice@test.net'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, 'https?://\\S+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+FROM seeded
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id,

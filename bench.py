@@ -56,6 +56,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
     "near_dup_embeddings",
+    "doc_repetition",
+    "semantic_dedup_survivors",
 ]
 
 

@@ -8,6 +8,11 @@ from bht_etl_app_spark.operators.aggregates import (
     full_tabulation,
     brand_dictionary,
 )
+from bht_etl_app_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    semantic_dedup,
+)
 from bht_etl_app_spark.operators.crosstab import crosstab_table
 from bht_etl_app_spark.operators.dedup import (
     dedup_clusters,
@@ -29,6 +34,8 @@ from bht_etl_app_spark.operators.text import (
     tfidf_top_terms,
     language_id,
     quality_scores,
+    repetition_signals,
+    scrub_text,
     token_stats,
 )
 from bht_etl_app_spark.operators.multimodal import (
@@ -51,6 +58,9 @@ __all__ = [
     "full_tabulation",
     "brand_dictionary",
     "crosstab_table",
+    "kmeans_assign",
+    "kmeans_fit",
+    "semantic_dedup",
     "dedup_clusters",
     "dedup_exact",
     "embedding_near_dup_pairs",
@@ -66,6 +76,8 @@ __all__ = [
     "tfidf_top_terms",
     "language_id",
     "quality_scores",
+    "repetition_signals",
+    "scrub_text",
     "token_stats",
     "image_features",
     "synth_media_from_documents",

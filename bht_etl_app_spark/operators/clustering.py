@@ -1,0 +1,238 @@
+"""Embedding clustering: distributed Lloyd's k-means and
+SemDeDup-style semantic deduplication built on it.
+
+Scale posture: one parquet scan + one k-row aggregation per k-means
+iteration. Centroids live in the EXPRESSION (a literal matrix, k x dim
+doubles), not in a joined table — for IVF-scale k (tens to low
+thousands) that keeps every iteration a single codegen'd map-side
+partial aggregation with a k-row reduce; the driver only ever holds
+k x dim floats (model parameters, not data). For k large enough that
+the literal matrix stops inlining (~10^4+), switch to a broadcast
+centroid DataFrame + bucket join; that variant is deliberately not the
+default because it adds a join to every iteration.
+
+SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication"): cluster the corpus, then
+look for near-duplicate pairs ONLY within a cluster — the quadratic
+pair search is bounded by cluster size instead of corpus size, and
+clusters are joined on an equi-key so the shuffle is a plain hash
+partition by ``list_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.session import ensure_min_parallelism
+
+
+def _l2_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Per-centroid L2 affinity as one array column:
+    ``dot(v, c) - |c|^2 / 2`` — argmax of this is the nearest centroid
+    in Euclidean distance (the |v|^2 term is constant per row), without
+    materializing per-pair differences.
+
+    One ``transform`` over a single literal k x dim matrix (plus a
+    k-element bias array), NOT k separate dot aggregates — the same
+    shape as ``hyperplane_bucket_expr``: a k-fold smaller expression
+    tree, which matters because codegen/analysis cost is paid once per
+    k-means ITERATION (fresh plan each round)."""
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    bias = F.array(
+        *[F.lit(0.5 * sum(float(x) * float(x) for x in c)) for c in centroids]
+    )
+    dots = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.zip_with(dots, bias, lambda d, b: d - b)
+
+
+def _argmax_expr(scores: Column) -> Column:
+    """First index of the max score (0-based, ties -> lowest index)."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (L2, deterministic ties -> lowest
+    centroid index) as a pure projection. Output: ``(id, list_id)``
+    plus the original vector column."""
+    scored = ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _l2_scores_expr(F.col(vec_col), centroids).alias("__scores__"),
+    )
+    return scored.select(
+        F.col(id_col), F.col(vec_col), _argmax_expr(F.col("__scores__")).alias("list_id")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means; returns the centroid matrix.
+
+    - init: the k vectors with the smallest ids (deterministic, no RNG
+      — reproducibility matters more than seeding quality here; callers
+      wanting k-means++ can pass their own loop).
+    - assign: nearest centroid via ``_l2_scores_expr`` (projection).
+    - update: per-cluster elementwise mean via ``dim`` ``avg`` columns
+      in ONE groupBy — map-side partial aggregation reduces each
+      partition to at most k x dim doubles before the k-row shuffle.
+      (A posexplode + groupBy(list_id, pos) formulation benches ~2x
+      faster at toy scale — smaller codegen — but shuffles n x dim
+      rows instead of k x dim partials per partition, which is the
+      wrong trade at corpus scale; each iteration re-codegens anyway
+      because the new centroid literals make a new plan, ~1 s/round
+      of fixed local cost.)
+    - each round collects k x dim doubles to the driver (model
+      parameters), rounds them to 9 dp to quantize away run-to-run
+      float-reduction jitter, and stops early when the max centroid
+      shift drops below ``tol``.
+
+    Empty clusters keep their previous centroid.
+    """
+    from pyspark import StorageLevel
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    # (id, vec) projection persisted: re-scanned once per iteration
+    base = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seed_rows = base.orderBy("__id__").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} but only {len(seed_rows)} vectors")
+        centroids = [[float(x) for x in r["__v__"]] for r in seed_rows]
+        dim = len(centroids[0])
+
+        spark = emb.sparkSession
+        for _ in range(max_iter):
+            # Centroids ride in a BROADCAST 1-row DataFrame, not as
+            # literals: literal centroids change every round, which
+            # makes every iteration a brand-new plan and re-pays
+            # analysis + whole-stage codegen (~1-2 s/round measured at
+            # toy scale, and the same fixed cost on a cluster). With a
+            # broadcast parameter the plan/generated code is IDENTICAL
+            # across rounds — compile once, iterate cheap. (Scores get
+            # their own projection: _argmax_expr references the array
+            # twice, see PERFORMANCE.md multi-reference rule.)
+            cdf = spark.createDataFrame(
+                [(centroids, [0.5 * sum(x * x for x in c) for c in centroids])],
+                "mat array<array<double>>, bias array<double>",
+            )
+            dots = F.transform(
+                F.col("mat"),
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("__v__"), c, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ),
+            )
+            assigned = (
+                base.join(F.broadcast(cdf))
+                .select(
+                    F.col("__v__"),
+                    F.zip_with(dots, F.col("bias"), lambda d, b: d - b).alias("__s__"),
+                )
+                .select(F.col("__v__"), _argmax_expr(F.col("__s__")).alias("list_id"))
+            )
+            rows = (
+                assigned.groupBy("list_id")
+                .agg(*[F.avg(F.col("__v__")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            new_centroids = list(centroids)
+            for r in rows:
+                new_centroids[r["list_id"]] = [
+                    round(float(r[f"c{i}"]), 9) for i in range(dim)
+                ]
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
+                for old, new in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if shift < tol:
+                break
+        return centroids
+    finally:
+        base.unpersist()
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, find cosine near-duplicate
+    pairs WITHIN each cluster, connected-component them, and keep the
+    minimum id per component. Output: ``(vec_id, list_id, kept)`` for
+    every input vector — survivors have ``kept = true``.
+
+    The pair search joins on ``list_id`` (plain equi-join), so the
+    quadratic term is bounded by the largest cluster, the standard
+    SemDeDup trade: larger k = cheaper pairs, lower cross-cluster
+    recall. Norms are precomputed per vector, not per pair.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+    from bht_etl_app_spark.operators.similarity import dot_expr, norm_expr
+
+    centroids = kmeans_fit(
+        emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = (
+        kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
+            "list_id",
+        )
+        # referenced by both self-join sides AND the survivor join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cosine = dot_expr(F.col("x.v"), F.col("y.v")) / F.nullif(
+        F.col("x.nrm") * F.col("y.nrm"), F.lit(0.0)
+    )
+    pairs = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "list_id")
+        .where(F.col("x.id") < F.col("y.id"))
+        .where(cosine >= threshold)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    comp = dedup_clusters(pairs)
+    dropped = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id")
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop__", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.coalesce(~F.col("__drop__"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -194,6 +194,135 @@ def tfidf_top_terms(
     )
 
 
+def ngrams_expr(tok_col: Column | str, n: int) -> Column:
+    """All word n-grams of a token array IN ORDER and WITH multiplicity
+    (unlike ``shingles_expr`` in dedup.py, which dedups and sorts for
+    set semantics) — repetition signals need the raw multiset."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, negative) would DESCEND — guard short docs to empty
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher /
+    MassiveText quality filters (Rae et al. 2021, §A1.1): heavily
+    repetitive documents are low-quality training data and are flagged
+    by n-gram repetition rates, not by vocabulary alone.
+
+    Output per doc (docs with zero tokens are absent; bigram/trigram
+    fields are NULL for docs too short to have such grams):
+
+    - ``n_tokens`` — whitespace token count
+    - ``distinct_token_ratio`` — distinct / total tokens (low = repetitive)
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      2-gram / total 2-grams (high = one phrase dominates)
+    - ``dup_trigram_frac`` — 1 - distinct/total 3-grams (fraction of
+      trigram slots occupied by repeats)
+
+    Shape at scale: tag each gram with its length-class and explode
+    ONCE, then two keyed aggregations — ``(doc, n, gram)`` then
+    ``(doc)``. Both shuffle keys are fine-grained (a doc's grams are
+    bounded by its length), all aggregation is codegen'd map-side
+    combine; nothing is quadratic and no token array is persisted.
+    The within-row alternative (array lambdas computing a mode) stays
+    interpreted, so the explode+groupBy form wins on CPU too.
+    """
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    )
+    tagged = F.concat(
+        F.transform(
+            F.col("__toks__"),
+            lambda t: F.struct(F.lit(1).alias("n"), t.alias("gram")),
+        ),
+        F.transform(
+            ngrams_expr("__toks__", 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            ngrams_expr("__toks__", 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+        ),
+    )
+    grams = base.select(F.col(id_col), F.explode(tagged).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    sig = (
+        grams.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("dist"),
+            F.max("c").alias("top"),
+        )
+    )
+    def _pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        sig.groupBy(id_col)
+        .agg(
+            _pick(1, "total").alias("t1"),
+            _pick(1, "dist").alias("d1"),
+            _pick(2, "total").alias("t2"),
+            _pick(2, "top").alias("top2"),
+            _pick(3, "total").alias("t3"),
+            _pick(3, "dist").alias("d3"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("t1").cast("long").alias("n_tokens"),
+            F.round(F.col("d1").cast("double") / F.col("t1"), 6).alias(
+                "distinct_token_ratio"
+            ),
+            F.round(F.col("top2").cast("double") / F.col("t2"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.lit(1.0) - F.col("d3").cast("double") / F.col("t3"), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+# Scrub patterns are deliberately RE2-compatible (no backrefs or
+# lookaround) so the identical pattern strings run in both Spark
+# (java.util.regex) and the DuckDB oracle (RE2).
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII/URL scrubbing for training corpora: replace URLs with
+    ``<URL>`` and email addresses with ``<EMAIL>``, and report how
+    many of each were found. Redaction order is URLs FIRST (a URL's
+    userinfo part could otherwise be half-eaten by the email pass);
+    counts are measured on the raw text, so ``n_emails`` counts
+    addresses even when they sit inside a URL that is redacted first.
+
+    Pure per-row projection — scan speed at 100 TB.
+    Output: ``(doc_id, clean_text, n_urls, n_emails)``.
+    """
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), URL_PATTERN, "<URL>"),
+        EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

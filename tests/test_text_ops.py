@@ -65,3 +65,64 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert fps[1] == fps[2] == fps[3]
     assert fps[4] != fps[1]
+
+
+def test_repetition_signals(spark):
+    from bht_etl_app_spark.operators import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),       # 5 toks / 2 distinct; bigrams {ab,ba,ab,ba}; trigrams {aba,bab,aba}
+            (1, "one"),             # single token: no bigrams/trigrams
+            (2, "x y"),             # one bigram, no trigram
+            (3, "   "),             # zero tokens: absent from output
+            (4, "u v w x y z"),     # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(got) == {0, 1, 2, 4}
+
+    r0 = got[0]
+    assert r0["n_tokens"] == 5
+    assert r0["distinct_token_ratio"] == pytest.approx(2 / 5, abs=1e-6)
+    assert r0["top_bigram_frac"] == pytest.approx(2 / 4, abs=1e-6)
+    assert r0["dup_trigram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["distinct_token_ratio"] == pytest.approx(1.0)
+    assert got[1]["top_bigram_frac"] is None
+    assert got[1]["dup_trigram_frac"] is None
+
+    assert got[2]["top_bigram_frac"] == pytest.approx(1.0)
+    assert got[2]["dup_trigram_frac"] is None
+
+    r4 = got[4]
+    assert r4["distinct_token_ratio"] == pytest.approx(1.0)
+    assert r4["top_bigram_frac"] == pytest.approx(1 / 5, abs=1e-6)
+    assert r4["dup_trigram_frac"] == pytest.approx(0.0)
+
+
+def test_scrub_text(spark):
+    from bht_etl_app_spark.operators import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "visit https://ex.com/a?b=1 and mail bob@ex.org today"),
+            (1, "nothing to scrub here"),
+            (2, "url with userinfo http://alice@host.com/path end"),
+            (3, "two mails a@b.io c@d.co and http://x.io"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert got[0]["clean_text"] == "visit <URL> and mail <EMAIL> today"
+    assert (got[0]["n_urls"], got[0]["n_emails"]) == (1, 1)
+    assert got[1]["clean_text"] == "nothing to scrub here"
+    assert (got[1]["n_urls"], got[1]["n_emails"]) == (0, 0)
+    # URL redacted first, so the embedded address is gone from the
+    # clean text, but n_emails still counts it (raw-text counts)
+    assert got[2]["clean_text"] == "url with userinfo <URL> end"
+    assert (got[2]["n_urls"], got[2]["n_emails"]) == (1, 1)
+    assert got[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert (got[3]["n_urls"], got[3]["n_emails"]) == (1, 2)
