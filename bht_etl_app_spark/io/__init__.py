@@ -9,6 +9,7 @@ from bht_etl_app_spark.io.sinks import (
     write_excel_bundle,
     write_json_bundle,
     write_parquet_bundle,
+    write_table,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "write_excel_bundle",
     "write_json_bundle",
     "write_parquet_bundle",
+    "write_table",
 ]

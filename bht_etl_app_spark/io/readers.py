@@ -26,6 +26,8 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
         "csv" if name.endswith(".csv")
         else "excel" if name.endswith((".xlsx", ".xls"))
         else "parquet" if name.endswith(".parquet")
+        else "jsonl" if name.endswith((".jsonl", ".ndjson", ".json"))
+        else "orc" if name.endswith(".orc")
         else None
     )
     if fmt == "csv":
@@ -37,6 +39,13 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
     if fmt == "parquet":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
+    if fmt in ("jsonl", "json"):
+        # newline-delimited JSON, the interchange format of most
+        # training-data pipelines; a distributed Spark scan (each line
+        # parses independently, so the file splits across tasks)
+        return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "excel":
         try:
             import pandas as pd

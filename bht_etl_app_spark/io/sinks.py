@@ -78,3 +78,33 @@ def write_parquet_bundle(
     stay for the small preview tier."""
     for name, df in tables.items():
         df.write.mode(mode).parquet(os.path.join(out_dir, name))
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite"
+) -> None:
+    """Distributed single-table sink, symmetric with
+    ``readers.read_table``: dispatch on extension (or explicit
+    ``fmt``) across parquet / jsonl / csv / orc. All formats write a
+    directory of part files via ``df.write`` — no driver collect, so
+    any of them is safe at full corpus scale (jsonl is the common
+    training-data interchange; csv gets a header for tool parity)."""
+    name = path.lower()
+    fmt = fmt or (
+        "parquet" if name.endswith(".parquet")
+        else "jsonl" if name.endswith((".jsonl", ".ndjson", ".json"))
+        else "csv" if name.endswith(".csv")
+        else "orc" if name.endswith(".orc")
+        else None
+    )
+    w = df.write.mode(mode)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt in ("jsonl", "json"):
+        w.json(path)
+    elif fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt == "orc":
+        w.orc(path)
+    else:
+        raise ValueError(f"unsupported sink format for {path!r}")
