@@ -91,15 +91,16 @@ def kmeans_fit(
       — reproducibility matters more than seeding quality here; callers
       wanting k-means++ can pass their own loop).
     - assign: nearest centroid via ``_l2_scores_expr`` (projection).
-    - update: per-cluster elementwise mean via ``dim`` ``avg`` columns
-      in ONE groupBy — map-side partial aggregation reduces each
-      partition to at most k x dim doubles before the k-row shuffle.
-      (A posexplode + groupBy(list_id, pos) formulation benches ~2x
-      faster at toy scale — smaller codegen — but shuffles n x dim
-      rows instead of k x dim partials per partition, which is the
-      wrong trade at corpus scale; each iteration re-codegens anyway
-      because the new centroid literals make a new plan, ~1 s/round
-      of fixed local cost.)
+    - update: per-cluster elementwise mean via ``posexplode`` +
+      ``groupBy(list_id, pos).avg(val)``. The explode streams n x dim
+      narrow rows through the MAP side only: hash aggregation runs
+      ``partial_avg`` below the Exchange (verified in the physical
+      plan), so the shuffle carries at most k x dim partial rows per
+      partition — same network cost as a dim-wide ``avg`` column list,
+      but the generated aggregate is 3 columns instead of ``dim``,
+      which cuts first-iteration whole-stage-codegen compile from
+      ~3.4 s to ~0.3 s at dim=64 (the dominant cost of a small-k fit;
+      measured at sf0.1).
     - each round collects k x dim doubles to the driver (model
       parameters), rounds them to 9 dp to quantize away run-to-run
       float-reduction jitter, and stops early when the max centroid
@@ -122,7 +123,6 @@ def kmeans_fit(
         if len(seed_rows) < k:
             raise ValueError(f"k={k} but only {len(seed_rows)} vectors")
         centroids = [[float(x) for x in r["__v__"]] for r in seed_rows]
-        dim = len(centroids[0])
 
         spark = emb.sparkSession
         for _ in range(max_iter):
@@ -156,15 +156,17 @@ def kmeans_fit(
                 .select(F.col("__v__"), _argmax_expr(F.col("__s__")).alias("list_id"))
             )
             rows = (
-                assigned.groupBy("list_id")
-                .agg(*[F.avg(F.col("__v__")[i]).alias(f"c{i}") for i in range(dim)])
+                assigned.select(
+                    "list_id", F.posexplode("__v__").alias("pos", "val")
+                )
+                .groupBy("list_id", "pos")
+                .agg(F.avg("val").alias("c"))
                 .collect()
             )
-            new_centroids = list(centroids)
+            # empty clusters get no rows -> keep their previous centroid
+            new_centroids = [list(c) for c in centroids]
             for r in rows:
-                new_centroids[r["list_id"]] = [
-                    round(float(r[f"c{i}"]), 9) for i in range(dim)
-                ]
+                new_centroids[r["list_id"]][r["pos"]] = round(float(r["c"]), 9)
             shift = max(
                 sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
                 for old, new in zip(centroids, new_centroids)
