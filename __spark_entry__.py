@@ -48,6 +48,12 @@ from bht_etl_app_spark.operators import (
     synth_media_from_documents,
     token_stats,
 )
+from bht_etl_app_spark.operators import (
+    chunk_documents,
+    decontaminate,
+    domain_mixture_weights,
+    vocab_coverage,
+)
 from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
 
@@ -646,6 +652,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "doc_scrubbed": _q_scrub,
+        "doc_decontaminate": lambda s, d: decontaminate(
+            load_table(s, d, "documents").where(F.col("source") != "src0"),
+            load_table(s, d, "documents").where(F.col("source") == "src0"),
+            n=5,
+        ),
+        "doc_chunks": lambda s, d: chunk_documents(
+            load_table(s, d, "documents"), max_tokens=32, stride=16
+        ),
+        "vocab_coverage": lambda s, d: vocab_coverage(
+            load_table(s, d, "documents")
+        ),
+        "domain_mixture": lambda s, d: domain_mixture_weights(
+            load_table(s, d, "documents"), alpha=0.5
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -1119,6 +1139,75 @@ SELECT t.doc_id,
        round(1.0 - CAST(tga.dist AS DOUBLE) / tga.total, 6) AS dup_trigram_frac
 FROM t LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
 WHERE len(tk) > 0
+""",
+        "doc_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 5 + 2),
+                i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS g
+  FROM toks WHERE len(t) >= 5
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+hit AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE source <> 'src0' AND g IN (SELECT g FROM ev)
+)
+SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM toks t LEFT JOIN hit h USING (doc_id)
+WHERE t.source <> 'src0'
+""",
+        "doc_chunks": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(start // 16 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(least(32, len(t) - start) AS BIGINT) AS n_chunk_tokens
+FROM s
+""",
+        "vocab_coverage": """
+WITH c AS (
+  SELECT t AS token, count(*) AS count FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY 1
+)
+SELECT token, count,
+       CAST(row_number() OVER (ORDER BY count DESC, token) AS BIGINT) AS rank,
+       round_even(CAST(count AS DOUBLE) / (SELECT sum(count) FROM c) * 100, 6) AS pct,
+       round_even(CAST(sum(count) OVER (ORDER BY count DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / (SELECT sum(count) FROM c) * 100, 6) AS cum_pct
+FROM c
+""",
+        "domain_mixture": """
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT domain, n_docs, n_tokens,
+       round_even(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per) * 100, 6)
+         AS natural_pct,
+       round_even(power(CAST(n_tokens AS DOUBLE), 0.5)
+                  / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
+         AS weight
+FROM per
 """,
         "doc_scrubbed": """
 WITH seeded AS (

@@ -13,6 +13,12 @@ from bht_etl_app_spark.operators.clustering import (
     kmeans_fit,
     semantic_dedup,
 )
+from bht_etl_app_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    domain_mixture_weights,
+    vocab_coverage,
+)
 from bht_etl_app_spark.operators.crosstab import crosstab_table
 from bht_etl_app_spark.operators.dedup import (
     dedup_clusters,
@@ -57,6 +63,10 @@ __all__ = [
     "nps_table",
     "full_tabulation",
     "brand_dictionary",
+    "chunk_documents",
+    "decontaminate",
+    "domain_mixture_weights",
+    "vocab_coverage",
     "crosstab_table",
     "kmeans_assign",
     "kmeans_fit",

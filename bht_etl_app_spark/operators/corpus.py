@@ -1,0 +1,211 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+benchmark decontamination, fixed-window document chunking, vocabulary
+coverage, and domain mixture reweighting.
+
+These cover the curation steps between raw-text quality filtering
+(``operators/text.py``) and dedup (``operators/dedup.py``) in a
+standard pretraining pipeline (GPT-3 appx. C / Llama-style n-gram
+decontamination; temperature-based domain mixing as in multilingual
+training recipes).
+
+Scale posture:
+
+- ``decontaminate``: the eval/benchmark side is small BY NATURE
+  (benchmarks are thousands of docs, the train side is the 100 TB
+  corpus), so its distinct n-gram set is broadcast and the train-side
+  gram stream is filtered map-side by a broadcast LEFT SEMI join —
+  no shuffle of train grams, only the (small) hit-id set aggregates.
+- ``chunk_documents``: pure per-row explode projection, no shuffle;
+  output rows ≈ n_tokens / stride per doc.
+- ``vocab_coverage``: one token-count aggregation (map-side partial)
+  whose result is VOCABULARY-sized, then rank/cumulative windows over
+  that bounded frame — the window runs on ~|V| rows, never on the
+  corpus.
+- ``domain_mixture_weights``: one domain-level aggregation; the
+  normalizing constant rides a broadcast 1-row cross join (never an
+  empty-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.operators.text import ngrams_expr, tokens_expr
+from bht_etl_app_spark.session import ensure_min_parallelism
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the
+    evaluation/benchmark corpus (the GPT-3 / Llama decontamination
+    rule: a train doc containing a verbatim benchmark n-gram leaks the
+    benchmark). Output: ``(doc_id, contaminated)`` for EVERY train doc.
+
+    Plan shape for a 100 TB train side: the benchmark n-gram set is
+    distinct-aggregated (small) and broadcast; train docs explode
+    their distinct n-grams and drop non-matching grams in the map-side
+    broadcast semi-join, so nothing corpus-sized ever shuffles — the
+    only exchanges are the contaminated-id distinct (bounded by the
+    hit count) and the id-equi-join flagging the full doc list.
+    """
+    ev_grams = (
+        ensure_min_parallelism(eval_df)
+        .select(tokens_expr(text_col).alias("__toks__"))
+        .select(F.explode(F.array_distinct(ngrams_expr("__toks__", n))).alias("__g__"))
+        .distinct()
+    )
+    tr = ensure_min_parallelism(train).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    )
+    hits = (
+        tr.select(F.col(id_col), F.explode(F.array_distinct(ngrams_expr("__toks__", n))).alias("__g__"))
+        .join(F.broadcast(ev_grams), "__g__", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit__", F.lit(True))
+    )
+    return tr.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__hit__"), F.lit(False)).alias("contaminated"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the standard
+    "document → context-window chunks" step before sequence packing.
+    Windows start at ``0, stride, 2*stride, …`` while the start lies
+    inside the token array; ``stride < max_tokens`` gives overlapping
+    chunks, ``stride = max_tokens`` (the default) a partition.
+
+    Output: ``(doc_id, chunk_idx, chunk_start, chunk_text,
+    n_chunk_tokens)``; zero-token docs produce no chunks. Pure
+    explode projection — no shuffle, streams at scan speed.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    stride = stride if stride is not None else max_tokens
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    toks = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens_expr(text_col, lowercase=False).alias("__toks__"))
+        .where(F.size("__toks__") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.size("__toks__") - 1, F.lit(stride))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col("__toks__"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.concat_ws(" ", F.slice("__toks__", F.col("chunk_start") + 1, max_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(max_tokens), F.size("__toks__") - F.col("chunk_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus token-frequency table with rank and cumulative coverage:
+    ``(token, count, rank, pct, cum_pct)`` ordered by descending count
+    (ties by token). ``cum_pct`` answers "how much of the corpus do
+    the top-r tokens cover" — the input to vocabulary truncation and
+    min-frequency cuts.
+
+    The groupBy reduces the corpus to ~|vocabulary| rows with map-side
+    partial counts; the rank/cumsum windows then run on that BOUNDED
+    frame (|V| ≪ corpus — a vocabulary fits on one executor by
+    definition), so the single-partition window is not a scale risk.
+    The grand total rides a broadcast 1-row cross join.
+    """
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__total__"))
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "pct", F.bround(F.col("count") / F.col("__total__") * 100.0, 6)
+        )
+        .withColumn(
+            "cum_pct",
+            F.bround(F.sum("count").over(cum) / F.col("__total__") * 100.0, 6),
+        )
+        .select("token", "count", "rank", "pct", "cum_pct")
+    )
+    if top_k is not None:
+        out = out.where(F.col("rank") <= top_k)
+    return out
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights: each domain's
+    sampling probability is ``tokens^alpha / sum(tokens^alpha)`` —
+    ``alpha = 1`` reproduces natural proportions, ``alpha → 0``
+    approaches uniform (the standard multilingual/multi-source
+    rebalancing rule). Output per domain: ``(domain, n_docs,
+    n_tokens, natural_pct, weight)``.
+
+    One domain-level aggregation (map-side partial sums, ~|domains|
+    result rows); normalizers ride a broadcast 1-row cross join.
+    """
+    per = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.size(tokens_expr(text_col)).cast("long").alias("__nt__"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt__").alias("n_tokens"),
+        )
+        .withColumn("__w__", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))))
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("__tok_total__"), F.sum("__w__").alias("__w_total__")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.bround(F.col("n_tokens") / F.col("__tok_total__") * 100.0, 6).alias(
+                "natural_pct"
+            ),
+            F.bround(F.col("__w__") / F.col("__w_total__"), 6).alias("weight"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Tests for corpus-curation operators (decontamination, chunking,
+vocab coverage, domain mixture) on small literal documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bht_etl_app_spark.operators import (
+    chunk_documents,
+    decontaminate,
+    domain_mixture_weights,
+    vocab_coverage,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "a b c d e f g h", "web"),
+        (1, "x y z a b c d e", "web"),     # shares 5-gram "a b c d e" with doc 0
+        (2, "p q r s t u v w", "books"),
+        (3, "one two", "books"),           # too short for 5-grams
+        (4, "", "books"),                  # zero tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_flags_shared_ngrams(corpus):
+    train = corpus.where(F.col("doc_id") != 0)
+    ev = corpus.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, ev, n=5).collect()}
+    # every train doc gets a row, including short and empty docs
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] is True
+    assert got[2] is False and got[3] is False and got[4] is False
+
+
+def test_decontaminate_n_larger_than_docs(corpus):
+    train = corpus.where(F.col("doc_id") != 0)
+    ev = corpus.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, ev, n=50).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_chunk_documents_partition_and_overlap(corpus):
+    # non-overlapping: 8 tokens / max 3 -> starts 0,3,6
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+    for r in chunk_documents(corpus, max_tokens=3).collect()}
+    assert got[(0, 0)]["chunk_text"] == "a b c"
+    assert got[(0, 1)]["chunk_text"] == "d e f"
+    assert got[(0, 2)]["chunk_text"] == "g h"
+    assert got[(0, 2)]["n_chunk_tokens"] == 2
+    assert got[(0, 2)]["chunk_start"] == 6
+    # short doc -> single partial chunk; empty doc -> no chunks
+    assert got[(3, 0)]["chunk_text"] == "one two"
+    assert not any(d == 4 for d, _ in got)
+    # overlapping stride
+    ov = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(corpus, max_tokens=4, stride=2).collect()
+        if r["doc_id"] == 0
+    }
+    assert ov[(0, 0)] == "a b c d"
+    assert ov[(0, 1)] == "c d e f"
+    assert ov[(0, 3)] == "g h"
+
+
+def test_chunk_documents_rejects_bad_params(corpus):
+    with pytest.raises(ValueError):
+        chunk_documents(corpus, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(corpus, max_tokens=4, stride=-1)
+
+
+def test_vocab_coverage_ranks_and_cumulates(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = sorted(vocab_coverage(df).collect(), key=lambda r: r["rank"])
+    assert [(r["token"], r["count"], r["rank"]) for r in rows] == [
+        ("a", 4, 1), ("b", 3, 2), ("c", 1, 3),
+    ]
+    assert rows[0]["pct"] == pytest.approx(50.0)
+    assert rows[1]["cum_pct"] == pytest.approx(87.5)
+    assert rows[2]["cum_pct"] == pytest.approx(100.0)
+    top = vocab_coverage(df, top_k=2).collect()
+    assert {r["token"] for r in top} == {"a", "b"}
+
+
+def test_domain_mixture_weights_temperature(spark):
+    # web: 9 tokens, books: 1 token. alpha=0.5 -> weights 3/4, 1/4.
+    df = spark.createDataFrame(
+        [(0, "t " * 9, "web"), (1, "t", "books")], "doc_id long, text string, source string"
+    )
+    got = {r["domain"]: r for r in domain_mixture_weights(df, alpha=0.5).collect()}
+    assert got["web"]["n_tokens"] == 9 and got["books"]["n_tokens"] == 1
+    assert got["web"]["natural_pct"] == pytest.approx(90.0)
+    assert got["web"]["weight"] == pytest.approx(0.75)
+    assert got["books"]["weight"] == pytest.approx(0.25)
+    # alpha=1 reproduces natural proportions
+    nat = {r["domain"]: r["weight"] for r in domain_mixture_weights(df, alpha=1.0).collect()}
+    assert nat["web"] == pytest.approx(0.9)
+
+
+def test_decontaminate_plan_broadcasts_eval_side(corpus):
+    train = corpus.where(F.col("doc_id") != 0)
+    ev = corpus.where(F.col("doc_id") == 0)
+    plan = decontaminate(train, ev, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
