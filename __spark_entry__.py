@@ -51,7 +51,9 @@ from bht_etl_app_spark.operators import (
 from bht_etl_app_spark.operators import (
     chunk_documents,
     decontaminate,
+    dedup_incremental,
     domain_mixture_weights,
+    quality_filter_decisions,
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import sampling
@@ -666,6 +668,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": lambda s, d: domain_mixture_weights(
             load_table(s, d, "documents"), alpha=0.5
         ),
+        "doc_filter_decisions": lambda s, d: quality_filter_decisions(
+            load_table(s, d, "documents")
+        ),
+        "dedup_incremental_docs": lambda s, d: dedup_incremental(
+            load_table(s, d, "documents").where(F.col("doc_id") % 3 != 0),
+            fingerprint(load_table(s, d, "documents").where(F.col("doc_id") % 3 == 0)),
+        ),
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -1208,6 +1217,70 @@ SELECT domain, n_docs, n_tokens,
                   / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
          AS weight
 FROM per
+""",
+        "doc_filter_decisions": """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+dtr AS (
+  SELECT doc_id, round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS distinct_token_ratio
+  FROM t WHERE len(tk) > 0
+),
+tg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM t)
+),
+tgc AS (SELECT doc_id, gram, count(*) c FROM tg GROUP BY 1,2),
+tga AS (
+  SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac
+  FROM tgc GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+         len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) AS s_es,
+         len(list_filter(tk, x -> list_contains(['yang','dan','di','ini','itu','dengan','untuk','dari'], x))) AS s_id
+  FROM t
+),
+lang AS (
+  SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_id) <= 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_es, s_id) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_es, s_id) THEN 'es'
+                      ELSE 'id' END AS lang_pred
+  FROM s
+),
+rules AS (
+  SELECT q.doc_id, q.n_tokens, lang.lang_pred,
+         (q.n_tokens >= 20 AND q.n_tokens <= 1000000) AS keep_length,
+         (coalesce(dtr.distinct_token_ratio >= 0.2, TRUE)
+          AND coalesce(tga.dup_frac <= 0.5, TRUE)) AS keep_repetition,
+         lang.lang_pred IN ('en', 'und') AS keep_lang
+  FROM q
+  LEFT JOIN dtr USING (doc_id)
+  LEFT JOIN tga USING (doc_id)
+  LEFT JOIN lang USING (doc_id)
+)
+SELECT doc_id, n_tokens, lang_pred, keep_length, keep_repetition, keep_lang,
+       (keep_length AND keep_repetition AND keep_lang) AS keep
+FROM rules
+""",
+        "dedup_incremental_docs": """
+WITH fps AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+),
+hist AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+mn AS (SELECT fp, min(doc_id) AS min_id FROM fps GROUP BY 1)
+SELECT f.doc_id, f.fp,
+       (h.fp IS NULL AND f.doc_id = mn.min_id) AS kept
+FROM fps f
+LEFT JOIN hist h USING (fp)
+JOIN mn USING (fp)
 """,
         "doc_scrubbed": """
 WITH seeded AS (

@@ -17,12 +17,14 @@ from bht_etl_app_spark.operators.corpus import (
     chunk_documents,
     decontaminate,
     domain_mixture_weights,
+    quality_filter_decisions,
     vocab_coverage,
 )
 from bht_etl_app_spark.operators.crosstab import crosstab_table
 from bht_etl_app_spark.operators.dedup import (
     dedup_clusters,
     dedup_exact,
+    dedup_incremental,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -66,7 +68,9 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "domain_mixture_weights",
+    "quality_filter_decisions",
     "vocab_coverage",
+    "dedup_incremental",
     "crosstab_table",
     "kmeans_assign",
     "kmeans_fit",

@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bht_etl_app_spark.operators.text import ngrams_expr, tokens_expr
+from bht_etl_app_spark.operators.text import (
+    language_id,
+    ngrams_expr,
+    quality_scores,
+    repetition_signals,
+    tokens_expr,
+)
 from bht_etl_app_spark.session import ensure_min_parallelism
 
 
@@ -163,6 +169,65 @@ def vocab_coverage(
     if top_k is not None:
         out = out.where(F.col("rank") <= top_k)
     return out
+
+
+def quality_filter_decisions(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 1_000_000,
+    min_distinct_ratio: float = 0.2,
+    max_dup_trigram_frac: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en", "und"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop decision per document,
+    combining the three signal families (length, repetition, language)
+    into auditable per-rule booleans plus the final ``keep``. Output:
+    ``(doc_id, n_tokens, lang_pred, keep_length, keep_repetition,
+    keep_lang, keep)``.
+
+    Repetition signals that cannot be assessed (too-short docs have
+    NULL gram fractions, zero-token docs no repetition row at all)
+    PASS their rule — the length rule is what rejects degenerate docs.
+
+    Scale shape: the length/language signals are projections, the
+    repetition signal is a gram aggregation; they meet in two
+    ``doc_id`` equi-joins of doc-keyed rows (signal outputs, not
+    documents). In a production pipeline the signal tables are
+    computed once, stored keyed by doc_id, and this decision join is
+    a co-partitioned merge — which is exactly the plan Spark picks
+    here after the signal aggregations hash-partition by doc_id.
+    """
+    q = quality_scores(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), "n_tokens"
+    )
+    r = repetition_signals(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), "distinct_token_ratio", "dup_trigram_frac"
+    )
+    lang = language_id(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), "lang_pred"
+    )
+    keep_length = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    keep_repetition = F.coalesce(
+        F.col("distinct_token_ratio") >= min_distinct_ratio, F.lit(True)
+    ) & F.coalesce(F.col("dup_trigram_frac") <= max_dup_trigram_frac, F.lit(True))
+    keep_lang = F.col("lang_pred").isin(*allowed_langs)
+    return (
+        q.join(r, id_col, "left")
+        .join(lang, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "lang_pred",
+            keep_length.alias("keep_length"),
+            keep_repetition.alias("keep_repetition"),
+            keep_lang.alias("keep_lang"),
+            (keep_length & keep_repetition & keep_lang).alias("keep"),
+        )
+    )
 
 
 def domain_mixture_weights(

@@ -76,6 +76,50 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return groups.select(id_col, "fp", "group_size")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against a historical
+    fingerprint store — the shape of a continuously-ingesting corpus:
+    the crawl's past fingerprints are a (huge) table you join against,
+    never a set you rebuild. Output: ``(doc_id, fp, kept)`` for every
+    new doc; ``kept`` means the doc is (a) unseen in history AND
+    (b) the minimum-id representative of its fingerprint within the
+    new batch.
+
+    Plan shape at 100 TB of history: both sides reduce to
+    fingerprints before joining, so the join shuffles ``(fp, id)``
+    pairs, never documents; the history side arrives pre-distinct
+    (store fps partitioned/bucketed by fp and the join is
+    co-partitioned). The in-batch min-id uses the SAME fp
+    partitioning as the join — one shuffle total on the new side.
+    """
+    from pyspark.sql import Window
+
+    fps = ensure_min_parallelism(new_docs).select(
+        F.col(id_col), F.md5(_norm_text(text_col)).alias("fp")
+    )
+    hist = history.select(F.col(fp_col).alias("fp")).distinct().withColumn(
+        "__seen__", F.lit(True)
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fps.join(hist, "fp", "left")
+        .withColumn("__min_id__", F.min(id_col).over(w))
+        .select(
+            F.col(id_col),
+            F.col("fp"),
+            (F.col("__seen__").isNull() & (F.col(id_col) == F.col("__min_id__"))).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -24,36 +24,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark import get_spark
+from bht_etl_app_spark.operators.corpus import (
+    decontaminate,
+    domain_mixture_weights,
+    quality_filter_decisions,
+)
 from bht_etl_app_spark.operators.dedup import dedup_corpus
 from bht_etl_app_spark.operators.sampling import pack_sequences, train_test_split
-from bht_etl_app_spark.operators.text import language_id, quality_scores
 from bht_etl_app_spark.session import load_table
 
 
 def build_training_set(
     docs,
+    eval_docs=None,
     min_tokens: int = 20,
-    max_stopword_ratio: float = 0.9,
     langs: tuple[str, ...] = ("en", "und"),
     dedup_threshold: float = 0.8,
     pack_budget: int = 2048,
 ):
     """The full flow as one lazy composition; returns (train, test)
     DataFrames of ``(source, doc_id, n_tokens, start_offset, bin,
-    split)``."""
-    # 1. quality filter: drop short or degenerate documents
-    quality = quality_scores(docs).where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("stopword_ratio") <= max_stopword_ratio)
-    )
-    docs_q = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    split)``. ``eval_docs`` (optional) is a benchmark corpus to
+    decontaminate against."""
+    # 1. composite quality gate: length + repetition + language rules
+    keep = quality_filter_decisions(
+        docs, min_tokens=min_tokens, allowed_langs=langs
+    ).where(F.col("keep"))
+    docs_q = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
-    # 2. language filter (n-gram-marker heuristic)
-    lang = language_id(docs_q).where(F.col("lang_pred").isin(*langs))
-    docs_l = docs_q.join(lang.select("doc_id"), "doc_id", "left_semi")
+    # 2. benchmark decontamination: drop train docs sharing an n-gram
+    # with the held-out eval corpus
+    if eval_docs is not None:
+        clean = decontaminate(docs_q, eval_docs).where(~F.col("contaminated"))
+        docs_q = docs_q.join(clean.select("doc_id"), "doc_id", "left_semi")
 
     # 3. dedup: exact + MinHash-LSH near-dup, one representative per group
-    docs_d = dedup_corpus(docs_l, threshold=dedup_threshold)
+    docs_d = dedup_corpus(docs_q, threshold=dedup_threshold)
 
     # 4. reproducible split, then pack each split independently
     split = train_test_split(docs_d)
@@ -73,6 +79,10 @@ def main() -> None:
     spark = get_spark("training-data-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
+
+    # report the domain mix the sampler would draw with temperature 0.7
+    mix = domain_mixture_weights(docs, alpha=0.7).orderBy(F.desc("weight"))
+    mix.show(5, truncate=False)
 
     train, test = build_training_set(docs)
     # partitioned by packing bin: a trainer reads one bin = one batch

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 from bht_etl_app_spark.operators import (
     chunk_documents,
     decontaminate,
+    dedup_incremental,
     domain_mixture_weights,
+    fingerprint,
+    quality_filter_decisions,
     vocab_coverage,
 )
 
@@ -100,6 +103,46 @@ def test_domain_mixture_weights_temperature(spark):
     # alpha=1 reproduces natural proportions
     nat = {r["domain"]: r["weight"] for r in domain_mixture_weights(df, alpha=1.0).collect()}
     assert nat["web"] == pytest.approx(0.9)
+
+
+def test_quality_filter_decisions_rules(spark):
+    rows = [
+        (0, " ".join(["the", "and", "of"] * 10), "w"),      # en, 30 tokens, repetitive
+        (1, "the quick brown fox jumped over that old gate and ran "
+            "of to a wide green field with nine hens by early dawn", "w"),  # en, diverse
+        (2, "el la de que y en los del " * 4, "w"),          # es -> lang-dropped
+        (3, "tiny doc", "w"),                                 # too short
+        (4, "", "w"),                                         # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in quality_filter_decisions(df, min_tokens=20).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[1]["keep"] is True
+    # doc 0: 3 distinct / 30 tokens = 0.1 < 0.2 -> repetition-dropped
+    assert got[0]["keep_repetition"] is False and got[0]["keep"] is False
+    assert got[0]["keep_length"] is True and got[0]["keep_lang"] is True
+    assert got[2]["keep_lang"] is False and got[2]["keep"] is False
+    assert got[3]["keep_length"] is False and got[3]["keep"] is False
+    # zero-token doc: repetition unassessable -> passes, length rejects
+    assert got[4]["keep_repetition"] is True and got[4]["keep"] is False
+
+
+def test_dedup_incremental_history_and_batch(spark):
+    hist_docs = spark.createDataFrame(
+        [(100, "seen before"), (101, "ancient text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Seen   Before"),   # normalizes to a history fp -> dropped
+            (2, "fresh content"),   # unseen, unique -> kept
+            (3, "batch dup"),       # unseen, min of its batch group -> kept
+            (4, "BATCH  DUP"),      # same fp as 3, higher id -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["kept"] for r in
+           dedup_incremental(new, fingerprint(hist_docs)).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False}
 
 
 def test_decontaminate_plan_broadcasts_eval_side(corpus):
