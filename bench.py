@@ -58,6 +58,13 @@ HEADLINE = [
     "near_dup_embeddings",
     "doc_repetition",
     "semantic_dedup_survivors",
+    # corpus curation
+    "doc_decontaminate",
+    "doc_chunks",
+    "vocab_coverage",
+    "domain_mixture",
+    "doc_filter_decisions",
+    "dedup_incremental_docs",
 ]
 
 
