@@ -32,9 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators.text import (
-    language_id,
+    lang_scores_exprs,
     ngrams_expr,
-    quality_scores,
     repetition_signals,
     tokens_expr,
 )
@@ -191,22 +190,28 @@ def quality_filter_decisions(
     NULL gram fractions, zero-token docs no repetition row at all)
     PASS their rule — the length rule is what rejects degenerate docs.
 
-    Scale shape: the length/language signals are projections, the
-    repetition signal is a gram aggregation; they meet in two
-    ``doc_id`` equi-joins of doc-keyed rows (signal outputs, not
-    documents). In a production pipeline the signal tables are
+    Scale shape: the length and language signals FUSE into one token
+    projection over one scan (``lang_scores_exprs`` — both are pure
+    per-row expressions); the repetition signal is inherently a gram
+    aggregation, so it stays a second pass, met in a single
+    ``doc_id`` equi-join of doc-keyed rows (signal outputs, not
+    documents). In a production pipeline the repetition table is
     computed once, stored keyed by doc_id, and this decision join is
-    a co-partitioned merge — which is exactly the plan Spark picks
-    here after the signal aggregations hash-partition by doc_id.
+    a co-partitioned merge — the same plan Spark picks here after the
+    gram aggregation hash-partitions by doc_id.
     """
-    q = quality_scores(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), "n_tokens"
+    pred, _ = lang_scores_exprs(F.col("__toks__"))
+    q = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
+        .select(
+            F.col(id_col),
+            F.size("__toks__").cast("long").alias("n_tokens"),
+            pred.alias("lang_pred"),
+        )
     )
     r = repetition_signals(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), "distinct_token_ratio", "dup_trigram_frac"
-    )
-    lang = language_id(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), "lang_pred"
     )
     keep_length = (F.col("n_tokens") >= min_tokens) & (
         F.col("n_tokens") <= max_tokens
@@ -217,7 +222,6 @@ def quality_filter_decisions(
     keep_lang = F.col("lang_pred").isin(*allowed_langs)
     return (
         q.join(r, id_col, "left")
-        .join(lang, id_col, "left")
         .select(
             F.col(id_col),
             "n_tokens",

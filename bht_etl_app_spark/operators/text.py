@@ -99,15 +99,11 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID: count marker hits per language,
-    argmax with a fixed priority order for ties ('und' when no marker
-    hits at all). Output: ``(doc_id, lang_pred, lang_score)`` where
-    lang_score is the winning marker-hit count.
-    """
-    # token array in its own projection — three marker filters below
-    # each reference it, and interpreted lambdas have no CSE
-    toks = F.col("__toks__")
+def lang_scores_exprs(toks: Column) -> tuple[Column, Column]:
+    """(lang_pred, lang_score) expressions over an ALREADY-MATERIALIZED
+    token-array column (interpreted lambdas have no CSE — the caller
+    must project the token array first). Shared by ``language_id`` and
+    the fused composite gate in ``operators/corpus.py``."""
     scores = {}
     for lang in LANG_PRIORITY:
         arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -117,12 +113,22 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred, best.cast("long")
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language,
+    argmax with a fixed priority order for ties ('und' when no marker
+    hits at all). Output: ``(doc_id, lang_pred, lang_score)`` where
+    lang_score is the winning marker-hit count.
+    """
+    pred, best = lang_scores_exprs(F.col("__toks__"))
     return ensure_min_parallelism(df).select(
         F.col(id_col), tokens_expr(text_col).alias("__toks__")
     ).select(
         F.col(id_col),
         pred.alias("lang_pred"),
-        best.cast("long").alias("lang_score"),
+        best.alias("lang_score"),
     )
 
 
