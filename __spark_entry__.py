@@ -53,6 +53,7 @@ from bht_etl_app_spark.operators import (
     decontaminate,
     dedup_incremental,
     domain_mixture_weights,
+    domain_quantile_filter,
     quality_filter_decisions,
     vocab_coverage,
 )
@@ -671,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
             load_table(s, d, "documents")
         ),
+        "domain_quantile_keep": lambda s, d: domain_quantile_filter(
+            load_table(s, d, "documents"), quantile=0.25
+        ),
         "dedup_incremental_docs": lambda s, d: dedup_incremental(
             load_table(s, d, "documents").where(F.col("doc_id") % 3 != 0),
             fingerprint(load_table(s, d, "documents").where(F.col("doc_id") % 3 == 0)),
@@ -1265,6 +1269,21 @@ rules AS (
 SELECT doc_id, n_tokens, lang_pred, keep_length, keep_repetition, keep_lang,
        (keep_length AND keep_repetition AND keep_lang) AS keep
 FROM rules
+""",
+        "domain_quantile_keep": """
+WITH docs AS (
+  SELECT doc_id, source AS domain,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+th AS (
+  SELECT domain, round_even(quantile_cont(n_tokens, 0.25), 6) AS threshold
+  FROM docs GROUP BY 1
+)
+SELECT d.doc_id, d.domain, d.n_tokens, th.threshold,
+       (CAST(d.n_tokens AS DOUBLE) >= th.threshold) AS keep
+FROM docs d JOIN th USING (domain)
 """,
         "dedup_incremental_docs": """
 WITH fps AS (

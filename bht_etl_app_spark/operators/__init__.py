@@ -17,6 +17,7 @@ from bht_etl_app_spark.operators.corpus import (
     chunk_documents,
     decontaminate,
     domain_mixture_weights,
+    domain_quantile_filter,
     quality_filter_decisions,
     vocab_coverage,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "domain_mixture_weights",
+    "domain_quantile_filter",
     "quality_filter_decisions",
     "vocab_coverage",
     "dedup_incremental",

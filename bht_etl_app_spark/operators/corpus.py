@@ -234,6 +234,49 @@ def quality_filter_decisions(
     )
 
 
+def domain_quantile_filter(
+    df: DataFrame,
+    quantile: float = 0.25,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain RELATIVE length filter: keep documents whose token
+    count is at or above their domain's ``quantile`` threshold —
+    thresholds that adapt per source instead of one global cut (short
+    docs are normal in some domains, degenerate in others). Output:
+    ``(doc_id, domain, n_tokens, threshold, keep)``.
+
+    Plan shape: one token-count projection, one per-domain exact
+    ``percentile`` aggregation (~|domains| rows — broadcast back), one
+    broadcast equi-join. No window over the corpus, no second scan:
+    the doc-level frame is reused from the projection. At 100 TB swap
+    ``percentile`` for ``approx_percentile`` — same plan, bounded
+    memory per domain — documented here as the scale variant.
+    """
+    docs = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    thresholds = docs.groupBy("domain").agg(
+        F.percentile(F.col("n_tokens"), F.lit(float(quantile))).alias("threshold")
+    )
+    # compare against the ROUNDED threshold so the keep boolean is
+    # reproducible across engines (interpolated quantiles are doubles)
+    return (
+        docs.join(F.broadcast(thresholds), "domain")
+        .withColumn("threshold", F.bround(F.col("threshold"), 6))
+        .select(
+            F.col(id_col),
+            "domain",
+            "n_tokens",
+            "threshold",
+            (F.col("n_tokens").cast("double") >= F.col("threshold")).alias("keep"),
+        )
+    )
+
+
 def domain_mixture_weights(
     df: DataFrame,
     alpha: float = 0.5,

@@ -9,6 +9,7 @@ from bht_etl_app_spark.operators import (
     decontaminate,
     dedup_incremental,
     domain_mixture_weights,
+    domain_quantile_filter,
     fingerprint,
     quality_filter_decisions,
     vocab_coverage,
@@ -143,6 +144,22 @@ def test_dedup_incremental_history_and_batch(spark):
     got = {r["doc_id"]: r["kept"] for r in
            dedup_incremental(new, fingerprint(hist_docs)).collect()}
     assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_domain_quantile_filter_per_domain_thresholds(spark):
+    rows = (
+        # domain a: token counts 1..4 -> p25 threshold = 1.75
+        [(i, "t " * i, "a") for i in (1, 2, 3, 4)]
+        # domain b: token counts 10, 20 -> p25 = 12.5
+        + [(10, "t " * 10, "b"), (11, "t " * 20, "b")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in domain_quantile_filter(df, quantile=0.25).collect()}
+    assert got[1]["threshold"] == pytest.approx(1.75)
+    assert got[1]["keep"] is False
+    assert got[2]["keep"] is True and got[4]["keep"] is True
+    assert got[10]["threshold"] == pytest.approx(12.5)
+    assert got[10]["keep"] is False and got[11]["keep"] is True
 
 
 def test_decontaminate_plan_broadcasts_eval_side(corpus):

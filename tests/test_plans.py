@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     "minhash_lsh_pairs",
     "image_features_demo",
     "simhash_docs",
+    "vocab_coverage",        # crossJoin(broadcast(1-row corpus total))
+    "domain_mixture",        # crossJoin(broadcast(1-row normalizers))
 }
 
 
@@ -94,6 +96,16 @@ def test_no_python_udfs_in_oracle_checked_plans(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} drops to Python"
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Context-window chunking must stay a pure explode projection —
+    a keyed Exchange here would shuffle the whole corpus at scale.
+    (The round-robin repartition from ensure_min_parallelism is a
+    local-fixture artifact: single-file parquet -> 1 input split.)"""
+    plan = _plan(spark, "doc_chunks")
+    assert "hashpartitioning" not in plan, "doc_chunks shuffles on a key"
+    assert "rangepartitioning" not in plan, "doc_chunks sorts globally"
 
 
 def test_no_accidental_cartesian(spark):
