@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "winnow_fingerprints": lambda s, d: _winnow(s, d),
         "train_test_split_counts": lambda s, d: _split_counts(s, d),
+        "training_order_docs": lambda s, d: sampling.training_order(
+            load_table(s, d, "documents")
+        ),
         "stratified_sample_docs": _q_stratified_sample,
         "pack_sequences_bins": lambda s, d: _pack_sequences(s, d),
         "near_dup_clusters": lambda s, d: dedup_clusters(
@@ -986,6 +989,7 @@ FROM orders GROUP BY 1
         "props_key_counts": arrays.PROPS_KEY_COUNTS_SQL,
         "winnow_fingerprints": sampling.WINNOW_FINGERPRINTS_SQL,
         "train_test_split_counts": sampling.TRAIN_TEST_SPLIT_SQL,
+        "training_order_docs": sampling.TRAINING_ORDER_SQL,
         "stratified_sample_docs": sampling.STRATIFIED_SAMPLE_SQL,
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "near_dup_clusters": """

@@ -121,6 +121,72 @@ def pack_sequences(
     )
 
 
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a
+    contiguous 1-based ``rank`` in the order of ``md5(epoch:id)`` —
+    a reproducible permutation that changes with ``epoch`` (each
+    epoch reads the corpus in a different but replayable order).
+    Output: ``(doc_id, rank)``.
+
+    A global ``row_number`` window would pull the corpus into ONE
+    partition — the classic silent scale-killer. Instead this uses
+    two-phase distributed ranking over ORDER-PRESERVING hash-prefix
+    buckets:
+
+    1. bucket = the key's leading 16 bits scaled to ``num_partitions``
+       ranges — md5 output is uniform, so buckets are balanced, and a
+       PREFIX range preserves global key order (everything in bucket
+       b sorts below everything in bucket b+1). Deterministic: no
+       boundary sampling, no persistence needed for correctness.
+    2. count rows per bucket (~num_partitions longs to the driver —
+       model-parameter-sized, like k-means centroids) and prefix-sum
+       the offsets.
+    3. rank = broadcast bucket offset + intra-bucket ``row_number``
+       (window partitioned by bucket — bounded at ~corpus/n rows).
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not 0 < n <= 65536:
+        raise ValueError("num_partitions must be in (0, 65536]")
+    prefix = F.conv(F.substring(F.col("__key__"), 1, 4), 16, 10).cast("long")
+    base = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), key.alias("__key__"))
+        .withColumn("__bucket__", F.floor(prefix * n / F.lit(65536)).cast("int"))
+    )
+    counts = sorted(
+        base.groupBy("__bucket__").count().collect(), key=lambda r: r["__bucket__"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__bucket__"], acc))
+        acc += r["count"]
+    odf = spark.createDataFrame(offsets, "__bucket__ int, __off__ long")
+    w = Window.partitionBy("__bucket__").orderBy("__key__")
+    return (
+        base.join(F.broadcast(odf), "__bucket__")
+        .select(
+            F.col(id_col),
+            (F.col("__off__") + F.row_number().over(w)).cast("long").alias("rank"),
+        )
+    )
+
+
+TRAINING_ORDER_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rank
+FROM documents
+"""
+
 TRAIN_TEST_SPLIT_SQL = """
 SELECT split, COUNT(*) AS n
 FROM (

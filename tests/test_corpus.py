@@ -162,6 +162,23 @@ def test_domain_quantile_filter_per_domain_thresholds(spark):
     assert got[10]["keep"] is False and got[11]["keep"] is True
 
 
+def test_training_order_contiguous_and_epoch_varying(spark):
+    from bht_etl_app_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    r0 = {r["doc_id"]: r["rank"] for r in training_order(df, epoch=0).collect()}
+    assert sorted(r0.values()) == list(range(1, 98))  # contiguous 1..n
+    # deterministic across runs
+    again = {r["doc_id"]: r["rank"] for r in training_order(df, epoch=0).collect()}
+    assert r0 == again
+    # different epoch -> different permutation
+    r1 = {r["doc_id"]: r["rank"] for r in training_order(df, epoch=1).collect()}
+    assert r0 != r1 and sorted(r1.values()) == list(range(1, 98))
+    # rank follows the hash order globally, never a single-partition window
+    plan = training_order(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_decontaminate_plan_broadcasts_eval_side(corpus):
     train = corpus.where(F.col("doc_id") != 0)
     ev = corpus.where(F.col("doc_id") == 0)
