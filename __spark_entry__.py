@@ -44,6 +44,7 @@ from bht_etl_app_spark.operators import (
     quality_scores,
     repetition_signals,
     simhash64,
+    simhash_near_dup_pairs,
     tfidf_top_terms,
     synth_media_from_documents,
     token_stats,
@@ -694,6 +695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_docs": _q_simhash,
+        "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
+            load_table(s, d, "documents"), max_hamming=3
+        ),
         "kmeans_cluster_sizes": _q_kmeans_sizes,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "image_features_demo": _q_image_features,

@@ -358,6 +358,82 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via a banded hamming join (reference has
+    no near-dup operator at all; this complements MinHash-LSH for the
+    training-corpus dedup surface).
+
+    Pigeonhole guarantee: split the 64-bit signature into ``bands``
+    equal slices — a pair differing in at most ``bands - 1`` bits must
+    match EXACTLY on at least one slice. With the default
+    ``bands = max_hamming + 1`` recall is therefore exact, not
+    probabilistic (unlike MinHash banding). Candidates come from a
+    plain equi-join on ``(band, key)``; verification is
+    ``bit_count(a ^ b) <= max_hamming`` on candidates only.
+
+    At 100 TB: one narrow signature projection, one (band, key)
+    shuffle whose fan-out is rows × bands, per-bucket pair cost
+    bounded by slice-collision width (16-bit keys at bands=4). The
+    signatures ride through the band join, so no join back to the
+    corpus is needed for verification.
+
+    Output: ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    bands = bands or max_hamming + 1
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for exact recall "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    w = 64 // bands
+    mask = (1 << w) - 1 if w < 64 else -1
+
+    sig = simhash64(df, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * w)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bk")
+    # persisted: the aliased self-join would otherwise run the
+    # tokenize+hash signature projection once per side (same lesson as
+    # minhash_lsh_pairs / embedding_lsh_near_dup_pairs)
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -92,6 +92,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ns_cols = _nano_timestamp_cols(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # micros-precision fixtures are written without a timezone flag, so
+    # Spark 4 surfaces them as TIMESTAMP_NTZ; normalize to TIMESTAMP so
+    # instant functions (unix_micros, to_utc_timestamp, ...) resolve.
+    # Session timezone is UTC, so the cast preserves the wall-clock
+    # value and matches DuckDB's naive-timestamp reading bit-for-bit.
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -86,6 +86,38 @@ def test_simhash_near_dup_small_hamming(spark, docs):
     assert hamming(sh[0], sh[3]) > 12  # unrelated text
 
 
+def test_simhash_banded_pairs_match_brute_force(spark, docs):
+    from bht_etl_app_spark.operators import simhash_near_dup_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for k in (0, 3, 7):
+        expect = {
+            (a, b, hamming(sh[a], sh[b]))
+            for a in sh
+            for b in sh
+            if a < b and hamming(sh[a], sh[b]) <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=k, bands=8).collect()
+        }
+        # bands=8 > k for all tested k -> pigeonhole recall is exact
+        assert got == expect, f"max_hamming={k}"
+
+
+def test_simhash_banded_pairs_validates_params(docs):
+    from bht_etl_app_spark.operators import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=3, bands=3)
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=3, bands=5)
+
+
 def test_embedding_near_dup(spark):
     emb = spark.createDataFrame(
         [
