@@ -55,6 +55,7 @@ from bht_etl_app_spark.operators import (
     dedup_incremental,
     domain_mixture_weights,
     domain_quantile_filter,
+    domain_token_sketches,
     quality_filter_decisions,
     vocab_coverage,
 )
@@ -176,7 +177,13 @@ def _q_knn_vec0(spark, sf_dir):
 
 
 _EMB_DIM = 64  # fixture embeddings dim (all sfs)
-_EMB_LSH_PLANES = 16
+# 24 planes / 4 bands -> 6-bit band keys (64 buckets per band).
+# 4-bit keys (16 planes) left ~23% of ALL pairs as candidates at
+# sf0.01 — the verify stage was quadratic-ish in disguise; 6-bit
+# keys cut candidates ~4x for the same band count. The DuckDB
+# oracle mirrors whatever banding is configured here, so the
+# approximate computation stays hash-verified end to end.
+_EMB_LSH_PLANES = 24
 _EMB_LSH_BANDS = 4
 
 
@@ -697,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
             load_table(s, d, "documents"), max_hamming=3
+        ),
+        "domain_token_sketch": lambda s, d: domain_token_sketches(
+            load_table(s, d, "documents")
         ),
         "kmeans_cluster_sizes": _q_kmeans_sizes,
         "semantic_dedup_survivors": _q_semantic_dedup,

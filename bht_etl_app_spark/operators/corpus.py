@@ -321,3 +321,51 @@ def domain_mixture_weights(
             F.bround(F.col("__w__") / F.col("__w_total__"), 6).alias("weight"),
         )
     )
+
+
+def domain_token_sketches(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-domain distinct-token counts via MERGEABLE HLL sketches,
+    plus a corpus-wide ``__all__`` row built by unioning the
+    per-domain sketches — never by rescanning the corpus.
+
+    This is the 100 TB counting pattern the plain
+    ``approx_count_distinct`` (plans/analytics.approx_distinct_parts)
+    can't give you: each domain/shard/day reduces to a fixed-size
+    binary sketch (``hll_sketch_agg``, map-side partial), and ANY
+    rollup — all domains, a trailing window, yesterday's sketch plus
+    today's — is a tiny ``hll_union_agg`` over already-computed state.
+    Sketch rows are the reusable artifact a daily pipeline would
+    persist; estimates are read off with ``hll_sketch_estimate``.
+
+    Output: ``(domain, est_distinct_tokens)``, one row per domain and
+    one ``__all__`` union row. Estimates are sketch-based -> rows-only
+    contract check; accuracy (~±2% at lgk=12) is pinned in pytest
+    against exact distinct counts.
+    """
+    per = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.explode(tokens_expr(text_col)).alias("token"),
+        )
+        .groupBy("domain")
+        .agg(F.hll_sketch_agg("token", F.lit(lgk)).alias("__sk__"))
+    )
+    # |domains| rows, but two consumers below — persist so the corpus
+    # tokenize+sketch scan runs once, not once per branch
+    from pyspark import StorageLevel
+
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    per_rows = per.select(
+        "domain", F.hll_sketch_estimate("__sk__").alias("est_distinct_tokens")
+    )
+    union_row = per.agg(F.hll_union_agg("__sk__").alias("__sk__")).select(
+        F.lit("__all__").alias("domain"),
+        F.hll_sketch_estimate("__sk__").alias("est_distinct_tokens"),
+    )
+    return per_rows.unionByName(union_row)

@@ -367,11 +367,18 @@ def winnow_fingerprints(
     # predicate-pushed below it with the alias substituted, so the md5
     # array would be evaluated twice — measured 4.3x at sf0.1.
     base = ensure_min_parallelism(df).where(F.length(norm) >= k + window - 1)
+    # Materialize the normalized text in its own projection (the
+    # shingles_expr two-projection dance): the gram lambda below
+    # references the normalization INSIDE its body, and interpreted
+    # higher-order lambdas re-evaluate non-lambda subtrees per
+    # element — inlining `norm` would re-run the whitespace regex once
+    # per gram position, O(len²) per document (measured ~2.5x at sf0.1).
+    normed = base.select(F.col(id_col), norm.alias("__norm__"))
     gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
-        lambda i: hasher(F.substring(norm, i, F.lit(k))),
+        F.sequence(F.lit(1), F.length("__norm__") - F.lit(k - 1)),
+        lambda i: hasher(F.substring(F.col("__norm__"), i, F.lit(k))),
     )
-    hashed = base.select(F.col(id_col), gram_hashes.alias("__gh__"))
+    hashed = normed.select(F.col(id_col), gram_hashes.alias("__gh__"))
     # least-of-element_at instead of array_min(slice(...)): no per-
     # window array copy inside the interpreted lambda
     selected = F.array_distinct(

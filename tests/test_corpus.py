@@ -185,3 +185,20 @@ def test_decontaminate_plan_broadcasts_eval_side(corpus):
     plan = decontaminate(train, ev, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_token_sketches_accuracy_and_merge(corpus):
+    from bht_etl_app_spark.operators import domain_token_sketches
+
+    got = {
+        r["domain"]: r["est_distinct_tokens"]
+        for r in domain_token_sketches(corpus).collect()
+    }
+    # exact distincts: web = {a..h, x, y, z} = 11; books = {p..w, one, two} = 10
+    # union = 21 (web ∩ books = ∅). HLL at lgk=12 is exact-ish at these sizes.
+    assert set(got) == {"web", "books", "__all__"}
+    assert abs(got["web"] - 11) <= 1
+    assert abs(got["books"] - 10) <= 1
+    # the __all__ row comes from UNIONING the per-domain sketches; it must
+    # agree with the true corpus-wide distinct count (merge property)
+    assert abs(got["__all__"] - 21) <= 1
