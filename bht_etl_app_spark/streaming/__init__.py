@@ -6,6 +6,7 @@ from bht_etl_app_spark.streaming.events import (
     sliding_event_counts,
     stateful_user_running_totals,
     stream_static_enrich,
+    stream_stream_attribution,
     stream_to_memory,
     streaming_dedup,
     tumbling_event_counts,
@@ -19,6 +20,7 @@ __all__ = [
     "sliding_event_counts",
     "stateful_user_running_totals",
     "stream_static_enrich",
+    "stream_stream_attribution",
     "stream_to_memory",
     "streaming_dedup",
     "tumbling_event_counts",

@@ -258,3 +258,50 @@ def streaming_dedup(
     half): at-least-once sources (Kafka replays, file re-lists)
     become effectively-once downstream."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    click events by the same user in the ``within`` interval BEFORE
+    the purchase (click_ts in (purchase_ts - within, purchase_ts]).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can size and EVICT the buffered
+    state on both sides — the two requirements for a stream-stream
+    join to run with bounded memory (an unconstrained stream-stream
+    join must buffer one side forever). Inner join: late/unmatched
+    rows age out of state and emit nothing.
+
+    State scale: each side buffers ~(rate × (watermark + within)) rows
+    partitioned by ``user_id`` across the state store — horizontal,
+    like any keyed state.
+
+    Output: ``(user_id, purchase_id, purchase_ts, click_id, click_ts)``
+    one row per qualifying (purchase, click) pair.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            user_id = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts > purchase_ts - INTERVAL {within}
+            """
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -180,3 +180,42 @@ def test_streaming_dedup_drops_jittered_replay(spark, stream_dir, tmp_path):
     got = _run(spark, streaming_dedup(stream), "t_dedup_jitter", output_mode="append")
     n_distinct = events.select("event_id").distinct().count()
     assert got.count() == n_distinct
+
+
+def test_stream_stream_attribution_matches_batch(spark, stream_dir):
+    from bht_etl_app_spark.streaming import stream_stream_attribution
+
+    clicks = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    got = _run(
+        spark,
+        stream_stream_attribution(clicks, purchases, within="30 minutes"),
+        "t_ss_attr",
+        output_mode="append",
+    )
+    ev = spark.read.parquet(stream_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    exp = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("user_id", "purchase_id", "click_id")
+    g = {(r["user_id"], r["purchase_id"], r["click_id"]) for r in got.collect()}
+    e = {(r["user_id"], r["purchase_id"], r["click_id"]) for r in exp.collect()}
+    # the streamed join may drop pairs whose click aged past the
+    # watermark before the purchase arrived (micro-batch order), so
+    # stream results must be a subset of batch — and non-trivial
+    assert g <= e
+    assert len(g) > 0
