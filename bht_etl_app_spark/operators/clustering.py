@@ -38,9 +38,14 @@ def _l2_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:
     shape as ``hyperplane_bucket_expr``: a k-fold smaller expression
     tree, which matters because codegen/analysis cost is paid once per
     k-means ITERATION (fresh plan each round)."""
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    bias = F.array(
-        *[F.lit(0.5 * sum(float(x) * float(x) for x in c)) for c in centroids]
+    from bht_etl_app_spark.operators.similarity import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    mat = lit_double_matrix(centroids)
+    bias = lit_double_array(
+        [0.5 * sum(float(x) * float(x) for x in c) for c in centroids]
     )
     dots = F.transform(
         mat,

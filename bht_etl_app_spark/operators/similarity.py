@@ -49,7 +49,7 @@ def knn_for_query(
     Map-side score + global top-k (Spark's orderBy+limit runs
     per-partition top-k then merges — no full sort shuffle).
     Output: ``(vec_id, cosine)``."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = emb.select(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
@@ -114,15 +114,41 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 42, decimals: int = 4) -> li
     ]
 
 
+def lit_double_array(values: list[float]) -> Column:
+    """Literal double-array column built as ONE parsed SQL expression.
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
+    a 24×64 plane matrix built that way adds seconds of driver-side
+    Python per query. ``repr(float)`` round-trips exactly and the
+    ``D`` suffix forces DOUBLE (bare decimals parse as DECIMAL)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in values) + ")")
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """Literal array-of-double-arrays column, one parsed expression."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def hyperplane_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket signature as a single long: bit i = sign(v·r_i).
     A pure projection — no join, no shuffle (VERDICT r1 item #8).
     One ``transform`` over the literal plane matrix (n separate dot
-    aggregates measured ~1.5× slower)."""
+    aggregates measured ~1.5× slower). The matrix is parsed as a
+    single SQL literal — element-wise ``F.lit`` construction cost
+    ~1500 py4j round-trips (seconds per query at 24×64); the fold
+    itself stays interpreted, which is the right trade at these plan
+    sizes (see PERFORMANCE.md "unrolling vector kernels")."""
     if len(planes) > 63:
         raise ValueError("at most 63 planes fit a signed-long signature")
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    mat = lit_double_matrix(planes)
+    pows = F.expr(
+        "array(" + ",".join(f"{1 << i}L" for i in range(len(planes))) + ")"
+    )
     dots = F.transform(
         mat,
         lambda p: F.aggregate(
@@ -197,7 +223,7 @@ def ann_lsh_topk(
                 mask |= 1 << i
             probes.append(qbits ^ mask)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         bucketed.where(F.col("bucket").isin(probes))
         .select(
@@ -237,7 +263,7 @@ def ivf_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:
     re-evaluated per comparison (multi-referenced non-cheap
     expressions get their own projection; see PERFORMANCE.md)."""
     return F.array(
-        *[dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+        *[dot_expr(vec, lit_double_array(c)) for c in centroids]
     )
 
 
@@ -276,7 +302,7 @@ def ann_ivf_topk(
     assigned = emb.select(
         "*", ivf_scores_expr(F.col(vec_col), centroids).alias("__scores__")
     ).withColumn("list_id", _ivf_list_id(F.col("__scores__")))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         assigned
         .where(F.col("list_id").isin(probe_lists))
