@@ -56,6 +56,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
     "near_dup_embeddings",
+    "simhash_near_dup",
+    "ann_knn_join",
     "doc_repetition",
     "semantic_dedup_survivors",
     # corpus curation
@@ -65,6 +67,7 @@ HEADLINE = [
     "domain_mixture",
     "doc_filter_decisions",
     "dedup_incremental_docs",
+    "domain_token_sketch",
 ]
 
 
