@@ -518,6 +518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles": lambda s, d: windows.order_price_percentiles(
             load_table(s, d, "orders")
         ),
+        "order_price_deciles": lambda s, d: windows.order_price_deciles(
+            load_table(s, d, "orders")
+        ),
+        "orders_unpivot_metrics": lambda s, d: windows.orders_unpivot_metrics(
+            load_table(s, d, "orders")
+        ),
         "session_window_stats": lambda s, d: windows.session_window_stats(
             load_table(s, d, "events")
         ),
@@ -971,6 +977,8 @@ SELECT * FROM (VALUES
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,
         "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
+        "order_price_deciles": windows.ORDER_PRICE_DECILES_SQL,
+        "orders_unpivot_metrics": windows.ORDERS_UNPIVOT_SQL,
         "session_window_stats": windows.SESSION_WINDOW_STATS_SQL,
         "error_recent_click_counts": windows.ERROR_RECENT_CLICK_COUNTS_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_PER_USER_SQL,

@@ -434,3 +434,68 @@ EXCEPT
 SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def order_price_deciles(orders: DataFrame) -> DataFrame:
+    """Equal-frequency bucketing via ``ntile``: per order the decile of
+    its total price within its priority class, plus distribution
+    ranks (``percent_rank``, ``cume_dist``) — the remaining ranking
+    window family beside row_number/rank (customer_order_ranks).
+    One shuffle on the partition key; ntile assigns buckets from the
+    sorted partition without a second pass.
+
+    Tie-safety for the oracle: ordering includes o_orderkey so every
+    row has a deterministic position.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("price_decile"),
+        F.bround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.bround(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+ORDER_PRICE_DECILES_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(10) OVER w AS BIGINT) AS price_decile,
+       round_even(percent_rank() OVER w, 6) AS pct_rank,
+       round_even(cume_dist() OVER w, 6) AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def orders_unpivot_metrics(orders: DataFrame) -> DataFrame:
+    """Wide-to-long reshape via native ``unpivot`` (the inverse of the
+    crosstab pivot): per order, one row per (metric, value) for the
+    numeric columns. Pure per-row projection — ``unpivot`` lowers to
+    an Expand node (no shuffle, no UDF); the reshape that feeds
+    metric-agnostic downstream aggregation at any scale.
+    """
+    return orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "order_year", "cust_key"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORDERS_UNPIVOT_SQL = """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS total_price,
+         CAST(year(CAST(o_orderdate AS DATE)) AS DOUBLE) AS order_year,
+         CAST(o_custkey AS DOUBLE) AS cust_key
+  FROM orders
+) UNPIVOT (value FOR metric IN (total_price, order_year, cust_key))
+"""

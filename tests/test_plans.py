@@ -116,3 +116,12 @@ def test_no_accidental_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+
+
+def test_unpivot_is_shuffle_free(spark):
+    """Wide-to-long reshape must lower to an Expand projection —
+    a keyed Exchange would shuffle the whole table to reshape rows."""
+    plan = _plan(spark, "orders_unpivot_metrics")
+    assert "Expand" in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
