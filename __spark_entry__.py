@@ -32,6 +32,7 @@ from bht_etl_app_spark.operators import (
 )
 from bht_etl_app_spark.operators import (
     ann_lsh_topk,
+    char_entropy,
     dedup_clusters,
     dedup_exact,
     embedding_near_dup_pairs,
@@ -671,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": lambda s, d: repetition_signals(
             load_table(s, d, "documents")
         ),
+        "doc_char_entropy": lambda s, d: char_entropy(
+            load_table(s, d, "documents")
+        ),
         "doc_scrubbed": _q_scrub,
         "doc_decontaminate": lambda s, d: decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
@@ -699,6 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
+        ),
+        "order_price_percentiles_approx": lambda s, d: (
+            windows.order_price_percentiles_approx(load_table(s, d, "orders"))
         ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1153,6 +1160,24 @@ FROM s
         "doc_fingerprint": """
 SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM documents
+""",
+        "doc_char_entropy": """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)+1), i -> text[i])) AS c
+  FROM documents
+),
+cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n,
+         SUM(cnt * ln(cnt) ORDER BY c) AS s  -- char-sorted sum: same
+         -- addition order as the Spark sorted fold, bit for bit
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id,
+       round_even((ln(n) - s / n) / ln(2), 6) AS char_entropy,
+       CAST(n AS BIGINT) AS n_chars
+FROM agg
 """,
         "doc_repetition": """
 WITH t AS (

@@ -388,3 +388,48 @@ def winnow_fingerprints(
         )
     )
     return hashed.select(F.col(id_col), F.explode(selected).alias("fp"))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy in bits — the classic
+    cheap gibberish/boilerplate signal beside the token-level quality
+    scores: low entropy = repeated characters/padding, high entropy =
+    random noise or encoded blobs.
+
+    Distributed shape: explode to (doc, char), count (map-side
+    combinable — the shuffle carries at most |alphabet| rows per
+    doc), then one per-doc aggregate. Entropy is computed as
+    ``log2(n) - (Σ c·ln c)/(n·ln 2)`` with the inner sum folded over
+    the count structs SORTED BY CHARACTER — float addition is not
+    associative, so an engine-chosen sum order would drift in the
+    last ULP against the oracle; the sorted sequential fold makes
+    both engines add in the same order, bit for bit.
+
+    Output: ``(doc_id, char_entropy, n_chars)``; empty docs yield no
+    row (no alphabet to measure).
+    """
+    chars = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+        ).alias("c"),
+    )
+    counts = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("cnt"))
+    s = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("c"), F.col("cnt")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(F.sum("cnt").alias("__n__"), s.alias("__s__"))
+        .select(
+            F.col(id_col),
+            F.bround(
+                (F.log(F.col("__n__").cast("double")) - F.col("__s__") / F.col("__n__"))
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("char_entropy"),
+            F.col("__n__").cast("long").alias("n_chars"),
+        )
+    )

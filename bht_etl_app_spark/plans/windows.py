@@ -499,3 +499,26 @@ SELECT o_orderkey, metric, value FROM (
   FROM orders
 ) UNPIVOT (value FOR metric IN (total_price, order_year, cust_key))
 """
+
+
+def order_price_percentiles_approx(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles (``approx_percentile``) — the single
+    pass, fixed-memory path that replaces the exact per-group sort of
+    :func:`order_price_percentiles` at 100 TB. The sketch is
+    mergeable across partitions (map-side partial, tiny reduce), so
+    cost is one scan regardless of group skew. Values are
+    engine-specific (sketch quantiles) -> rows-only contract check;
+    the exact variant stays the oracle-checked twin.
+    """
+    return orders.groupBy("o_orderpriority").agg(
+        F.bround(
+            F.expr(f"approx_percentile(o_totalprice, 0.25, {accuracy})"), 6
+        ).alias("p25"),
+        F.bround(
+            F.expr(f"approx_percentile(o_totalprice, 0.5, {accuracy})"), 6
+        ).alias("p50"),
+        F.bround(
+            F.expr(f"approx_percentile(o_totalprice, 0.9, {accuracy})"), 6
+        ).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -126,3 +126,26 @@ def test_scrub_text(spark):
     assert (got[2]["n_urls"], got[2]["n_emails"]) == (1, 1)
     assert got[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <URL>"
     assert (got[3]["n_urls"], got[3]["n_emails"]) == (1, 2)
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+
+    from bht_etl_app_spark.operators import char_entropy
+
+    rows = [(0, "aab"), (1, "abcd"), (2, "aaaa"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["char_entropy"], r["n_chars"])
+           for r in char_entropy(df).collect()}
+
+    def h(t):
+        from collections import Counter
+        c = Counter(t)
+        n = len(t)
+        return round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+
+    assert 3 not in got  # empty doc yields no row
+    for i, t in rows[:3]:
+        assert abs(got[i][0] - h(t)) < 1e-6, (i, got[i], h(t))
+        assert got[i][1] == len(t)
+    assert got[2][0] == 0.0  # single-symbol doc
