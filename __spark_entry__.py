@@ -537,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_revenue": lambda s, d: windows.moving_avg_revenue(
             load_table(s, d, "orders")
         ),
+        "customer_trailing_30d_spend": lambda s, d: (
+            windows.customer_trailing_30d_spend(load_table(s, d, "orders"))
+        ),
         "knn_join_sample": _q_knn_join,
         "sql_orders_by_status": _q_sql_interface,
         "embedding_norms": lambda s, d: arrays.embedding_norms(
@@ -990,6 +993,7 @@ SELECT * FROM (VALUES
         "error_recent_click_counts": windows.ERROR_RECENT_CLICK_COUNTS_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_PER_USER_SQL,
         "moving_avg_revenue": windows.MOVING_AVG_REVENUE_SQL,
+        "customer_trailing_30d_spend": windows.CUSTOMER_TRAILING_30D_SPEND_SQL,
         "knn_join_sample": """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

@@ -522,3 +522,45 @@ def order_price_percentiles_approx(orders: DataFrame, accuracy: int = 10000) -> 
         ).alias("p90"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def customer_trailing_30d_spend(orders: DataFrame) -> DataFrame:
+    """RANGE-frame window (the remaining frame type beside ROWS):
+    per order, the customer's order count and spend within the
+    trailing 30 days INCLUSIVE of the current order — a value-based
+    frame over event time, not a row count, so gaps and bursts are
+    handled correctly.
+
+    The frame orders by epoch seconds (long) because range frames
+    need a numeric/ordinal sort key; partitioned by customer, so the
+    window never concentrates rows beyond one customer's history —
+    scale-safe, one shuffle on the key.
+    """
+    secs = F.unix_timestamp(F.col("o_orderdate")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.cast(
+            "double",
+            F.sum(_dec("o_totalprice")).over(w),
+        ).alias("spend_30d"),
+    )
+
+
+CUSTOMER_TRAILING_30D_SPEND_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) OVER w AS n_orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
