@@ -305,6 +305,55 @@ def _pack_sequences(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def _q_purchase_asof_click(spark, sf_dir):
+    """Two-table backward as-of join via the dedicated operator
+    (timeseries.asof_join, union+running-last shape) — oracle is
+    DuckDB's native ASOF JOIN over the identically tie-broken right
+    side, so the operator is checked against a second engine's
+    first-class implementation."""
+    from bht_etl_app_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        left_key="user_id",
+        right_key="c_user",
+        left_time="purchase_ts",
+        right_time="click_ts",
+        payload=["click_ts", "click_id"],
+        right_tiebreak="click_id",
+    )
+
+
+_PURCHASE_ASOF_CLICK_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+c AS (SELECT c_user, click_ts, click_id FROM c0 WHERE rn = 1)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_ts, c.click_id
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.c_user AND c.click_ts <= p.purchase_ts
+"""
+
+
 def _ewma(spark, sf_dir):
     from bht_etl_app_spark.operators.timeseries import ewma_per_key
 
@@ -540,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_trailing_30d_spend": lambda s, d: (
             windows.customer_trailing_30d_spend(load_table(s, d, "orders"))
         ),
+        "purchase_asof_click": _q_purchase_asof_click,
         "knn_join_sample": _q_knn_join,
         "sql_orders_by_status": _q_sql_interface,
         "embedding_norms": lambda s, d: arrays.embedding_norms(
@@ -994,6 +1044,7 @@ SELECT * FROM (VALUES
         "latest_event_per_user": windows.LATEST_EVENT_PER_USER_SQL,
         "moving_avg_revenue": windows.MOVING_AVG_REVENUE_SQL,
         "customer_trailing_30d_spend": windows.CUSTOMER_TRAILING_30D_SPEND_SQL,
+        "purchase_asof_click": _PURCHASE_ASOF_CLICK_SQL,
         "knn_join_sample": """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

@@ -125,3 +125,53 @@ def test_unpivot_is_shuffle_free(spark):
     assert "Expand" in plan
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story, pinned on an actual adaptive plan: a
+    join where one key owns ~90% of the left side must come back with
+    SortMergeJoin(skew=true) + an AQEShuffleRead marked skewed — AQE
+    split the hot reducer partition at runtime instead of letting one
+    task process the whole key (the salting operator,
+    salted_user_event_totals, is the manual variant of the same
+    defense). Thresholds are lowered so toy-scale shuffle sizes
+    qualify; restored afterwards."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        assert joined.count() == 300000
+        joined.collect()  # finalize THIS plan's adaptive execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
