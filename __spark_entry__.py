@@ -255,6 +255,17 @@ def _q_knn_join(spark, sf_dir):
     return knn_join(q, emb, k=3)
 
 
+def _q_knn_vec0_arrow(spark, sf_dir):
+    """Arrow/numpy twin of knn_vec0 (rows-only by design: Python UDFs
+    stay out of oracle-checked plans; parity vs the JVM fold is
+    pinned in tests/test_similarity.py)."""
+    from bht_etl_app_spark.operators.similarity import knn_for_query_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_for_query_arrow(emb, [float(x) for x in qv], k=5)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     import numpy as np
 
@@ -760,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles_approx": lambda s, d: (
             windows.order_price_percentiles_approx(load_table(s, d, "orders"))
         ),
+        "knn_vec0_arrow": _q_knn_vec0_arrow,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_knn_join": _q_ann_knn_join,

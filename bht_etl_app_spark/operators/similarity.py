@@ -10,6 +10,7 @@ array — sequential, deterministic order, pure JVM. No Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -382,3 +383,40 @@ def ann_knn_join(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_for_query_arrow(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine via an Arrow-batched pandas_udf (numpy
+    matmul against the query) — the documented 100 TB swap for the
+    interpreted JVM fold in :func:`knn_for_query` (see PERFORMANCE.md
+    "unrolling vector kernels"): at ~10⁹ rows the ~1 µs/element fold
+    step dominates, while numpy scores a whole Arrow batch with one
+    BLAS call. Kept OUT of oracle-checked plans (no-Python-UDF pin);
+    numerically equal to the fold within float tolerance (pairwise vs
+    sequential summation), pinned in pytest at 1e-6 after 6 dp
+    rounding.
+
+    Output: ``(vec_id, cosine)`` — same contract as knn_for_query.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def _cos(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(norms == 0.0, np.nan, (m @ q) / norms)
+        return pd.Series(np.round(c, 6))
+
+    scored = emb.select(F.col(id_col), _cos(F.col(vec_col)).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

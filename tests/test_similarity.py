@@ -127,3 +127,22 @@ def test_ann_knn_join_subset_of_exact_with_rank_contract(spark, emb):
     for qid, rows in by_q.items():
         assert sorted(x["rank"] for x in rows) == list(range(1, len(rows) + 1))
         assert any(x["vec_id"] == qid for x in rows)
+
+
+def test_arrow_knn_matches_jvm_fold(spark):
+    """The Arrow/numpy scale kernel must agree with the JVM fold
+    within float tolerance on the same data (pairwise vs sequential
+    summation differ only in the last ULPs)."""
+    from bht_etl_app_spark.operators.similarity import (
+        knn_for_query,
+        knn_for_query_arrow,
+    )
+    from bht_etl_app_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    jvm = {r["vec_id"]: r["cosine"] for r in knn_for_query(emb, qv, k=10).collect()}
+    arrow = {r["vec_id"]: r["cosine"] for r in knn_for_query_arrow(emb, qv, k=10).collect()}
+    assert set(jvm) == set(arrow)
+    for vid in jvm:
+        assert abs(jvm[vid] - arrow[vid]) <= 1e-6
