@@ -369,3 +369,30 @@ def domain_token_sketches(
         F.hll_sketch_estimate("__sk__").alias("est_distinct_tokens"),
     )
     return per_rows.unionByName(union_row)
+
+
+def observe_keep_rates(decisions: DataFrame, name: str = "corpus_qa"):
+    """Attach an ``Observation`` that records corpus QA metrics —
+    document count, kept count, kept token volume — during whatever
+    action the caller already runs on the decisions (a write, a
+    downstream aggregate). At 100 TB this is the difference between
+    free pipeline telemetry and a second full scan for a row count:
+    observe() metrics are accumulated by the SAME tasks that produce
+    the action's result.
+
+    Returns ``(df, observation)``; read ``observation.get`` after any
+    action on ``df``. Expects the ``quality_filter_decisions`` output
+    shape (``keep`` boolean, ``n_tokens``).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = decisions.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )
+    return out, obs

@@ -202,3 +202,16 @@ def test_domain_token_sketches_accuracy_and_merge(corpus):
     # the __all__ row comes from UNIONING the per-domain sketches; it must
     # agree with the true corpus-wide distinct count (merge property)
     assert abs(got["__all__"] - 21) <= 1
+
+
+def test_observe_keep_rates_free_telemetry(corpus):
+    from bht_etl_app_spark.operators import quality_filter_decisions
+    from bht_etl_app_spark.operators.corpus import observe_keep_rates
+
+    decisions = quality_filter_decisions(corpus, min_tokens=3)
+    observed, obs = observe_keep_rates(decisions)
+    rows = observed.collect()  # the action that also feeds the metrics
+    got = obs.get
+    assert got["n_docs"] == len(rows)
+    assert got["n_kept"] == sum(1 for r in rows if r["keep"])
+    assert got["kept_tokens"] == sum(r["n_tokens"] for r in rows if r["keep"])
