@@ -130,27 +130,32 @@ def kmeans_fit(
         centroids = [[float(x) for x in r["__v__"]] for r in seed_rows]
 
         spark = emb.sparkSession
+        # Centroids ride in a BROADCAST 1-row DataFrame, not as
+        # literals: literal centroids change every round, which makes
+        # every iteration a brand-new plan and re-pays analysis +
+        # whole-stage codegen (~1-2 s/round measured at toy scale, and
+        # the same fixed cost on a cluster). With a broadcast
+        # parameter the plan/generated code is IDENTICAL across rounds
+        # — compile once, iterate cheap. (Scores get their own
+        # projection: _argmax_expr references the array twice, see
+        # PERFORMANCE.md multi-reference rule.)
+        #
+        # The score expression references only column NAMES, so the
+        # Column tree is built ONCE here and reused every round —
+        # rebuilding the nested transform/aggregate/zip_with lambdas
+        # per iteration paid a py4j construction tax each time.
+        dots = F.transform(
+            F.col("mat"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__v__"), c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
         for _ in range(max_iter):
-            # Centroids ride in a BROADCAST 1-row DataFrame, not as
-            # literals: literal centroids change every round, which
-            # makes every iteration a brand-new plan and re-pays
-            # analysis + whole-stage codegen (~1-2 s/round measured at
-            # toy scale, and the same fixed cost on a cluster). With a
-            # broadcast parameter the plan/generated code is IDENTICAL
-            # across rounds — compile once, iterate cheap. (Scores get
-            # their own projection: _argmax_expr references the array
-            # twice, see PERFORMANCE.md multi-reference rule.)
             cdf = spark.createDataFrame(
                 [(centroids, [0.5 * sum(x * x for x in c) for c in centroids])],
                 "mat array<array<double>>, bias array<double>",
-            )
-            dots = F.transform(
-                F.col("mat"),
-                lambda c: F.aggregate(
-                    F.zip_with(F.col("__v__"), c, lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                ),
             )
             assigned = (
                 base.join(F.broadcast(cdf))
