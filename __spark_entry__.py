@@ -471,8 +471,20 @@ def _q_semantic_dedup(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
+    """REAL image pipeline: docs -> deterministic grayscale PNGs
+    (pure-stdlib codec) -> binary media column -> mapInPandas decode
+    -> (width, height, mean intensity). No imaging library involved;
+    rows-only because the features are engine-side Python, but the
+    decode is an actual PNG parse, not a stub."""
+    from bht_etl_app_spark.operators.multimodal import (
+        png_image_decode,
+        synth_png_media_from_documents,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return image_features(synth_media_from_documents(docs))
+    return image_features(
+        synth_png_media_from_documents(docs), decode_fn=png_image_decode
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

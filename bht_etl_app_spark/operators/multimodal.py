@@ -200,3 +200,53 @@ def audio_features(
             yield out
 
     return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def png_image_decode(content: bytes) -> dict[str, Any]:
+    """REAL image decode for the feature extractor: parses the PNG
+    (pure-stdlib codec, operators/png.py), returning true dimensions
+    and the true mean pixel intensity — the container has no imaging
+    library, but grayscale PNG needs none. Drop-in for ``decode_fn``
+    in :func:`image_features`."""
+    from bht_etl_app_spark.operators.png import decode_png_gray
+
+    w, h, pixels = decode_png_gray(bytes(content))
+    mean = round(sum(pixels) / len(pixels), 6) if pixels else 0.0
+    return {"width": w, "height": h, "n_bytes": len(content), "mean_intensity": mean}
+
+
+def synth_png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG media frame from the documents fixture:
+    each doc's utf-8 bytes tile a doc_id-derived WxH grayscale image,
+    encoded as a valid PNG (CRC-framed, zlib scanlines). Unlike
+    :func:`synth_media_from_documents` (opaque text bytes), rows
+    produced here round-trip through an actual decoder, so the
+    multimodal path is exercised end to end: encode -> binary column
+    -> mapInPandas decode -> features."""
+    from bht_etl_app_spark.operators.png import encode_png_gray
+
+    base = docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = 8 + int(doc_id) % 9
+                h = 8 + int(doc_id) % 7
+                need = w * h
+                src = bytes(payload) or b"\x00"
+                pixels = (src * (need // len(src) + 1))[:need]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        encode_png_gray(pixels, w, h),
+                        "image/png",
+                        "{}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime", "meta"]
+            )
+
+    return base.mapInPandas(run, schema=MEDIA_SCHEMA)
