@@ -266,6 +266,22 @@ def _q_knn_vec0_arrow(spark, sf_dir):
     return knn_for_query_arrow(emb, [float(x) for x in qv], k=5)
 
 
+def _q_audio_features(spark, sf_dir):
+    """REAL audio pipeline: docs -> PCM16 WAV (stdlib RIFF framing) ->
+    binary media column -> mapInPandas parse -> duration/RMS.
+    Rows-only (engine-side Python features), but an actual WAV decode."""
+    from bht_etl_app_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_media_from_documents,
+        wav_audio_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(
+        synth_wav_media_from_documents(docs), decode_fn=wav_audio_decode
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     import numpy as np
 
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_sizes": _q_kmeans_sizes,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "image_features_demo": _q_image_features,
+        "audio_features_demo": lambda s, d: _q_audio_features(s, d),
     }
     # Driver-coverage rotation: CORRECTNESS_r01 contained EXACTLY the
     # first 50 keys of this dict (verified by position), i.e. the

@@ -250,3 +250,72 @@ def synth_png_media_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples as a valid mono WAV (stdlib ``wave`` —
+    RIFF framing needs no audio library)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", int(s)) for s in samples))
+    return buf.getvalue()
+
+
+def wav_audio_decode(content: bytes) -> dict[str, Any]:
+    """REAL audio decode for the feature extractor: parses WAV framing
+    and PCM16 samples with the stdlib, returning true duration and
+    RMS. Drop-in for ``decode_fn`` in :func:`audio_features`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("only mono PCM16 supported")
+        frames = w.readframes(n)
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    return {
+        "n_bytes": len(content),
+        "duration_s": round(n / rate, 6),
+        "rms": round(rms, 6),
+    }
+
+
+def synth_wav_media_from_documents(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic REAL-WAV media frame from the documents fixture:
+    each doc's utf-8 bytes become centered int16 samples (byte-128
+    scaled), RIFF-framed by the stdlib — rows round-trip through an
+    actual WAV parser (see :func:`wav_audio_decode`)."""
+    base = docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                src = bytes(payload) or b"\x80"
+                samples = [(b - 128) * 256 for b in src]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "audio",
+                        encode_wav_pcm16(samples, sample_rate),
+                        "audio/wav",
+                        "{}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime", "meta"]
+            )
+
+    return base.mapInPandas(run, schema=MEDIA_SCHEMA)

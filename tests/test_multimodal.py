@@ -167,3 +167,27 @@ def test_image_features_real_png_end_to_end(spark):
         src = r["text"].encode() or b"\x00"
         pix = (src * (w * hh // len(src) + 1))[: w * hh]
         assert abs(f["mean_intensity"] - round(sum(pix) / len(pix), 6)) < 1e-6
+
+
+def test_audio_features_real_wav_end_to_end(spark):
+    import math
+
+    from bht_etl_app_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_media_from_documents,
+        wav_audio_decode,
+    )
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    media = synth_wav_media_from_documents(docs)
+    feats = {r["media_id"]: r for r in
+             audio_features(media, decode_fn=wav_audio_decode).collect()}
+    for r in docs.collect():
+        f = feats[r["doc_id"]]
+        src = r["text"].encode() or b"\x80"
+        assert abs(f["duration_s"] - round(len(src) / 16000, 6)) < 1e-9
+        true_rms = math.sqrt(
+            sum(((b - 128) * 256) ** 2 for b in src) / len(src)
+        )
+        assert abs(f["rms"] - true_rms) < 1e-3
