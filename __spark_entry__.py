@@ -266,6 +266,12 @@ def _q_knn_vec0_arrow(spark, sf_dir):
     return knn_for_query_arrow(emb, [float(x) for x in qv], k=5)
 
 
+def _bigram_scores(spark, sf_dir):
+    from bht_etl_app_spark.operators.text import bigram_logprob_scores
+
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio pipeline: docs -> PCM16 WAV (stdlib RIFF framing) ->
     binary media column -> mapInPandas parse -> duration/RMS.
@@ -767,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": lambda s, d: char_entropy(
             load_table(s, d, "documents")
         ),
+        "doc_bigram_surprise": lambda s, d: _bigram_scores(s, d),
         "doc_scrubbed": _q_scrub,
         "doc_decontaminate": lambda s, d: decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
@@ -1311,6 +1318,33 @@ agg AS (
 SELECT doc_id,
        round_even((ln(n) - s / n) / ln(2), 6) AS char_entropy,
        CAST(n AS BIGINT) AS n_chars
+FROM agg
+""",
+        "doc_bigram_surprise": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2)
+),
+dc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+cc AS (SELECT gram, SUM(c) AS cg FROM dc GROUP BY 1),
+tt AS (SELECT SUM(cg) AS t FROM cc),
+sc AS (
+  SELECT doc_id, gram, c, (ln(cg) - ln(t.t)) / ln(2) AS lp
+  FROM dc JOIN cc USING (gram), tt t
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n,
+         SUM(c * lp ORDER BY gram) AS s  -- gram-sorted: same addition
+         -- order as the Spark sorted fold, bit for bit
+  FROM sc GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       round_even(-s / n, 6) AS bigram_surprise
 FROM agg
 """,
         "doc_repetition": """

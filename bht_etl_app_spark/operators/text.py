@@ -433,3 +433,74 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.col("__n__").cast("long").alias("n_chars"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram cross-entropy per document — the classic
+    LM-perplexity-proxy quality filter (CCNet-style) without an
+    external language model: score each doc by the mean surprise
+    ``-(1/n) Σ log2 P(g)`` of its word bigrams under the CORPUS bigram
+    distribution ``P(g) = C(g)/T``. Boilerplate scores low (common
+    bigrams), gibberish scores high (rare bigrams).
+
+    Distributed shape: one bigram explode feeds BOTH the corpus
+    counts and the per-doc counts (persisted — the two consumers
+    would otherwise re-run tokenize+explode); the doc-side join
+    shuffles on the gram key with map-side-combined counts, and the
+    grand total rides a broadcast 1-row aggregate. Per-doc summation
+    folds over GRAM-SORTED count structs so Spark and the DuckDB
+    oracle add bit-identically (float addition is not associative —
+    see char_entropy).
+
+    Output: ``(doc_id, n_bigrams, bigram_surprise)``; docs with fewer
+    than two tokens yield no row.
+    """
+    from pyspark import StorageLevel
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    )
+    grams = toks.where(F.size("__toks__") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks__") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("__toks__", i),
+                    F.element_at("__toks__", i + 1),
+                ),
+            )
+        ).alias("gram"),
+    )
+    doc_counts = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_counts = doc_counts.groupBy("gram").agg(F.sum("c").alias("cg"))
+    total = corpus_counts.agg(F.sum("cg").alias("__t__"))
+    logp = (F.log(F.col("cg").cast("double")) - F.log(F.col("__t__").cast("double"))) / F.log(
+        F.lit(2.0)
+    )
+    scored = (
+        doc_counts.join(corpus_counts, "gram")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), "gram", "c", logp.alias("__lp__"))
+    )
+    s = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("gram", "c", "__lp__"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * x["__lp__"],
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("c").alias("__n__"), s.alias("__s__"))
+        .select(
+            F.col(id_col),
+            F.col("__n__").cast("long").alias("n_bigrams"),
+            F.bround(-F.col("__s__") / F.col("__n__"), 6).alias("bigram_surprise"),
+        )
+    )

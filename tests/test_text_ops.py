@@ -149,3 +149,30 @@ def test_char_entropy_matches_python(spark):
         assert abs(got[i][0] - h(t)) < 1e-6, (i, got[i], h(t))
         assert got[i][1] == len(t)
     assert got[2][0] == 0.0  # single-symbol doc
+
+
+def test_bigram_surprise_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from bht_etl_app_spark.operators.text import bigram_logprob_scores
+
+    rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "zz qq"), (3, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+
+    def bigrams(t):
+        tk = t.lower().split()
+        return [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    corpus = Counter(g for _, t in rows for g in bigrams(t))
+    total = sum(corpus.values())
+    assert 3 not in got  # single-token doc has no bigrams
+    for i, t in rows[:3]:
+        bgs = bigrams(t)
+        exp = -sum(math.log2(corpus[g] / total) for g in bgs) / len(bgs)
+        assert got[i]["n_bigrams"] == len(bgs)
+        assert abs(got[i]["bigram_surprise"] - round(exp, 6)) < 1e-6
+    # common bigrams ("the cat" shared) => lower surprise than the
+    # unique-bigram doc
+    assert got[0]["bigram_surprise"] < got[2]["bigram_surprise"]
