@@ -245,6 +245,45 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
+def _ann_knn_join_oracle_sql() -> str:
+    """DuckDB mirror of the LSH-bucketed kNN join (the 100×-scale
+    contract path, promoted from rows-only in r3 — VERDICT r2 item
+    #6): same rounded plane literals, same sign-bit bucket, same
+    1-bit multiprobe XOR set, same bucket equi-join + top-k rule.
+    Deterministic end to end (fixed planes, unique-id tiebreak), so
+    the approximate plan is value-hash-verified like any exact one."""
+    planes = _emb_lsh_planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    masks = [0] + [1 << i for i in range(len(planes))]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, xor(bucket, m) AS bucket
+  FROM bits, unnest({mask_list}) AS t(m)
+  WHERE vec_id < 10
+),
+s AS (
+  SELECT p.q_id, c.vec_id,
+         round(list_cosine_similarity(p.qv, c.v), 6) AS cosine
+  FROM probes p JOIN bits c USING (bucket)
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 def _q_knn_join(spark, sf_dir):
     from bht_etl_app_spark.operators import knn_join
 
@@ -300,7 +339,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 def _q_ann_knn_join(spark, sf_dir):
     """LSH-bucketed kNN join (scale path for knn_join_sample) —
-    rows-only: recall depends on the bucket/probe setting."""
+    oracle-checked since r3: fixed rounded planes + unique-id
+    tiebreaks make the approximate result deterministic, so the
+    DuckDB mirror (_ann_knn_join_oracle_sql) hash-verifies the plan
+    you'd actually run at 100× (VERDICT r2 item #6)."""
     from bht_etl_app_spark.operators.similarity import ann_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -875,6 +917,9 @@ _REVERIFY = [
     "near_dup_embeddings",
     "knn_join_sample",
     "winnow_fingerprints",
+    # r3: rewritten from single low-cardinality window to two-phase
+    # bucket-offset ranking (plans/windows.py order_price_deciles)
+    "order_price_deciles",
 ]
 
 
@@ -1582,4 +1627,5 @@ SELECT vec_id, cosine FROM (
 ) ORDER BY cosine DESC, vec_id LIMIT 5
 """,
         "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
+        "ann_knn_join": _ann_knn_join_oracle_sql(),
     }

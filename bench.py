@@ -108,6 +108,9 @@ def main():
         rows = qs[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
         _ = len(rows)
+        # drop per-query persisted intermediates (banded signatures,
+        # gram counts) so cached blocks don't accumulate across the run
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -120,12 +120,26 @@ def lit_double_array(values: list[float]) -> Column:
     ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
     a 24×64 plane matrix built that way adds seconds of driver-side
     Python per query. ``repr(float)`` round-trips exactly and the
-    ``D`` suffix forces DOUBLE (bare decimals parse as DECIMAL)."""
+    ``D`` suffix forces DOUBLE (bare decimals parse as DECIMAL).
+    Non-finite values would render as invalid SQL (``infD``/``nanD``)
+    and fail with an opaque parse error far from the caller — reject
+    them here with a clear message instead."""
+    import math
+
+    bad = [v for v in values if not math.isfinite(float(v))]
+    if bad:
+        raise ValueError(f"lit_double_array: non-finite values {bad[:3]}")
     return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in values) + ")")
 
 
 def lit_double_matrix(rows: list[list[float]]) -> Column:
-    """Literal array-of-double-arrays column, one parsed expression."""
+    """Literal array-of-double-arrays column, one parsed expression.
+    Same non-finite guard as :func:`lit_double_array`."""
+    import math
+
+    bad = [v for row in rows for v in row if not math.isfinite(float(v))]
+    if bad:
+        raise ValueError(f"lit_double_matrix: non-finite values {bad[:3]}")
     return F.expr(
         "array("
         + ",".join(

@@ -88,6 +88,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     path = os.path.join(sf_dir, f"{name}.parquet")
     # runtime-settable; makes loads work from any caller's session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Contract timezone-invariance: the caller (e.g. the correctness
+    # driver) may hand us a session whose timezone is not UTC; the
+    # NTZ->TIMESTAMP normalization below and every downstream
+    # unix_timestamp/epoch computation would then shift by a
+    # DST-varying offset. Pin UTC so results are identical no matter
+    # which session runs the plan (matches DuckDB's naive reading).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ns_cols = _nano_timestamp_cols(path)
     for c in ns_cols:

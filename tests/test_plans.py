@@ -40,6 +40,10 @@ NESTED_LOOP_OK = {
     "image_features_demo",
     "simhash_docs",
     "vocab_coverage",        # crossJoin(broadcast(1-row corpus total))
+    "doc_bigram_surprise",   # crossJoin(broadcast(1-row gram grand total));
+                             # verified: the only nested loop in the plan is
+                             # BroadcastNestedLoopJoin BuildRight over the
+                             # 1-row total aggregate (text.py bigram_logprob_scores)
     "domain_mixture",        # crossJoin(broadcast(1-row normalizers))
 }
 
@@ -175,3 +179,51 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_order_price_deciles_no_low_cardinality_window(spark):
+    """Per-row ranking output must never sort a whole priority class
+    in one window partition (o_orderpriority has 5 values -> ~20 % of
+    the table per task at 100 TB). The two-phase rewrite partitions
+    the window by (priority, price-bucket); pin that no Window node
+    in the plan partitions by o_orderpriority alone."""
+    plan = _plan(spark, "order_price_deciles")
+    win_lines = [
+        ln for ln in plan.splitlines() if "Window" in ln and "windowspec" not in ln
+    ]
+    assert win_lines, "expected a Window node in the deciles plan"
+    for ln in win_lines:
+        if "o_orderpriority" in ln:
+            assert "__b__" in ln, (
+                "Window partitioned by low-cardinality o_orderpriority "
+                f"alone: {ln.strip()}"
+            )
+
+
+def test_order_price_deciles_parity_with_single_window(spark):
+    """Bit-identical to the naive single-window ntile/percent_rank/
+    cume_dist plan (the old implementation, kept here as the spec)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bht_etl_app_spark.plans import windows as W
+    from bht_etl_app_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders")
+    got = {
+        r["o_orderkey"]: (r["price_decile"], r["pct_rank"], r["cum_dist"])
+        for r in W.order_price_deciles(orders).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    exp = {
+        r["o_orderkey"]: (r["d"], r["p"], r["c"])
+        for r in orders.select(
+            "o_orderkey",
+            F.ntile(10).over(w).cast("long").alias("d"),
+            F.bround(F.percent_rank().over(w), 6).alias("p"),
+            F.bround(F.cume_dist().over(w), 6).alias("c"),
+        ).collect()
+    }
+    assert got == exp

@@ -7,6 +7,14 @@ exact value comparison (floats compared bit-for-bit — if they drift,
 the query needs deterministic numerics, not a looser check here).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Timezone-hostile mode: ``ORACLE_TZ=America/New_York python
+tools/check_oracle.py ...`` builds the Spark session with a non-UTC
+(DST-varying) session timezone, simulating the driver calling
+``queries()`` from its own session. The contract is expected to be
+invariant: ``load_table`` pins ``spark.sql.session.timeZone=UTC`` at
+query-build time, so results must match the oracle bit-for-bit
+regardless of the caller's session timezone.
 """
 
 from __future__ import annotations
@@ -61,8 +69,12 @@ def main():
     import __spark_entry__ as mod
     from bht_etl_app_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    hostile_tz = os.environ.get("ORACLE_TZ")
+    extra = {"spark.sql.session.timeZone": hostile_tz} if hostile_tz else None
+    spark = get_spark("oracle-check", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    if hostile_tz:
+        print(f"tz-hostile mode: session timezone = {hostile_tz}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -89,6 +101,11 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         timings[name] = perf_counter() - t0
+        # operators persist intermediates (banded signatures, gram
+        # counts) for their own multi-consumer plans; drop them once
+        # the query is collected so cached blocks don't accumulate
+        # across the 116-query session
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {timings[name]:.2f}s)")
             continue
