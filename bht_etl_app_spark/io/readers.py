@@ -47,19 +47,24 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
     if fmt == "orc":
         return spark.read.orc(path)
     if fmt == "excel":
-        try:
-            import pandas as pd
+        import pandas as pd
 
+        try:
             pdf = pd.read_excel(path)
         except ImportError:
-            # no openpyxl in the environment: stdlib fallback engine
-            # (io/minixlsx.py) — driver-side read is the documented
-            # path for small survey exports either way
-            import pandas as pd
+            # no openpyxl/xlrd in the environment: stdlib fallback
+            # engines — minixlsx for zip-based .xlsx, minixls for
+            # legacy BIFF .xls (reference accepts both, app.py:78-81);
+            # driver-side read is the documented path for small survey
+            # exports either way
+            if name.endswith(".xls"):
+                from bht_etl_app_spark.io.minixls import read_xls
 
-            from bht_etl_app_spark.io.minixlsx import read_xlsx
+                first = next(iter(read_xls(path).values()))
+            else:
+                from bht_etl_app_spark.io.minixlsx import read_xlsx
 
-            first = next(iter(read_xlsx(path).values()))
+                first = next(iter(read_xlsx(path).values()))
             cols, rows = first
             pdf = pd.DataFrame(rows, columns=cols)
         return spark.createDataFrame(pdf)

@@ -190,27 +190,28 @@ def quality_filter_decisions(
     NULL gram fractions, zero-token docs no repetition row at all)
     PASS their rule — the length rule is what rejects degenerate docs.
 
-    Scale shape: the length and language signals FUSE into one token
-    projection over one scan (``lang_scores_exprs`` — both are pure
-    per-row expressions); the repetition signal is inherently a gram
-    aggregation, so it stays a second pass, met in a single
-    ``doc_id`` equi-join of doc-keyed rows (signal outputs, not
-    documents). In a production pipeline the repetition table is
-    computed once, stored keyed by doc_id, and this decision join is
-    a co-partitioned merge — the same plan Spark picks here after the
-    gram aggregation hash-partitions by doc_id.
+    Scale shape: one shared token projection DEFINITION feeds every
+    signal family; the two consumers (per-row length/lang scan, gram
+    explode+agg) each recompute it from lineage rather than reading a
+    persisted copy. Persisting it was tried and measured SLOWER
+    (VERDICT r2 item #8; PERFORMANCE.md "negative result: caching the
+    token projection") — serializing corpus-sized token arrays costs
+    more than the regex tokenize it saves, at sf0.1 and worse at
+    100 TB where the cache would spill to disk. The decision join
+    stays a single ``doc_id`` equi-join of doc-keyed signal rows; in
+    a production pipeline the repetition table is computed once,
+    stored keyed by doc_id, and this join is a co-partitioned merge.
     """
-    pred, _ = lang_scores_exprs(F.col("__toks__"))
-    q = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
-        .select(
-            F.col(id_col),
-            F.size("__toks__").cast("long").alias("n_tokens"),
-            pred.alias("lang_pred"),
-        )
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
     )
-    r = repetition_signals(df, text_col=text_col, id_col=id_col).select(
+    pred, _ = lang_scores_exprs(F.col("__toks__"))
+    q = toks.select(
+        F.col(id_col),
+        F.size("__toks__").cast("long").alias("n_tokens"),
+        pred.alias("lang_pred"),
+    )
+    r = repetition_signals(df, id_col=id_col, tokens_df=toks).select(
         F.col(id_col), "distinct_token_ratio", "dup_trigram_frac"
     )
     keep_length = (F.col("n_tokens") >= min_tokens) & (

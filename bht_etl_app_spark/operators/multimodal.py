@@ -89,24 +89,58 @@ def image_features(
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling plumbing. The decode is NOT implemented in
-    this container (no ffmpeg); the Spark shape — explode sampled
-    frame indices per video row — is real."""
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 30,
+    decode_fn: Callable[[bytes, int], list[tuple[int, bytes]]] | None = None,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Video frame-sampling over ``mapInPandas`` — one input video row
+    explodes into one output row per sampled frame. ``decode_fn(
+    content, every_n) -> [(frame_idx, frame_bytes), ...]`` is the
+    decoder-injection seam (same pattern as
+    ``image_features(decode_fn=...)``); a real deployment wires
+    ffmpeg/PyAV there. This container has no video codec, so the
+    DEFAULT decoder raises NotImplementedError at execution — the
+    Spark plumbing (blob projection, Arrow batch shape, per-row
+    explode) is real and pinned by a fake-decoder pytest."""
+
+    def _no_decoder(content: bytes, n: int) -> list[tuple[int, bytes]]:
         raise NotImplementedError(
-            "video decode requires ffmpeg; wire a real decoder via "
-            "image_features(decode_fn=...) style injection"
+            "video decode requires ffmpeg; inject one via "
+            "frame_sample(decode_fn=...)"
         )
 
-    schema = StructType([
-        StructField("media_id", LongType()),
-        StructField("frame_idx", LongType()),
-        StructField("frame", BinaryType()),
-    ])
+    fn = decode_fn or _no_decoder
     vids = media.where(F.col("kind") == "video").select("media_id", "content")
-    return vids.mapInPandas(run, schema=schema)
+    if repartition_to:
+        vids = vids.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for fi, fb in fn(bytes(blob), every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(fb)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Back-compat alias: the no-decoder form of :func:`frame_sample`."""
+    return frame_sample(media, every_n=every_n)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:

@@ -215,7 +215,12 @@ def ngrams_expr(tok_col: Column | str, n: int) -> Column:
     )
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
     """Per-document repetition signals in the style of the Gopher /
     MassiveText quality filters (Rae et al. 2021, §A1.1): heavily
     repetitive documents are low-quality training data and are flagged
@@ -238,9 +243,18 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     combine; nothing is quadratic and no token array is persisted.
     The within-row alternative (array lambdas computing a mode) stays
     interpreted, so the explode+groupBy form wins on CPU too.
+
+    ``tokens_df`` (optional): a pre-built ``(id_col, __toks__)``
+    projection to consume instead of re-tokenizing — lets composite
+    callers (quality_filter_decisions) feed several signal families
+    from ONE persisted tokenize pass.
     """
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    base = (
+        tokens_df
+        if tokens_df is not None
+        else ensure_min_parallelism(df).select(
+            F.col(id_col), tokens_expr(text_col).alias("__toks__")
+        )
     )
     tagged = F.concat(
         F.transform(

@@ -191,3 +191,48 @@ def test_audio_features_real_wav_end_to_end(spark):
             sum(((b - 128) * 256) ** 2 for b in src) / len(src)
         )
         assert abs(f["rms"] - true_rms) < 1e-3
+
+
+def test_frame_sample_explodes_with_injected_decoder(spark):
+    """The video seam (VERDICT r2 item #10): a fake decoder injected
+    through frame_sample(decode_fn=...) must drive the real explode
+    plumbing — one output row per sampled frame, frame bytes and
+    indices intact through the Arrow batch boundary."""
+    from bht_etl_app_spark.operators.multimodal import frame_sample
+
+    vids = spark.createDataFrame(
+        [(10, "video", bytes(range(100)), "video/fake", "{}"),
+         (11, "video", bytes(range(35)), "video/fake", "{}"),
+         (12, "image", b"not a video", "image/png", "{}")],
+        "media_id long, kind string, content binary, mime string, meta string",
+    )
+
+    def fake_decode(content: bytes, every_n: int):
+        # pretend each byte is a frame; sample every_n-th
+        return [
+            (i, content[i : i + 1]) for i in range(0, len(content), every_n)
+        ]
+
+    got = {
+        (r["media_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in frame_sample(vids, every_n=30, decode_fn=fake_decode).collect()
+    }
+    # video 10: frames 0,30,60,90; video 11: 0,30; image row filtered out
+    assert set(got) == {(10, 0), (10, 30), (10, 60), (10, 90), (11, 0), (11, 30)}
+    assert got[(10, 30)] == bytes([30])
+    assert got[(11, 0)] == bytes([0])
+
+
+def test_frame_sample_default_decoder_raises(spark):
+    """Without an injected decoder the seam fails loudly at execution
+    (no ffmpeg in this container), not silently with empty output."""
+    from pyspark.errors import PythonException
+
+    from bht_etl_app_spark.operators.multimodal import frame_sample
+
+    vids = spark.createDataFrame(
+        [(1, "video", b"\x00\x01", "video/fake", "{}")],
+        "media_id long, kind string, content binary, mime string, meta string",
+    )
+    with pytest.raises(PythonException, match="NotImplementedError|ffmpeg"):
+        frame_sample(vids).collect()
