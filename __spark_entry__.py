@@ -51,13 +51,16 @@ from bht_etl_app_spark.operators import (
     token_stats,
 )
 from bht_etl_app_spark.operators import (
+    bloom_decontaminate,
     chunk_documents,
     decontaminate,
     dedup_incremental,
+    dedup_spans,
     domain_mixture_weights,
     domain_quantile_filter,
     domain_token_sketches,
     quality_filter_decisions,
+    upsert_latest,
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import sampling
@@ -281,6 +284,39 @@ SELECT q_id, vec_id, cosine, rank FROM (
                                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
   FROM s
 ) WHERE rank <= 3
+"""
+
+
+def _q_upsert_snapshot(spark, sf_dir):
+    """Incremental corpus upsert: roll the documents snapshot forward
+    with an update batch (every 5th doc re-ingested as version 2);
+    latest-version-wins, update side wins ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.withColumn("version", F.lit(1).cast("long"))
+    upd = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat(F.lit("[v2] "), F.col("text")))
+        .withColumn("version", F.lit(2).cast("long"))
+    )
+    return upsert_latest(cur, upd)
+
+
+UPSERT_SNAPSHOT_SQL = """
+WITH cur AS (
+  SELECT doc_id, text, lang, source, n_chars, CAST(1 AS BIGINT) AS version, 0 AS side
+  FROM documents
+),
+upd AS (
+  SELECT doc_id, '[v2] ' || text AS text, lang, source, n_chars,
+         CAST(2 AS BIGINT) AS version, 1 AS side
+  FROM documents WHERE doc_id % 5 = 0
+),
+u AS (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+SELECT doc_id, text, lang, source, n_chars, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY version DESC, side DESC) AS rn
+  FROM u
+) WHERE rn = 1
 """
 
 
@@ -825,6 +861,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda s, d: chunk_documents(
             load_table(s, d, "documents"), max_tokens=32, stride=16
         ),
+        "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
+            load_table(s, d, "documents").where(F.col("source") != "src0"),
+            load_table(s, d, "documents").where(F.col("source") == "src0"),
+            n=5,
+        ),
+        "doc_span_dedup": lambda s, d: dedup_spans(
+            load_table(s, d, "documents"), max_tokens=4
+        ),
+        "doc_upsert_snapshot": _q_upsert_snapshot,
         "vocab_coverage": lambda s, d: vocab_coverage(
             load_table(s, d, "documents")
         ),
@@ -885,42 +930,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _driver_verified_keys() -> set[str]:
     """Keys with a fully-green (rows+schema+hash, or rows-only without
-    error) row in any driver CORRECTNESS_r*.json, minus keys whose
-    implementation changed since that round (re-verify list)."""
+    error) row in a driver CORRECTNESS_r*.json from a round AFTER the
+    key's last implementation change (``_REVERIFY``): a green row
+    predating the change proves nothing, while one from a later round
+    re-verifies the key and lets it rotate out of the checked prefix
+    again — the list is self-healing, no manual pruning per round."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
+    any_file = False
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except Exception:
             continue
+        any_file = True
         for name, r in rows.items():
+            if _REVERIFY.get(name, 0) >= rnd:
+                continue  # green row predates the implementation change
             if not isinstance(r, dict) or r.get("err"):
                 continue
             if r.get("rows_match") and (
                 r.get("hash_match", True) or r.get("schema_match") is None
             ):
                 green.add(name)
-    return (green or set(_DRIVER_VERIFIED_PRIOR_ROUNDS)) - set(_REVERIFY)
+    if not any_file:
+        green = set(_DRIVER_VERIFIED_PRIOR_ROUNDS) - set(_REVERIFY)
+    return green
 
 
-# implementations changed after their last driver-green row — keep
-# front-loaded until the driver re-verifies them (r2: bucketed-LSH
-# near-dup, broadcast knn_join, two-projection winnow, 24-plane
-# banding)
-_REVERIFY = [
-    "near_dup_embeddings",
-    "knn_join_sample",
-    "winnow_fingerprints",
+# key -> last round whose green rows are STALE for it (the round the
+# implementation changed in, or the last one closed before the change
+# landed): r2 changes invalidate r<=1 rows, r3 changes r<=2 rows
+_REVERIFY = {
+    "near_dup_embeddings": 1,   # r2: bucketed-LSH contract path
+    "knn_join_sample": 1,       # r2: broadcast nested-loop scoring
+    "winnow_fingerprints": 1,   # r2: two-projection normalization
     # r3: rewritten from single low-cardinality window to two-phase
     # bucket-offset ranking (plans/windows.py order_price_deciles)
-    "order_price_deciles",
-]
+    "order_price_deciles": 2,
+}
 
 
 # keys already green in a prior round's driver CORRECTNESS file
@@ -1454,6 +1510,29 @@ SELECT doc_id,
        array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text,
        CAST(least(32, len(t) - start) AS BIGINT) AS n_chunk_tokens
 FROM s
+""",
+        "doc_upsert_snapshot": UPSERT_SNAPSHOT_SQL,
+        "doc_span_dedup": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 4)) AS start
+  FROM toks WHERE len(t) > 0
+),
+ch AS (
+  SELECT md5(array_to_string(list_slice(t, start + 1, start + 4), ' ')) AS span_fp,
+         doc_id, CAST(start // 4 AS BIGINT) AS chunk_idx
+  FROM s
+)
+SELECT span_fp, doc_id, chunk_idx, n_copies FROM (
+  SELECT span_fp, doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY span_fp ORDER BY doc_id, chunk_idx) AS rn,
+         CAST(count(*) OVER (PARTITION BY span_fp) AS BIGINT) AS n_copies
+  FROM ch
+) WHERE rn = 1
 """,
         "vocab_coverage": """
 WITH c AS (

@@ -68,6 +68,8 @@ HEADLINE = [
     "doc_filter_decisions",
     "dedup_incremental_docs",
     "domain_token_sketch",
+    "doc_span_dedup",
+    "doc_bloom_decontaminate",
 ]
 
 

@@ -160,3 +160,37 @@ def apply_codebook(
             .drop(f"__cb_value_{colname}", f"__cb_label_{colname}")
         )
     return out
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    kind: str = "image",
+) -> DataFrame:
+    """Multimodal blob ingest via Spark's distributed ``binaryFile``
+    source: each file becomes one row ``(path, modificationTime,
+    length, content)``; we project onto the engine's MEDIA_SCHEMA
+    shape (``media_id`` = stable hash of the path, payload as opaque
+    ``binary``, typed metadata as JSON) so the multimodal operators
+    (``image_features``, ``audio_features``, ``frame_sample``)
+    consume it directly. Reading is split across executors per file —
+    the scan scales with the file count, and ``pathGlobFilter``
+    prunes non-matching files BEFORE any bytes are read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.to_json(
+            F.struct(
+                F.col("path"),
+                F.col("length"),
+            )
+        ).alias("meta"),
+    )

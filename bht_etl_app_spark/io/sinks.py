@@ -108,3 +108,40 @@ def write_table(
         w.orc(path)
     else:
         raise ValueError(f"unsupported sink format for {path!r}")
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: str | list[str] | None = "source",
+    order_by: str | list[str] | None = "doc_id",
+    max_records_per_file: int | None = 100_000,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard sink: the layout a dataloader actually consumes
+    at 100 TB — hive-partitioned directories (one per ``partition_by``
+    value, so domain/split selection is partition PRUNING at read
+    time, not a filter scan), deterministic within-file order
+    (``sortWithinPartitions`` keeps shard contents reproducible run to
+    run), and bounded file sizes (``maxRecordsPerFile`` splits hot
+    partitions into uniform shards instead of one giant file per
+    task). Everything is distributed ``df.write`` — no driver
+    collect, no repartition-to-1 antipattern.
+    """
+    w = df
+    if order_by:
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = w.sortWithinPartitions(*cols)
+    writer = w.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "parquet":
+        writer.parquet(out_dir)
+    elif fmt in ("jsonl", "json"):
+        writer.json(out_dir)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")

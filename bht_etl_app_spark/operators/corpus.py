@@ -81,6 +81,140 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB twin of
+    :func:`decontaminate` for benchmark sets too large to broadcast as
+    raw n-gram strings. Same output contract: ``(doc_id,
+    contaminated)`` for every train doc, with NO false negatives (a
+    Bloom filter never misses a member); false positives over-flag at
+    the standard ``(1-e^{-kn/m})^k`` rate, which only ever errs toward
+    caution for contamination.
+
+    Scale shape (the whole point):
+
+    1. filter build is benchmark-sized: eval n-grams hash to ``k``
+       bit positions (``xxhash64(i, gram) mod m``); the DISTINCT
+       position set (bounded by k × benchmark grams) is the only
+       collect, and the driver assembles the bitmap —
+       model-parameter-sized, like k-means centroids;
+    2. the bitmap rides to executors as a 1-row broadcast DATA array
+       (``crossJoin(broadcast(...))``) — deliberately NOT a SQL
+       literal, which would be a million-term codegen bomb (see
+       PERFORMANCE.md "unrolling vector kernels"). An
+       ``array<boolean>`` costs 1 byte/bit in the block store; at
+       ``m >= 2^26`` swap it for packed longs + bit tests (8×
+       smaller broadcast, same plan shape);
+    3. the train pass is a pure per-row projection: ``exists`` over
+       each doc's distinct n-grams, ``aggregate`` over the k probe
+       positions — ZERO shuffle of anything corpus-sized, unlike the
+       exact path's hit-distinct + flag join. One scan at scan speed.
+    """
+    ev_grams = (
+        ensure_min_parallelism(eval_df)
+        .select(tokens_expr(text_col).alias("__toks__"))
+        .select(F.explode(F.array_distinct(ngrams_expr("__toks__", n))).alias("__g__"))
+        .distinct()
+    )
+    pos_rows = (
+        ev_grams.select(
+            F.explode(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("__g__")), F.lit(m_bits))
+                    for i in range(k_hashes)
+                ])
+            ).alias("__p__")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [False] * m_bits
+    for r in pos_rows:
+        bitmap[int(r["__p__"])] = True
+    spark = train.sparkSession
+    bloom = spark.createDataFrame([(bitmap,)], "__bloom__ array<boolean>")
+
+    tr = (
+        ensure_min_parallelism(train)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(ngrams_expr("__toks__", n)).alias("__grams__"),
+        )
+    )
+    def _gram_hit(g):
+        # k is a static Python int: unroll the probe conjunction into a
+        # plain expression tree — a nested aggregate(sequence(...))
+        # would add a second interpreted-HOF level per gram (measured
+        # ~2.5x slower; interpreted lambdas have no codegen)
+        acc = None
+        for i in range(k_hashes):
+            bit = F.element_at(
+                F.col("__bloom__"),
+                F.pmod(F.xxhash64(F.lit(i), g), F.lit(m_bits)).cast("int") + 1,
+            )
+            acc = bit if acc is None else acc & bit
+        return acc
+
+    return (
+        tr.crossJoin(F.broadcast(bloom))
+        .select(
+            F.col(id_col),
+            F.exists(F.col("__grams__"), _gram_hit).alias("contaminated"),
+        )
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    max_tokens: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup — CCNet's paragraph dedup generalized to
+    fixed token spans (this fixture's texts have no paragraph breaks;
+    with newline-delimited text the chunker swaps for a ``split`` on
+    ``\\n\\n`` and the rest is identical). Every distinct span keeps
+    its FIRST occurrence (min ``(doc_id, chunk_idx)``) and reports its
+    corpus-wide copy count — the output an aggressive boilerplate
+    remover consumes (drop spans with ``n_copies`` above threshold,
+    reassemble docs from surviving spans).
+
+    Scale shape: the shuffle carries ``(span_fp, doc_id, chunk_idx)``
+    — a hash and two longs, never span text; keeper selection is a
+    single ``min(struct)`` aggregation (map-side combined), not a
+    window over the full span list.
+    """
+    chunks = chunk_documents(
+        df, max_tokens=max_tokens, text_col=text_col, id_col=id_col
+    )
+    return (
+        chunks.select(
+            F.md5(F.col("chunk_text")).alias("span_fp"),
+            F.col(id_col),
+            "chunk_idx",
+        )
+        .groupBy("span_fp")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__k__"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "span_fp",
+            F.col(f"__k__.{id_col}").alias(id_col),
+            F.col("__k__.chunk_idx").alias("chunk_idx"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 512,
@@ -397,3 +531,38 @@ def observe_keep_rates(decisions: DataFrame, name: str = "corpus_qa"):
         ).alias("kept_tokens"),
     )
     return out, obs
+
+
+def upsert_latest(
+    current: DataFrame,
+    updates: DataFrame,
+    id_col: str = "doc_id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Incremental corpus maintenance: merge an update batch into the
+    current snapshot, keeping exactly one row per id — the highest
+    ``version_col``, with the UPDATE side winning version ties (the
+    standard upsert/CDC-compact semantics; without a lakehouse table
+    format this materializes the next snapshot, which is how
+    immutable-parquet pipelines roll corpora forward).
+
+    Scale shape: union + one ``max_by`` aggregation on the id key —
+    a single fine-grained shuffle with map-side partial aggregation,
+    NOT a window (`row_number` over id would sort each group; max_by
+    keeps one struct per id per map task). Columns must match; the
+    output schema is the input schema.
+    """
+    cols = current.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(cols)} vs {sorted(updates.columns)}"
+        )
+    tagged = current.select(*cols).withColumn("__side__", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("__side__", F.lit(1))
+    )
+    payload = F.struct(*[F.col(c) for c in cols])
+    rank = F.struct(F.col(version_col), F.col("__side__"))
+    merged = tagged.groupBy(id_col).agg(
+        F.max_by(payload, rank).alias("__row__")
+    )
+    return merged.select(*[F.col(f"__row__.{c}").alias(c) for c in cols])

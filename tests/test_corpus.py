@@ -215,3 +215,82 @@ def test_observe_keep_rates_free_telemetry(corpus):
     assert got["n_docs"] == len(rows)
     assert got["n_kept"] == sum(1 for r in rows if r["keep"])
     assert got["kept_tokens"] == sum(r["n_tokens"] for r in rows if r["keep"])
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom scale twin must flag every doc the exact path flags
+    (a Bloom filter cannot produce false negatives); false positives
+    are allowed but must stay rare at these filter parameters."""
+    from bht_etl_app_spark.operators.corpus import bloom_decontaminate, decontaminate
+    from bht_etl_app_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    exact = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, ev, n=5).collect()}
+    bloom = {r["doc_id"]: r["contaminated"] for r in bloom_decontaminate(train, ev, n=5).collect()}
+    assert set(exact) == set(bloom)
+    false_neg = [k for k, v in exact.items() if v and not bloom[k]]
+    assert false_neg == []
+    clean = [k for k, v in exact.items() if not v]
+    false_pos = [k for k in clean if bloom[k]]
+    assert len(false_pos) <= max(1, len(clean) // 20)  # <=5 % FP head-room
+
+
+def test_dedup_spans_brute_force_parity(spark):
+    """Span dedup vs a per-row python reimplementation: same keepers
+    (min doc_id, chunk_idx per distinct span) and copy counts."""
+    import hashlib
+    from collections import defaultdict
+
+    from bht_etl_app_spark.operators.corpus import dedup_spans
+
+    rows = [
+        (1, "a b c d a b c d x y"),          # internal duplicate span
+        (2, "a b c d q r s t"),               # cross-doc duplicate span
+        (3, "q r s t"),                       # exact span of doc2's tail
+        (4, ""),                              # empty -> no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["span_fp"]: (r["doc_id"], r["chunk_idx"], r["n_copies"])
+        for r in dedup_spans(df, max_tokens=4).collect()
+    }
+
+    spans = defaultdict(list)
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        for ci, start in enumerate(range(0, len(toks), 4)):
+            span = " ".join(toks[start : start + 4])
+            spans[hashlib.md5(span.encode()).hexdigest()].append((doc_id, ci))
+    exp = {
+        fp: (*min(occ), len(occ)) for fp, occ in spans.items()
+    }
+    assert got == exp
+
+
+def test_upsert_latest_merge_semantics(spark):
+    """One row per id: highest version wins, update side wins ties,
+    inserts and untouched rows pass through."""
+    from bht_etl_app_spark.operators.corpus import upsert_latest
+
+    cur = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2)],
+        "doc_id long, text string, version long",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 2),        # higher version replaces
+         (3, "C-old", 1),    # lower version ignored
+         (3, "C-tie", 2),    # tie -> update side wins
+         (4, "D", 1)],       # insert
+        "doc_id long, text string, version long",
+    )
+    out = sorted(
+        (r["doc_id"], r["text"], r["version"])
+        for r in upsert_latest(cur, upd).collect()
+    )
+    assert out == [(1, "a", 1), (2, "B", 2), (3, "C-tie", 2), (4, "D", 1)]
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_latest(cur, upd.drop("version"))

@@ -105,3 +105,63 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert n == 1  # tiny dataset -> one file
     assert len(glob.glob(compacted + "/part-*.parquet")) == 1
     assert spark.read.parquet(compacted).count() == events.count()
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """The dataloader layout: hive partitions per source, bounded file
+    sizes, deterministic within-file order, and partition PRUNING on
+    read-back (the scan must touch only the selected source dir)."""
+    import os
+
+    from bht_etl_app_spark.io import write_training_shards
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, partition_by="source", order_by="doc_id",
+        max_records_per_file=10,
+    )
+    # hive dirs exist, one per source value
+    sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("source=")}
+    assert dirs == {f"source={s}" for s in sources}
+    # bounded shard sizes: no file holds more than max_records_per_file
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    from pyspark.sql import functions as F
+    per_file = back.groupBy(F.input_file_name()).count().collect()
+    assert max(r["count"] for r in per_file) <= 10
+    # partition pruning: a source filter must prune the scan's
+    # partition list, not read everything and filter
+    one = sorted(sources)[0]
+    plan = (
+        back.where(F.col("source") == one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_read_binary_files_media_shape(spark, tmp_path):
+    """binaryFile source projects onto the MEDIA_SCHEMA shape and
+    feeds the multimodal operators directly; pathGlobFilter prunes
+    non-matching files."""
+    from bht_etl_app_spark.io import read_binary_files
+    from bht_etl_app_spark.operators.multimodal import audio_features
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x01\x02\x03\x04")
+    (d / "b.bin").write_bytes(b"\x05\x06")
+    (d / "ignore.txt").write_bytes(b"nope")
+    media = read_binary_files(spark, str(d), glob="*.bin", kind="audio")
+    rows = media.collect()
+    assert len(rows) == 2
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "content", "mime", "meta",
+    ]
+    sizes = sorted(len(bytes(r["content"])) for r in rows)
+    assert sizes == [2, 4]
+    # flows into a multimodal operator without adaptation
+    feats = audio_features(media)
+    assert feats.count() == 2

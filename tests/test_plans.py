@@ -45,6 +45,9 @@ NESTED_LOOP_OK = {
                              # BroadcastNestedLoopJoin BuildRight over the
                              # 1-row total aggregate (text.py bigram_logprob_scores)
     "domain_mixture",        # crossJoin(broadcast(1-row normalizers))
+    "doc_bloom_decontaminate",  # crossJoin(broadcast(1-row bloom bitmap));
+                             # verified: the only nested loop is the
+                             # BuildRight broadcast of the single bitmap row
 }
 
 
