@@ -180,6 +180,68 @@ def _q_knn_vec0(spark, sf_dir):
     return knn_for_query(emb, [float(x) for x in qv], k=5)
 
 
+def _q_embedding_quantized(spark, sf_dir):
+    """int8 store exploded to (vec_id, pos, q, scale) so the oracle
+    hash covers every code; scale stays raw IEEE (max/127 and
+    floor(x/s+0.5) are bit-identical math on both engines)."""
+    from bht_etl_app_spark.operators.similarity import quantize_embeddings
+
+    qz = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id", F.posexplode("qvec").alias("pos", "q"), "scale"
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("q").cast("long").alias("q"),
+        "scale",
+    )
+
+
+EMBEDDING_QUANTIZED_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             END AS qvec
+      FROM s)
+SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       qvec[CAST(i + 1 AS INT)] AS q, scale
+FROM q, unnest(range(0, len(qvec))) AS t(i)
+"""
+
+
+def _q_knn_vec0_quantized(spark, sf_dir):
+    """kNN over the dequantized int8 store — same contract as
+    knn_vec0, reading a quarter of the bytes at 100 TB."""
+    from bht_etl_app_spark.operators.similarity import knn_for_query_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_for_query_quantized(emb, [float(x) for x in qv], k=5)
+
+
+KNN_VEC0_QUANTIZED_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+d AS (SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+             END AS dv
+      FROM s),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(dv, (SELECT q FROM qv)), 6) AS cosine
+  FROM d
+) ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
 _EMB_DIM = 64  # fixture embeddings dim (all sfs)
 # 24 planes / 4 bands -> 6-bit band keys (64 buckets per band).
 # 4-bit keys (16 planes) left ~23% of ALL pairs as candidates at
@@ -645,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), threshold=0.8
         ),
         "knn_vec0": _q_knn_vec0,
+        "embedding_quantized": _q_embedding_quantized,
+        "knn_vec0_quantized": _q_knn_vec0_quantized,
         "near_dup_embeddings": _q_near_dup_embeddings,
         # ---- multi-level aggs / pushdown / subqueries / skew ----
         "rollup_region_nation": lambda s, d: analytics.rollup_region_nation_revenue(
@@ -1707,4 +1771,6 @@ SELECT vec_id, cosine FROM (
 """,
         "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
+        "embedding_quantized": EMBEDDING_QUANTIZED_SQL,
+        "knn_vec0_quantized": KNN_VEC0_QUANTIZED_SQL,
     }
