@@ -30,6 +30,7 @@ from bht_etl_app_spark.operators import (
     satisfaction_table,
     selected_counts,
 )
+from bht_etl_app_spark.operators.text import winnow_overlap_pairs
 from bht_etl_app_spark.operators import (
     ann_lsh_topk,
     char_entropy,
@@ -934,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), max_tokens=4
         ),
         "doc_upsert_snapshot": _q_upsert_snapshot,
+        "winnow_overlap_pairs": lambda s, d: winnow_overlap_pairs(
+            load_table(s, d, "documents"), min_shared=50
+        ),
         "vocab_coverage": lambda s, d: vocab_coverage(
             load_table(s, d, "documents")
         ),
@@ -1771,6 +1775,40 @@ SELECT vec_id, cosine FROM (
 """,
         "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
+        "winnow_overlap_pairs": """
+WITH fps AS (
+SELECT doc_id, unnest(list_distinct(sel)) AS fp
+FROM (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(gh) - 4 + 2),
+           i -> list_min(list_slice(gh, i, i + 3))
+         ) AS sel
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(norm) - 7 >= 4 THEN
+             list_transform(range(1, len(norm) - 8 + 2),
+                            i -> md5(substring(norm, i, 8)))
+           ELSE [] END AS gh
+    FROM (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+  )
+  WHERE len(gh) >= 4
+)
+),
+kept AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000
+),
+f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 50
+""",
         "embedding_quantized": EMBEDDING_QUANTIZED_SQL,
         "knn_vec0_quantized": KNN_VEC0_QUANTIZED_SQL,
     }

@@ -518,3 +518,55 @@ def bigram_logprob_scores(
             F.bround(-F.col("__s__") / F.col("__n__"), 6).alias("bigram_surprise"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "md5",
+    max_postings: int | None = 1000,
+) -> DataFrame:
+    """Local-similarity near-dup pairs via shared winnowing
+    fingerprints — the scalable approximation of exact substring
+    dedup (Lee et al. 2022 use suffix arrays; winnowing guarantees
+    any shared substring of length >= k+window-1 yields a shared
+    fingerprint, so substring-overlapping docs surface here without a
+    quadratic comparison). Output: ``(id_a, id_b, shared_fps)`` for
+    pairs sharing at least ``min_shared`` selected fingerprints,
+    ``id_a < id_b``.
+
+    Scale shape — the inverted-index pattern (same as
+    ``ngram_jaccard_pairs``): fingerprints equi-join docs into
+    postings, pairs generate only WITHIN a posting list, and the pair
+    aggregation shuffles ``(id_a, id_b)`` longs. Hot fingerprints
+    (boilerplate shared by thousands of docs) are the skew risk:
+    ``max_postings`` drops fingerprint buckets above the cap — a
+    stop-fingerprint cut, exactly like dropping stopwords from an
+    inverted index (documented, deterministic).
+    """
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window, hash_fn=hash_fn
+    )
+    if max_postings:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") <= max_postings)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
+    )
+    return pairs

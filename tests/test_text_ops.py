@@ -176,3 +176,41 @@ def test_bigram_surprise_matches_python(spark):
     # common bigrams ("the cat" shared) => lower surprise than the
     # unique-bigram doc
     assert got[0]["bigram_surprise"] < got[2]["bigram_surprise"]
+
+
+def test_winnow_overlap_pairs_finds_planted_substring(spark):
+    """Two docs sharing a long verbatim substring must pair up (the
+    winnowing guarantee: any shared run >= k+window-1 chars yields a
+    shared fingerprint); unrelated docs must not reach the threshold."""
+    from bht_etl_app_spark.operators.text import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro words " + shared + " closing remarks"),
+        (2, shared + " entirely different tail content here"),
+        (3, "zebra yak xylophone walrus vulture unicorn tapir snake"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_overlap_pairs(df, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_overlap_pairs_stop_fingerprint_cap(spark):
+    """max_postings drops boilerplate fingerprints shared by more docs
+    than the cap — the inverted-index skew defense."""
+    from bht_etl_app_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "all rights reserved copyright notice boilerplate footer"
+    docs = [(i, f"unique body {i} " + boiler) for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # cap below the posting size of the boilerplate fingerprints:
+    # every pair disappears
+    none = winnow_overlap_pairs(df, min_shared=1, max_postings=2).collect()
+    assert none == []
+    # without the cap the boilerplate links every pair
+    allp = winnow_overlap_pairs(df, min_shared=1, max_postings=None).collect()
+    assert len(allp) == 10
