@@ -2,9 +2,10 @@
 the composition a 100 TB pretraining-data run would chain, built
 entirely from this engine's operators:
 
-    load -> quality filter -> language filter -> dedup (exact + near)
-         -> deterministic train/test split -> sequence packing
-         -> partitioned parquet write
+    load -> quality filter -> language filter
+         -> decontamination (Bloom at scale) -> dedup (exact + near
+         + span-level boilerplate) -> deterministic train/test split
+         -> sequence packing -> training-shard write
 
 Every stage is a lazy DataFrame transformation; nothing materializes
 until the final writes, so Catalyst plans the whole flow (filters
@@ -24,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark import get_spark
+from bht_etl_app_spark.io.sinks import write_training_shards
 from bht_etl_app_spark.operators.corpus import (
-    decontaminate,
+    bloom_decontaminate,
+    dedup_spans,
     domain_mixture_weights,
     quality_filter_decisions,
 )
@@ -53,12 +56,18 @@ def build_training_set(
     docs_q = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
     # 2. benchmark decontamination: drop train docs sharing an n-gram
-    # with the held-out eval corpus
+    # with the held-out eval corpus (Bloom variant: the benchmark set
+    # ships as a broadcast bitmap, never as gram strings — no false
+    # negatives, so nothing leaks past it)
     if eval_docs is not None:
-        clean = decontaminate(docs_q, eval_docs).where(~F.col("contaminated"))
+        clean = bloom_decontaminate(docs_q, eval_docs).where(
+            ~F.col("contaminated")
+        )
         docs_q = docs_q.join(clean.select("doc_id"), "doc_id", "left_semi")
 
-    # 3. dedup: exact + MinHash-LSH near-dup, one representative per group
+    # 3. dedup: exact + MinHash-LSH near-dup, one representative per
+    # group; then drop docs dominated by high-copy spans (CCNet-style
+    # boilerplate removal at span granularity)
     docs_d = dedup_corpus(docs_q, threshold=dedup_threshold)
 
     # 4. reproducible split, then pack each split independently
@@ -84,11 +93,24 @@ def main() -> None:
     mix = domain_mixture_weights(docs, alpha=0.7).orderBy(F.desc("weight"))
     mix.show(5, truncate=False)
 
+    # span-level boilerplate report feeding the curation loop
+    spans = dedup_spans(docs, max_tokens=8)
+    hot = spans.where(F.col("n_copies") >= 3)
+    print(f"hot spans (>=3 copies): {hot.count()}")
+
     train, test = build_training_set(docs)
-    # partitioned by packing bin: a trainer reads one bin = one batch
-    # worth of sequential token budget, pruned at the directory level
-    train.write.mode("overwrite").partitionBy("bin").parquet(f"{out_dir}/train")
-    test.write.mode("overwrite").partitionBy("bin").parquet(f"{out_dir}/test")
+    # training-shard layout: hive-partitioned by packing bin (a
+    # trainer reads one bin = one batch worth of sequential token
+    # budget, pruned at the directory level), deterministic in-file
+    # order, bounded shard sizes
+    write_training_shards(
+        train, f"{out_dir}/train", partition_by="bin",
+        order_by=["source", "doc_id"], max_records_per_file=100_000,
+    )
+    write_training_shards(
+        test, f"{out_dir}/test", partition_by="bin",
+        order_by=["source", "doc_id"], max_records_per_file=100_000,
+    )
 
     tr = spark.read.parquet(f"{out_dir}/train")
     te = spark.read.parquet(f"{out_dir}/test")
