@@ -350,6 +350,85 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _q_profile_orders(spark, sf_dir):
+    """Single-pass data-QA profile of the orders table (Deequ-style):
+    nulls, exact distincts, numeric min/max per column."""
+    from bht_etl_app_spark.operators.profiling import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+
+PROFILE_ORDERS_SQL = """
+WITH w AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (o_orderkey IS NULL)    AS nu1,
+         COUNT(DISTINCT o_orderkey)              AS d1,
+         CAST(MIN(o_orderkey) AS DOUBLE)         AS mn1,
+         CAST(MAX(o_orderkey) AS DOUBLE)         AS mx1,
+         COUNT(*) FILTER (o_custkey IS NULL)     AS nu2,
+         COUNT(DISTINCT o_custkey)               AS d2,
+         CAST(MIN(o_custkey) AS DOUBLE)          AS mn2,
+         CAST(MAX(o_custkey) AS DOUBLE)          AS mx2,
+         COUNT(*) FILTER (o_totalprice IS NULL)  AS nu3,
+         COUNT(DISTINCT o_totalprice)            AS d3,
+         CAST(MIN(o_totalprice) AS DOUBLE)       AS mn3,
+         CAST(MAX(o_totalprice) AS DOUBLE)       AS mx3,
+         COUNT(*) FILTER (o_orderstatus IS NULL) AS nu4,
+         COUNT(DISTINCT o_orderstatus)           AS d4
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", CAST(n AS BIGINT) AS n_rows,
+       CAST(nu1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct,
+       mn1 AS min_value, mx1 AS max_value FROM w
+UNION ALL
+SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nu2 AS BIGINT),
+       CAST(d2 AS BIGINT), mn2, mx2 FROM w
+UNION ALL
+SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(nu3 AS BIGINT),
+       CAST(d3 AS BIGINT), mn3, mx3 FROM w
+UNION ALL
+SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nu4 AS BIGINT),
+       CAST(d4 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+"""
+
+
+def _q_orders_constraints(spark, sf_dir):
+    """Declarative batch-contract audit in one pass; the price cap is
+    deliberately tight so the violation path is exercised."""
+    from bht_etl_app_spark.operators.profiling import check_constraints
+
+    return check_constraints(
+        load_table(spark, sf_dir, "orders"),
+        {
+            "pk_not_null": "o_orderkey IS NOT NULL",
+            "price_under_400k": "o_totalprice < 400000",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+        },
+    )
+
+
+ORDERS_CONSTRAINTS_SQL = """
+WITH w AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (NOT coalesce(o_orderkey IS NOT NULL, FALSE)) AS v1,
+         COUNT(*) FILTER (NOT coalesce(o_totalprice < 400000, FALSE))  AS v2,
+         COUNT(*) FILTER (NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) AS v3
+  FROM orders
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'pk_not_null' AS rule, CAST(n AS BIGINT) AS n_rows,
+         CAST(v1 AS BIGINT) AS n_violations FROM w
+  UNION ALL
+  SELECT 'price_under_400k', CAST(n AS BIGINT), CAST(v2 AS BIGINT) FROM w
+  UNION ALL
+  SELECT 'status_domain', CAST(n AS BIGINT), CAST(v3 AS BIGINT) FROM w
+) ORDER BY rule
+"""
+
+
 def _q_upsert_snapshot(spark, sf_dir):
     """Incremental corpus upsert: roll the documents snapshot forward
     with an update batch (every 5th doc re-ingested as version 2);
@@ -935,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), max_tokens=4
         ),
         "doc_upsert_snapshot": _q_upsert_snapshot,
+        "profile_orders": _q_profile_orders,
+        "orders_constraint_audit": _q_orders_constraints,
         "winnow_overlap_pairs": lambda s, d: winnow_overlap_pairs(
             load_table(s, d, "documents"), min_shared=50
         ),
@@ -1580,6 +1661,8 @@ SELECT doc_id,
 FROM s
 """,
         "doc_upsert_snapshot": UPSERT_SNAPSHOT_SQL,
+        "profile_orders": PROFILE_ORDERS_SQL,
+        "orders_constraint_audit": ORDERS_CONSTRAINTS_SQL,
         "doc_span_dedup": """
 WITH toks AS (
   SELECT doc_id,

@@ -1,0 +1,50 @@
+"""Data-QA operators: single-pass profile and constraint audit."""
+
+import pytest
+
+from bht_etl_app_spark.operators.profiling import check_constraints, profile_table
+
+
+def test_profile_table_counts_nulls_distincts_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, -5.0), (3, "b", 10.0)],
+        "id long, name string, score double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "name", "score"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 3
+    assert got["id"]["min_value"] == 1.0 and got["id"]["max_value"] == 3.0
+    assert got["name"]["n_nulls"] == 1 and got["name"]["n_distinct"] == 2
+    assert got["name"]["min_value"] is None  # non-numeric: no min/max
+    assert got["score"]["n_nulls"] == 1
+    assert got["score"]["min_value"] == -5.0 and got["score"]["max_value"] == 10.0
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+
+
+def test_profile_table_approx_mode(spark):
+    df = spark.range(1000).selectExpr("id", "id % 10 AS bucket")
+    got = {r["column"]: r for r in profile_table(df, exact=False).collect()}
+    # HLL estimates: exact small cardinalities, ~2% error on large
+    assert got["bucket"]["n_distinct"] == 10
+    assert abs(got["id"]["n_distinct"] - 1000) <= 50
+
+
+def test_check_constraints_violations_and_null_rule(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None)],
+        "id long, price double",
+    )
+    got = {r["rule"]: r for r in check_constraints(df, {
+        "price_positive": "price > 0",      # NULL price -> violation
+        "id_not_null": "id IS NOT NULL",
+    }).collect()}
+    assert got["price_positive"]["n_violations"] == 2  # -1 and NULL
+    assert got["price_positive"]["passed"] is False
+    assert got["id_not_null"]["n_violations"] == 0
+    assert got["id_not_null"]["passed"] is True
+
+    with pytest.raises(ValueError, match="no rules"):
+        check_constraints(df, {})
