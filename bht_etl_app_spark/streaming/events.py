@@ -305,3 +305,71 @@ def stream_stream_attribution(
         ),
         "inner",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingestion (documents -> quality gate -> shards)
+# ---------------------------------------------------------------------------
+
+DOCS_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def read_document_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Continuous corpus ingestion: watch a directory of document
+    parquet drops (the standard landing-zone pattern — each upstream
+    dump is a new file, the stream discovers and processes it
+    exactly once via checkpointed file tracking). ``maxFilesPerTrigger``
+    bounds micro-batch size so ingest throughput is flow-controlled,
+    not burst-driven."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def streaming_corpus_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_tokens: int = 5,
+    allowed_langs: tuple[str, ...] = ("en", "und"),
+):
+    """Streaming corpus curation: per micro-batch, run the BATCH
+    quality gate (`quality_filter_decisions` — identical rules, so
+    stream and backfill outputs are comparable by construction) and
+    append survivors to hive-partitioned training shards. foreachBatch
+    is the right seam: the gate is a multi-pass aggregation (gram
+    explode + doc-keyed join) that plain streaming operators can't
+    express, while per-batch it is just a bounded Spark job; the
+    file-source checkpoint + idempotent overwrite-by-batch gives
+    exactly-once shard contents without a transactional table format.
+    """
+    from bht_etl_app_spark.operators.corpus import quality_filter_decisions
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        keep = quality_filter_decisions(
+            batch_df, min_tokens=min_tokens, allowed_langs=allowed_langs
+        ).where(F.col("keep"))
+        survivors = batch_df.join(keep.select("doc_id"), "doc_id", "left_semi")
+        (
+            survivors.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("source")
+            .parquet(out_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

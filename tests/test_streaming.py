@@ -219,3 +219,58 @@ def test_stream_stream_attribution_matches_batch(spark, stream_dir):
     # stream results must be a subset of batch — and non-trivial
     assert g <= e
     assert len(g) > 0
+
+
+def test_streaming_corpus_ingest_matches_batch_gate(spark, tmp_path):
+    """Stream-ingested shards must contain exactly the docs the BATCH
+    quality gate keeps (same rules per micro-batch), partitioned by
+    source, exactly once across multiple file drops."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.corpus import quality_filter_decisions
+    from bht_etl_app_spark.session import load_table
+    from bht_etl_app_spark.streaming.events import (
+        read_document_stream,
+        streaming_corpus_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    land = tmp_path / "landing"
+    land.mkdir()
+    # two separate "drops" -> two micro-batches with maxFilesPerTrigger=1
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "drop0")
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "drop1")
+    )
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    i = 0
+    for sub in sorted(land.iterdir()):
+        for f in sub.glob("*.parquet"):
+            shutil.copy(f, flat / f"drop{i}.parquet")
+            i += 1
+
+    out, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    stream = read_document_stream(spark, str(flat))
+    q = streaming_corpus_ingest(stream, out, ckpt, min_tokens=5)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    keep = quality_filter_decisions(docs, min_tokens=5).where(F.col("keep"))
+    exp = {r["doc_id"] for r in keep.collect()}
+    assert got == exp
+    # hive layout by source survives
+    import os
+    assert any(d.startswith("source=") for d in os.listdir(out))
+
+    # restart with the same checkpoint: no new batches, no duplicates
+    q2 = streaming_corpus_ingest(
+        read_document_stream(spark, str(flat)), out, ckpt, min_tokens=5
+    )
+    q2.awaitTermination(60)
+    again = spark.read.parquet(out).count()
+    assert again == len(exp)
