@@ -214,6 +214,42 @@ FROM q, unnest(range(0, len(qvec))) AS t(i)
 """
 
 
+def _q_knn_label_votes(spark, sf_dir):
+    """Deterministic kNN label-vote classifier over the labeled
+    embedding store (weak-supervision auto-labeling): majority of the
+    5 nearest non-self neighbors, ties to the smallest label."""
+    from bht_etl_app_spark.operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return knn_label_vote(q, emb, k=5)
+
+
+KNN_LABEL_VOTES_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT q_id, vec_id, label,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c WHERE q_id <> vec_id),
+nn AS (SELECT q_id, label FROM (
+  SELECT q_id, label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM s
+) WHERE rn <= 5),
+v AS (SELECT q_id, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+SELECT q_id, predicted_label, votes FROM (
+  SELECT q_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, label) AS r
+  FROM v
+) WHERE r = 1
+"""
+
+
 def _q_knn_vec0_quantized(spark, sf_dir):
     """kNN over the dequantized int8 store — same contract as
     knn_vec0, reading a quarter of the bytes at 100 TB."""
@@ -789,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vec0": _q_knn_vec0,
         "embedding_quantized": _q_embedding_quantized,
         "knn_vec0_quantized": _q_knn_vec0_quantized,
+        "knn_label_votes": _q_knn_label_votes,
         "near_dup_embeddings": _q_near_dup_embeddings,
         # ---- multi-level aggs / pushdown / subqueries / skew ----
         "rollup_region_nation": lambda s, d: analytics.rollup_region_nation_revenue(
@@ -1894,4 +1931,5 @@ HAVING count(*) >= 50
 """,
         "embedding_quantized": EMBEDDING_QUANTIZED_SQL,
         "knn_vec0_quantized": KNN_VEC0_QUANTIZED_SQL,
+        "knn_label_votes": KNN_LABEL_VOTES_SQL,
     }

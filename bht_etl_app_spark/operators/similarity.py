@@ -498,3 +498,56 @@ def knn_for_query_quantized(
         F.round(cosine_expr(deq, qlit), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_label_vote(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-NN classification by majority vote — the deterministic
+    classifier a labeled embedding store gives for free (label
+    propagation for weak supervision / auto-labeling new documents
+    from a curated seed set). For each query: take the k nearest
+    corpus rows by cosine, vote on their labels; ties break to the
+    smallest label so the result is exactly reproducible (and
+    oracle-checkable, unlike trained-model scores). Output:
+    ``(q_id, predicted_label, votes)``.
+
+    Plan: reuses :func:`knn_join`'s broadcast-scored top-k (swap in
+    :func:`ann_knn_join` at corpus scale), then one small aggregation
+    over q_id×label — the vote table is k rows per query, so
+    everything after scoring is bounded by |Q|·k.
+    """
+    from pyspark.sql.window import Window
+
+    qd = queries.select(F.col(q_id), F.col(vec_col))
+    nn = knn_join(qd, corpus, k=k + (1 if exclude_self else 0), q_id=q_id,
+                  c_id=c_id, vec_col=vec_col)
+    if exclude_self:
+        nn = nn.where(F.col(q_id) != F.col(c_id))
+        w = Window.partitionBy(q_id).orderBy("rank")
+        nn = nn.withColumn("__rr__", F.row_number().over(w)).where(
+            F.col("__rr__") <= k
+        )
+    lab = corpus.select(F.col(c_id), F.col(label_col).alias("__lab__"))
+    votes = (
+        nn.join(lab, c_id)
+        .groupBy(q_id, "__lab__")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("votes"), F.asc("__lab__"))
+    return (
+        votes.withColumn("__r__", F.row_number().over(w2))
+        .where(F.col("__r__") == 1)
+        .select(
+            q_id,
+            F.col("__lab__").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )

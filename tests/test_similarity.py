@@ -174,3 +174,43 @@ def test_quantize_embeddings_reconstruction_and_topk(spark):
     exact = [r["vec_id"] for r in knn_for_query(emb, qv, k=5).collect()]
     quant = [r["vec_id"] for r in knn_for_query_quantized(emb, qv, k=5).collect()]
     assert exact == quant
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    """Planted geometry: three tight label clusters; a query inside a
+    cluster must take that cluster's label; vote ties break to the
+    smallest label; self is excluded."""
+    from bht_etl_app_spark.operators.similarity import knn_label_vote
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    corpus = spark.createDataFrame(
+        [(0, vec(10, 0), 1), (1, vec(10, 0.2), 1), (2, vec(10, -0.2), 1),
+         (3, vec(0, 10), 2), (4, vec(0.2, 10), 2),
+         (5, vec(-10, -10), 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # query ids are DISJOINT from corpus ids: exclude_self only
+    # removes a matching id (a query that IS a corpus row), never a
+    # genuine neighbor
+    q = spark.createDataFrame(
+        [(100, vec(10, 0.1)),   # inside cluster 1
+         (101, vec(0.1, 10))],  # near cluster 2
+        "q_id long, embedding array<double>",
+    )
+    got = {r["q_id"]: (r["predicted_label"], r["votes"])
+           for r in knn_label_vote(q, corpus, k=3).collect()}
+    assert got[100] == (1, 3)
+    # q=101: 3 nearest are the two label-2 vectors + one label-1 -> 2 votes
+    assert got[101] == (2, 2)
+
+    # self-exclusion: a query that IS corpus row 0 must not vote for
+    # itself — its k=3 neighborhood is the remaining cluster-1 pair
+    # plus one outsider
+    q_self = spark.createDataFrame(
+        [(0, vec(10, 0))], "q_id long, embedding array<double>"
+    )
+    got_self = {r["q_id"]: (r["predicted_label"], r["votes"])
+                for r in knn_label_vote(q_self, corpus, k=3).collect()}
+    assert got_self[0] == (1, 2)
