@@ -232,3 +232,26 @@ def test_order_price_deciles_parity_with_single_window(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_bucketed_rankings_invariant_under_parallelism(spark):
+    """The two-phase ranking operators read shuffle.partitions to size
+    their buckets — bucketing must affect ONLY the physical plan,
+    never output values (the driver runs queries() under its own
+    session conf, so a value that shifted with parallelism would be a
+    contract bug of the timezone class)."""
+    qs = entry_mod.queries()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = {}
+        for n in ("7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in ("order_price_deciles", "training_order_docs"):
+                rows = sorted(tuple(r) for r in qs[name](spark, SF).collect())
+                out.setdefault(name, []).append(rows)
+        for name, results in out.items():
+            assert results[0] == results[1], (
+                f"{name} output changed with shuffle.partitions"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
