@@ -1,5 +1,7 @@
 from bht_etl_app_spark.io.layout import (
+    compact,
     read_bucketed,
+    shard_manifest,
     write_bucketed,
     write_partitioned,
     write_range_sorted,
@@ -24,6 +26,8 @@ __all__ = [
     "read_table",
     "read_binary_files",
     "read_bucketed",
+    "compact",
+    "shard_manifest",
     "write_bucketed",
     "write_partitioned",
     "write_range_sorted",

@@ -78,6 +78,7 @@ def compact(
     dst: str,
     target_file_mb: int = 128,
     mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into files of
     roughly ``target_file_mb``. Small files are the silent killer of
@@ -97,5 +98,47 @@ def compact(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(src).repartition(n).write.mode(mode).parquet(dst)
+    df = spark.read.parquet(src)
+    if partition_cols:
+        # hive layout preserved: repartition on the partition key so
+        # each partition compacts independently
+        (
+            df.repartition(n, *partition_cols)
+            .write.mode(mode)
+            .partitionBy(*partition_cols)
+            .parquet(dst)
+        )
+    else:
+        df.repartition(n).write.mode(mode).parquet(dst)
     return n
+
+
+def shard_manifest(spark, path: str):
+    """Dataloader manifest: one row per data file — ``(file, n_rows,
+    n_bytes)`` — computed DISTRIBUTED via ``input_file_name`` grouping
+    (rows) joined with a driver-side metadata walk (bytes; no data
+    read). The manifest is what a training job consumes to plan
+    epochs/sharding without listing storage itself."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                sizes.append((f, os.path.getsize(os.path.join(root, f))))
+    sdf = spark.createDataFrame(sizes, "basename string, n_bytes long")
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .count()
+        .withColumnRenamed("count", "n_rows")
+    )
+    # part-file basenames are UUID-unique within a dataset; the URI
+    # prefix of input_file_name varies by filesystem, the basename
+    # doesn't
+    rows = rows.withColumn("basename", F.element_at(F.split("file", "/"), -1))
+    return rows.join(sdf, "basename", "left").select(
+        "file", F.col("n_rows").cast("long").alias("n_rows"), "n_bytes"
+    )

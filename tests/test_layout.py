@@ -165,3 +165,29 @@ def test_read_binary_files_media_shape(spark, tmp_path):
     # flows into a multimodal operator without adaptation
     feats = audio_features(media)
     assert feats.count() == 2
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Streaming-ingest aftermath: many tiny files compact down to the
+    target count with identical contents."""
+    from bht_etl_app_spark.io.layout import compact, shard_manifest
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "tiny")
+    docs.repartition(24).write.parquet(src)  # 24 tiny files
+
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 24
+    out = str(tmp_path / "compacted")
+    n = compact(spark, src, out, target_file_mb=256)
+    assert n == 1  # fixture is far below 256 MB
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
+
+    mani = shard_manifest(spark, out).collect()
+    assert len(mani) == 1
+    assert mani[0]["n_rows"] == docs.count()
+    assert mani[0]["n_bytes"] > 0
