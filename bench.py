@@ -70,6 +70,13 @@ HEADLINE = [
     "domain_token_sketch",
     "doc_span_dedup",
     "doc_bloom_decontaminate",
+    "doc_upsert_snapshot",
+    "winnow_overlap_pairs",
+    "embedding_quantized",
+    "knn_label_votes",
+    # data QA
+    "profile_orders",
+    "orders_constraint_audit",
 ]
 
 
