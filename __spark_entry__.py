@@ -1053,6 +1053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_upsert_snapshot": _q_upsert_snapshot,
         "profile_orders": _q_profile_orders,
         "orders_constraint_audit": _q_orders_constraints,
+        "user_cohort_retention": lambda s, d: analytics.user_cohort_retention(
+            load_table(s, d, "events")
+        ),
+        "funnel_view_click_purchase": lambda s, d: analytics.funnel_conversion(
+            load_table(s, d, "events"), max_gap_s=86400
+        ),
         "winnow_overlap_pairs": lambda s, d: winnow_overlap_pairs(
             load_table(s, d, "documents"), min_shared=50
         ),
@@ -1700,6 +1706,8 @@ FROM s
         "doc_upsert_snapshot": UPSERT_SNAPSHOT_SQL,
         "profile_orders": PROFILE_ORDERS_SQL,
         "orders_constraint_audit": ORDERS_CONSTRAINTS_SQL,
+        "user_cohort_retention": analytics.USER_COHORT_RETENTION_SQL,
+        "funnel_view_click_purchase": analytics.funnel_sql(max_gap_s=86400),
         "doc_span_dedup": """
 WITH toks AS (
   SELECT doc_id,

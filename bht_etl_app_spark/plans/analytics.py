@@ -263,3 +263,135 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
+
+
+def user_cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics
+    query: group users by their first-activity week (the cohort),
+    then count how many are active k weeks later. Output:
+    ``(cohort_week date, week_offset, n_users)``.
+
+    Scale shape: one aggregation to find each user's first event
+    (map-side-combined min), one distinct user-week projection, and a
+    user-keyed equi-join — both shuffles are on the fine-grained
+    user key; the output frame is cohorts × offsets (tiny). Week
+    truncation is Monday-based in both Spark and the DuckDB oracle,
+    and the UTC session pin (load_table) makes the week boundaries
+    caller-invariant.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw__")
+    )
+    weeks = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("__w__")
+    ).distinct()
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            F.col("__cw__").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("__w__"), F.col("__cw__")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+USER_COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY 1
+),
+weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT CAST(cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps=("view", "click", "purchase"),
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Strictly-ordered funnel: a user converts step k only with an
+    event of type ``steps[k]`` AT OR AFTER their step-(k-1) conversion
+    time (the product-analytics ordering rule — a purchase before the
+    first view does not count a funnel conversion). Output one row per
+    step: ``(step_idx, step, n_users, pct_of_first)``.
+
+    ``max_gap_s`` bounds each step's window: step k must occur within
+    that many seconds after the step-(k-1) time (the attribution
+    window) — without it, any later event converts.
+
+    Plan: k-1 rounds of (conditional-min aggregation on user_id +
+    user-keyed join) — every shuffle is on the fine-grained user key
+    and each round's frame is one timestamp per user. The alternative
+    single-pass form (sort each user's events into an array and fold)
+    trades those joins for per-user array memory — the join form is
+    the one that survives power-law users at 100 TB.
+    """
+    steps = list(steps)
+    cur = events.where(F.col("event_type") == steps[0]).groupBy("user_id").agg(
+        F.min("ts").alias("__t0__")
+    )
+    counts = [cur.count()]
+    prev = cur
+    for i, step in enumerate(steps[1:], start=1):
+        cond = F.col("ts") >= F.col(f"__t{i-1}__")
+        if max_gap_s is not None:
+            cond = cond & (
+                F.col("ts")
+                <= F.col(f"__t{i-1}__") + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS")
+            )
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(cond)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"__t{i}__"))
+        )
+        counts.append(nxt.count())
+        prev = nxt
+    spark = events.sparkSession
+    base = counts[0] or 1
+    rows = [
+        (i, s, counts[i], round(100.0 * counts[i] / base, 6))
+        for i, s in enumerate(steps)
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long, pct_of_first double"
+    )
+
+
+def funnel_sql(steps=("view", "click", "purchase"), max_gap_s: int | None = None) -> str:
+    steps = list(steps)
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t0 FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i} FROM events e "
+            f"JOIN s{i-1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{step}' AND e.ts >= p.t{i-1}"
+            + (
+                f" AND e.ts <= p.t{i-1} + INTERVAL {int(max_gap_s)} SECOND"
+                if max_gap_s is not None
+                else ""
+            )
+            + " GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step_idx, '{s}' AS step, "
+        f"CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users, "
+        f"round(100.0 * (SELECT count(*) FROM s{i}) "
+        f"/ greatest((SELECT count(*) FROM s0), 1), 6) AS pct_of_first"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -216,3 +216,62 @@ def test_ewma_string_key_and_schema_follows_input(spark):
     assert dict(out.dtypes)["event_id"] == "int"
     got = {r["event_id"]: (r["user_id"], r["ewma"]) for r in out.collect()}
     assert got[1] == ("u1", 10.0) and got[2] == ("u1", 15.0)
+
+
+def test_funnel_conversion_ordering_and_window(spark):
+    """Planted sequences: the strict ordering rule (purchase before
+    view doesn't convert) and the attribution window both pinned."""
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import funnel_conversion
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # u1: clean view -> click -> purchase (converts all steps)
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE view -> stops after view
+        (2, t(5), "purchase"), (2, t(6), "view"),
+        # u3: view -> click, but purchase outside the 2h window
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(10), "purchase"),
+        # u4: click only -> never enters the funnel
+        (4, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"]
+           for r in funnel_conversion(df, max_gap_s=7200).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+    # without a window, u3's late purchase converts
+    got2 = {r["step"]: r["n_users"] for r in funnel_conversion(df).collect()}
+    assert got2 == {"view": 3, "click": 2, "purchase": 2}
+
+
+def test_user_cohort_retention_offsets(spark):
+    """Two cohorts, controlled return weeks."""
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import user_cohort_retention
+
+    rows = [
+        # u1: first week of Jan (cohort Mon 2024-01-01), returns wk1, wk3
+        (1, datetime(2024, 1, 2), "view"),
+        (1, datetime(2024, 1, 9), "view"),
+        (1, datetime(2024, 1, 23), "view"),
+        # u2: same cohort, never returns
+        (2, datetime(2024, 1, 3), "view"),
+        # u3: cohort of Jan 8, returns wk1
+        (3, datetime(2024, 1, 10), "view"),
+        (3, datetime(2024, 1, 16), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in user_cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
