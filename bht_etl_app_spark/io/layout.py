@@ -92,6 +92,8 @@ def compact(
     import math
     import os
 
+    from pyspark.sql import functions as F
+
     total = 0
     for root, _, files in os.walk(src):
         for f in files:
@@ -100,11 +102,26 @@ def compact(
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     if partition_cols:
-        # hive layout preserved: repartition on the partition key so
-        # each partition compacts independently
+        # Hive layout preserved. Repartitioning on the key alone would
+        # funnel each partition VALUE into one task -> one file, so a
+        # hot partition becomes a single oversized file. Two defenses:
+        # a content-hash salt spreads each value over several tasks
+        # (write parallelism), and maxRecordsPerFile rolls any task
+        # that still exceeds the size target into multiple files.
+        n_rows = df.count()  # parquet metadata count — no data scan
+        avg_row_bytes = max(1.0, total / max(1, n_rows))
+        max_records = max(1, int(target_file_mb * 1024 * 1024 / avg_row_bytes))
+        n_values = df.select(*partition_cols).distinct().count()
+        files_per_value = max(1, math.ceil(n / max(1, n_values)))
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_value)),
+        )
         (
-            df.repartition(n, *partition_cols)
+            salted.repartition(n, *partition_cols, "__salt")
+            .drop("__salt")
             .write.mode(mode)
+            .option("maxRecordsPerFile", max_records)
             .partitionBy(*partition_cols)
             .parquet(dst)
         )
@@ -118,27 +135,40 @@ def shard_manifest(spark, path: str):
     n_bytes)`` — computed DISTRIBUTED via ``input_file_name`` grouping
     (rows) joined with a driver-side metadata walk (bytes; no data
     read). The manifest is what a training job consumes to plan
-    epochs/sharding without listing storage itself."""
+    epochs/sharding without listing storage itself.
+
+    Both sides are keyed by the DATASET-RELATIVE path
+    (``source=web/part-....parquet``), never the bare basename:
+    hive-partitioned writes reuse the same part-file basename across
+    partition directories, so a basename join fans out N_partitions
+    ways and multiplies every count.
+    """
     import os
 
     from pyspark.sql import functions as F
 
+    abs_root = os.path.abspath(path)
     sizes = []
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in os.walk(abs_root):
         for f in files:
             if f.endswith(".parquet"):
-                sizes.append((f, os.path.getsize(os.path.join(root, f))))
-    sdf = spark.createDataFrame(sizes, "basename string, n_bytes long")
+                full = os.path.join(root, f)
+                sizes.append((os.path.relpath(full, abs_root), os.path.getsize(full)))
+    sdf = spark.createDataFrame(sizes, "rel_path string, n_bytes long")
     rows = (
-        spark.read.parquet(path)
+        spark.read.parquet(abs_root)
         .groupBy(F.input_file_name().alias("file"))
         .count()
         .withColumnRenamed("count", "n_rows")
     )
-    # part-file basenames are UUID-unique within a dataset; the URI
-    # prefix of input_file_name varies by filesystem, the basename
-    # doesn't
-    rows = rows.withColumn("basename", F.element_at(F.split("file", "/"), -1))
-    return rows.join(sdf, "basename", "left").select(
+    # input_file_name is a URI (file:///...); everything after
+    # "<abs_root>/" is the dataset-relative path, which is unique even
+    # under hive partitioning. (Partition values with URI-reserved
+    # chars would be percent-encoded here; keys/values are plain
+    # identifiers in this engine's layouts.)
+    rows = rows.withColumn(
+        "rel_path", F.substring_index(F.col("file"), abs_root + "/", -1)
+    )
+    return rows.join(sdf, "rel_path", "left").select(
         "file", F.col("n_rows").cast("long").alias("n_rows"), "n_bytes"
     )

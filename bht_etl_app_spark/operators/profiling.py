@@ -19,12 +19,28 @@ column:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _NUMERIC_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "decimal",
 }
+
+# Column and rule names get spliced into stack() SQL text and backtick
+# aliases; a quote or backtick in a name would otherwise surface as an
+# opaque parse error far from the caller.
+_SAFE_IDENT = re.compile(r"^[A-Za-z0-9_ .\-]+$")
+
+
+def _check_idents(names, what: str) -> None:
+    bad = [n for n in names if not _SAFE_IDENT.match(n)]
+    if bad:
+        raise ValueError(
+            f"unsafe {what} name(s) {bad}: only letters, digits, "
+            "underscore, space, dot and dash are allowed"
+        )
 
 
 def _is_numeric(dt) -> bool:
@@ -55,6 +71,7 @@ def profile_table(
     missing = [c for c in cols if c not in schema]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    _check_idents(cols, "column")
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for c in cols:
         aggs.append(
@@ -102,6 +119,7 @@ def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """
     if not rules:
         raise ValueError("no rules given")
+    _check_idents(rules, "rule")
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for name, expr in rules.items():
         ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))

@@ -436,6 +436,11 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+#: upper bound on two-phase ranking cut-point buckets — enough to keep
+#: per-task sorts small, independent of cluster shuffle-partition conf
+_MAX_DECILE_CUT_BUCKETS = 64
+
+
 def order_price_deciles(orders: DataFrame, num_buckets: int | None = None) -> DataFrame:
     """Equal-frequency bucketing (``ntile`` semantics) plus
     distribution ranks (``percent_rank``, ``cume_dist``) of each
@@ -465,7 +470,16 @@ def order_price_deciles(orders: DataFrame, num_buckets: int | None = None) -> Da
     bit-identical to the single-window plan (pinned by pytest parity).
     """
     spark = orders.sparkSession
-    n_b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Cap the cut-point count: buckets only bound per-task sort size
+    # (~N/n_b rows), so 64 is plenty, and deriving n_b UNCAPPED from
+    # spark.sql.shuffle.partitions would grow the bucket expression
+    # with cluster config (2000 partitions -> 2000-term expression,
+    # the codegen-bomb shape).
+    n_b = min(
+        num_buckets
+        or int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        _MAX_DECILE_CUT_BUCKETS,
+    )
     base = orders.select(
         "o_orderkey",
         "o_orderpriority",
@@ -478,6 +492,10 @@ def order_price_deciles(orders: DataFrame, num_buckets: int | None = None) -> Da
             F.expr(f"approx_percentile(__price__, array({qs}), 1000)").alias("c")
         ).first()["c"]
     ]
+    # bucket = #cut-points below the price; the CASE chain is bounded
+    # by the cap above, so expression size is independent of cluster
+    # conf. (An array-fold with an outer lambda reference was tried
+    # and hits a Catalyst bind error under the vanilla driver session.)
     bucket_sql = " + ".join(
         f"(CASE WHEN __price__ > {c!r} THEN 1 ELSE 0 END)" for c in cuts
     ) or "0"

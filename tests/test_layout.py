@@ -191,3 +191,56 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert len(mani) == 1
     assert mani[0]["n_rows"] == docs.count()
     assert mani[0]["n_bytes"] > 0
+
+
+def test_shard_manifest_partitioned_dataset(spark, tmp_path):
+    """Hive-partitioned writes reuse part-file basenames across
+    partition dirs; the manifest must key by relative path so counts
+    do not fan out (the r3 basename-join bug)."""
+    from bht_etl_app_spark.io import write_training_shards
+    from bht_etl_app_spark.io.layout import shard_manifest
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, partition_by="source", order_by="doc_id",
+        max_records_per_file=25,
+    )
+    n_files = len(glob.glob(out + "/source=*/part-*.parquet"))
+    assert n_files > 1
+    mani = shard_manifest(spark, out).collect()
+    # one manifest row per physical file, no join fan-out
+    assert len(mani) == n_files
+    assert len({r["file"] for r in mani}) == n_files
+    assert sum(r["n_rows"] for r in mani) == docs.count()
+    assert all(r["n_bytes"] is not None and r["n_bytes"] > 0 for r in mani)
+
+
+def test_compact_partitioned_splits_hot_partition(spark, tmp_path):
+    """A hot partition value must not collapse into one oversized
+    file: the salt + maxRecordsPerFile path keeps per-file sizes near
+    the target even when one key holds most rows."""
+    from bht_etl_app_spark.io.layout import compact
+
+    # skewed dataset: 'hot' holds ~99% of rows; payload is hash text
+    # so snappy can't compress it away under the file-size target
+    df = spark.range(0, 40500).selectExpr(
+        "id",
+        "case when id < 40000 then 'hot' else concat('cold_', id % 5) end as k",
+        "concat(sha2(cast(id as string), 256), sha2(cast(id + 1 as string), 256),"
+        " sha2(cast(id + 2 as string), 256)) as payload",
+    )
+    src = str(tmp_path / "src")
+    df.write.partitionBy("k").parquet(src)
+
+    out = str(tmp_path / "out")
+    # ~192 hex chars/row * 40k rows ≈ several MB in 'hot'; 1 MB target
+    compact(spark, src, out, target_file_mb=1, partition_cols=["k"])
+    hot_files = glob.glob(out + "/k=hot/part-*.parquet")
+    assert len(hot_files) >= 2, "hot partition stayed a single file"
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in back.select(*df.columns).collect())
+    assert a == b

@@ -255,3 +255,42 @@ def test_bucketed_rankings_invariant_under_parallelism(spark):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_order_price_deciles_expression_bounded_by_cap(spark):
+    """Deriving bucket count from spark.sql.shuffle.partitions must
+    not grow the bucket expression with cluster config: under a
+    2000-partition session the cut-point count stays capped (64) and
+    the bucket is ONE array fold, not a 2000-branch chained CASE."""
+    from bht_etl_app_spark.plans import windows as W
+    from bht_etl_app_spark.session import load_table
+
+    orders = load_table(spark, SF, "orders")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2000")
+        df = W.order_price_deciles(orders)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # a chained CASE would print one WHEN per cut point (~2000);
+        # the fold prints a handful regardless of config
+        assert plan.count("WHEN") < 70, "bucket expression grew with conf"
+        # and output is still the single-window spec
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in orders.select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.ntile(10).over(w).cast("long").alias("price_decile"),
+                F.bround(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.bround(F.cume_dist().over(w), 6).alias("cum_dist"),
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in df.collect()) == exp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -48,3 +48,27 @@ def test_check_constraints_violations_and_null_rule(spark):
 
     with pytest.raises(ValueError, match="no rules"):
         check_constraints(df, {})
+
+
+def test_unsafe_identifiers_rejected_early(spark):
+    """Names containing quotes/backticks would be spliced into stack()
+    SQL; they must fail with a clear ValueError at the API boundary,
+    not an opaque parse error inside Catalyst."""
+    import pytest
+
+    from bht_etl_app_spark.operators.profiling import (
+        check_constraints,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a")], "id int, `bad``tick` string"
+    )
+    with pytest.raises(ValueError, match="unsafe column"):
+        profile_table(df, columns=["bad`tick"])
+    ok = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="unsafe rule"):
+        check_constraints(ok, {"bad'quote": "id > 0"})
+    # sane names still work
+    out = check_constraints(ok, {"id positive": "id > 0"}).collect()
+    assert out[0]["passed"] is True
