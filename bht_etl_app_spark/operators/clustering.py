@@ -240,7 +240,7 @@ def semantic_dedup(
     dropped = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id")
     )
-    return (
+    out = (
         assigned.join(dropped.withColumn("__drop__", F.lit(True)), "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -248,3 +248,7 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop__"), F.lit(True)).alias("kept"),
         )
     )
+    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
+
+    # out's plan reads comp's checkpoint blocks (via `dropped`)
+    return carry(track_persisted(out, assigned), comp)

@@ -503,7 +503,9 @@ def domain_token_sketches(
         F.lit("__all__").alias("domain"),
         F.hll_sketch_estimate("__sk__").alias("est_distinct_tokens"),
     )
-    return per_rows.unionByName(union_row)
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    return track_persisted(per_rows.unionByName(union_row), per)
 
 
 def observe_keep_rates(decisions: DataFrame, name: str = "corpus_qa"):

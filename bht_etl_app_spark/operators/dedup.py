@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bht_etl_app_spark.functions.lifecycle import track_persisted
 from bht_etl_app_spark.operators.text import tokens_expr
 from bht_etl_app_spark.session import ensure_min_parallelism
 
@@ -146,9 +147,10 @@ def ngram_jaccard_pairs(
     # persisted: both self-join sides below reference this pipeline and
     # Catalyst does not reuse the exchange across aliased sides — see
     # PERFORMANCE.md materialize-or-recompute rule
-    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
+    persisted = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    exploded = persisted
     if max_shingle_df is not None:
         df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         exploded = (
@@ -177,7 +179,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return pairs
+    return track_persisted(pairs, persisted)
 
 
 def minhash_signatures(
@@ -307,7 +309,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+    return track_persisted(verified, banded, cand)
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -418,7 +420,7 @@ def simhash_near_dup_pairs(
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    return (
+    out = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bk"])
         .where(F.col("x.id") < F.col("y.id"))
@@ -432,6 +434,7 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return track_persisted(out, banded)
 
 
 def embedding_near_dup_pairs(
@@ -547,7 +550,7 @@ def embedding_lsh_near_dup_pairs(
     cosine = dot_expr(F.col("va"), F.col("vb")) / F.nullif(
         F.col("na") * F.col("nb"), F.lit(0.0)
     )
-    return (
+    out = (
         cand.join(
             vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
             "id_a",
@@ -559,6 +562,7 @@ def embedding_lsh_near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    return track_persisted(out, banded)
 
 
 def dedup_clusters(
@@ -589,16 +593,40 @@ def dedup_clusters(
     blocks only in executor memory/disk, so an executor loss mid-run
     kills the job; a 100 TB-corpus iteration needs the durable form
     (VERDICT r1 item #5). Default stays local for test-speed.
+
+    Lifecycle contract: each round's checkpoint blocks are freed as
+    soon as the next round materializes, and the FINAL round's blocks
+    are freed when the returned DataFrame is garbage-collected (they
+    cannot recompute — lineage is truncated). A frame DERIVED from
+    the result does not keep the Python result object alive, so
+    compositions that let the result go out of scope must transfer
+    ownership with :func:`bht_etl_app_spark.functions.lifecycle.carry`
+    (as ``dedup_corpus`` / ``semantic_dedup`` do).
     """
+    from bht_etl_app_spark.functions.lifecycle import (
+        persistent_rdd_ids,
+        track_checkpoint_rdds,
+        unpersist_rdd_ids,
+    )
+
+    sc = pairs.sparkSession.sparkContext
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    def _truncate(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        # eager checkpoint + the ids of the JVM RDDs it persisted, so
+        # each round's blocks can be freed deterministically once the
+        # next round is materialized (the ContextCleaner would get to
+        # them only asynchronously — a leak for long sessions)
+        before = persistent_rdd_ids(sc)
+        out = (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+        return out, persistent_rdd_ids(sc) - before
 
-    edges = _truncate(
+    edges, edge_ids = _truncate(
         # duplicate edges are harmless under the min-aggregate, so no
         # distinct() shuffle here — callers emit unique a<b pairs
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -608,6 +636,7 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    prev_ids: set[int] = set()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -633,12 +662,25 @@ def dedup_clusters(
         # truncate lineage every round: without this the lazy plan
         # nests one join level per iteration and analysis/compile time
         # grows superlinearly (measured 290s -> 30s on a 10-hop chain)
-        new_labels = _truncate(new_labels)
+        new_labels, cur_ids = _truncate(new_labels)
         changed = new_labels.where(F.col("__chg__")).limit(1).count()
         labels = new_labels.select("id", "label")
+        # previous round's checkpoint is unreferenced now that this
+        # round is fully materialized — free it
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = cur_ids
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    unpersist_rdd_ids(sc, edge_ids)  # the result reads only `labels`
+    # The FINAL round's checkpoint must stay while the result (or a
+    # frame derived from it via lifecycle.carry) is referenced — a
+    # truncated-lineage RDD cannot recompute. sc.persistentRdds holds
+    # it strongly, so the GC finalizer below is the only thing that
+    # ever frees it.
+    result = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return track_checkpoint_rdds(result, sc, prev_ids)
 
 
 def dedup_corpus(
@@ -676,4 +718,8 @@ def dedup_corpus(
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return survivors.join(drop, id_col, "left_anti")
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    # the result plan reads `clusters`' checkpoint blocks — own its
+    # lifetime so the parent's GC finalizer can't free them early
+    return carry(survivors.join(drop, id_col, "left_anti"), clusters)

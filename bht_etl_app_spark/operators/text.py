@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bht_etl_app_spark.functions.lifecycle import track_persisted
 from bht_etl_app_spark.session import ensure_min_parallelism
 
 # Small embedded stopword lists for the language-ID heuristic and the
@@ -194,10 +195,11 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+    return track_persisted(out, tf)
 
 
 def ngrams_expr(tok_col: Column | str, n: int) -> Column:
@@ -509,7 +511,7 @@ def bigram_logprob_scores(
         F.lit(0.0),
         lambda acc, x: acc + x["c"].cast("double") * x["__lp__"],
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(F.sum("c").alias("__n__"), s.alias("__s__"))
         .select(
@@ -518,6 +520,7 @@ def bigram_logprob_scores(
             F.bround(-F.col("__s__") / F.col("__n__"), 6).alias("bigram_surprise"),
         )
     )
+    return track_persisted(out, doc_counts)
 
 
 def winnow_overlap_pairs(

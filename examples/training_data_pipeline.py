@@ -78,7 +78,12 @@ def build_training_set(
         )
         for name in ("train", "test")
     }
-    return packed["train"], packed["test"]
+    # the packed frames read docs_d's checkpoint blocks (connected
+    # components inside dedup_corpus) — transfer ownership so the
+    # blocks outlive this function's locals (lifecycle contract)
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    return carry(packed["train"], docs_d), carry(packed["test"], docs_d)
 
 
 def main() -> None:
