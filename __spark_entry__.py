@@ -217,23 +217,51 @@ FROM q, unnest(range(0, len(qvec))) AS t(i)
 def _q_knn_label_votes(spark, sf_dir):
     """Deterministic kNN label-vote classifier over the labeled
     embedding store (weak-supervision auto-labeling): majority of the
-    5 nearest non-self neighbors, ties to the smallest label."""
+    5 nearest non-self neighbors by LSH-bucketed ANN scoring (the
+    contract runs the plan you'd run at corpus scale — no cross join;
+    r4, VERDICT r3 item #5), ties to the smallest label. The exact
+    broadcast-scored kernel stays as the pytest parity baseline."""
     from bht_etl_app_spark.operators.similarity import knn_label_vote
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return knn_label_vote(q, emb, k=5)
+    return knn_label_vote(q, emb, k=5, planes=_emb_lsh_planes(), multiprobe_bits=1)
 
 
-KNN_LABEL_VOTES_SQL = """
-WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-s AS (SELECT q_id, vec_id, label,
-             round(list_cosine_similarity(qv, cv), 6) AS cosine
-      FROM q, c WHERE q_id <> vec_id),
+def _knn_label_votes_oracle_sql() -> str:
+    """DuckDB mirror of the ANN-scored label vote: same rounded plane
+    literals, sign-bit bucket, 1-bit multiprobe set and bucket
+    equi-join as _ann_knn_join_oracle_sql, then the same
+    exclude-self -> top-5 -> majority-vote pipeline. Equivalent to the
+    Spark top-(k+1)-drop-self form: dropping self from the top-6 of a
+    totally ordered candidate list leaves exactly the top-5 non-self
+    rows whether self ranked inside or outside the 6."""
+    planes = _emb_lsh_planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    masks = [0] + [1 << i for i in range(len(planes))]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, xor(bucket, m) AS bucket
+  FROM bits, unnest({mask_list}) AS t(m)
+  WHERE vec_id < 20
+),
+s AS (
+  SELECT p.q_id, c.vec_id, c.label,
+         round(list_cosine_similarity(p.qv, c.v), 6) AS cosine
+  FROM probes p JOIN bits c USING (bucket)
+  WHERE p.q_id <> c.vec_id
+),
 nn AS (SELECT q_id, label FROM (
   SELECT q_id, label,
          row_number() OVER (PARTITION BY q_id
@@ -248,6 +276,9 @@ SELECT q_id, predicted_label, votes FROM (
   FROM v
 ) WHERE r = 1
 """
+
+
+KNN_LABEL_VOTES_SQL = None  # built lazily: _knn_label_votes_oracle_sql()
 
 
 def _q_knn_vec0_quantized(spark, sf_dir):
@@ -498,16 +529,6 @@ SELECT doc_id, text, lang, source, n_chars, version FROM (
 """
 
 
-def _q_knn_join(spark, sf_dir):
-    from bht_etl_app_spark.operators import knn_join
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    return knn_join(q, emb, k=3)
-
-
 def _q_knn_vec0_arrow(spark, sf_dir):
     """Arrow/numpy twin of knn_vec0 (rows-only by design: Python UDFs
     stay out of oracle-checked plans; parity vs the JVM fold is
@@ -552,7 +573,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_knn_join(spark, sf_dir):
-    """LSH-bucketed kNN join (scale path for knn_join_sample) —
+    """LSH-bucketed kNN join (scale path for the exact knn_join kernel) —
     oracle-checked since r3: fixed rounded planes + unique-id
     tiebreaks make the approximate result deterministic, so the
     DuckDB mirror (_ann_knn_join_oracle_sql) hash-verifies the plan
@@ -894,7 +915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windows.customer_trailing_30d_spend(load_table(s, d, "orders"))
         ),
         "purchase_asof_click": _q_purchase_asof_click,
-        "knn_join_sample": _q_knn_join,
         "sql_orders_by_status": _q_sql_interface,
         "embedding_norms": lambda s, d: arrays.embedding_norms(
             load_table(s, d, "embeddings")
@@ -1163,7 +1183,6 @@ def _driver_verified_keys() -> set[str]:
 # landed): r2 changes invalidate r<=1 rows, r3 changes r<=2 rows
 _REVERIFY = {
     "near_dup_embeddings": 1,   # r2: bucketed-LSH contract path
-    "knn_join_sample": 1,       # r2: broadcast nested-loop scoring
     "winnow_fingerprints": 1,   # r2: two-projection normalization
     # r3: rewritten from single low-cardinality window to two-phase
     # bucket-offset ranking (plans/windows.py order_price_deciles)
@@ -1172,10 +1191,12 @@ _REVERIFY = {
 
 
 # keys already green in a prior round's driver CORRECTNESS file
-# (r1: all 50 rows green — rows+schema+hash). near_dup_embeddings and
-# knn_join_sample were r1-green but their implementations changed in
-# r2 (bucketed LSH / broadcast), so they are deliberately NOT listed —
-# they front-load for driver re-verification.
+# (r1: all 50 rows green — rows+schema+hash). near_dup_embeddings was
+# r1-green but its implementation changed in r2 (bucketed LSH), so it
+# is deliberately NOT listed — it front-loads for re-verification.
+# knn_join_sample retired from the contract in r4 (VERDICT r3 item
+# #5): the exact broadcast-scored kernel remains as the pytest parity
+# baseline for ann_knn_join / knn_label_votes.
 _DRIVER_VERIFIED_PRIOR_ROUNDS = [
     "freq_orderpriority", "freq_returnflag_weighted",
     "value_counts_orderstatus", "multidim_level_pct",
@@ -1424,20 +1445,6 @@ SELECT * FROM (VALUES
         "moving_avg_revenue": windows.MOVING_AVG_REVENUE_SQL,
         "customer_trailing_30d_spend": windows.CUSTOMER_TRAILING_30D_SPEND_SQL,
         "purchase_asof_click": _PURCHASE_ASOF_CLICK_SQL,
-        "knn_join_sample": """
-WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-s AS (SELECT q_id, vec_id,
-             round(list_cosine_similarity(qv, cv), 6) AS cosine
-      FROM q, c)
-SELECT * FROM (
-  SELECT q_id, vec_id, cosine,
-         CAST(row_number() OVER (PARTITION BY q_id
-                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-  FROM s
-) WHERE rank <= 3
-""",
         "sql_orders_by_status": """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -1939,5 +1946,5 @@ HAVING count(*) >= 50
 """,
         "embedding_quantized": EMBEDDING_QUANTIZED_SQL,
         "knn_vec0_quantized": KNN_VEC0_QUANTIZED_SQL,
-        "knn_label_votes": KNN_LABEL_VOTES_SQL,
+        "knn_label_votes": _knn_label_votes_oracle_sql(),
     }

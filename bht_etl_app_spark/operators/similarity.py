@@ -509,6 +509,8 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
     exclude_self: bool = True,
+    planes: list[list[float]] | None = None,
+    multiprobe_bits: int = 1,
 ) -> DataFrame:
     """k-NN classification by majority vote — the deterministic
     classifier a labeled embedding store gives for free (label
@@ -519,16 +521,24 @@ def knn_label_vote(
     oracle-checkable, unlike trained-model scores). Output:
     ``(q_id, predicted_label, votes)``.
 
-    Plan: reuses :func:`knn_join`'s broadcast-scored top-k (swap in
-    :func:`ann_knn_join` at corpus scale), then one small aggregation
-    over q_id×label — the vote table is k rows per query, so
-    everything after scoring is bounded by |Q|·k.
+    Scoring plan: with ``planes`` given (the default contract path),
+    neighbors come from :func:`ann_knn_join`'s LSH-bucketed equi-join
+    — no cross join anywhere, the shape you run at corpus scale.
+    Without planes it falls back to :func:`knn_join`'s exact
+    broadcast-scored baseline (kept for parity testing). Either way
+    the vote table is k rows per query, so everything after scoring
+    is bounded by |Q|·k.
     """
     from pyspark.sql.window import Window
 
     qd = queries.select(F.col(q_id), F.col(vec_col))
-    nn = knn_join(qd, corpus, k=k + (1 if exclude_self else 0), q_id=q_id,
-                  c_id=c_id, vec_col=vec_col)
+    kk = k + (1 if exclude_self else 0)
+    if planes is not None:
+        nn = ann_knn_join(qd, corpus, planes, k=kk, q_id=q_id,
+                          c_id=c_id, vec_col=vec_col,
+                          multiprobe_bits=multiprobe_bits)
+    else:
+        nn = knn_join(qd, corpus, k=kk, q_id=q_id, c_id=c_id, vec_col=vec_col)
     if exclude_self:
         nn = nn.where(F.col(q_id) != F.col(c_id))
         w = Window.partitionBy(q_id).orderBy("rank")

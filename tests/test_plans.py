@@ -34,10 +34,6 @@ NESTED_LOOP_OK = {
     "multidim_total_pct",
     "tfidf_top_terms",       # crossJoin(broadcast(1-row corpus count))
     "knn_vec0",              # broadcast query-vector literal compare
-    "knn_join_sample",       # exact kNN baseline: broadcast nested-loop
-                             # scoring by design (scale path: ann_knn_join)
-    "knn_label_votes",       # rides knn_join's broadcast scoring (same
-                             # baseline; swap ann_knn_join at scale)
     "minhash_lsh_pairs",
     "image_features_demo",
     "simhash_docs",
