@@ -546,6 +546,21 @@ def _bigram_scores(spark, sf_dir):
     return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_video_frames(spark, sf_dir):
+    """REAL video-container pipeline (r4): docs -> MJPEG AVIs (stdlib
+    RIFF writer) -> binary media column -> mapInPandas RIFF chunk walk
+    (io.miniavi) -> per-video sampled-frame stats. Rows-only
+    (engine-side Python decode), but an actual AVI parse with true
+    stream indices — the third real modality next to PNG and WAV."""
+    from bht_etl_app_spark.operators.multimodal import (
+        synth_mjpeg_media_from_documents,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_stats(synth_mjpeg_media_from_documents(docs), every_n=2)
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio pipeline: docs -> PCM16 WAV (stdlib RIFF framing) ->
     binary media column -> mapInPandas parse -> duration/RMS.
@@ -676,6 +691,107 @@ def _dedup_corpus(spark, sf_dir):
     return dedup_corpus(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _dedup_corpus_survivors_oracle_sql() -> str:
+    """DuckDB mirror of the FULL composite dedup pipeline (promoted
+    from rows-only in r4 — VERDICT r3 item #2): exact md5 keep-min →
+    portable MinHash signatures (per-shingle md5 base hash + the same
+    rotate-xor seed family as dedup.minhash_mix_params) → banded
+    candidate equi-join on raw sig slices → exact-Jaccard verify →
+    recursive-CTE connected components → keep-min survivors. Every
+    stage is value-identical to the Spark plan, so the whole pipeline
+    hash-checks."""
+    from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    def mix(k: int) -> str:
+        rot, c_signed = minhash_mix_params(k)
+        c_unsigned = c_signed % (1 << 64)
+        rotated = (
+            f"(CAST((CAST(u AS HUGEINT) * {1 << (64 - rot)}) % "
+            f"18446744073709551616 AS UBIGINT) + (u >> {rot}))"
+        )
+        mixed = f"xor({rotated}, {c_unsigned}::UBIGINT)"
+        return (
+            f"MIN(CAST(CASE WHEN {mixed} >= 9223372036854775808::UBIGINT "
+            f"THEN CAST({mixed} AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST({mixed} AS HUGEINT) END AS BIGINT)) AS s{k}"
+        )
+
+    sig_cols = ",\n         ".join(mix(k) for k in range(16))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"concat_ws('|', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}) AS bh"
+        " FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
+toks AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents d JOIN keepers USING (doc_id)
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hs GROUP BY doc_id
+),
+bandk AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) /
+                 CAST(len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+                 6) AS j
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+  ) WHERE j >= 0.8
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+),
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN keepers USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from bht_etl_app_spark.operators.similarity import ann_ivf_topk
 
@@ -718,6 +834,45 @@ def _q_simhash(spark, sf_dir):
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_docs_oracle_sql() -> str:
+    """DuckDB mirror of the 64-bit SimHash vote fold (promoted from
+    rows-only in r4 — VERDICT r3 item #2): same whitespace tokens,
+    same md5-first-16-hex token hash (dedup.md5_long_expr), one
+    conditional SUM per bit, sign-of-votes recomposed into the signed
+    long. Bit 63's mask is written ``-9223372036854775807 - 1`` so it
+    stays BIGINT in both engines."""
+    def mask(i: int) -> str:
+        return str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (hv & {mask(i)}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {mask(i)} ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+              THEN CAST(u AS HUGEINT) - 18446744073709551616
+              ELSE CAST(u AS HUGEINT) END AS BIGINT) AS hv
+  FROM (SELECT doc_id, ('0x' || substr(md5(t),1,16))::UBIGINT AS u FROM toks)
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE({recompose}, 0) AS BIGINT) AS simhash
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN v USING (doc_id)
+"""
+
+
 def _q_scrub(spark, sf_dir):
     """PII/URL scrubbing over documents seeded with synthetic URLs and
     addresses (the corpus itself is URL-free word soup; the seeding is
@@ -742,8 +897,12 @@ def _q_scrub(spark, sf_dir):
 
 
 def _q_kmeans_sizes(spark, sf_dir):
-    """Rows-only: iterative Lloyd's k-means (no SQL oracle for an
-    iterative algorithm); the driver records cluster-count rows."""
+    """Lloyd's k-means cluster sizes — oracle-checked since r4
+    (VERDICT r3 item #2): the fit is deterministic end to end
+    (smallest-id seeds, no RNG, per-round centroids quantized to 9 dp
+    half-even, deterministic argmax tiebreak, fixed 3 rounds on the
+    fixtures — the tol early-stop never fires on random embeddings),
+    so the iteration UNROLLS into DuckDB SQL round by round."""
     from bht_etl_app_spark.operators.clustering import kmeans_assign, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -754,6 +913,76 @@ def _q_kmeans_sizes(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("list_id")
     )
+
+
+def _kmeans_cluster_sizes_oracle_sql(k: int = 8, rounds: int = 3) -> str:
+    """DuckDB mirror of the 3-round Lloyd's fit + final assignment.
+
+    Round-for-round value parity with clustering.kmeans_fit:
+    - seeds = the k smallest-vec_id vectors;
+    - score = dot(v, c) - 0.5*|c|^2, both sums sequential doubles
+      (list_sum matches the Spark left fold / Python sum order);
+    - assignment = argmax with ties to the lowest centroid index
+      (row_number over score DESC, cid ASC);
+    - new centroid = per-position mean rounded HALF-EVEN to 9 dp
+      (round_even, matching Python round()); empty clusters keep the
+      previous centroid via the left join;
+    - after ``rounds`` updates, final assignment -> sizes.
+    The 9 dp quantization is what makes cross-engine float reductions
+    agree (same rationale as Spark's own run-to-run stability)."""
+    score = (
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))"
+        " - 0.5 * list_sum(list_transform(c, x -> x * x))"
+    )
+    assign = """
+s{i} AS (
+  SELECT e.vec_id, e.v, c{p}.cid,
+         {score} AS score
+  FROM e, c{p}
+),
+a{i} AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid) AS rn
+    FROM s{i}) WHERE rn = 1
+)"""
+    parts = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(assign.format(i=i, p=i - 1, score=score).strip())
+        parts.append(
+            f"""m{i} AS (
+  SELECT list_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+  FROM a{i}
+),
+n{i} AS (
+  SELECT list_id AS cid, list(c ORDER BY pos) AS c FROM (
+    SELECT list_id, pos, round_even(AVG(val), 9) AS c
+    FROM m{i} GROUP BY 1, 2
+  ) GROUP BY 1
+),
+c{i} AS (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN n{i} n USING (cid)
+)"""
+        )
+    fin = rounds + 1
+    parts.append(assign.format(i=fin, p=rounds, score=score).strip())
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(list_id AS BIGINT) AS list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM a{fin} GROUP BY 1 ORDER BY 1
+"""
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -1098,6 +1327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").where(F.col("doc_id") % 3 != 0),
             fingerprint(load_table(s, d, "documents").where(F.col("doc_id") % 3 == 0)),
         ),
+        # promoted to oracle-checked in r4 (VERDICT r3 item #2)
+        "simhash_docs": _q_simhash,
+        "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
+        "kmeans_cluster_sizes": _q_kmeans_sizes,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -1111,19 +1344,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": _q_ann_knn_join,
         "winnow_fingerprints_fast": _winnow_fast,
         "ewma_user_values": lambda s, d: _ewma(s, d),
-        "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "minhash_lsh_pairs": _q_minhash_lsh,
-        "simhash_docs": _q_simhash,
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
             load_table(s, d, "documents"), max_hamming=3
         ),
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
         ),
-        "kmeans_cluster_sizes": _q_kmeans_sizes,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "image_features_demo": _q_image_features,
         "audio_features_demo": lambda s, d: _q_audio_features(s, d),
+        "video_frames_demo": lambda s, d: _q_video_frames(s, d),
     }
     # Driver-coverage rotation: CORRECTNESS_r01 contained EXACTLY the
     # first 50 keys of this dict (verified by position), i.e. the
@@ -1183,10 +1414,31 @@ def _driver_verified_keys() -> set[str]:
 # landed): r2 changes invalidate r<=1 rows, r3 changes r<=2 rows
 _REVERIFY = {
     "near_dup_embeddings": 1,   # r2: bucketed-LSH contract path
-    "winnow_fingerprints": 1,   # r2: two-projection normalization
     # r3: rewritten from single low-cardinality window to two-phase
     # bucket-offset ranking (plans/windows.py order_price_deciles)
     "order_price_deciles": 2,
+    # r3 file churn (VERDICT r3 item #1): corpus.py/text.py/
+    # similarity.py changed in r3 but these keys' last green driver
+    # rows predate that round — front-load them for re-verification
+    # even though their own operators were not edited.
+    "doc_decontaminate": 2,
+    "doc_chunks": 2,
+    "vocab_coverage": 2,
+    "domain_mixture": 2,
+    "doc_filter_decisions": 2,
+    "domain_quantile_keep": 2,
+    "winnow_fingerprints": 2,
+    "knn_vec0": 2,
+    # r4 semantic changes: portable md5+rotate-xor MinHash family and
+    # raw-sig band keys (dedup.py), md5-based SimHash token hash,
+    # ANN-scored label votes (similarity.py). Keys whose r4 edits were
+    # lifecycle-only (persist/unpersist tracking — no value change)
+    # are covered by the local full-gate run instead.
+    "minhash_lsh_pairs": 3,
+    "simhash_docs": 3,
+    "simhash_near_dup": 3,
+    "dedup_corpus_survivors": 3,
+    "knn_label_votes": 3,
 }
 
 
@@ -1910,6 +2162,9 @@ SELECT vec_id, cosine FROM (
 """,
         "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
+        "simhash_docs": _simhash_docs_oracle_sql(),
+        "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
+        "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
         "winnow_overlap_pairs": """
 WITH fps AS (
 SELECT doc_id, unnest(list_distinct(sel)) AS fp

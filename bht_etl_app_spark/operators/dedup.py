@@ -64,6 +64,34 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int, alias: str) -> 
     )
 
 
+def minhash_mix_params(k: int) -> tuple[int, int]:
+    """Seed-k mixing parameters for the portable MinHash family:
+    ``h_k(x) = rotr64(x, rot_k) XOR c_k`` over the per-shingle md5
+    base hash. Rotation amounts are distinct per seed; the xor
+    constants are golden-ratio multiples (SplitMix64's increment),
+    returned as SIGNED 64-bit literals. Each ``h_k`` is a bijection,
+    so min-over-shingles behaves as an independent-ish permutation
+    per seed; the exact-Jaccard verify stage makes precision exact
+    regardless."""
+    rot = (k * 11) % 61 + 2
+    c = (0x9E3779B97F4A7C15 * (k + 1)) % (1 << 64)
+    if c >= 1 << 63:
+        c -= 1 << 64
+    return rot, c
+
+
+def md5_long_expr(c: Column) -> Column:
+    """Signed 64-bit hash from the first 16 hex chars of md5 —
+    engine-portable (DuckDB: ``('0x' || substr(md5(x),1,16))::UBIGINT``
+    wrapped to signed), unlike ``xxhash64``. Used where hash BITS feed
+    oracle-checked results (simhash); plain partitioning/fingerprint
+    hashes keep the faster xxhash64."""
+    d = F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+    wrap = F.lit("18446744073709551616").cast("decimal(21,0)")  # 2^64
+    half = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63
+    return F.when(d >= half, (d - wrap).cast("long")).otherwise(d.cast("long"))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact (whitespace/case-normalized) dedup: keep the row with the
     minimum id per content hash. Output: ``(doc_id, fp, group_size)``
@@ -218,16 +246,35 @@ def minhash_signatures(
         text_col, id_col, n, "__shingles__",
     )
 
+    # One engine-portable base hash per shingle (md5_long_expr), then
+    # a rotate-xor mix per seed — so the whole signature family is
+    # expressible in the DuckDB oracle (r4 promotion of the composite
+    # dedup pipeline; xxhash64 is Spark-only). Cost parity: one md5
+    # per shingle replaces num_hashes xxhash64 calls; the per-seed
+    # mixes are bit ops. Base hashes get their own projection so the
+    # md5 runs once, not once per seed (CollapseProject keeps
+    # multi-referenced non-cheap aliases split).
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("__shingles__"), md5_long_expr).alias("__hs__"),
+    )
+
     # NB: bind k via a factory, NOT a lambda default arg — PySpark
     # dispatches higher-order lambdas on arity, so a 2-arg lambda would
     # be called as (element, index).
     def _minhash(k: int):
+        rot, c = minhash_mix_params(k)
         return F.array_min(
-            F.transform(F.col("__shingles__"), lambda s: F.xxhash64(F.lit(k), s))
+            F.transform(
+                F.col("__hs__"),
+                lambda h: F.shiftrightunsigned(h, rot)
+                .bitwiseOR(F.shiftleft(h, 64 - rot))
+                .bitwiseXOR(F.lit(c)),
+            )
         )
 
     sig = F.array(*[_minhash(k) for k in range(num_hashes)])
-    return shingled.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -257,8 +304,14 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    # band key = the raw sig slice itself (portable —
+                    # tuple equality needs no engine-specific hash)
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     ).alias("bh"),
                 )
                 for b in range(bands)
@@ -335,7 +388,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # alias stays in its own projection — see minhash_signatures)
     hashed = ensure_min_parallelism(df).select(
         F.col(id_col),
-        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("__h__"),
+        F.transform(tokens_expr(text_col), md5_long_expr).alias("__h__"),
     )
     votes = F.aggregate(
         F.col("__h__"),

@@ -353,3 +353,75 @@ def synth_wav_media_from_documents(docs: DataFrame, sample_rate: int = 16000) ->
             )
 
     return base.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_mjpeg_media_from_documents(
+    docs: DataFrame, frames_per_doc: int = 6
+) -> DataFrame:
+    """Deterministic REAL-AVI media frame from the documents fixture:
+    each doc becomes an MJPEG AVI of ``frames_per_doc`` synthetic
+    JPEG-framed payloads seeded by (doc_id, frame index) — rows
+    round-trip through the actual RIFF chunk walker
+    (io.miniavi.read_avi_frames), exactly like the WAV/PNG paths."""
+    from bht_etl_app_spark.io.miniavi import synth_jpeg, write_mjpeg_avi
+
+    base = docs.select(F.col("doc_id"), F.length("text").alias("__n__"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["__n__"]):
+                frames = [
+                    synth_jpeg(int(doc_id) * 1000 + i, 32 + (int(n) + i) % 64)
+                    for i in range(frames_per_doc)
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        write_mjpeg_avi(frames, 32, 24, fps=10),
+                        "video/x-msvideo",
+                        "{}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime", "meta"]
+            )
+
+    return base.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames_sampled", LongType()),
+    StructField("first_frame_idx", LongType()),
+    StructField("last_frame_idx", LongType()),
+    StructField("total_frame_bytes", LongType()),
+])
+
+
+def video_frame_stats(
+    media: DataFrame,
+    every_n: int = 2,
+    decode_fn: Callable[[bytes, int], list[tuple[int, bytes]]] | None = None,
+) -> DataFrame:
+    """Per-video stats over the sampled frames (the aggregation a
+    frame-extraction pipeline feeds its manifest): sampled count,
+    first/last true stream index, total sampled bytes. The decode is
+    the injected container walker; everything after is native
+    DataFrame aggregation on the exploded frames."""
+    if decode_fn is None:
+        from bht_etl_app_spark.io.miniavi import mjpeg_avi_decode
+
+        decode_fn = mjpeg_avi_decode
+    frames = frame_sample(media, every_n=every_n, decode_fn=decode_fn)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames_sampled"),
+            F.min("frame_idx").cast("long").alias("first_frame_idx"),
+            F.max("frame_idx").cast("long").alias("last_frame_idx"),
+            F.sum(F.length("frame")).cast("long").alias("total_frame_bytes"),
+        )
+        .orderBy("media_id")
+    )

@@ -236,3 +236,56 @@ def test_frame_sample_default_decoder_raises(spark):
     )
     with pytest.raises(PythonException, match="NotImplementedError|ffmpeg"):
         frame_sample(vids).collect()
+
+
+def test_frame_sample_real_mjpeg_avi(spark):
+    """All three modalities now have a REAL decode path: a generated
+    MJPEG AVI goes through frame_sample with the stdlib RIFF-walk
+    decoder and comes back as one row per sampled frame with the TRUE
+    stream indices and the exact JPEG bytes."""
+    from bht_etl_app_spark.io.miniavi import (
+        mjpeg_avi_decode,
+        synth_jpeg,
+        write_mjpeg_avi,
+    )
+    from bht_etl_app_spark.operators.multimodal import frame_sample
+
+    vids = []
+    all_frames = {}
+    for vid in range(3):
+        frames = [synth_jpeg(vid * 100 + i, 40 + i) for i in range(7 + vid)]
+        all_frames[vid] = frames
+        vids.append((vid, "video", bytearray(write_mjpeg_avi(frames, 32, 24))))
+    media = spark.createDataFrame(
+        vids, "media_id long, kind string, content binary"
+    )
+    out = frame_sample(media, every_n=3, decode_fn=mjpeg_avi_decode).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    exp = {
+        (mid, i): f
+        for mid, frames in all_frames.items()
+        for i, f in enumerate(frames)
+        if i % 3 == 0
+    }
+    assert got == exp  # true indices AND exact frame bytes
+
+
+def test_mjpeg_decode_rejects_non_jpeg_payload(spark):
+    """A container whose video chunks are not standalone JPEGs must
+    fail loudly, not emit garbage frames."""
+    import struct
+
+    import pytest
+
+    from bht_etl_app_spark.io.miniavi import mjpeg_avi_decode
+
+    # hand-build an AVI whose 00dc payload is not JPEG-framed
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"not a jpeg"))
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="not a complete JPEG"):
+        mjpeg_avi_decode(avi, 1)
