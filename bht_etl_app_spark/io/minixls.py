@@ -181,17 +181,88 @@ def _read_unicode(buf: bytes, off: int, cch: int, grbit: int) -> tuple[str, int]
     return text, off
 
 
-def _parse_sst(payload: bytes) -> list[str]:
-    total, unique = struct.unpack_from("<II", payload, 0)
+def _parse_sst(fragments: list[bytes]) -> list[str]:
+    """Parse the SST from its record payload plus any CONTINUE record
+    payloads (real Excel exports overflow the 8224-byte record limit
+    as soon as the workbook holds a few hundred distinct strings).
+
+    Cross-record rules implemented per the public BIFF8 layout:
+    a string's character data may split at a record boundary, and the
+    continuation then begins with a FRESH option byte (so a string can
+    switch between compressed and utf-16 mid-string); rich-text runs /
+    ext data split with no option byte; the cch/grbit header itself
+    never splits (we raise on malformed files rather than guessing).
+    """
+    total, unique = struct.unpack_from("<II", fragments[0], 0)
     out: list[str] = []
-    off = 8
+    f, off = 0, 8
+
+    def _at_end() -> bool:
+        return f >= len(fragments) or (
+            f == len(fragments) - 1 and off >= len(fragments[f])
+        )
+
+    def _hop() -> None:
+        # move to the next fragment when the current one is exhausted
+        nonlocal f, off
+        while f < len(fragments) and off >= len(fragments[f]):
+            f += 1
+            off = 0
+
+    def _skip(n: int) -> None:
+        # skip n bytes of non-character data (no option byte on split)
+        nonlocal f, off
+        while n:
+            _hop()
+            if f >= len(fragments):
+                raise ValueError("SST truncated inside rich-text/ext data")
+            take = min(n, len(fragments[f]) - off)
+            off += take
+            n -= take
+
     for _ in range(unique):
-        if off + 3 > len(payload):
-            break  # string continues into a CONTINUE record; stop early
-        cch, grbit = struct.unpack_from("<HB", payload, off)
+        _hop()
+        if _at_end():
+            break
+        if len(fragments[f]) - off < 3:
+            raise ValueError("SST string header split across records")
+        cch, grbit = struct.unpack_from("<HB", fragments[f], off)
         off += 3
-        text, off = _read_unicode(payload, off, cch, grbit)
-        out.append(text)
+        crun = 0
+        cbext = 0
+        if grbit & 0x08:
+            crun = struct.unpack_from("<H", fragments[f], off)[0]
+            off += 2
+        if grbit & 0x04:
+            cbext = struct.unpack_from("<I", fragments[f], off)[0]
+            off += 4
+        wide = bool(grbit & 0x01)
+        parts: list[str] = []
+        need = cch
+        while need:
+            _hop()
+            if f >= len(fragments):
+                raise ValueError("SST truncated inside character data")
+            if off == 0:
+                # continuation fragment: fresh option byte governs the
+                # remainder's encoding
+                wide = bool(fragments[f][0] & 0x01)
+                off = 1
+            width = 2 if wide else 1
+            avail = (len(fragments[f]) - off) // width
+            take = min(need, avail)
+            if take == 0 and avail == 0 and len(fragments[f]) - off > 0:
+                raise ValueError("SST split mid-character")
+            raw = fragments[f][off : off + take * width]
+            parts.append(
+                raw.decode("utf-16-le", errors="replace")
+                if wide
+                else raw.decode("latin-1")
+            )
+            off += take * width
+            need -= take
+        _skip(4 * crun + cbext)
+        out.append("".join(parts))
     return out
 
 
@@ -228,16 +299,28 @@ def read_xls(path: str) -> dict[str, tuple[list[str], list[list]]]:
         )
 
     sst: list[str] = []
+    sst_frags: list[bytes] = []
+    in_sst = False
     sheets: list[tuple[str, int]] = []  # (name, stream offset)
     for rt, payload, _pos in _records(wb, 0):
         if rt == _SST:
-            sst = _parse_sst(payload)
-        elif rt == _BOUNDSHEET:
+            sst_frags = [payload]
+            in_sst = True
+            continue
+        if rt == _CONTINUE and in_sst:
+            # only CONTINUE records immediately following the SST
+            # extend it (other records may carry their own CONTINUEs)
+            sst_frags.append(payload)
+            continue
+        in_sst = False
+        if rt == _BOUNDSHEET:
             lbply = struct.unpack_from("<I", payload, 0)[0]
             cch = payload[6]
             grbit = payload[7]
             name, _ = _read_unicode(payload, 8, cch, grbit)
             sheets.append((name, lbply))
+    if sst_frags:
+        sst = _parse_sst(sst_frags)
 
     out: dict[str, tuple[list[str], list[list]]] = {}
     for name, lbply in sheets:

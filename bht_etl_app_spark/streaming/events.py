@@ -346,25 +346,23 @@ def streaming_corpus_ingest(
     """Streaming corpus curation: per micro-batch, run the BATCH
     quality gate (`quality_filter_decisions` — identical rules, so
     stream and backfill outputs are comparable by construction) and
-    append survivors to hive-partitioned training shards. foreachBatch
+    write survivors to hive-partitioned training shards. foreachBatch
     is the right seam: the gate is a multi-pass aggregation (gram
     explode + doc-keyed join) that plain streaming operators can't
-    express, while per-batch it is just a bounded Spark job; the
-    file-source checkpoint + idempotent overwrite-by-batch gives
-    exactly-once shard contents without a transactional table format.
-    """
-    from bht_etl_app_spark.operators.corpus import quality_filter_decisions
+    express, while per-batch it is just a bounded Spark job.
 
+    Exactly-once shard contents WITHOUT a transactional table format:
+    the output is partitioned by ``batch_id`` and written with
+    ``mode("overwrite")`` under DYNAMIC partitionOverwriteMode, so a
+    micro-batch replayed after a mid-write failure (checkpoint not yet
+    committed) REWRITES its own ``batch_id=N`` partitions instead of
+    appending duplicates — the overwrite only touches partitions
+    present in the replayed data (r4 fix; a plain append here was
+    at-least-once)."""
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        keep = quality_filter_decisions(
-            batch_df, min_tokens=min_tokens, allowed_langs=allowed_langs
-        ).where(F.col("keep"))
-        survivors = batch_df.join(keep.select("doc_id"), "doc_id", "left_semi")
-        (
-            survivors.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("source")
-            .parquet(out_path)
+        ingest_corpus_batch(
+            batch_df, batch_id, out_path,
+            min_tokens=min_tokens, allowed_langs=allowed_langs,
         )
 
     return (
@@ -372,4 +370,31 @@ def streaming_corpus_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def ingest_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    min_tokens: int = 5,
+    allowed_langs: tuple[str, ...] = ("en", "und"),
+) -> None:
+    """One micro-batch of :func:`streaming_corpus_ingest`, exposed so
+    the replay-idempotency property is directly testable: writing the
+    SAME (batch_df, batch_id) twice leaves identical shard contents,
+    because the dynamic partition overwrite rewrites exactly the
+    ``batch_id=N`` partitions the batch produces."""
+    from bht_etl_app_spark.operators.corpus import quality_filter_decisions
+
+    keep = quality_filter_decisions(
+        batch_df, min_tokens=min_tokens, allowed_langs=allowed_langs
+    ).where(F.col("keep"))
+    survivors = batch_df.join(keep.select("doc_id"), "doc_id", "left_semi")
+    (
+        survivors.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "source")
+        .parquet(out_path)
     )

@@ -346,3 +346,65 @@ def test_read_table_ingests_xls(spark, tmp_path):
     df = read_table(spark, p)
     rows = sorted((r["gender"], r["csat"]) for r in df.collect())
     assert rows == [("F", 9.0), ("F", 10.0), ("M", 7.0)]
+
+
+def test_minixls_sst_continue_records(tmp_path):
+    """Real Excel survey exports overflow the 8224-byte SST record
+    into CONTINUE records; the reader must stitch them — including a
+    string split MID-CHARACTER-DATA whose continuation switches
+    encoding via the fresh option byte (the r3 advisor finding: the
+    old parser silently dropped everything after the first record)."""
+    import struct
+
+    from bht_etl_app_spark.io import minixls as mx
+
+    # SST strings: one split across the record boundary, many after it
+    s_head = "ABCDEFGH"              # split: 3 compressed + 5 utf-16 chars
+    tail_strings = [f"value_{i:04d}" for i in range(500)]
+    n_unique = 1 + len(tail_strings)
+
+    frag0 = struct.pack("<II", n_unique, n_unique)
+    frag0 += struct.pack("<HB", len(s_head), 0x00)  # cch=8, compressed
+    frag0 += s_head[:3].encode("latin-1")
+    # continuation: fresh option byte says utf-16 for the remainder
+    frag1 = b"\x01" + s_head[3:].encode("utf-16-le")
+    for s in tail_strings:
+        frag1 += struct.pack("<HB", len(s), 0x00) + s.encode("latin-1")
+
+    # sheet substream: header row + one LABELSST row referencing the
+    # split string and the LAST tail string (lost entirely before)
+    sheet = mx._rec(mx._BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sheet += mx._rec(mx._LABEL,
+                     struct.pack("<HHH", 0, 0, 0) + struct.pack("<HB", 3, 0) + b"col")
+    sheet += mx._rec(mx._LABELSST, struct.pack("<HHHI", 1, 0, 0, 0))
+    sheet += mx._rec(mx._LABELSST, struct.pack("<HHHI", 2, 0, 0, n_unique - 1))
+    sheet += mx._rec(mx._EOF, b"")
+
+    bs_payload = struct.pack("<IH", 0, 0) + mx._unistr16("S1", short_len=True)
+    globals_len = (
+        len(mx._rec(mx._BOF, b"\x00" * 16))
+        + len(mx._rec(mx._SST, frag0))
+        + len(mx._rec(mx._CONTINUE, frag1))
+        + len(mx._rec(mx._BOUNDSHEET, bs_payload))
+        + len(mx._rec(mx._EOF, b""))
+    )
+    bs_payload = struct.pack("<IH", globals_len, 0) + mx._unistr16(
+        "S1", short_len=True
+    )
+    stream = (
+        mx._rec(mx._BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + mx._rec(mx._SST, frag0)
+        + mx._rec(mx._CONTINUE, frag1)
+        + mx._rec(mx._BOUNDSHEET, bs_payload)
+        + mx._rec(mx._EOF, b"")
+        + sheet
+    )
+    p = str(tmp_path / "cont.xls")
+    with open(p, "wb") as fh:
+        fh.write(mx._cfb_wrap(stream))
+
+    got = mx.read_xls(p)
+    cols, rows = got["S1"]
+    assert cols == ["col"]
+    assert rows[0][0] == "ABCDEFGH"          # stitched across the split
+    assert rows[1][0] == "value_0499"        # would have been '' before

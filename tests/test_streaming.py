@@ -263,9 +263,11 @@ def test_streaming_corpus_ingest_matches_batch_gate(spark, tmp_path):
     keep = quality_filter_decisions(docs, min_tokens=5).where(F.col("keep"))
     exp = {r["doc_id"] for r in keep.collect()}
     assert got == exp
-    # hive layout by source survives
+    # hive layout: batch partitions on top, source partitions inside
+    import glob
     import os
-    assert any(d.startswith("source=") for d in os.listdir(out))
+    assert any(d.startswith("batch_id=") for d in os.listdir(out))
+    assert glob.glob(out + "/batch_id=*/source=*"), "source dirs missing"
 
     # restart with the same checkpoint: no new batches, no duplicates
     q2 = streaming_corpus_ingest(
@@ -274,3 +276,36 @@ def test_streaming_corpus_ingest_matches_batch_gate(spark, tmp_path):
     q2.awaitTermination(60)
     again = spark.read.parquet(out).count()
     assert again == len(exp)
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a mid-write failure (checkpoint
+    not committed) must REWRITE its batch partition, not duplicate
+    surviving docs — the dynamic-partition-overwrite contract the
+    docstring claims (r3 advisor finding)."""
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.corpus import quality_filter_decisions
+    from bht_etl_app_spark.session import load_table
+    from bht_etl_app_spark.streaming.events import ingest_corpus_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "shards")
+
+    ingest_corpus_batch(b0, 0, out, min_tokens=5)
+    ingest_corpus_batch(b1, 1, out, min_tokens=5)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # replay batch 0 (as after a failure before checkpoint commit)
+    ingest_corpus_batch(b0, 0, out, min_tokens=5)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first, "replay duplicated or dropped rows"
+    # and batch 1 was untouched by batch 0's overwrite
+    keep1 = quality_filter_decisions(b1, min_tokens=5).where(F.col("keep"))
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).where(F.col("batch_id") == 1).collect()
+    }
+    assert got1 == {r["doc_id"] for r in keep1.collect()}
