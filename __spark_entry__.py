@@ -587,6 +587,85 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, qv, planes, k=5)
 
 
+def _ann_lsh_topk_oracle_sql() -> str:
+    """DuckDB mirror of the multiprobe LSH top-k (promoted from
+    rows-only in r4): the same seeded float64 plane literals (fixture
+    embeddings are 64-dim at every SF), the query bucket computed
+    from the data-resident query vector, 1-bit multiprobe XOR set,
+    bucket filter, exact cosine, deterministic top-5."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 64)).tolist()
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    masks = [0] + [1 << i for i in range(len(planes))]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, {bucket('v')} AS qb FROM e WHERE vec_id = 0),
+probes AS (SELECT xor(qb, m) AS bucket FROM q, unnest({mask_list}) AS t(m)),
+c AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e)
+SELECT vec_id, cosine FROM (
+  SELECT c.vec_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+  FROM c JOIN probes USING (bucket), q
+  ORDER BY cosine DESC, c.vec_id ASC
+  LIMIT 5
+)
+"""
+
+
+def _ann_ivf_topk_oracle_sql() -> str:
+    """DuckDB mirror of IVF-flat top-k (promoted from rows-only in
+    r4): centroids are the data-resident vectors vec_id 1..4, the
+    query is vec_id 0; probe-list choice, per-vector argmax
+    assignment (first index wins ties) and the final exact-cosine
+    top-5 all replay the Spark plan."""
+    return """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (
+  SELECT CAST(vec_id - 1 AS BIGINT) AS cid, v AS c
+  FROM e WHERE vec_id BETWEEN 1 AND 4
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           row_number() OVER (
+             ORDER BY list_dot_product(q.qv, cent.c) DESC, cid ASC
+           ) AS rn
+    FROM cent, q
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.c) DESC, cent.cid ASC
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+)
+SELECT vec_id, cosine FROM (
+  SELECT a.vec_id,
+         round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+  FROM assigned a JOIN probe ON a.list_id = probe.cid, q
+  ORDER BY cosine DESC, a.vec_id ASC
+  LIMIT 5
+)
+"""
+
+
 def _q_ann_knn_join(spark, sf_dir):
     """LSH-bucketed kNN join (scale path for the exact knn_join kernel) —
     oracle-checked since r3: fixed rounded planes + unique-id
@@ -834,13 +913,13 @@ def _q_simhash(spark, sf_dir):
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_docs_oracle_sql() -> str:
-    """DuckDB mirror of the 64-bit SimHash vote fold (promoted from
-    rows-only in r4 — VERDICT r3 item #2): same whitespace tokens,
-    same md5-first-16-hex token hash (dedup.md5_long_expr), one
-    conditional SUM per bit, sign-of-votes recomposed into the signed
-    long. Bit 63's mask is written ``-9223372036854775807 - 1`` so it
-    stays BIGINT in both engines."""
+def _simhash_cte() -> str:
+    """Shared CTE chain computing ``sim(doc_id, simhash)`` — the
+    DuckDB mirror of the 64-bit SimHash vote fold: same whitespace
+    tokens, same md5-first-16-hex token hash (dedup.md5_long_expr),
+    one conditional SUM per bit, sign-of-votes recomposed into the
+    signed long. Bit 63's mask is written ``-9223372036854775807 - 1``
+    so it stays BIGINT in both engines."""
     def mask(i: int) -> str:
         return str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
 
@@ -851,8 +930,7 @@ def _simhash_docs_oracle_sql() -> str:
     recompose = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {mask(i)} ELSE 0 END)" for i in range(64)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                             x -> x <> '')) AS t
@@ -867,9 +945,115 @@ WITH toks AS (
   SELECT doc_id,
          {votes}
   FROM h GROUP BY doc_id
+), sim AS (
+  SELECT d.doc_id, CAST(COALESCE({recompose}, 0) AS BIGINT) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN v USING (doc_id)
+)"""
+
+
+def _simhash_docs_oracle_sql() -> str:
+    return f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM sim"
+
+
+def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
+    rows-only in r4 — the portable md5+rotate-xor signature family
+    made the whole candidate pipeline SQL-expressible): signatures,
+    raw-slice band keys, candidate equi-join, exact-Jaccard verify.
+    Same stages as the composite dedup oracle, over all documents."""
+    from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    def mix(k: int) -> str:
+        rot, c_signed = minhash_mix_params(k)
+        c_unsigned = c_signed % (1 << 64)
+        rotated = (
+            f"(CAST((CAST(u AS HUGEINT) * {1 << (64 - rot)}) % "
+            f"18446744073709551616 AS UBIGINT) + (u >> {rot}))"
+        )
+        mixed = f"xor({rotated}, {c_unsigned}::UBIGINT)"
+        return (
+            f"MIN(CAST(CASE WHEN {mixed} >= 9223372036854775808::UBIGINT "
+            f"THEN CAST({mixed} AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST({mixed} AS HUGEINT) END AS BIGINT)) AS s{k}"
+        )
+
+    sig_cols = ",\n         ".join(mix(k) for k in range(16))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"concat_ws('|', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}) AS bh"
+        " FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH mtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+msh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM mtoks
+),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM msh WHERE len(shingles) > 0)
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hs GROUP BY doc_id
+),
+bandk AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
 )
-SELECT d.doc_id, CAST(COALESCE({recompose}, 0) AS BIGINT) AS simhash
-FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN v USING (doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.shingles, sb.shingles)) /
+               CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand
+  JOIN msh sa ON sa.doc_id = cand.id_a
+  JOIN msh sb ON sb.doc_id = cand.id_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_near_dup_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of the banded SimHash hamming join (promoted
+    from rows-only in r4): same 16-bit band keys off the shared
+    simhash CTE, equi-join candidates, bit_count-verified hamming.
+    The shift sign-extension difference is irrelevant because the
+    band mask keeps only the low 16 bits."""
+    bands = max_hamming + 1
+    w = 64 // bands
+    mask = (1 << w) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, "
+        f"((simhash >> {b * w}) & {mask}) AS bk FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_simhash_cte()},
+bandk AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bandk a JOIN bandk b ON a.band = b.band AND a.bk = b.bk
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -930,6 +1114,18 @@ def _kmeans_cluster_sizes_oracle_sql(k: int = 8, rounds: int = 3) -> str:
     - after ``rounds`` updates, final assignment -> sizes.
     The 9 dp quantization is what makes cross-engine float reductions
     agree (same rationale as Spark's own run-to-run stability)."""
+    return (
+        f"WITH {_kmeans_cte(k, rounds)}\n"
+        f"SELECT CAST(list_id AS BIGINT) AS list_id,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n_vectors\n"
+        f"FROM a{rounds + 1} GROUP BY 1 ORDER BY 1\n"
+    )
+
+
+def _kmeans_cte(k: int, rounds: int) -> str:
+    """WITH-body CTE chain for the unrolled Lloyd's fit: ends at
+    ``a{rounds+1}(vec_id, v, list_id)`` — the final assignment under
+    the fitted centroids. Shared by the kmeans and SemDeDup oracles."""
     score = (
         "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))"
         " - 0.5 * list_sum(list_transform(c, x -> x * x))"
@@ -976,12 +1172,42 @@ c{i} AS (
         )
     fin = rounds + 1
     parts.append(assign.format(i=fin, p=rounds, score=score).strip())
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, rounds: int = 3, threshold: float = 0.95
+) -> str:
+    """DuckDB mirror of SemDeDup survivors (promoted from rows-only
+    in r4): the shared unrolled-Lloyd's CTE gives every vector its
+    fitted cluster; cosine pairs are generated WITHIN clusters only
+    (same equi-join bound as the Spark plan), connected components
+    run as the recursive CTE, and survivors are the non-minimum-id
+    drops filtered out of the assignment."""
+    fin = rounds + 1
     return f"""
-WITH {body}
-SELECT CAST(list_id AS BIGINT) AS list_id,
-       CAST(COUNT(*) AS BIGINT) AS n_vectors
-FROM a{fin} GROUP BY 1 ORDER BY 1
+WITH RECURSIVE {_kmeans_cte(k, rounds)},
+sp AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a{fin} x JOIN a{fin} y
+    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+),
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
+drops AS (SELECT id FROM comp WHERE id <> root)
+SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+FROM a{fin}
+WHERE vec_id NOT IN (SELECT id FROM drops)
 """
 
 
@@ -1069,8 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
         "dedup_exact_docs": lambda s, d: dedup_exact(load_table(s, d, "documents")),
+        # max_shingle_df=64 is the stop-shingle boilerplate guard —
+        # a no-op at the fixture SFs (max shingle df there is 25) but
+        # the thing that bounds posting-list pair work at 10x+ (r4
+        # scale step measured 23x wall growth without it)
         "near_dup_jaccard": lambda s, d: ngram_jaccard_pairs(
-            load_table(s, d, "documents"), threshold=0.8
+            load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
         ),
         "knn_vec0": _q_knn_vec0,
         "embedding_quantized": _q_embedding_quantized,
@@ -1177,7 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "pack_sequences_bins": lambda s, d: _pack_sequences(s, d),
         "near_dup_clusters": lambda s, d: dedup_clusters(
-            ngram_jaccard_pairs(load_table(s, d, "documents"), threshold=0.8)
+            ngram_jaccard_pairs(
+                load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
+            )
         ),
         "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
             load_table(s, d, "events")
@@ -1327,10 +1559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").where(F.col("doc_id") % 3 != 0),
             fingerprint(load_table(s, d, "documents").where(F.col("doc_id") % 3 == 0)),
         ),
-        # promoted to oracle-checked in r4 (VERDICT r3 item #2)
+        # promoted to oracle-checked in r4 (VERDICT r3 item #2 + the
+        # portable MinHash/SimHash hash families + data-resident ANN
+        # plane/centroid literals)
         "simhash_docs": _q_simhash,
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "kmeans_cluster_sizes": _q_kmeans_sizes,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
+            load_table(s, d, "documents"), max_hamming=3
+        ),
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "semantic_dedup_survivors": _q_semantic_dedup,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -1339,19 +1580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windows.order_price_percentiles_approx(load_table(s, d, "orders"))
         ),
         "knn_vec0_arrow": _q_knn_vec0_arrow,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_knn_join": _q_ann_knn_join,
         "winnow_fingerprints_fast": _winnow_fast,
         "ewma_user_values": lambda s, d: _ewma(s, d),
-        "minhash_lsh_pairs": _q_minhash_lsh,
-        "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
-            load_table(s, d, "documents"), max_hamming=3
-        ),
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
         ),
-        "semantic_dedup_survivors": _q_semantic_dedup,
         "image_features_demo": _q_image_features,
         "audio_features_demo": lambda s, d: _q_audio_features(s, d),
         "video_frames_demo": lambda s, d: _q_video_frames(s, d),
@@ -1732,10 +1966,12 @@ sh AS (
 ex AS (
   SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
 ),
+dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
+exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
          any_value(b.n_sh) AS n_b, count(*) AS shared
-  FROM ex a JOIN ex b USING (s)
+  FROM exf a JOIN exf b USING (s)
   WHERE a.id < b.id
   GROUP BY a.id, b.id
 ),
@@ -2139,10 +2375,12 @@ sh AS (
 ex AS (
   SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
 ),
+dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
+exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
          any_value(b.n_sh) AS n_b, count(*) AS shared
-  FROM ex a JOIN ex b USING (s)
+  FROM exf a JOIN exf b USING (s)
   WHERE a.id < b.id
   GROUP BY a.id, b.id
 )
@@ -2163,8 +2401,13 @@ SELECT vec_id, cosine FROM (
         "near_dup_embeddings": _near_dup_embeddings_oracle_sql(),
         "ann_knn_join": _ann_knn_join_oracle_sql(),
         "simhash_docs": _simhash_docs_oracle_sql(),
+        "simhash_near_dup": _simhash_near_dup_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
+        "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
         "winnow_overlap_pairs": """
 WITH fps AS (
 SELECT doc_id, unnest(list_distinct(sel)) AS fp

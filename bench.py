@@ -74,6 +74,12 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "embedding_quantized",
     "knn_label_votes",
+    # analytics (r3)
+    "user_cohort_retention",
+    "funnel_view_click_purchase",
+    # r4: composite dedup now oracle-checked; real AVI decode path
+    "dedup_corpus_survivors",
+    "video_frames_demo",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

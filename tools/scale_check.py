@@ -38,8 +38,21 @@ def run_set(sf_dir: str, names, qs, spark) -> dict[str, float]:
 
 
 def main():
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("small", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("big", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--ratio", type=float, default=None,
+        help="data ratio big/small (inferred from sfN dir names if omitted)",
+    )
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query names (default: bench headline set)",
+    )
+    args = ap.parse_args()
+    small, big = args.small, args.big
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
@@ -50,7 +63,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = mod.queries()
-    names = [n for n in bench.HEADLINE if n in qs]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        names = [n for n in bench.HEADLINE if n in qs]
 
     # warm both directories' footers + codegen once
     for d in (small, big):
@@ -59,9 +78,12 @@ def main():
     t_small = run_set(small, names, qs, spark)
     t_big = run_set(big, names, qs, spark)
 
-    m = re.search(r"sf([0-9.]+)", small)
-    m2 = re.search(r"sf([0-9.]+)", big)
-    data_ratio = float(m2.group(1).rstrip(".")) / float(m.group(1).rstrip("."))
+    if args.ratio is not None:
+        data_ratio = args.ratio
+    else:
+        m = re.search(r"sf([0-9.]+)", small)
+        m2 = re.search(r"sf([0-9.]+)", big)
+        data_ratio = float(m2.group(1).rstrip(".")) / float(m.group(1).rstrip("."))
 
     rows = sorted(
         ((n, t_small[n], t_big[n], t_big[n] / t_small[n]) for n in names),
