@@ -417,6 +417,143 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _q_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (r4): top-20 docs for a fixed
+    three-term query; posting volume bounded by query-term df."""
+    from bht_etl_app_spark.operators.text import bm25_query_scores
+
+    return bm25_query_scores(
+        load_table(spark, sf_dir, "documents"), ["spark", "sort", "filter"]
+    )
+
+
+BM25_QUERY_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('filter', 'sort', 'spark')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (tot.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / tot.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), tot
+),
+-- term-sorted sequential fold matches the Spark array_sort aggregate
+scored AS (
+  SELECT doc_id,
+         round_even(list_sum(list(c ORDER BY term)), 6) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
+def _q_script_mix(spark, sf_dir):
+    """Writing-script composition per doc (r4): latin/digit/cyrillic/
+    CJK character counts + fractions, pure projection."""
+    from bht_etl_app_spark.operators.text import script_mix
+
+    return script_mix(load_table(spark, sf_dir, "documents"))
+
+
+def _script_mix_oracle_sql() -> str:
+    from bht_etl_app_spark.operators.text import SCRIPT_RANGES
+
+    cols = ["doc_id", "CAST(length(text) AS BIGINT) AS n_chars"]
+    for name, pat in SCRIPT_RANGES.items():
+        c = f"len(regexp_extract_all(text, '{pat}'))"
+        cols.append(f"CAST({c} AS BIGINT) AS n_{name}")
+        cols.append(
+            f"CASE WHEN length(text) > 0 THEN "
+            f"round_even({c} / CAST(length(text) AS DOUBLE), 6) "
+            f"ELSE 0.0 END AS frac_{name}"
+        )
+    return "SELECT " + ",\n       ".join(cols) + " FROM documents"
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Per-domain exact top-5 tokens (r4): corpus-composition
+    diagnostic; window input is grouped counts, never raw tokens."""
+    from bht_etl_app_spark.operators.text import domain_heavy_hitters
+
+    return domain_heavy_hitters(load_table(spark, sf_dir, "documents"), k=5)
+
+
+DOMAIN_HEAVY_HITTERS_SQL = """
+WITH counts AS (
+  SELECT source AS domain, term AS token, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT domain, token, n, rank FROM (
+  SELECT domain, token, n,
+         CAST(row_number() OVER (PARTITION BY domain
+                                 ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Deterministic temperature-mixture sampling (r4): realize the
+    tokens^0.5 domain weighting as an actual doc subset via integer
+    md5 thresholds."""
+    from bht_etl_app_spark.operators.corpus import mixture_sample
+
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source AS domain,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+per AS (
+  SELECT domain, CAST(count(*) AS DOUBLE) AS n_docs,
+         sqrt(CAST(sum(nt) AS DOUBLE)) AS w
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT list_sum(list(w ORDER BY domain)) AS w_total,
+         sum(n_docs) AS n_total
+  FROM per
+),
+rates AS (
+  SELECT domain,
+         least(1.0, 0.5 * tot.n_total * (per.w / tot.w_total) / per.n_docs)
+           AS rate
+  FROM per, tot
+)
+SELECT d.doc_id, d.source AS domain, round_even(r.rate, 6) AS rate
+FROM documents d JOIN rates r ON d.source = r.domain
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < CAST(floor(r.rate * 4294967296.0) AS UBIGINT)
+"""
+
+
 def _q_profile_orders(spark, sf_dir):
     """Single-pass data-QA profile of the orders table (Deequ-style):
     nulls, exact distincts, numeric min/max per column."""
@@ -1572,6 +1709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
+        # r4 additions: retrieval scoring, script mix, heavy hitters,
+        # mixture realization
+        "bm25_query_scores": _q_bm25,
+        "doc_script_mix": _q_script_mix,
+        "domain_heavy_hitters": _q_heavy_hitters,
+        "mixture_sample_docs": _q_mixture_sample,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -2408,6 +2551,10 @@ SELECT vec_id, cosine FROM (
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
+        "bm25_query_scores": BM25_QUERY_SCORES_SQL,
+        "doc_script_mix": _script_mix_oracle_sql(),
+        "domain_heavy_hitters": DOMAIN_HEAVY_HITTERS_SQL,
+        "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
         "winnow_overlap_pairs": """
 WITH fps AS (
 SELECT doc_id, unnest(list_distinct(sel)) AS fp

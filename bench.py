@@ -80,6 +80,11 @@ HEADLINE = [
     # r4: composite dedup now oracle-checked; real AVI decode path
     "dedup_corpus_survivors",
     "video_frames_demo",
+    # r4 additions
+    "bm25_query_scores",
+    "doc_script_mix",
+    "domain_heavy_hitters",
+    "mixture_sample_docs",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

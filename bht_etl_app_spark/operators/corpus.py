@@ -568,3 +568,75 @@ def upsert_latest(
         F.max_by(payload, rank).alias("__row__")
     )
     return merged.select(*[F.col(f"__row__.{c}").alias(c) for c in cols])
+
+
+def mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REALIZE the temperature mixture: deterministically sample docs
+    so each domain's share approaches ``tokens^alpha`` weighting
+    under a global document budget (``budget_frac`` of the corpus).
+    ``domain_mixture_weights`` reports the target; this operator
+    materializes a training subset honoring it — the step between
+    "mixture policy" and "training set".
+
+    Determinism & engine parity: the keep rule is an INTEGER
+    comparison — ``u32(doc_id) < floor(rate_d * 2^32)`` with
+    ``u32 = first 8 md5 hex chars`` — so membership is reproducible
+    and oracle-checkable; the per-domain normalizer folds in
+    domain-sorted order, and ``alpha = 0.5`` routes through ``sqrt``
+    (correctly rounded in both engines, unlike ``pow``).
+    Scale: one domain-level aggregate (broadcast back) + one
+    scan-side filter; nothing corpus-sized shuffles.
+    Output: the kept rows as ``(doc_id, domain, rate)``.
+    """
+    w_expr = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    per = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.size(tokens_expr(text_col)).cast("long").alias("__nt__"),
+        )
+        .groupBy("domain")
+        .agg(F.count("*").cast("double").alias("n_docs"), F.sum("__nt__").alias("n_tokens"))
+        .withColumn("__w__", w_expr)
+    )
+    totals = per.agg(
+        # domain-sorted sequential fold -> bit-identical normalizer
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "__w__"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__w__"],
+        ).alias("__w_total__"),
+        F.sum("n_docs").alias("__n_total__"),
+    )
+    rates = per.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac))
+            * F.col("__n_total__")
+            * (F.col("__w__") / F.col("__w_total__"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.floor(F.col("rate") * F.lit(float(1 << 32))).cast("long")
+    return (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .join(F.broadcast(rates), "domain")
+        .where(u32 < thr)
+        .select(id_col, "domain", F.bround("rate", 6).alias("rate"))
+    )

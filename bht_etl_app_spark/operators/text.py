@@ -573,3 +573,141 @@ def winnow_overlap_pairs(
         .select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
     )
     return pairs
+
+
+def bm25_query_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 document scoring for a fixed query-term set — the
+    retrieval twin of TF-IDF (Lucene's idf form:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Output: the top ``k``
+    docs as ``(doc_id, score, rank)``, rank by (score desc, id).
+
+    Scale shape: the explode is FILTERED to the query terms before
+    any shuffle, so posting volume is bounded by query-term document
+    frequency, never corpus token volume; document length comes from
+    a no-explode projection; N/avgdl ride a broadcast 1-row
+    aggregate. Per-doc term contributions fold in term-sorted order
+    (the doc_bigram_surprise pattern) so both engines sum
+    bit-identically.
+    """
+    terms = sorted(set(query_terms))
+    dl = ensure_min_parallelism(df).select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("double").alias("__dl__")
+    )
+    tf = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+        F.avg("__dl__").alias("__avgdl__"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / F.col("__avgdl__"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("term"), contrib.alias("__c__"))
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "__c__"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__c__"],
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        scored.groupBy(id_col)
+        .agg(F.bround(ordered_sum, 6).alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked
+
+
+#: unicode ranges shared verbatim with the DuckDB oracle — literal
+#: characters, not \u escapes, so both regex engines see identical
+#: patterns
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+}
+
+
+def script_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document writing-script composition: counts and fractions
+    of latin/digit/cyrillic/CJK characters — the cheap complement to
+    n-gram language ID (catches transliteration, mixed-script spam,
+    and mislabeled language columns). Pure projection, one scan."""
+    n = F.length(F.col(text_col)).cast("double")
+    cols = [F.col(id_col), F.length(F.col(text_col)).cast("long").alias("n_chars")]
+    for name, pat in SCRIPT_RANGES.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        cols.append(
+            F.when(n > 0, F.bround(c.cast("double") / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"frac_{name}")
+        )
+    return ensure_min_parallelism(df).select(*cols)
+
+
+def domain_heavy_hitters(
+    df: DataFrame,
+    k: int = 5,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-domain top-k tokens by occurrence count — the corpus
+    composition diagnostic (which tokens dominate each source). One
+    explode -> map-side-combined count per (domain, token), then a
+    top-k window per domain; the window input is |domains| x |vocab|
+    grouped rows, never raw tokens. At 100 TB the same call shape
+    swaps in count_min_sketch for the count stage. Output:
+    ``(domain, token, n, rank)``."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.explode(tokens_expr(text_col)).alias("token"),
+        )
+        .groupBy("domain", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

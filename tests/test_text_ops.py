@@ -214,3 +214,71 @@ def test_winnow_overlap_pairs_stop_fingerprint_cap(spark):
     # without the cap the boilerplate links every pair
     allp = winnow_overlap_pairs(df, min_shared=1, max_postings=None).collect()
     assert len(allp) == 10
+
+
+def test_bm25_scores_tiny_corpus(spark):
+    """Hand-checkable BM25: a doc containing the query term twice in
+    a short text outranks a long doc with one occurrence; docs
+    without any query term don't appear."""
+    from bht_etl_app_spark.operators.text import bm25_query_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple pie"),
+            (2, "apple " + "filler " * 30),
+            (3, "no relevant terms here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bm25_query_scores(docs, ["apple"]).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["score"] > rows[2]["score"]
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+
+
+def test_script_mix_counts(spark):
+    from bht_etl_app_spark.operators.text import script_mix
+
+    docs = spark.createDataFrame(
+        [(1, "abc 123 Привет 中文!"), (2, "")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in script_mix(docs).collect()}
+    assert r[1]["n_latin"] == 3
+    assert r[1]["n_digit"] == 3
+    assert r[1]["n_cyrillic"] == 6
+    assert r[1]["n_cjk"] == 2
+    assert r[2]["n_chars"] == 0 and r[2]["frac_latin"] == 0.0
+
+
+def test_domain_heavy_hitters_topk_and_ties(spark):
+    from bht_etl_app_spark.operators.text import domain_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x y z"),
+            (2, "a", "x y"),
+            (3, "b", "q q q"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = domain_heavy_hitters(docs, k=2).collect()
+    got = {(r["domain"], r["rank"]): (r["token"], r["n"]) for r in rows}
+    assert got[("a", 1)] == ("x", 3)
+    assert got[("a", 2)] == ("y", 2)  # tie vs z broken by token asc? y=2 > z=1
+    assert got[("b", 1)] == ("q", 3)
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    """The realized sample is deterministic and lands near the
+    budget; every domain's kept count respects its own rate."""
+    from bht_etl_app_spark.operators.corpus import mixture_sample
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(r["doc_id"] for r in mixture_sample(docs).collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(docs).collect())
+    assert a == b and len(a) > 0
+    n = docs.count()
+    # budget_frac=0.5: within a loose binomial band around half
+    assert 0.3 * n < len(a) < 0.7 * n
