@@ -33,10 +33,9 @@ NESTED_LOOP_OK = {
     "freq_returnflag_weighted",
     "multidim_total_pct",
     "tfidf_top_terms",       # crossJoin(broadcast(1-row corpus count))
+    "bm25_query_scores",     # crossJoin(broadcast(1-row N/avgdl aggregate))
+    "mixture_sample_docs",   # crossJoin(broadcast(1-row normalizer totals))
     "knn_vec0",              # broadcast query-vector literal compare
-    "minhash_lsh_pairs",
-    "image_features_demo",
-    "simhash_docs",
     "vocab_coverage",        # crossJoin(broadcast(1-row corpus total))
     "doc_bigram_surprise",   # crossJoin(broadcast(1-row gram grand total));
                              # verified: the only nested loop in the plan is
