@@ -1816,6 +1816,11 @@ _REVERIFY = {
     "simhash_near_dup": 3,
     "dedup_corpus_survivors": 3,
     "knn_label_votes": 3,
+    # r4: stop-shingle cap wired into the contract (values unchanged
+    # at fixture SFs — max shingle df there is 25 — but the plan
+    # changed, so re-verify)
+    "near_dup_jaccard": 3,
+    "near_dup_clusters": 3,
 }
 
 

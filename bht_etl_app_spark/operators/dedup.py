@@ -624,6 +624,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     document gets the MINIMUM id reachable through pair edges as its
@@ -633,10 +634,19 @@ def dedup_clusters(
     Iterative min-label propagation: each round joins current labels
     across edges and keeps the smaller; converges in O(diameter)
     rounds (near-dup clusters are small and dense, so a handful).
-    Each round is one shuffled join + aggregate — the standard Spark
-    formulation of an algorithm SQL cannot express (hence rows-only in
-    the contract). AQE handles the shrinking frontier; ``max_iter``
-    bounds the worst case.
+    Each round is one shuffled join + aggregate. AQE handles the
+    shrinking frontier; ``max_iter`` bounds the worst case.
+
+    Small-graph fast path (r4): a near-dup edge set is usually a tiny
+    fraction of the corpus — often thousands of edges from millions
+    of docs — and below ``driver_edge_threshold`` edges the graph is
+    MODEL-PARAMETER-SIZED (same class as k-means centroids), while
+    each distributed round still pays fixed plan-analysis + job
+    overhead. Such graphs are solved with driver-side union-find
+    (identical min-label output, microseconds) after the edges are
+    materialized anyway for the loop; the distributed iteration is
+    the ≥ threshold path. Pass ``driver_edge_threshold=0`` to force
+    the distributed loop.
 
     Output: ``(doc_id, cluster_id)`` for every id appearing in pairs.
 
@@ -686,6 +696,40 @@ def dedup_clusters(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         # materialized once: every round re-joins the edge set
     )
+    if driver_edge_threshold and edges.count() <= driver_edge_threshold:
+        # parameter-sized graph: solve with union-find on the driver
+        # (bounded by the explicit threshold; identical output)
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in comp_min or node < comp_min[root]:
+                comp_min[root] = node
+        id_type = dict(pairs.dtypes)[id_a]
+        out = spark.createDataFrame(
+            [(node, comp_min[find(node)]) for node in sorted(parent)],
+            f"doc_id {id_type}, cluster_id {id_type}",
+        )
+        unpersist_rdd_ids(sc, edge_ids)
+        return out
+
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )

@@ -216,3 +216,22 @@ def test_embedding_lsh_pairs_subset_and_near_dup_recall(spark):
     assert set(lsh) <= set(exact)          # never invents a pair
     assert (0, 1) in lsh                   # planted near-identical pair found
     assert lsh[(0, 1)] == exact[(0, 1)]    # verify stage is the exact cosine
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    """The r4 small-graph union-find fast path must produce exactly
+    the distributed min-label iteration's output (same components,
+    same min-id cluster representatives)."""
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    # two chains, a triangle, and an isolated pair
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
+    slow = sorted(
+        tuple(r)
+        for r in dedup_clusters(pairs, driver_edge_threshold=0).collect()
+    )
+    assert fast == slow
+    got = dict(fast)
+    assert got[3] == 1 and got[11] == 10 and got[22] == 20 and got[31] == 30
