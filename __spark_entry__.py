@@ -417,6 +417,105 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _q_near_dup_incremental(spark, sf_dir):
+    """Incremental near-dup probe (r4): the doc_id%3==0 slice plays
+    the stored corpus, the rest the incoming batch; hits against
+    history and within the batch, exact-Jaccard verified."""
+    from bht_etl_app_spark.operators.dedup import near_dup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_incremental(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        threshold=0.5,
+    )
+
+
+def _near_dup_incremental_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror of the incremental MinHash probe: the shared
+    portable signature family over BOTH partitions, band-key
+    candidates new×history plus new×new (doc_id > matched_id), exact
+    Jaccard on candidate shingle sets."""
+    from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    def mix(k: int) -> str:
+        rot, c_signed = minhash_mix_params(k)
+        c_unsigned = c_signed % (1 << 64)
+        rotated = (
+            f"(CAST((CAST(u AS HUGEINT) * {1 << (64 - rot)}) % "
+            f"18446744073709551616 AS UBIGINT) + (u >> {rot}))"
+        )
+        mixed = f"xor({rotated}, {c_unsigned}::UBIGINT)"
+        return (
+            f"MIN(CAST(CASE WHEN {mixed} >= 9223372036854775808::UBIGINT "
+            f"THEN CAST({mixed} AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST({mixed} AS HUGEINT) END AS BIGINT)) AS s{k}"
+        )
+
+    sig_cols = ",\n         ".join(mix(k) for k in range(16))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, part, {b} AS band, "
+        f"concat_ws('|', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}) AS bh"
+        " FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH parts AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'history' ELSE 'new' END AS part
+  FROM documents
+),
+itoks AS (
+  SELECT doc_id, part,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM parts
+),
+ish AS (
+  SELECT doc_id, part,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM itoks
+),
+hs AS (
+  SELECT doc_id, part, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+  FROM (SELECT doc_id, part, unnest(shingles) AS s
+        FROM ish WHERE len(shingles) > 0)
+),
+sig AS (
+  SELECT doc_id, any_value(part) AS part,
+         {sig_cols}
+  FROM hs GROUP BY doc_id
+),
+bandk AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS matched_id,
+                  'history' AS side
+  FROM bandk x JOIN bandk y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.part = 'new' AND y.part = 'history'
+  UNION
+  SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+  FROM bandk x JOIN bandk y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.part = 'new' AND y.part = 'new' AND x.doc_id > y.doc_id
+)
+SELECT doc_id, matched_id, side, jaccard FROM (
+  SELECT cand.doc_id, cand.matched_id, cand.side,
+         round(len(list_intersect(sa.shingles, sb.shingles)) /
+               CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand
+  JOIN ish sa ON sa.doc_id = cand.doc_id
+  JOIN ish sb ON sb.doc_id = cand.matched_id
+) WHERE jaccard >= {threshold}
+"""
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 retrieval scoring (r4): top-20 docs for a fixed
     three-term query; posting volume bounded by query-term df."""
@@ -1711,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_survivors": _q_semantic_dedup,
         # r4 additions: retrieval scoring, script mix, heavy hitters,
         # mixture realization
+        "near_dup_incremental_docs": _q_near_dup_incremental,
         "bm25_query_scores": _q_bm25,
         "doc_script_mix": _q_script_mix,
         "domain_heavy_hitters": _q_heavy_hitters,
@@ -2556,6 +2656,7 @@ SELECT vec_id, cosine FROM (
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
+        "near_dup_incremental_docs": _near_dup_incremental_oracle_sql(),
         "bm25_query_scores": BM25_QUERY_SCORES_SQL,
         "doc_script_mix": _script_mix_oracle_sql(),
         "domain_heavy_hitters": DOMAIN_HEAVY_HITTERS_SQL,

@@ -67,6 +67,7 @@ HEADLINE = [
     "domain_mixture",
     "doc_filter_decisions",
     "dedup_incremental_docs",
+    "near_dup_incremental_docs",
     "domain_token_sketch",
     "doc_span_dedup",
     "doc_bloom_decontaminate",

@@ -277,6 +277,42 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded MinHash signatures ``(id, band, bh)`` — the LSH index
+    rows. Band key = the raw signature slice (portable — tuple
+    equality needs no engine-specific hash). This IS the thing an
+    incremental pipeline stores: an append-only banded-signature
+    table partitioned by (band, bh-prefix), so each new batch probes
+    the store with a plain equi-join."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -296,28 +332,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    # band key = the raw sig slice itself (portable —
-                    # tuple equality needs no engine-specific hash)
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("sig")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
     # persist the banded signatures: the self-join below references the
     # pipeline twice and Catalyst does NOT reuse the exchange across
     # the two aliased sides, so without this the tokenize->shingle->
@@ -820,3 +835,88 @@ def dedup_corpus(
     # the result plan reads `clusters`' checkpoint blocks — own its
     # lifetime so the parent's GC finalizer can't free them early
     return carry(survivors.join(drop, id_col, "left_anti"), clusters)
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash near-dup check of a NEW batch against a
+    historical corpus — the near-dup twin of :func:`dedup_incremental`
+    (exact fingerprints), closing the continuously-ingesting-corpus
+    loop: batch N+1 probes the store, it never re-pairs the store
+    against itself.
+
+    Output: one row per verified near-dup hit —
+    ``(doc_id, matched_id, side, jaccard)`` with ``side`` ``'history'``
+    or ``'batch'`` (in-batch hits keep ``doc_id > matched_id`` so the
+    min-id representative of each in-batch group is never reported as
+    a duplicate). Keep-policy (drop-all-hits vs keep-representative)
+    stays with the caller, as in ``dedup_incremental``.
+
+    Scale shape: in production the history side of the band join is
+    the STORED banded-signature table (:func:`minhash_bands` output,
+    partitioned by band/bh — here recomputed from ``history_docs``
+    for a self-contained check); candidates are two plain equi-joins
+    (new×store, new×new) whose volume is band-bucket-bounded; exact
+    verification shingles ONLY candidate docs (semi-join first). The
+    expensive pass over history text happens solely for verified-
+    candidate ids.
+    """
+    from pyspark import StorageLevel
+
+    nb = minhash_bands(new_docs, text_col, id_col, n, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hb = minhash_bands(history_docs, text_col, id_col, n, num_hashes, bands)
+    cand_hist = (
+        nb.alias("x")
+        .join(hb.alias("y"), ["band", "bh"])
+        .select(
+            F.col("x.id").alias("doc_id"),
+            F.col("y.id").alias("matched_id"),
+            F.lit("history").alias("side"),
+        )
+    )
+    cand_batch = (
+        nb.alias("x")
+        .join(nb.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") > F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_id"),
+            F.col("y.id").alias("matched_id"),
+            F.lit("batch").alias("side"),
+        )
+    )
+    cand = cand_hist.unionByName(cand_batch).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def _cand_shingles(src: DataFrame, key: str) -> DataFrame:
+        ids = cand.select(F.col(key).alias(id_col)).distinct()
+        return _shingled(
+            src.join(ids, id_col, "left_semi"), text_col, id_col, n, "sh"
+        ).withColumnRenamed(id_col, key).withColumnRenamed("sh", f"sh_{key}")
+
+    new_sh = _cand_shingles(new_docs, "doc_id")
+    matched_sh = _cand_shingles(
+        new_docs.unionByName(history_docs), "matched_id"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_doc_id", "sh_matched_id"))
+        / F.size(F.array_union("sh_doc_id", "sh_matched_id")).cast("double"),
+        6,
+    )
+    out = (
+        cand.join(new_sh, "doc_id")
+        .join(matched_sh, "matched_id")
+        .select("doc_id", "matched_id", "side", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return track_persisted(out, nb, cand)

@@ -235,3 +235,31 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     assert fast == slow
     got = dict(fast)
     assert got[3] == 1 and got[11] == 10 and got[22] == 20 and got[31] == 30
+
+
+def test_near_dup_incremental_hits_and_sides(spark):
+    """Hits against history carry side='history'; in-batch hits keep
+    doc_id > matched_id so each in-batch group's min id is never
+    reported; unrelated docs produce no rows."""
+    from bht_etl_app_spark.operators.dedup import near_dup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [(100, base), (101, "completely different historical text body here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                       # dup of history 100
+            (2, base + " extra"),            # near-dup of history + of 1
+            (3, "nothing like the others at all in any way whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = near_dup_incremental(new, hist, threshold=0.5).collect()
+    got = {(r["doc_id"], r["matched_id"], r["side"]) for r in rows}
+    assert (1, 100, "history") in got
+    assert (2, 100, "history") in got
+    assert (2, 1, "batch") in got
+    assert not any(r["doc_id"] == 3 for r in rows)
+    assert all(r["side"] != "batch" or r["doc_id"] > r["matched_id"] for r in rows)

@@ -27,6 +27,12 @@ def _emb(spark):
 
 
 CASES = {
+    "near_dup_incremental": lambda spark: __import__(
+        "bht_etl_app_spark.operators.dedup", fromlist=["x"]
+    ).near_dup_incremental(
+        _docs(spark).where("doc_id % 3 != 0"),
+        _docs(spark).where("doc_id % 3 = 0"),
+    ),
     "ngram_jaccard_pairs": lambda spark: __import__(
         "bht_etl_app_spark.operators.dedup", fromlist=["x"]
     ).ngram_jaccard_pairs(_docs(spark)),
