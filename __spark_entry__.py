@@ -417,6 +417,73 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _bloom_decontaminate_oracle_sql(
+    n: int = 5, m_bits: int = 1 << 20, k_hashes: int = 4
+) -> str:
+    """DuckDB mirror of the Bloom decontamination pass (promoted from
+    rows-only in r4): the portable md5+rotate-xor positions masked to
+    the power-of-two m reproduce the EXACT bitmap — so the oracle
+    verifies not just the no-false-negative contract but the precise
+    false-positive set the filter would flag at this size."""
+    from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    def mix(i: int) -> str:
+        rot, c_signed = minhash_mix_params(i)
+        c_unsigned = c_signed % (1 << 64)
+        rotated = (
+            f"(CAST((CAST(u AS HUGEINT) * {1 << (64 - rot)}) % "
+            f"18446744073709551616 AS UBIGINT) + (u >> {rot}))"
+        )
+        return f"CAST(xor({rotated}, {c_unsigned}::UBIGINT) & {m_bits - 1} AS BIGINT)"
+
+    probe_cols = ", ".join(f"{mix(i)} AS p{i}" for i in range(k_hashes))
+    punion = " UNION ALL ".join(
+        f"SELECT p{i} AS p FROM evp" for i in range(k_hashes)
+    )
+    tpos = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, g, {i} AS i, p{i} AS p FROM tgp"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH btoks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bgrams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - {n} + 2),
+                i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))) AS g
+  FROM btoks WHERE len(t) >= {n}
+),
+ev AS (SELECT DISTINCT g FROM bgrams WHERE source = 'src0'),
+evp AS (
+  SELECT {probe_cols}
+  FROM (SELECT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS u FROM ev)
+),
+pos AS (SELECT DISTINCT p FROM ({punion})),
+tg AS (SELECT DISTINCT doc_id, g FROM bgrams WHERE source <> 'src0'),
+tgp AS (
+  SELECT doc_id, g, {probe_cols}
+  FROM (SELECT doc_id, g, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS u FROM tg)
+),
+tpos AS (
+{tpos}
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, g, count(DISTINCT i) AS kk
+    FROM tpos JOIN pos USING (p)
+    GROUP BY doc_id, g
+  ) WHERE kk = {k_hashes}
+)
+SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM btoks WHERE source <> 'src0') t
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _q_near_dup_incremental(spark, sf_dir):
     """Incremental near-dup probe (r4): the doc_id%3==0 slice plays
     the stored corpus, the rest the incoming batch; hits against
@@ -1759,11 +1826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda s, d: chunk_documents(
             load_table(s, d, "documents"), max_tokens=32, stride=16
         ),
-        "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
-            load_table(s, d, "documents").where(F.col("source") != "src0"),
-            load_table(s, d, "documents").where(F.col("source") == "src0"),
-            n=5,
-        ),
         "doc_span_dedup": lambda s, d: dedup_spans(
             load_table(s, d, "documents"), max_tokens=4
         ),
@@ -1808,6 +1870,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
+        "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
+            load_table(s, d, "documents").where(F.col("source") != "src0"),
+            load_table(s, d, "documents").where(F.col("source") == "src0"),
+            n=5,
+        ),
         # r4 additions: retrieval scoring, script mix, heavy hitters,
         # mixture realization
         "near_dup_incremental_docs": _q_near_dup_incremental,
@@ -2657,6 +2724,7 @@ SELECT vec_id, cosine FROM (
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
         "near_dup_incremental_docs": _near_dup_incremental_oracle_sql(),
+        "doc_bloom_decontaminate": _bloom_decontaminate_oracle_sql(),
         "bm25_query_scores": BM25_QUERY_SCORES_SQL,
         "doc_script_mix": _script_mix_oracle_sql(),
         "domain_heavy_hitters": DOMAIN_HEAVY_HITTERS_SQL,

@@ -101,9 +101,11 @@ def bloom_decontaminate(
     Scale shape (the whole point):
 
     1. filter build is benchmark-sized: eval n-grams hash to ``k``
-       bit positions (``xxhash64(i, gram) mod m``); the DISTINCT
-       position set (bounded by k × benchmark grams) is the only
-       collect, and the driver assembles the bitmap —
+       bit positions (the portable md5+rotate-xor family shared with
+       MinHash, masked to the power-of-two ``m_bits`` — so the DuckDB
+       oracle reproduces the EXACT bitmap, false positives included);
+       the DISTINCT position set (bounded by k × benchmark grams) is
+       the only collect, and the driver assembles the bitmap —
        model-parameter-sized, like k-means centroids;
     2. the bitmap rides to executors as a 1-row broadcast DATA array
        (``crossJoin(broadcast(...))``) — deliberately NOT a SQL
@@ -117,6 +119,19 @@ def bloom_decontaminate(
        positions — ZERO shuffle of anything corpus-sized, unlike the
        exact path's hit-distinct + flag join. One scan at scan speed.
     """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    from bht_etl_app_spark.operators.dedup import md5_long_expr, minhash_mix_params
+
+    def _mix(h, i):
+        rot, c = minhash_mix_params(i)
+        return (
+            F.shiftrightunsigned(h, rot)
+            .bitwiseOR(F.shiftleft(h, 64 - rot))
+            .bitwiseXOR(F.lit(c))
+            .bitwiseAND(F.lit(m_bits - 1))
+        )
+
     ev_grams = (
         ensure_min_parallelism(eval_df)
         .select(tokens_expr(text_col).alias("__toks__"))
@@ -124,41 +139,61 @@ def bloom_decontaminate(
         .distinct()
     )
     pos_rows = (
-        ev_grams.select(
+        ev_grams.select(md5_long_expr(F.col("__g__")).alias("__h__"))
+        .select(
             F.explode(
-                F.array(*[
-                    F.pmod(F.xxhash64(F.lit(i), F.col("__g__")), F.lit(m_bits))
-                    for i in range(k_hashes)
-                ])
+                F.array(*[_mix(F.col("__h__"), i) for i in range(k_hashes)])
             ).alias("__p__")
         )
         .distinct()
         .collect()
     )
-    bitmap = [False] * m_bits
+    # packed-long bitmap: m/64 words instead of m booleans — 8x less
+    # broadcast payload and ~60x less driver->JVM serialization than
+    # the boolean-array form (measured: the 1M-element python list was
+    # the dominant fixed cost of the whole operator)
+    words = [0] * (m_bits >> 6)
     for r in pos_rows:
-        bitmap[int(r["__p__"])] = True
+        pp = int(r["__p__"])
+        words[pp >> 6] |= 1 << (pp & 63)
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
     spark = train.sparkSession
-    bloom = spark.createDataFrame([(bitmap,)], "__bloom__ array<boolean>")
+    bloom = spark.createDataFrame([(words,)], "__bloom__ array<long>")
 
     tr = (
         ensure_min_parallelism(train)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
+        # gram construction and per-gram base hash live in ONE
+        # projection: a separate alias hop for the gram array lets
+        # CollapseProject inline the tokenize into the gram lambdas
+        # (the shingles_expr trap — measured ~8x here), while the md5
+        # transform over the inline gram expression still hashes each
+        # gram exactly once; the k probe mixes below are cheap bit ops
         .select(
             F.col(id_col),
-            F.array_distinct(ngrams_expr("__toks__", n)).alias("__grams__"),
+            F.transform(
+                F.array_distinct(ngrams_expr("__toks__", n)), md5_long_expr
+            ).alias("__ghs__"),
         )
     )
-    def _gram_hit(g):
+
+    def _gram_hit(h):
         # k is a static Python int: unroll the probe conjunction into a
         # plain expression tree — a nested aggregate(sequence(...))
         # would add a second interpreted-HOF level per gram (measured
         # ~2.5x slower; interpreted lambdas have no codegen)
         acc = None
         for i in range(k_hashes):
-            bit = F.element_at(
+            pos = _mix(h, i)
+            word = F.element_at(
                 F.col("__bloom__"),
-                F.pmod(F.xxhash64(F.lit(i), g), F.lit(m_bits)).cast("int") + 1,
+                F.call_function("shiftright", pos, F.lit(6)).cast("int") + 1,
+            )
+            bit = (
+                F.call_function(
+                    "shiftright", word, pos.bitwiseAND(F.lit(63)).cast("int")
+                ).bitwiseAND(F.lit(1))
+                == 1
             )
             acc = bit if acc is None else acc & bit
         return acc
@@ -167,7 +202,7 @@ def bloom_decontaminate(
         tr.crossJoin(F.broadcast(bloom))
         .select(
             F.col(id_col),
-            F.exists(F.col("__grams__"), _gram_hit).alias("contaminated"),
+            F.exists(F.col("__ghs__"), _gram_hit).alias("contaminated"),
         )
     )
 

@@ -241,7 +241,15 @@ def test_bucketed_rankings_invariant_under_parallelism(spark):
         out = {}
         for n in ("7", "64"):
             spark.conf.set("spark.sql.shuffle.partitions", n)
-            for name in ("order_price_deciles", "training_order_docs"):
+            for name in (
+                "order_price_deciles",
+                "training_order_docs",
+                # r4 promotions whose oracles depend on quantized float
+                # reductions — outputs must not shift with parallelism
+                "kmeans_cluster_sizes",
+                "mixture_sample_docs",
+                "bm25_query_scores",
+            ):
                 rows = sorted(tuple(r) for r in qs[name](spark, SF).collect())
                 out.setdefault(name, []).append(rows)
         for name, results in out.items():
