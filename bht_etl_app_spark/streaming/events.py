@@ -398,3 +398,76 @@ def ingest_corpus_batch(
         .partitionBy("batch_id", "source")
         .parquet(out_path)
     )
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    n: int = 3,
+):
+    """Continuously ingest documents while near-dup-deduplicating
+    against everything kept so far — the streaming composition of
+    :func:`~bht_etl_app_spark.operators.dedup.near_dup_incremental`:
+    each micro-batch probes the accumulated store (banded MinHash
+    equi-joins + exact-Jaccard verify), drops every doc with a
+    verified hit (against history, or against a smaller-id batch
+    sibling — so each in-batch group keeps its min-id
+    representative), and lands the survivors.
+
+    Exactly-once like :func:`streaming_corpus_ingest`: survivors are
+    partitioned by ``batch_id`` and written with dynamic partition
+    overwrite, so a replayed batch rewrites its own partition. The
+    store read per batch is the shard output itself; at scale the
+    probe side would read the PERSISTED band index
+    (``minhash_bands`` output, partitioned by band) instead of
+    re-banding history — same join, precomputed left side.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(batch_df, batch_id, out_path, threshold=threshold, n=n)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> None:
+    """One micro-batch of :func:`streaming_dedup_ingest`, exposed for
+    replay-idempotency testing (same contract as
+    :func:`ingest_corpus_batch`)."""
+    import os
+
+    from bht_etl_app_spark.operators.dedup import near_dup_incremental
+
+    spark = batch_df.sparkSession
+    cols = [c for c in batch_df.columns]
+    if os.path.exists(out_path):
+        # exclude this batch's own partition: a replay must probe the
+        # store as it was BEFORE the failed attempt, not against the
+        # partial rows that attempt may have landed
+        history = spark.read.parquet(out_path).where(
+            F.col("batch_id") != batch_id
+        ).select(*cols)
+    else:
+        history = spark.createDataFrame([], batch_df.schema)
+    hits = near_dup_incremental(batch_df, history, threshold=threshold, n=n)
+    drop = hits.select("doc_id").distinct()
+    kept = batch_df.join(drop, "doc_id", "left_anti")
+    (
+        kept.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )

@@ -309,3 +309,54 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).where(F.col("batch_id") == 1).collect()
     }
     assert got1 == {r["doc_id"] for r in keep1.collect()}
+
+
+def test_streaming_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
+    """Continuous near-dup dedup: batch 2's dups of batch 1 survivors
+    are dropped, in-batch groups keep their min id, and a replayed
+    batch leaves the store unchanged."""
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.streaming.events import (
+        ingest_dedup_batch,
+        read_document_stream,
+        streaming_dedup_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "entirely different content with no overlapping shingles anywhere"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, base + " tail", "en", "s", 1),
+         (3, other, "en", "s", 1)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, base, "en", "s", 1),               # dup of kept doc 1
+         (11, "fresh unseen totally new words only here", "en", "s", 1)],
+        schema,
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    b0.coalesce(1).write.parquet(str(land / "d0"))
+    b1.coalesce(1).write.parquet(str(land / "d1"))
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(sorted(land.iterdir())):
+        for f in sub.glob("*.parquet"):
+            shutil.copy(f, flat / f"drop{i}.parquet")
+
+    out, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = streaming_dedup_ingest(read_document_stream(spark, str(flat)), out, ckpt)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # batch 0: 1 kept (min of {1,2}), 3 kept; batch 1: 10 dropped
+    # (near-dup of stored 1), 11 kept
+    assert kept == {1, 3, 11}
+
+    # replay the last batch directly: store unchanged
+    ingest_dedup_batch(b1, 1, out)
+    again = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert again == kept
