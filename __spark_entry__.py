@@ -1988,6 +1988,26 @@ _REVERIFY = {
     # changed, so re-verify)
     "near_dup_jaccard": 3,
     "near_dup_clusters": 3,
+    # r4 file churn: dedup.py/text.py/corpus.py/similarity.py changed
+    # again this round (lifecycle tracking, portable hashes, bloom
+    # rework) — front-load their r3-green keys up to the 50-key
+    # driver-window budget (16 free slots after the semantic changes)
+    "ann_knn_join": 3,
+    "embedding_quantized": 3,
+    "knn_vec0_quantized": 3,
+    "doc_span_dedup": 3,
+    "doc_upsert_snapshot": 3,
+    "tfidf_top_terms": 3,
+    "doc_bigram_surprise": 3,
+    "winnow_overlap_pairs": 3,
+    "doc_repetition": 3,
+    "doc_char_entropy": 3,
+    "doc_scrubbed": 3,
+    "doc_token_stats": 3,
+    "doc_quality_scores": 3,
+    "doc_lang_id": 3,
+    "dedup_exact_docs": 3,
+    "dedup_incremental_docs": 3,
 }
 
 
