@@ -904,9 +904,12 @@ def near_dup_incremental(
             src.join(ids, id_col, "left_semi"), text_col, id_col, n, "sh"
         ).withColumnRenamed(id_col, key).withColumnRenamed("sh", f"sh_{key}")
 
-    new_sh = _cand_shingles(new_docs, "doc_id")
+    # union only the columns the verify needs — history stores often
+    # carry extra metadata columns the batch doesn't have
+    slim = lambda d: d.select(F.col(id_col), F.col(text_col))  # noqa: E731
+    new_sh = _cand_shingles(slim(new_docs), "doc_id")
     matched_sh = _cand_shingles(
-        new_docs.unionByName(history_docs), "matched_id"
+        slim(new_docs).unionByName(slim(history_docs)), "matched_id"
     )
     jac = F.round(
         F.size(F.array_intersect("sh_doc_id", "sh_matched_id"))
