@@ -583,6 +583,101 @@ SELECT doc_id, matched_id, side, jaccard FROM (
 """
 
 
+def _q_lang_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility report (r4): exact integer
+    corpus sums -> ratios, one grouped aggregation."""
+    from bht_etl_app_spark.operators.text import lang_token_fertility
+
+    return lang_token_fertility(load_table(spark, sf_dir, "documents"))
+
+
+LANG_TOKEN_FERTILITY_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS bpe,
+         CAST(length(text) AS BIGINT) AS ch
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(bpe) AS bpe_t, sum(ws) AS ws_t, sum(ch) AS ch_t
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs, CAST(bpe_t AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN bpe_t > 0
+            THEN round_even(ch_t / CAST(bpe_t AS DOUBLE), 6) ELSE 0.0
+       END AS chars_per_token,
+       CASE WHEN ws_t > 0
+            THEN round_even(bpe_t / CAST(ws_t AS DOUBLE), 6) ELSE 0.0
+       END AS bpe_per_ws
+FROM agg
+"""
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Snapshot delta report (r4): the doc_id%4 slice plays the old
+    snapshot, doc_id%5 the new one, with every doc_id%7 doc's text
+    'edited' — exercising all four statuses deterministically."""
+    from bht_etl_app_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id AS id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS ofp
+  FROM documents WHERE doc_id % 4 <> 0
+),
+n AS (
+  SELECT doc_id AS id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+           '\\s+', ' ', 'g')))) AS nfp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN ofp IS NULL THEN 'added'
+              WHEN nfp IS NULL THEN 'removed'
+              WHEN ofp = nfp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n USING (id)
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_source_dedup_rates(spark, sf_dir):
+    """Per-source duplicate-rate report (r4): docs vs distinct
+    content fingerprints per source."""
+    from bht_etl_app_spark.operators.corpus import source_dedup_rates
+
+    return source_dedup_rates(load_table(spark, sf_dir, "documents"))
+
+
+SOURCE_DEDUP_RATES_SQL = """
+SELECT source, n_docs, n_unique,
+       round_even(1.0 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT
+              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+              AS BIGINT) AS n_unique
+  FROM documents GROUP BY 1
+) ORDER BY source
+"""
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 retrieval scoring (r4): top-20 docs for a fixed
     three-term query; posting volume bounded by query-term df."""
@@ -1882,6 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_mix": _q_script_mix,
         "domain_heavy_hitters": _q_heavy_hitters,
         "mixture_sample_docs": _q_mixture_sample,
+        "lang_token_fertility": _q_lang_fertility,
+        "corpus_snapshot_diff": _q_snapshot_diff,
+        "source_dedup_rates": _q_source_dedup_rates,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -2749,6 +2847,9 @@ SELECT vec_id, cosine FROM (
         "doc_script_mix": _script_mix_oracle_sql(),
         "domain_heavy_hitters": DOMAIN_HEAVY_HITTERS_SQL,
         "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
+        "lang_token_fertility": LANG_TOKEN_FERTILITY_SQL,
+        "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+        "source_dedup_rates": SOURCE_DEDUP_RATES_SQL,
         "winnow_overlap_pairs": """
 WITH fps AS (
 SELECT doc_id, unnest(list_distinct(sel)) AS fp

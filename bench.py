@@ -86,6 +86,8 @@ HEADLINE = [
     "doc_script_mix",
     "domain_heavy_hitters",
     "mixture_sample_docs",
+    "lang_token_fertility",
+    "source_dedup_rates",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

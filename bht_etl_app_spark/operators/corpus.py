@@ -675,3 +675,74 @@ def mixture_sample(
         .where(u32 < thr)
         .select(id_col, "domain", F.bround("rate", 6).alias("rate"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot delta report: per-status doc counts between
+    two versions — ``added`` (id only in new), ``removed`` (only in
+    old), ``changed`` (both, different content fingerprint),
+    ``unchanged``. The ops-level answer to "what did this refresh
+    actually do" before expensive reprocessing is triggered on the
+    whole corpus. Both sides reduce to ``(id, md5 fingerprint)``
+    before the full-outer join — document text never shuffles.
+    Output: ``(status, n_docs)`` ordered by status."""
+    from bht_etl_app_spark.operators.dedup import _norm_text
+
+    o = ensure_min_parallelism(old).select(
+        F.col(id_col).alias("id"), F.md5(_norm_text(text_col)).alias("__ofp__")
+    )
+    nw = ensure_min_parallelism(new).select(
+        F.col(id_col).alias("id"), F.md5(_norm_text(text_col)).alias("__nfp__")
+    )
+    status = (
+        F.when(F.col("__ofp__").isNull(), F.lit("added"))
+        .when(F.col("__nfp__").isNull(), F.lit("removed"))
+        .when(F.col("__ofp__") == F.col("__nfp__"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(nw, "id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+def source_dedup_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source exact-duplicate rates — the crawl-quality report
+    that decides which sources get a heavier dedup pass: docs,
+    distinct content fingerprints, and the duplicate share. One
+    grouped aggregation over ``(source, fp)`` pairs; text never
+    shuffles. Output: ``(source, n_docs, n_unique, dup_rate)``."""
+    from bht_etl_app_spark.operators.dedup import _norm_text
+
+    fp = ensure_min_parallelism(df).select(
+        F.col(source_col).alias("source"), F.md5(_norm_text(text_col)).alias("fp")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.bround(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -711,3 +711,47 @@ def domain_heavy_hitters(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def lang_token_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility diagnostics per language: mean characters
+    per BPE-ish token and BPE tokens per whitespace token — the
+    numbers that drive tokenizer choice for a multilingual corpus
+    (scripts without spaces inflate bpe/ws; byte-heavy scripts
+    deflate chars/token). Ratios are computed from integer corpus
+    sums (one grouped aggregation), so they are exact and
+    engine-portable. Output:
+    ``(lang, n_docs, n_bpe_tokens, chars_per_token, bpe_per_ws)``."""
+    per = ensure_min_parallelism(df).select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens_expr(text_col, lowercase=False)).cast("long").alias("__ws__"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).cast("long").alias("__bpe__"),
+        F.length(text_col).cast("long").alias("__ch__"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__bpe__").alias("__bpe_t__"),
+        F.sum("__ws__").alias("__ws_t__"),
+        F.sum("__ch__").alias("__ch_t__"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("__bpe_t__").cast("long").alias("n_bpe_tokens"),
+        F.when(
+            F.col("__bpe_t__") > 0,
+            F.bround(F.col("__ch_t__") / F.col("__bpe_t__").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("chars_per_token"),
+        F.when(
+            F.col("__ws_t__") > 0,
+            F.bround(F.col("__bpe_t__") / F.col("__ws_t__").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("bpe_per_ws"),
+    )

@@ -294,3 +294,33 @@ def test_upsert_latest_merge_semantics(spark):
 
     with pytest.raises(ValueError, match="schema mismatch"):
         upsert_latest(cur, upd.drop("version"))
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from bht_etl_app_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same  text"),      # whitespace-normalized -> unchanged
+         (2, "changed now"),
+         (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    got = {r["status"]: r["n_docs"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_source_dedup_rates_counts(spark):
+    from bht_etl_app_spark.operators.corpus import source_dedup_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "z")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: (r["n_docs"], r["n_unique"], r["dup_rate"])
+           for r in source_dedup_rates(docs).collect()}
+    assert got["a"] == (3, 2, round(1 - 2 / 3, 6))
+    assert got["b"] == (1, 1, 0.0)
