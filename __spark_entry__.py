@@ -2028,6 +2028,7 @@ def _driver_verified_keys() -> set[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
     any_file = False
+    _CURRENT_ORACLE_KEYS = set(oracle_sql())
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -2040,7 +2041,20 @@ def _driver_verified_keys() -> set[str]:
         for name, r in rows.items():
             if _REVERIFY.get(name, 0) >= rnd:
                 continue  # green row predates the implementation change
-            if not isinstance(r, dict) or r.get("err"):
+            if not isinstance(r, dict):
+                continue
+            if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                # a recorded rows-only run counts as verified ONLY for
+                # keys that are STILL rows-only: the driver's weak
+                # check is all they can ever get, and treating it as
+                # never-verified would pin every rows-only key into
+                # the 50-key window forever, starving real
+                # re-verification. A key promoted to oracle since
+                # ignores these rows and front-loads for a full check.
+                if name not in _CURRENT_ORACLE_KEYS:
+                    green.add(name)
+                continue
+            if r.get("err"):
                 continue
             if r.get("rows_match") and (
                 r.get("hash_match", True) or r.get("schema_match") is None
@@ -2106,6 +2120,7 @@ _REVERIFY = {
     "doc_lang_id": 3,
     "dedup_exact_docs": 3,
     "dedup_incremental_docs": 3,
+    "doc_fingerprint": 3,
 }
 
 
