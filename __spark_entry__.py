@@ -484,6 +484,42 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _q_near_dup_store_probe(spark, sf_dir):
+    """The incremental near-dup probe against a PERSISTED band index
+    (r4 VERDICT item #5): the history slice's banded signatures are
+    WRITTEN to a catalog table bucketed on (band, bh) —
+    io/layout.py write_band_index — and the probe reads the store
+    (zero Exchange on the store side, pinned in tests/test_layout.py).
+    Same semantics as near_dup_incremental_docs, so the same oracle
+    replays it; stored-vs-recomputed band equality is exactly what
+    the shared green proves."""
+    import re
+    import tempfile
+
+    from bht_etl_app_spark.io.layout import read_band_index, write_band_index
+    from bht_etl_app_spark.operators.dedup import (
+        minhash_bands,
+        near_dup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    table = "band_index_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    write_band_index(
+        minhash_bands(hist, hash_fn="md5"),
+        table,
+        num_buckets=8,
+        path=tempfile.mkdtemp(prefix="bht-band-index-"),
+    )
+    return near_dup_incremental(
+        docs.where(F.col("doc_id") % 3 != 0),
+        hist,
+        threshold=0.5,
+        hash_fn="md5",
+        history_bands=read_band_index(spark, table),
+    )
+
+
 def _q_near_dup_incremental(spark, sf_dir):
     """Incremental near-dup probe (r4): the doc_id%3==0 slice plays
     the stored corpus, the rest the incoming batch; hits against
@@ -495,6 +531,7 @@ def _q_near_dup_incremental(spark, sf_dir):
         docs.where(F.col("doc_id") % 3 != 0),
         docs.where(F.col("doc_id") % 3 == 0),
         threshold=0.5,
+        hash_fn="md5",  # the oracle replays the portable family
     )
 
 
@@ -1165,7 +1202,11 @@ def _ewma(spark, sf_dir):
 def _dedup_corpus(spark, sf_dir):
     from bht_etl_app_spark.operators.dedup import dedup_corpus
 
-    return dedup_corpus(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    # hash_fn="md5": the oracle replays the portable family stage for
+    # stage; production callers keep the xxhash64 default
+    return dedup_corpus(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
+    )
 
 
 def _dedup_corpus_survivors_oracle_sql() -> str:
@@ -1304,10 +1345,26 @@ def _q_sql_interface(spark, sf_dir):
 
 def _q_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5")
+
+
+def _q_minhash_lsh_fast(spark, sf_dir):
+    """xxhash64 production twin of ``minhash_lsh_pairs`` (r4 VERDICT
+    item #3): same banding/verify plan, Spark-only base hash — so
+    rows-only here; pair-set parity with the md5 family is pinned by
+    ``tests/test_dedup.py::test_hash_family_twins_agree``."""
+    docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
 def _q_simhash(spark, sf_dir):
+    return simhash64(load_table(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+def _q_simhash_fast(spark, sf_dir):
+    """xxhash64 production twin of ``simhash_docs`` — rows-only (the
+    signature BITS are engine-specific); near-dup-pair parity with the
+    md5 family is pinned by pytest."""
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
@@ -1960,7 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_sizes": _q_kmeans_sizes,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
-            load_table(s, d, "documents"), max_hamming=3
+            load_table(s, d, "documents"), max_hamming=3, hash_fn="md5"
         ),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1973,6 +2030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 additions: retrieval scoring, script mix, heavy hitters,
         # mixture realization
         "near_dup_incremental_docs": _q_near_dup_incremental,
+        # r5: same probe, but reading the PERSISTED (band, bh)-bucketed
+        # index table instead of re-banding history (VERDICT item #5)
+        "near_dup_store_probe": _q_near_dup_store_probe,
         "bm25_query_scores": _q_bm25,
         "doc_script_mix": _q_script_mix,
         "domain_heavy_hitters": _q_heavy_hitters,
@@ -1990,6 +2050,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vec0_arrow": _q_knn_vec0_arrow,
         "ann_knn_join": _q_ann_knn_join,
         "winnow_fingerprints_fast": _winnow_fast,
+        # r5: xxhash64 production twins of the md5-portable dedup family
+        # (r4 VERDICT item #3 — hashing is a top-3 CPU cost at 100 TB;
+        # the md5 entries above stay the oracle-checked twins)
+        "minhash_lsh_pairs_fast": _q_minhash_lsh_fast,
+        "simhash_docs_fast": _q_simhash_fast,
+        "simhash_near_dup_fast": lambda s, d: simhash_near_dup_pairs(
+            load_table(s, d, "documents"), max_hamming=3
+        ),
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
@@ -2857,6 +2925,9 @@ SELECT vec_id, cosine FROM (
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
         "near_dup_incremental_docs": _near_dup_incremental_oracle_sql(),
+        # the store-probe twin computes the same result through the
+        # persisted index, so the same oracle replays it
+        "near_dup_store_probe": _near_dup_incremental_oracle_sql(),
         "doc_bloom_decontaminate": _bloom_decontaminate_oracle_sql(),
         "bm25_query_scores": BM25_QUERY_SCORES_SQL,
         "doc_script_mix": _script_mix_oracle_sql(),

@@ -132,8 +132,13 @@ def main():
         times[name] = round(time.perf_counter() - t0, 3)
         _ = len(rows)
         # drop per-query persisted intermediates (banded signatures,
-        # gram counts) so cached blocks don't accumulate across the run
+        # gram counts) so cached blocks don't accumulate across the
+        # run; sweep checkpoint blocks too (clearCache doesn't cover
+        # them, and their lifecycle is explicit-release by design)
         spark.catalog.clearCache()
+        from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+
+        sweep_checkpoints(spark.sparkContext)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -20,6 +20,19 @@ then unpersisted
 Both paths are idempotent (``weakref.finalize`` fires at most once).
 No change to result laziness: actions on the result before release
 hit the cache exactly as before.
+
+NON-RECOMPUTABLE blocks (truncated-lineage ``localCheckpoint`` /
+``checkpoint`` RDDs) follow a DIFFERENT contract: they are freed only
+EXPLICITLY — via :func:`release` on the result, or a session-level
+:func:`sweep_checkpoints` — never by a GC finalizer. A GC hook was
+tried (r4) and is a landmine for the public API: in a natural chained
+call like ``dedup_clusters(pairs).groupBy("cluster_id").count()`` the
+intermediate Python object dies mid-expression, the finalizer frees
+the checkpoint blocks the derived plan still reads, and the later
+action fails with "checkpoint block not found" (r4 ADVICE, medium).
+Unreleased final-round blocks are label-table-sized (tiny relative to
+the corpus) and are reclaimed by ``sweep_checkpoints`` between
+pipeline runs or at session end.
 """
 
 from __future__ import annotations
@@ -28,9 +41,15 @@ import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["track_persisted", "release"]
+__all__ = ["track_persisted", "release", "sweep_checkpoints"]
 
 _RELEASE_ATTR = "_bht_persist_finalizer"
+_CKPT_ATTR = "_bht_ckpt_ids"
+
+#: non-recomputable checkpoint RDD ids awaiting explicit release,
+#: keyed by Spark applicationId (a restarted session gets a new id;
+#: stale entries are dropped by sweep_checkpoints' guarded unpersist)
+_CKPT_REGISTRY: dict[str, set[int]] = {}
 
 
 def _unpersist_all(persisted: list[DataFrame]) -> None:
@@ -62,10 +81,43 @@ def track_persisted(result: DataFrame, *persisted: DataFrame) -> DataFrame:
 
 
 def release(df: DataFrame) -> None:
-    """Eagerly unpersist every intermediate tracked against ``df``
-    (no-op for untracked DataFrames; safe to call twice)."""
+    """Eagerly free every block tracked against ``df``: recomputable
+    persisted intermediates (uncached — later actions on ``df``
+    recompute), NON-recomputable checkpoint blocks (caller asserts it
+    is DONE with ``df`` and every frame derived from it — their plans
+    cannot recompute truncated lineage), and, recursively, anything
+    tracked on results this one was :func:`carry`-composed from.
+    No-op for untracked DataFrames; safe to call twice."""
     for fin in getattr(df, _RELEASE_ATTR, []):
         fin()
+    ids = getattr(df, _CKPT_ATTR, None)
+    if ids:
+        sc, id_set = ids
+        unpersist_rdd_ids(sc, id_set)
+        _CKPT_REGISTRY.get(_app_id(sc), set()).difference_update(id_set)
+        setattr(df, _CKPT_ATTR, None)
+    for parent in getattr(df, "_bht_keepalive", []):
+        release(parent)
+
+
+def _app_id(sc) -> str:
+    try:
+        return sc.applicationId
+    except Exception:
+        return "<stopped>"
+
+
+def sweep_checkpoints(sc) -> int:
+    """Free every registered non-recomputable checkpoint block for
+    this SparkContext that was never explicitly released — the
+    session-end / between-pipeline-runs sweep. Returns the number of
+    RDD ids swept. Safe any time the caller knows no live DataFrame
+    still reads unreleased checkpoint blocks (e.g. between bench
+    queries after their results are collected and dropped)."""
+    ids = _CKPT_REGISTRY.pop(_app_id(sc), set())
+    if ids:
+        unpersist_rdd_ids(sc, ids)
+    return len(ids)
 
 
 def persistent_rdd_ids(sc) -> set[int]:
@@ -93,28 +145,36 @@ def unpersist_rdd_ids(sc, ids) -> None:
 
 
 def track_checkpoint_rdds(result: DataFrame, sc, ids) -> DataFrame:
-    """Free checkpointed JVM RDD ids when ``result`` is
-    garbage-collected. ``sc.persistentRdds`` holds checkpointed RDDs
-    STRONGLY, so without this they leak for the life of the session.
+    """Register checkpointed JVM RDD ids for EXPLICIT freeing:
+    :func:`release` on ``result`` (or on a frame that
+    :func:`carry`-owns it), or the session-level
+    :func:`sweep_checkpoints`. ``sc.persistentRdds`` holds
+    checkpointed RDDs STRONGLY, so without one of those they live for
+    the session.
 
-    GC-only on purpose — NOT wired into :func:`release` — because a
-    truncated-lineage RDD cannot recompute: freeing it while the
-    result is still referenced would break later actions, not merely
-    uncache them. Corollary for callers: a DataFrame DERIVED from
-    ``result`` reads the same blocks but does not keep the Python
-    ``result`` object alive — compose with :func:`carry` so the
-    derived frame owns its parent's lifetime.
+    Deliberately NO GC finalizer: a truncated-lineage RDD cannot
+    recompute, and a frame DERIVED from ``result`` reads the same
+    blocks without keeping the Python ``result`` object alive — a GC
+    hook would free the blocks mid-expression in chained calls like
+    ``dedup_clusters(p).groupBy("cluster_id").count()`` and the later
+    action would fail (r4 ADVICE, medium). The cost of the explicit
+    contract is a bounded leak-until-sweep for callers that never
+    release — label-table-sized blocks, reclaimed by the sweep.
     """
     if ids:
-        weakref.finalize(result, unpersist_rdd_ids, sc, set(ids))
+        id_set = set(ids)
+        _CKPT_REGISTRY.setdefault(_app_id(sc), set()).update(id_set)
+        setattr(result, _CKPT_ATTR, (sc, id_set))
     return result
 
 
 def carry(result: DataFrame, *parents: DataFrame) -> DataFrame:
-    """Keep ``parents`` (tracked results this ``result``'s plan was
-    derived from) alive as long as ``result``: their GC finalizers —
-    which may free checkpoint blocks the derived plan still reads —
-    then fire only when ``result`` itself dies."""
+    """Compose lifecycle ownership: ``parents`` (tracked results this
+    ``result``'s plan was derived from) stay alive as long as
+    ``result``, and :func:`release` on ``result`` recursively releases
+    them — so a composition like ``dedup_corpus`` exposes ONE handle
+    whose release frees every stage's blocks, including parents'
+    non-recomputable checkpoint blocks."""
     keep = getattr(result, "_bht_keepalive", None)
     if keep is None:
         keep = []

@@ -72,6 +72,91 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_band_index(
+    bands: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a banded-signature frame (``minhash_bands`` output —
+    ``(id, band, bh)`` plus any batch bookkeeping columns) as THE
+    stored near-dup probe index (r4 VERDICT item #5): a catalog table
+    bucketed AND sorted by the band join key ``(band, bh)``, so an
+    incremental batch probing the store
+    (:func:`~bht_etl_app_spark.operators.dedup.near_dup_incremental`
+    with ``history_bands=read_band_index(...)``) plans the store side
+    of the candidate equi-join with ZERO Exchange — only the (small)
+    new batch shuffles, never the accumulated corpus index. The
+    caller owns hash-family consistency: probe with the same
+    ``hash_fn`` the index was built with.
+
+    ``path`` makes it an external table (storage location decoupled
+    from the session warehouse); bucketing metadata still lives in
+    the catalog — bucketed joins need it.
+    """
+    w = bands.write.mode(mode).bucketBy(num_buckets, "band", "bh").sortBy(
+        "band", "bh"
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_band_index(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def append_band_index(bands: DataFrame, table: str, num_buckets: int = 32) -> None:
+    """Append a new batch's band rows to the stored index. Appends
+    preserve the bucket layout (each append adds one file per
+    populated bucket — run :func:`compact_band_index` periodically;
+    the streaming ingest loop appends every micro-batch)."""
+    (
+        bands.write.mode("append")
+        .bucketBy(num_buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def compact_band_index(
+    spark: SparkSession, table: str, num_buckets: int = 32, path: str | None = None
+) -> int:
+    """Rewrite the band index in place: collapse the per-append file
+    accumulation back to one file per bucket and drop duplicate rows
+    (a replayed streaming batch appends its band rows twice; dupes
+    never change RESULTS — candidate pairs are distinct-ed — only
+    cost). Returns the compacted row count.
+
+    Spark refuses to overwrite a table that is being read, so the
+    deduped rows are materialized first (eager localCheckpoint) and
+    the blocks freed after the rewrite.
+    """
+    from bht_etl_app_spark.functions.lifecycle import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    snap = spark.table(table).distinct().localCheckpoint(eager=True)
+    ids = persistent_rdd_ids(sc) - before
+    try:
+        n = snap.count()
+        # pass `path` to keep an external table external at a NEW
+        # location (overwriting an external table's own directory
+        # in-place is not crash-safe); managed tables rewrite in the
+        # warehouse as before
+        write_band_index(
+            snap, table, num_buckets=num_buckets, mode="overwrite", path=path
+        )
+    finally:
+        unpersist_rdd_ids(sc, ids)
+    return n
+
+
 def compact(
     spark: SparkSession,
     src: str,

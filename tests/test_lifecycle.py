@@ -85,6 +85,85 @@ def test_operator_frees_cached_blocks_on_drop(spark, name):
     assert left == 0, f"{name} leaked {left} cached RDDs"
 
 
+def _pairs(spark):
+    # a chain + an isolated edge: two clusters, known min-labels
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+
+
+def test_chained_call_on_distributed_clusters_is_safe(spark):
+    """The r4 ADVICE landmine: a chained call drops the intermediate
+    Python result mid-expression. With GC-freed checkpoint blocks the
+    later action failed ('checkpoint block not found'); the explicit-
+    release contract must keep the blocks alive until sweep."""
+    from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    spark.catalog.clearCache()
+    gc.collect()
+    sweep_checkpoints(spark.sparkContext)
+
+    rows = (
+        dedup_clusters(_pairs(spark), driver_edge_threshold=0)
+        .groupBy("cluster_id")
+        .count()
+        .orderBy("cluster_id")
+        .collect()
+    )
+    gc.collect()  # the intermediate result object is long dead here
+    assert [(r["cluster_id"], r["count"]) for r in rows] == [(1, 4), (10, 2)]
+    # the final round's non-recomputable blocks are still registered;
+    # the session-level sweep reclaims them
+    assert sweep_checkpoints(spark.sparkContext) > 0
+    assert _n_persistent(spark) == 0
+
+
+def test_release_frees_checkpoint_blocks(spark):
+    """Explicit release() on a distributed dedup_clusters result frees
+    its final-round checkpoint blocks immediately (caller asserts it
+    is done — the result is NOT reusable after, unlike the
+    recomputable-persist tier)."""
+    from bht_etl_app_spark.functions.lifecycle import release, sweep_checkpoints
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    spark.catalog.clearCache()
+    gc.collect()
+    sweep_checkpoints(spark.sparkContext)
+
+    out = dedup_clusters(_pairs(spark), driver_edge_threshold=0)
+    assert out.count() == 6
+    assert _n_persistent(spark) > 0
+    release(out)
+    assert _n_persistent(spark) == 0
+    release(out)  # idempotent
+    # already released -> the sweep has nothing left to free
+    assert sweep_checkpoints(spark.sparkContext) == 0
+
+
+def test_release_traverses_carried_parents(spark):
+    """release() on a carry()-composed result recursively frees the
+    parents' blocks — one handle for a whole composition."""
+    from bht_etl_app_spark.functions.lifecycle import (
+        carry,
+        release,
+        sweep_checkpoints,
+    )
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    spark.catalog.clearCache()
+    gc.collect()
+    sweep_checkpoints(spark.sparkContext)
+
+    clusters = dedup_clusters(_pairs(spark), driver_edge_threshold=0)
+    derived = carry(clusters.where(F.col("doc_id") != F.col("cluster_id")), clusters)
+    assert derived.count() == 4
+    assert _n_persistent(spark) > 0
+    release(derived)
+    assert _n_persistent(spark) == 0
+    assert sweep_checkpoints(spark.sparkContext) == 0
+
+
 def test_release_frees_blocks_while_result_alive(spark):
     """Explicit release(): frees the cache immediately, result stays
     usable (recomputes instead of reading cache)."""

@@ -131,6 +131,40 @@ def test_unpivot_is_shuffle_free(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_bm25_topk_rewritten_to_take_ordered(spark):
+    """bm25_query_scores' scale safety hangs on Catalyst's
+    limit-pushdown-through-window: the global top-k filter adjacent to
+    the rank window must compile to TakeOrderedAndProject(limit=k)
+    FEEDING the window, so the single-partition rank sees k rows, not
+    every scored document. A refactor that breaks the filter/window
+    adjacency (or Spark dropping the rewrite) silently reverts to a
+    corpus-sized single-task sort — this pin makes that loud
+    (r4 VERDICT item #4)."""
+    plan = _plan(spark, "bm25_query_scores")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "global top-k not rewritten; the rank window would sort the "
+        "whole scored corpus in one task"
+    )
+
+
+def test_vocab_coverage_windows_are_partitioned(spark):
+    """vocab_coverage's rank/cum_pct must run on range-bucketed
+    window partitions (two-phase ranking), never an unpartitioned
+    Window over the whole vocabulary — web-scale vocabularies are
+    unbounded, and cum_pct's full prefix sum gives Catalyst no
+    rank<=k rewrite to save us (r4 VERDICT item #2 / finding #1)."""
+    import re
+
+    df = entry_mod.queries()["vocab_coverage"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", analyzed)
+    assert specs, "expected window expressions in vocab_coverage"
+    for s in specs:
+        # partition spec present = first argument is a plain attribute
+        # (the bucket id), not an ordering like `count DESC NULLS LAST`
+        assert s.startswith("__b__#"), f"unpartitioned window: {s[:100]}"
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The 100 TB skew story, pinned on an actual adaptive plan: a
     join where one key owns ~90% of the left side must come back with

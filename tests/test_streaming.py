@@ -360,3 +360,49 @@ def test_streaming_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     ingest_dedup_batch(b1, 1, out)
     again = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert again == kept
+
+
+def test_streaming_dedup_ingest_with_band_index_matches_rebanding(spark, tmp_path):
+    """The persisted-band-index ingest path (r4 VERDICT item #5):
+    identical kept set to the re-band-history path, the index holds
+    exactly the survivors' band rows, and a replayed batch leaves
+    BOTH the store and the probe result unchanged (its own appended
+    index rows are excluded by the batch_id filter)."""
+    from bht_etl_app_spark.streaming.events import ingest_dedup_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "entirely different content with no overlapping shingles anywhere"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, base + " tail", "en", "s", 1),
+         (3, other, "en", "s", 1)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, base, "en", "s", 1),
+         (11, "fresh unseen totally new words only here", "en", "s", 1)],
+        schema,
+    )
+    out = str(tmp_path / "store")
+    tbl = "t_stream_band_idx"
+    try:
+        ingest_dedup_batch(b0, 0, out, band_index_table=tbl)
+        ingest_dedup_batch(b1, 1, out, band_index_table=tbl)
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 3, 11}  # same as the re-banding path's test
+        idx_ids = {r["id"] for r in spark.table(tbl).collect()}
+        assert idx_ids == {1, 3, 11}  # index holds survivors only
+
+        # replay batch 1: store and index-derived result unchanged
+        ingest_dedup_batch(b1, 1, out, band_index_table=tbl)
+        again = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert again == kept
+        # replay appended duplicate rows for batch 1 only — compaction
+        # (covered in test_layout) reclaims them
+        from bht_etl_app_spark.io.layout import compact_band_index
+
+        compact_band_index(spark, tbl, num_buckets=8,
+                           path=str(tmp_path / "idxc"))
+        assert {r["id"] for r in spark.table(tbl).collect()} == {1, 3, 11}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -106,6 +106,9 @@ def main():
         # the query is collected so cached blocks don't accumulate
         # across the 116-query session
         spark.catalog.clearCache()
+        from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+
+        sweep_checkpoints(spark.sparkContext)
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {timings[name]:.2f}s)")
             continue
