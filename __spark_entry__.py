@@ -793,6 +793,35 @@ def _q_heavy_hitters(spark, sf_dir):
     return domain_heavy_hitters(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def _q_heavy_hitters_cms(spark, sf_dir):
+    """count-min-sketch twin of domain_heavy_hitters (r4 VERDICT
+    item #6): bounded |domains| x depth x width counter state instead
+    of per-(domain, token) exact counts — the 100 TB call shape.
+    Rows-only: estimates are sketch-hash-specific; the overestimate
+    bound and top-k agreement vs the exact twin are pinned in
+    tests/test_text.py."""
+    from bht_etl_app_spark.operators.text import domain_heavy_hitters
+
+    return domain_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), k=5, exact=False
+    )
+
+
+def _q_profile_orders_approx(spark, sf_dir):
+    """HLL profile twin (r4 VERDICT item #6): approx_count_distinct
+    replaces count(DISTINCT) — drops the per-distinct-column Expand
+    multiplier for one-pass mergeable sketch state. Rows-only:
+    HLL estimates are engine-specific; accuracy vs the exact twin is
+    pinned in tests/test_profiling.py."""
+    from bht_etl_app_spark.operators.profiling import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        exact=False,
+    )
+
+
 DOMAIN_HEAVY_HITTERS_SQL = """
 WITH counts AS (
   SELECT source AS domain, term AS token, CAST(count(*) AS BIGINT) AS n
@@ -2058,6 +2087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_fast": lambda s, d: simhash_near_dup_pairs(
             load_table(s, d, "documents"), max_hamming=3
         ),
+        # r5: sketch twins (VERDICT item #6) — bounded mergeable state;
+        # estimates are hash/engine-specific, accuracy pinned in pytest
+        "domain_heavy_hitters_cms": _q_heavy_hitters_cms,
+        "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
@@ -2189,6 +2222,61 @@ _REVERIFY = {
     "dedup_exact_docs": 3,
     "dedup_incremental_docs": 3,
     "doc_fingerprint": 3,
+    # r5 semantic/plan changes: vocab_coverage rewritten to two-phase
+    # range-bucketed ranking; the dedup family gained the hash_fn seam
+    # (oracle entries pin md5 — values identical, code path changed);
+    # dedup_clusters' driver threshold now counts input pairs;
+    # domain_heavy_hitters refactored around the exact/cms branch;
+    # deciles honor explicit num_buckets.
+    "vocab_coverage": 4,
+    "minhash_lsh_pairs": 4,
+    "simhash_docs": 4,
+    "simhash_near_dup": 4,
+    "dedup_corpus_survivors": 4,
+    "near_dup_incremental_docs": 4,
+    "near_dup_jaccard": 4,
+    "near_dup_clusters": 4,
+    "semantic_dedup_survivors": 4,
+    "order_price_deciles": 4,
+    "domain_heavy_hitters": 4,
+    # r5 file churn (dedup.py/corpus.py/text.py edited again):
+    # front-load their green keys up to the 50-key driver-window
+    # budget — 6 brand-new r5 keys + 11 semantic above leave 33 slots
+    "doc_token_stats": 4,
+    "doc_quality_scores": 4,
+    "doc_lang_id": 4,
+    "doc_fingerprint": 4,
+    "doc_repetition": 4,
+    "doc_char_entropy": 4,
+    "doc_bigram_surprise": 4,
+    "doc_scrubbed": 4,
+    "tfidf_top_terms": 4,
+    "winnow_fingerprints": 4,
+    "winnow_overlap_pairs": 4,
+    "bm25_query_scores": 4,
+    "doc_script_mix": 4,
+    "lang_token_fertility": 4,
+    "dedup_exact_docs": 4,
+    "dedup_incremental_docs": 4,
+    "doc_decontaminate": 4,
+    "doc_chunks": 4,
+    "domain_mixture": 4,
+    "doc_filter_decisions": 4,
+    "domain_quantile_keep": 4,
+    "doc_span_dedup": 4,
+    "doc_bloom_decontaminate": 4,
+    "doc_upsert_snapshot": 4,
+    "corpus_snapshot_diff": 4,
+    "source_dedup_rates": 4,
+    "mixture_sample_docs": 4,
+    # plans/windows.py churn (deciles clamp): refresh its family's
+    # green rows with the remaining window budget (44 -> 50)
+    "order_price_percentiles": 4,
+    "customer_order_ranks": 4,
+    "customer_order_gaps": 4,
+    "running_monthly_revenue": 4,
+    "moving_avg_revenue": 4,
+    "salted_user_event_totals": 4,
 }
 
 

@@ -88,6 +88,12 @@ HEADLINE = [
     "mixture_sample_docs",
     "lang_token_fertility",
     "source_dedup_rates",
+    # r5 additions: xxhash64 production twins of the md5 oracle family,
+    # the persisted-band-index probe, and the count-min sketch twin
+    "minhash_lsh_pairs_fast",
+    "simhash_docs_fast",
+    "near_dup_store_probe",
+    "domain_heavy_hitters_cms",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -687,25 +687,75 @@ def domain_heavy_hitters(
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
+    cms_depth: int = 4,
+    cms_width: int = 8192,
 ) -> DataFrame:
-    """Exact per-domain top-k tokens by occurrence count — the corpus
-    composition diagnostic (which tokens dominate each source). One
-    explode -> map-side-combined count per (domain, token), then a
-    top-k window per domain; the window input is |domains| x |vocab|
-    grouped rows, never raw tokens. At 100 TB the same call shape
-    swaps in count_min_sketch for the count stage. Output:
-    ``(domain, token, n, rank)``."""
+    """Per-domain top-k tokens by occurrence count — the corpus
+    composition diagnostic (which tokens dominate each source).
+
+    ``exact=True``: one explode -> map-side-combined count per
+    (domain, token), then a top-k window per domain; the window input
+    is |domains| x |vocab| grouped rows, never raw tokens.
+
+    ``exact=False`` (the 100 TB call shape, r4 VERDICT item #6):
+    count-min sketch. The counting state collapses from
+    |domains| x |vocab| counters to |domains| x depth x width —
+    BOUNDED and mergeable (a sketch per corpus shard unions by adding
+    counters), at the cost of overestimation ≤ e·N/width with high
+    probability (Cormode-Muthukrishnan). Build: each token updates
+    ``depth`` counters at ``pmod(xxhash64(seed_d, token), width)`` —
+    one grouped count over (domain, depth, bucket) rows. Probe: each
+    DISTINCT (domain, token) candidate reads its depth counters from
+    the broadcast sketch and takes the MIN. Ranking then runs on
+    estimates. Estimates never undercount, so true heavy hitters
+    cannot be pushed out by sketch error — only over-promoted
+    (accuracy bound pinned in ``tests/test_text.py``).
+
+    Output: ``(domain, token, n, rank)`` (``n`` is the estimate when
+    ``exact=False``)."""
     from pyspark.sql.window import Window
 
-    counts = (
-        ensure_min_parallelism(df)
-        .select(
-            F.col(domain_col).alias("domain"),
-            F.explode(tokens_expr(text_col)).alias("token"),
-        )
-        .groupBy("domain", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tokens = ensure_min_parallelism(df).select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokens_expr(text_col)).alias("token"),
     )
+    if exact:
+        counts = tokens.groupBy("domain", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    else:
+        # sketch build: one (domain, depth, bucket) grouped count —
+        # map-side combinable, |domains| x depth x width result rows
+        depth_buckets = F.array(*[
+            F.struct(
+                F.lit(d).alias("depth"),
+                F.pmod(F.xxhash64(F.lit(d), F.col("token")), F.lit(cms_width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(cms_depth)
+        ])
+        sketch = (
+            tokens.select("domain", F.explode(depth_buckets).alias("db"))
+            .groupBy("domain", F.col("db.depth").alias("depth"),
+                     F.col("db.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        # probe: distinct candidates x depth rows, counters looked up
+        # from the BROADCAST sketch (bounded size by construction),
+        # estimate = min over depths
+        cand = tokens.distinct().select(
+            "domain",
+            "token",
+            F.explode(depth_buckets).alias("db"),
+        ).select("domain", "token", F.col("db.depth").alias("depth"),
+                 F.col("db.bucket").alias("bucket"))
+        counts = (
+            cand.join(F.broadcast(sketch), ["domain", "depth", "bucket"])
+            .groupBy("domain", "token")
+            .agg(F.min("cnt").alias("n"))
+        )
     w = Window.partitionBy("domain").orderBy(F.desc("n"), F.asc("token"))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
