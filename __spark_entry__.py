@@ -822,6 +822,250 @@ def _q_profile_orders_approx(spark, sf_dir):
     )
 
 
+# -- data selection (operators/selection.py, new r5): DSIR importance
+# -- resampling + hashed linear quality classifier
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bucket histograms, target = the lang='en' slice
+    (stands in for the small curated quality sample), raw = the whole
+    corpus. md5 portable hash family -> bucket assignment replays in
+    DuckDB; the per-doc weight is a bucket-sorted sequential fold."""
+    from bht_etl_app_spark.operators.selection import dsir_doc_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_doc_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+def _q_dsir_selected(spark, sf_dir):
+    """DSIR Gumbel top-k resample (k=100): key = logw + deterministic
+    seeded Gumbel noise; orderBy().limit() lowers to
+    TakeOrderedAndProject (plan-pinned in tests/test_plans.py)."""
+    from bht_etl_app_spark.operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
+
+
+def _q_classifier_scores(spark, sf_dir):
+    """fastText-style hashed linear quality classifier: 10 full-batch
+    GD rounds (broadcast weight literals, map-side partial gradients
+    — the kmeans_fit iteration shape) on a text-derived
+    weak-supervision label (doc contains token 'spark'), then corpus
+    scoring. Deterministic end to end (9 dp round-quantized weights),
+    so the whole fit UNROLLS into the DuckDB oracle round by round
+    like kmeans_cluster_sizes."""
+    from bht_etl_app_spark.operators.selection import logreg_fit, logreg_score
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(tokens_expr("text"), "spark")
+    w = logreg_fit(docs, label, num_buckets=64, n_iter=10, lr=0.25)
+    return logreg_score(docs, w, num_buckets=64)
+
+
+def _q_cluster_top_terms(spark, sf_dir):
+    """c-TF-IDF cluster labels (BERTopic formula) over the fitted
+    k-means clusters (embeddings joined to documents on the shared
+    id): per-cluster grouped top-k terms."""
+    from bht_etl_app_spark.operators.clustering import (
+        cluster_top_terms,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = kmeans_fit(emb, k=8, max_iter=3)
+    return cluster_top_terms(kmeans_assign(emb, cents), docs, top_k=5)
+
+
+def _dsir_wts_cte(num_buckets: int = 1024) -> str:
+    """WITH-body CTE chain ending at ``wts(doc_id, logw)`` — the
+    DuckDB replay of dsir_doc_weights: same md5 bucket hash (power-of
+    -two bucket count, so pmod == unsigned %), same Laplace-smoothed
+    log-ratio arithmetic in the same operation order, same
+    bucket-sorted sequential fold for the per-doc weight."""
+    b = num_buckets
+    return f"""
+toksd AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+gramsd AS (
+  SELECT doc_id, lang,
+         unnest(t || CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS g
+  FROM toksd
+),
+bd AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % {b} AS BIGINT)
+           AS bucket
+  FROM gramsd
+),
+featd AS (SELECT doc_id, bucket, count(*) AS cnt FROM bd GROUP BY 1, 2),
+rbt AS (SELECT bucket, sum(cnt) AS r_n FROM featd GROUP BY 1),
+tbt AS (SELECT bucket, count(*) AS t_n FROM bd WHERE lang = 'en' GROUP BY 1),
+jb AS (
+  SELECT coalesce(rbt.bucket, tbt.bucket) AS bucket,
+         coalesce(r_n, 0) AS r_n, coalesce(t_n, 0) AS t_n
+  FROM rbt FULL JOIN tbt ON rbt.bucket = tbt.bucket
+),
+lrt AS (
+  SELECT bucket,
+         round_even(ln(CAST(t_n + 1 AS DOUBLE))
+                  - ln(CAST((SELECT sum(t_n) FROM jb) + {b} AS DOUBLE))
+                  - ln(CAST(r_n + 1 AS DOUBLE))
+                  + ln(CAST((SELECT sum(r_n) FROM jb) + {b} AS DOUBLE)),
+                    9) AS logratio
+  FROM jb
+),
+wts AS (
+  SELECT doc_id,
+         round_even(list_sum(list(CAST(cnt AS DOUBLE) * logratio
+                                  ORDER BY bucket)), 6) AS logw
+  FROM featd JOIN lrt USING (bucket)
+  GROUP BY doc_id
+)"""
+
+
+def _dsir_selected_oracle_sql(k: int = 100, num_buckets: int = 1024) -> str:
+    """Gumbel top-k on the DSIR weights: u from the seeded md5 hash's
+    low 20 bits (+0.5, so u is exactly representable and both engines
+    feed bit-identical doubles into the transcendentals)."""
+    return f"""
+WITH {_dsir_wts_cte(num_buckets)},
+keyed AS (
+  SELECT doc_id, logw,
+         round_even(logw + -(ln(-(ln(
+           ((('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)),
+               1, 16))::UBIGINT % 1048576) + 0.5) / 1048576.0)))), 6)
+           AS "key"
+  FROM wts
+)
+SELECT doc_id, logw, "key" FROM keyed ORDER BY "key" DESC, doc_id LIMIT {k}
+"""
+
+
+def _quality_classifier_oracle_sql(
+    num_buckets: int = 64, n_iter: int = 10, lr: float = 0.25
+) -> str:
+    """Round-for-round DuckDB replay of the hashed-logreg fit + score
+    (the _kmeans_cluster_sizes_oracle_sql pattern): per-round weights
+    are 9 dp round-quantized after the gradient step, per-doc margins
+    are bucket-sorted sequential folds, gradient sums are rounded to
+    9 dp before the step — the same three determinism disciplines the
+    Spark side applies, so the unrolled CTE reproduces the exact
+    weight trajectory."""
+    b = num_buckets
+    parts = [f"""
+tk AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+lab AS MATERIALIZED (SELECT doc_id, CAST(list_contains(t, 'spark') AS DOUBLE) AS y FROM tk),
+bx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % {b} AS BIGINT)
+           AS bucket
+  FROM (SELECT doc_id, unnest(t) AS g FROM tk)
+),
+ft AS MATERIALIZED (
+  SELECT doc_id, bucket, ln(1.0 + count(*)) AS x
+  FROM bx GROUP BY 1, 2
+),
+nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM ft),
+w0 AS MATERIALIZED (SELECT CAST(unnest(range(-1, {b})) AS BIGINT) AS bucket, 0.0 AS w)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT f.doc_id, any_value(l.y) AS y,
+         1.0 / (1.0 + exp(-((SELECT w FROM w{p} WHERE bucket = -1)
+                + list_sum(list(f.x * w.w ORDER BY f.bucket))))) AS p
+  FROM ft f JOIN w{p} w USING (bucket) JOIN lab l ON l.doc_id = f.doc_id
+  GROUP BY f.doc_id
+),
+g{i} AS MATERIALIZED (
+  SELECT CAST(-1 AS BIGINT) AS bucket, round_even(sum(p - y), 9) AS g
+  FROM d{i}
+  UNION ALL
+  SELECT f.bucket, round_even(sum((d.p - d.y) * f.x), 9) AS g
+  FROM ft f JOIN d{i} d ON f.doc_id = d.doc_id
+  GROUP BY f.bucket
+),
+w{i} AS MATERIALIZED (
+  SELECT w.bucket,
+         round_even(w.w - {lr} * coalesce(g.g, 0.0)
+                    / (SELECT n FROM nd), 9) AS w
+  FROM w{p} w LEFT JOIN g{i} g ON w.bucket = g.bucket
+)""")
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT doc_id, score, score >= 0.5 AS keep FROM (
+  SELECT d.doc_id,
+         round_even(1.0 / (1.0 + exp(
+           -((SELECT w FROM w{n_iter} WHERE bucket = -1)
+             + coalesce(dt.dot, 0.0)))), 6) AS score
+  FROM documents d LEFT JOIN (
+    SELECT f.doc_id, list_sum(list(f.x * w.w ORDER BY f.bucket)) AS dot
+    FROM ft f JOIN w{n_iter} w USING (bucket) GROUP BY f.doc_id
+  ) dt ON d.doc_id = dt.doc_id
+)
+"""
+    )
+
+
+def _cluster_top_terms_oracle_sql(
+    k: int = 8, rounds: int = 3, top_k: int = 5
+) -> str:
+    """c-TF-IDF labels over the unrolled-Lloyd's assignment (shared
+    _kmeans_cte): integer tf/f counts feed one ln + one multiply per
+    output row, rounded to 6 dp before the rank window orders on it."""
+    fin = rounds + 1
+    score = (
+        "round_even(CAST(c.tf AS DOUBLE) * ln(1.0"
+        " + (CAST(tot.tok_total AS DOUBLE) / CAST(tot.n_clusters AS DOUBLE))"
+        " / CAST(f.f AS DOUBLE)), 6)"
+    )
+    return f"""
+WITH {_kmeans_cte(k, rounds)},
+dtok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+ctt AS (
+  SELECT a.list_id, t.term, count(*) AS tf
+  FROM dtok t JOIN a{fin} a ON a.vec_id = t.doc_id
+  GROUP BY 1, 2
+),
+ftt AS (SELECT term, sum(tf) AS f FROM ctt GROUP BY 1),
+tot AS (
+  SELECT sum(tf) AS tok_total, count(DISTINCT list_id) AS n_clusters
+  FROM ctt
+)
+SELECT CAST(list_id AS BIGINT) AS list_id, term, score, rank FROM (
+  SELECT c.list_id, c.term, {score} AS score,
+         CAST(row_number() OVER (PARTITION BY c.list_id
+                                 ORDER BY {score} DESC, c.term)
+              AS BIGINT) AS rank
+  FROM ctt c JOIN ftt f USING (term), tot
+) WHERE rank <= {top_k}
+"""
+
+
 DOMAIN_HEAVY_HITTERS_SQL = """
 WITH counts AS (
   SELECT source AS domain, term AS token, CAST(count(*) AS BIGINT) AS n
@@ -2044,6 +2288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "dedup_corpus_survivors": lambda s, d: _dedup_corpus(s, d),
         "kmeans_cluster_sizes": _q_kmeans_sizes,
+        # r5: data selection (DSIR) + hashed linear classifier +
+        # c-TF-IDF cluster labels
+        "dsir_doc_weights": _q_dsir_weights,
+        "dsir_selected": _q_dsir_selected,
+        "quality_classifier_scores": _q_classifier_scores,
+        "cluster_top_terms": _q_cluster_top_terms,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
             load_table(s, d, "documents"), max_hamming=3, hash_fn="md5"
@@ -3011,6 +3261,12 @@ SELECT vec_id, cosine FROM (
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),
+        "dsir_doc_weights": (
+            "WITH " + _dsir_wts_cte() + "\nSELECT doc_id, logw FROM wts\n"
+        ),
+        "dsir_selected": _dsir_selected_oracle_sql(),
+        "quality_classifier_scores": _quality_classifier_oracle_sql(),
+        "cluster_top_terms": _cluster_top_terms_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
         "near_dup_incremental_docs": _near_dup_incremental_oracle_sql(),
         # the store-probe twin computes the same result through the

@@ -94,6 +94,11 @@ HEADLINE = [
     "simhash_docs_fast",
     "near_dup_store_probe",
     "domain_heavy_hitters_cms",
+    # r5: data selection + cluster labeling
+    "dsir_doc_weights",
+    "dsir_selected",
+    "quality_classifier_scores",
+    "cluster_top_terms",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

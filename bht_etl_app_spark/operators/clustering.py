@@ -252,3 +252,91 @@ def semantic_dedup(
 
     # out's plan reads comp's checkpoint blocks (via `dropped`)
     return carry(track_persisted(out, assigned), comp)
+
+
+def cluster_top_terms(
+    assign: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    assign_id_col: str = "vec_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """c-TF-IDF cluster labels (class-based TF-IDF, the BERTopic
+    topic-representation formula): treat every cluster as one pseudo
+    document and rank its characteristic terms.
+
+    For term t in cluster c:
+    ``tf = count of t in c``; ``idf = ln(1 + A / f_t)`` with ``A`` =
+    average token count per cluster and ``f_t`` = corpus-wide count
+    of t; ``score = tf * idf`` rounded to 6 dp. Output: top
+    ``top_k`` terms per cluster ``(list_id, term, score, rank)``,
+    ties broken alphabetically.
+
+    Scale posture: one tokenize+explode projection, then two
+    aggregations — per-(cluster, term) counts (shuffle keyed on
+    (list_id, term) with map-side combine) and the term-level
+    corpus counts (VOCABULARY-sized, same skew profile as
+    ``text.tfidf_top_terms``'s docfreq, handled by partial
+    aggregation); the grand totals ride a broadcast 1-row cross
+    join. The per-cluster top-k is a grouped-window rank filtered
+    to ``rank <= top_k`` — ``WindowGroupLimit``-eligible, so each
+    cluster keeps a top_k heap instead of sorting its whole term
+    list. Score arithmetic stays on integer counts until the final
+    ln/multiply, so the only float ops are per-output-row —
+    engine-portable without a fold discipline.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    a = assign.select(F.col(assign_id_col).alias("doc_id"), "list_id")
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("term"),
+    )
+    # (cluster, term) counts feed three consumers (scores, term
+    # totals, grand totals) — persist the narrow aggregate, not the
+    # token stream
+    ct = (
+        toks.join(a, "doc_id")
+        .groupBy("list_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    f_t = ct.groupBy("term").agg(F.sum("tf").alias("f"))
+    tot = ct.agg(
+        F.sum("tf").alias("__tok_total__"),
+        F.countDistinct("list_id").alias("__n_clusters__"),
+    )
+    scored = (
+        ct.join(f_t, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "term",
+            F.bround(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col("__tok_total__").cast("double")
+                        / F.col("__n_clusters__").cast("double")
+                    )
+                    / F.col("f").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )
+    return track_persisted(out, ct)

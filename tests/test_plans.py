@@ -331,3 +331,17 @@ def test_order_price_deciles_expression_bounded_by_cap(spark):
         assert sorted(tuple(r) for r in df.collect()) == exp
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_dsir_select_topk_is_take_ordered(spark):
+    """dsir_select's Gumbel top-k must lower to TakeOrderedAndProject
+    (per-partition k-row heaps + driver merge), never a global sort —
+    the selection runs over the full raw corpus at 100 TB."""
+    plan = _plan(spark, "dsir_selected")
+    assert "TakeOrderedAndProject" in plan, (
+        "dsir_select top-k compiled to a global Sort instead of "
+        "TakeOrderedAndProject"
+    )
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0], (
+        "a global sort precedes the top-k"
+    )
