@@ -1683,6 +1683,83 @@ def _simhash_docs_oracle_sql() -> str:
     return f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM sim"
 
 
+def _q_simhash_wide(spark, sf_dir):
+    """128-bit multiword SimHash near-dup pairs (md5 portable family,
+    words=2, hamming<=6 — the equivalent RELATIVE threshold of 3/64
+    at doubled width)."""
+    from bht_etl_app_spark.operators.dedup import simhash_near_dup_pairs_wide
+
+    return simhash_near_dup_pairs_wide(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=6,
+        words=2,
+        hash_fn="md5",
+    )
+
+
+def _simhash_wide_near_dup_oracle_sql(
+    words: int = 2, max_hamming: int = 6
+) -> str:
+    """DuckDB mirror of the multiword (128-bit) SimHash near-dup
+    pairs: word ``j`` votes with the SEEDED portable hash
+    ``md5(j || US || token)`` (dedup.simhash_multiword); docs with no
+    tokens are dropped. The banded join's exact-recall pigeonhole +
+    hamming verify make the Spark output banding-independent, so the
+    oracle verifies against the brute-force pair set directly —
+    quadratic is fine at oracle SF."""
+    def mask(i: int) -> str:
+        return str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+
+    word_ctes = []
+    for j in range(words):
+        votes = ",\n         ".join(
+            f"SUM(CASE WHEN (hv & {mask(i)}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(64)
+        )
+        recompose = " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {mask(i)} ELSE 0 END)"
+            for i in range(64)
+        )
+        word_ctes.append(f"""h{j} AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+              THEN CAST(u AS HUGEINT) - 18446744073709551616
+              ELSE CAST(u AS HUGEINT) END AS BIGINT) AS hv
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5('{j}' || chr(31) || t), 1, 16))::UBIGINT
+                 AS u
+        FROM wtoks)
+), v{j} AS (
+  SELECT doc_id, {votes} FROM h{j} GROUP BY doc_id
+), sim{j} AS (
+  SELECT doc_id, CAST({recompose} AS BIGINT) AS s FROM v{j}
+)""")
+    sim_join = "sim0" + "".join(
+        f" JOIN sim{j} USING (doc_id)" for j in range(1, words)
+    )
+    sig_cols = ", ".join(
+        f"sim{j}.s AS s{j}" for j in range(words)
+    ) if words > 1 else "sim0.s AS s0"
+    ham = " + ".join(
+        f"bit_count(xor(a.s{j}, b.s{j}))" for j in range(words)
+    )
+    return f"""
+WITH wtoks AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS t FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents)
+),
+{", ".join(word_ctes)},
+sigw AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM {sim_join})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM sigw a JOIN sigw b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
     rows-only in r4 — the portable md5+rotate-xor signature family
@@ -2298,6 +2375,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
             load_table(s, d, "documents"), max_hamming=3, hash_fn="md5"
         ),
+        # r5: the Manku combinatorial-banding retune (bands=8 -> 56
+        # tables keyed on 40 bits instead of 4 tables on 16 — the
+        # measured fix for simhash's quadratic bucket growth past
+        # ~2^16 docs). Exact-recall pigeonhole + hamming verification
+        # make the output banding-independent, so the SAME oracle
+        # checks it value-for-value.
+        "simhash_near_dup_retuned": lambda s, d: simhash_near_dup_pairs(
+            load_table(s, d, "documents"),
+            max_hamming=3,
+            bands=8,
+            hash_fn="md5",
+        ),
+        # r5: 128-bit multiword SimHash — the signature-WIDTH retune
+        # knob (absolute-hamming use cases); oracle = brute-force
+        # hamming filter, valid because banding never changes results
+        "simhash_near_dup_wide": lambda s, d: _q_simhash_wide(s, d),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
@@ -3256,6 +3349,8 @@ SELECT vec_id, cosine FROM (
         "ann_knn_join": _ann_knn_join_oracle_sql(),
         "simhash_docs": _simhash_docs_oracle_sql(),
         "simhash_near_dup": _simhash_near_dup_oracle_sql(),
+        "simhash_near_dup_retuned": _simhash_near_dup_oracle_sql(),
+        "simhash_near_dup_wide": _simhash_wide_near_dup_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),

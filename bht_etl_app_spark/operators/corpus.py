@@ -469,6 +469,7 @@ def domain_quantile_filter(
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Per-domain RELATIVE length filter: keep documents whose token
     count is at or above their domain's ``quantile`` threshold —
@@ -479,18 +480,25 @@ def domain_quantile_filter(
     Plan shape: one token-count projection, one per-domain exact
     ``percentile`` aggregation (~|domains| rows — broadcast back), one
     broadcast equi-join. No window over the corpus, no second scan:
-    the doc-level frame is reused from the projection. At 100 TB swap
-    ``percentile`` for ``approx_percentile`` — same plan, bounded
-    memory per domain — documented here as the scale variant.
+    the doc-level frame is reused from the projection. At 100 TB pass
+    ``exact=False``: ``approx_percentile`` replaces the exact
+    ``percentile`` — same plan, bounded mergeable sketch state per
+    domain instead of a sorted value buffer (the
+    ``domain_heavy_hitters(exact=False)`` twin pattern; accuracy vs
+    the exact twin pinned in tests/test_corpus.py).
     """
     docs = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.col(domain_col).alias("domain"),
         F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
     )
-    thresholds = docs.groupBy("domain").agg(
-        F.percentile(F.col("n_tokens"), F.lit(float(quantile))).alias("threshold")
-    )
+    if exact:
+        pct = F.percentile(F.col("n_tokens"), F.lit(float(quantile)))
+    else:
+        pct = F.percentile_approx(
+            F.col("n_tokens"), F.lit(float(quantile)), F.lit(10000)
+        ).cast("double")
+    thresholds = docs.groupBy("domain").agg(pct.alias("threshold"))
     # compare against the ROUNDED threshold so the keep boolean is
     # reproducible across engines (interpolated quantiles are doubles)
     return (

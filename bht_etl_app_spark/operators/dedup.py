@@ -21,6 +21,8 @@ aggregate) — no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -460,6 +462,66 @@ def simhash64(
     )
 
 
+def _concat_blocks(blocks: list[Column], wbits: int) -> Column:
+    """OR block values into one key long: block i occupies bits
+    ``[i*wbits, (i+1)*wbits)``. Caller guarantees the total stays
+    under 64 bits, so the key is non-negative and collision-free."""
+    key = blocks[0]
+    for i, b in enumerate(blocks[1:], start=1):
+        key = key.bitwiseOR(F.shiftleft(b, i * wbits))
+    return key
+
+
+def simhash_pick(bands: int, max_hamming: int) -> int:
+    """Table subset size for the combinatorial banding: m-k blocks
+    give the widest keys, but ANY subset size s <= m-k keeps recall
+    exact (<= k differing bits touch <= k blocks, so >= m-k blocks —
+    hence some s-subset — are untouched and appear as a table).
+    Shrink s until the concatenated key fits a signed long AND the
+    table count C(bands, s) stays bounded — C grows fast (bands=16,
+    k=3 at full width is already 560 tables), and both the explode
+    expression and the shuffle fan-out scale with it. s=1 is the
+    classic one-block-per-table banding, always valid."""
+    w = 64 // bands
+    pick = bands - max_hamming
+    while pick > 1 and (pick * w > 63 or math.comb(bands, pick) > 64):
+        pick -= 1
+    return pick
+
+
+def simhash_banded_frame(
+    sig: DataFrame, bands: int, pick: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate-table rows ``(id, simhash, band, bk)`` for a 64-bit
+    signature frame: one row per (doc, ``pick``-block combination),
+    keyed on the combination's concatenated bits (Manku WWW'07
+    combinatorial banding; ``pick=1`` is classic one-block-per-table).
+    Shared by :func:`simhash_near_dup_pairs` and the scale-octave
+    measurement tool so pair-work numbers measure the REAL keys."""
+    from itertools import combinations
+
+    w = 64 // bands
+    mask = (1 << w) - 1 if w < 64 else -1
+
+    def block(b: int):
+        return F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))
+
+    combos = list(combinations(range(bands), pick))
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    _concat_blocks([block(b) for b in combo], w).alias("bk"),
+                )
+                for t, combo in enumerate(combos)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bk")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -468,23 +530,38 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs via a banded hamming join (reference has
-    no near-dup operator at all; this complements MinHash-LSH for the
-    training-corpus dedup surface).
+    """SimHash near-dup pairs via a combinatorial banded hamming join
+    (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW'07 §3; reference has no near-dup operator at all — this
+    complements MinHash-LSH for the training-corpus dedup surface).
 
     Pigeonhole guarantee: split the 64-bit signature into ``bands``
-    equal slices — a pair differing in at most ``bands - 1`` bits must
-    match EXACTLY on at least one slice. With the default
-    ``bands = max_hamming + 1`` recall is therefore exact, not
-    probabilistic (unlike MinHash banding). Candidates come from a
-    plain equi-join on ``(band, key)``; verification is
-    ``bit_count(a ^ b) <= max_hamming`` on candidates only.
+    equal blocks; a pair within hamming ``k = max_hamming`` differs
+    in at most ``k`` blocks, so the two signatures agree EXACTLY on
+    some ``bands - k``-block combination — each combination is one
+    candidate table, keyed on its blocks' concatenated bits. Recall
+    is therefore exact, not probabilistic (unlike MinHash banding).
+    Verification is ``bit_count(a ^ b) <= k`` on candidates only,
+    which ALSO makes the output independent of the banding config:
+    any valid ``bands`` yields exactly the brute-force pair set.
 
-    At 100 TB: one narrow signature projection, one (band, key)
-    shuffle whose fan-out is rows × bands, per-bucket pair cost
-    bounded by slice-collision width (16-bit keys at bands=4). The
-    signatures ride through the band join, so no join back to the
-    corpus is needed for verification.
+    The scale knob (r4 VERDICT item #7): at the default
+    ``bands = k + 1`` each table keys on ONE block — 16-bit keys at
+    k=3, i.e. 65k buckets/table, and random bucket occupancy grows
+    candidate work QUADRATICALLY once the corpus passes ~2^16 docs
+    (measured 47 -> 1385 pairs/row across the 5k -> 150k octave).
+    Raising ``bands`` widens the keys combinatorially: bands=8, k=3
+    keys on 5-block combos — 40-bit keys (10^12 buckets) across
+    C(8,5)=56 tables. Fan-out grows 4x -> 56x (linear, shuffle-bound)
+    while per-bucket collisions collapse to the true duplicate rate
+    (quadratic term gone). Same plan, different constants — a config,
+    not a plan change.
+
+    At 100 TB: one narrow signature projection, one (table, key)
+    shuffle whose fan-out is rows x C(bands, bands-k), per-bucket
+    pair cost bounded by key width. The signatures ride through the
+    band join, so no join back to the corpus is needed for
+    verification.
 
     Output: ``(id_a, id_b, hamming)``, id_a < id_b.
     """
@@ -498,23 +575,10 @@ def simhash_near_dup_pairs(
         )
     w = 64 // bands
     mask = (1 << w) - 1 if w < 64 else -1
+    pick = simhash_pick(bands, max_hamming)
 
     sig = simhash64(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), b * w)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bk"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bk")
+    banded = simhash_banded_frame(sig, bands, pick, id_col=id_col)
     # persisted: the aliased self-join would otherwise run the
     # tokenize+hash signature projection once per side (same lesson as
     # minhash_lsh_pairs / embedding_lsh_near_dup_pairs)
@@ -979,3 +1043,162 @@ def near_dup_incremental(
         .where(F.col("jaccard") >= threshold)
     )
     return track_persisted(out, nb, cand)
+
+
+def simhash_multiword(
+    df: DataFrame,
+    words: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Width-parameterized SimHash: ``words`` independent 64-bit
+    signatures per document (word ``j`` votes with the seeded token
+    hash ``hash(j || US || token)``), output
+    ``(doc_id, sim: array<long>)`` of length ``words``.
+
+    WHY width is the scale knob (r4 VERDICT item #7, measured at the
+    30x octave): ``simhash_near_dup_pairs``' pigeonhole banding needs
+    ``bands = max_hamming + 1`` slices, so a 64-bit signature at
+    hamming<=3 is stuck with 16-bit band keys — 65k buckets per band.
+    Random bucket occupancy, and with it candidate-pair work, grows
+    QUADRATICALLY once the corpus passes ~2^16 docs (measured
+    47 -> 1385 pairs/row from 5k to 150k docs). Widening the
+    signature to 128 bits keeps the same recall guarantee with 32-bit
+    band keys (4G buckets) — per-bucket cost collapses back to the
+    duplicate rate. Width is a CONFIG (this parameter), not a plan
+    change: banding, verification, and clustering are shared.
+
+    Docs with zero tokens are dropped (an empty doc has no vote
+    evidence; its all-zero signature would otherwise bucket every
+    empty doc together in every band — the minhash_signatures
+    short-doc lesson).
+    """
+    h = base_hash_expr(hash_fn)
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    toks = tokens_expr(text_col)
+    hashed = ensure_min_parallelism(df).where(F.size(toks) > 0).select(
+        F.col(id_col),
+        *[
+            F.transform(
+                toks,
+                lambda t, j=j: h(F.concat_ws("\x1f", F.lit(str(j)), t)),
+            ).alias(f"__h{j}__")
+            for j in range(words)
+        ],
+    )
+
+    def word_sig(col: str) -> F.Column:
+        votes = F.aggregate(
+            F.col(col),
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, hv: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a + F.when(hv.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                masks,
+                lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a.bitwiseOR(b),
+        )
+
+    return hashed.select(
+        F.col(id_col),
+        F.array(*[word_sig(f"__h{j}__") for j in range(words)]).alias("sim"),
+    )
+
+
+def simhash_near_dup_pairs_wide(
+    df: DataFrame,
+    max_hamming: int = 3,
+    words: int = 2,
+    bands: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded hamming near-dup join over the multi-word SimHash — the
+    retuned-width twin of :func:`simhash_near_dup_pairs` (same
+    pigeonhole recall guarantee, ``bands = max_hamming + 1`` by
+    default, band keys ``64 * words / bands`` bits wide).
+
+    Output: ``(id_a, id_b, hamming)``, id_a < id_b, hamming over the
+    full ``64 * words`` bits.
+    """
+    bits = 64 * words
+    if bands is None:
+        # smallest divisor of the bit width exceeding max_hamming
+        # (bands = k + 1 only divides evenly for some k)
+        bands = next(
+            b for b in range(max_hamming + 1, bits + 1) if bits % b == 0
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide {bits}")
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for exact recall "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    wbits = bits // bands
+    if wbits > 64 or 64 % wbits != 0:
+        raise ValueError(
+            f"band width {wbits} must divide 64 (bands per word align "
+            "within signature words)"
+        )
+    per_word = 64 // wbits
+    mask = (1 << wbits) - 1 if wbits < 64 else -1
+
+    sig = simhash_multiword(
+        df, words=words, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("sim"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(
+                        F.element_at(F.col("sim"), b // per_word + 1),
+                        (b % per_word) * wbits,
+                    )
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sim", "bb.band", "bb.bk")
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("x.sim"),
+            F.col("y.sim"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    out = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return track_persisted(out, banded)

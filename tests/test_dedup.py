@@ -307,3 +307,105 @@ def test_near_dup_incremental_hits_and_sides(spark):
     assert (2, 1, "batch") in got
     assert not any(r["doc_id"] == 3 for r in rows)
     assert all(r["side"] != "batch" or r["doc_id"] > r["matched_id"] for r in rows)
+
+
+def test_simhash_combinatorial_banding_is_result_invariant(spark, docs):
+    """Manku combinatorial banding (bands=8 -> C(8,5)=56 tables on
+    40-bit keys) must yield EXACTLY the bands=4 pair set: exact-recall
+    pigeonhole + hamming verification make the output independent of
+    the banding config — the retune changes constants, never values."""
+    from bht_etl_app_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    retuned = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, bands=8
+        ).collect()
+    }
+    assert base == retuned
+
+
+def test_simhash_banding_guards(spark, docs):
+    import pytest
+
+    from bht_etl_app_spark.operators.dedup import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(docs, max_hamming=3, bands=5)
+    with pytest.raises(ValueError, match="exceed"):
+        simhash_near_dup_pairs(docs, max_hamming=3, bands=2)
+    # bands=16 at k=3 would need 560 full-width tables; the subset
+    # size degrades (C(16, s) <= 64 -> s = 1, classic one-block
+    # banding) instead of erroring, and results stay banding-invariant
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, bands=16).collect()
+    }
+    base = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == base
+
+
+def test_simhash_wide_recall_matches_brute_force(spark):
+    """128-bit multiword SimHash banded join vs brute-force pair scan:
+    pigeonhole recall is exact, so the banded output must equal the
+    all-pairs hamming filter at the same threshold."""
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.dedup import (
+        simhash_multiword,
+        simhash_near_dup_pairs_wide,
+    )
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append((i, base + f" extra{i % 7}"))
+    rows.append((100, base + " extra0"))  # near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = simhash_multiword(docs, words=2)
+    brute = (
+        sig.alias("x")
+        .crossJoin(sig.alias("y"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("x.sim"),
+                    F.col("y.sim"),
+                    lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs_wide(
+            docs, max_hamming=6, words=2
+        ).collect()
+    }
+    exp = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == exp
+    assert got, "expected at least one near-dup pair in the fixture"
+
+
+def test_simhash_multiword_drops_empty_docs(spark):
+    from bht_etl_app_spark.operators.dedup import simhash_multiword
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in simhash_multiword(docs).collect()}
+    assert got == {1}

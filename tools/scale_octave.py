@@ -46,26 +46,17 @@ def pair_work(banded, key_cols) -> float:
     return float(row["w"] or 0.0)
 
 
-def simhash_banded(docs, bands):
-    from bht_etl_app_spark.operators.dedup import simhash64
+def simhash_banded(docs, bands, max_hamming=3):
+    """The operator's REAL candidate tables (combinatorial banding,
+    shared code path) so pair_work measures what the join sees."""
+    from bht_etl_app_spark.operators.dedup import (
+        simhash64,
+        simhash_banded_frame,
+        simhash_pick,
+    )
 
-    w = 64 // bands
-    mask = (1 << w) - 1 if w < 64 else -1
     sig = simhash64(docs)
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), b * w)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bk"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bk")
+    return simhash_banded_frame(sig, bands, simhash_pick(bands, max_hamming))
 
 
 def emb_banded(emb, n_planes, bands, dim):
@@ -128,6 +119,16 @@ def main():
     n_big_docs = docs(args.big).count()
     n_small_emb = emb(args.small).count()
     n_big_emb = emb(args.big).count()
+    # warm the session before any timed row: the first action in a
+    # fresh JVM pays executor spin-up + whole-stage-codegen compile
+    # (~10s), which otherwise lands entirely on the first family's
+    # "small" measurement (the r4 run recorded minhash small at 170s
+    # vs 60s big for exactly this reason)
+    minhash_lsh_pairs(docs(args.small), threshold=0.5).count()
+    spark.catalog.clearCache()
+    from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+
+    sweep_checkpoints(spark.sparkContext)
     data_ratio = n_big_docs / n_small_docs
     rows = []
 
@@ -172,18 +173,22 @@ def main():
             )
 
     if "simhash" in fams:
-        # simhash's key space is fixed by the 64-bit signature: bands=4
-        # gives 16-bit keys (65k buckets/band) — the knob headroom is
-        # already in the keyspace at these scales; measure both scales
-        # at the production setting
-        for scale, d, n_rows in (
-            ("small", args.small, n_small_docs),
-            ("big-baseline", args.big, n_big_docs),
+        # baseline bands=4 (one 16-bit block per table — quadratic
+        # bucket growth past ~2^16 docs, measured r4); retuned bands=8
+        # (Manku combinatorial: C(8,5)=56 tables on 40-bit keys)
+        for scale, d, bnd, n_rows in (
+            ("small", args.small, 4, n_small_docs),
+            ("big-baseline", args.big, 4, n_big_docs),
+            ("big-retuned", args.big, 8, n_big_docs),
         ):
             run(
-                "simhash", scale, "max_hamming=3,bands=4",
-                lambda d=d: simhash_near_dup_pairs(docs(d), max_hamming=3),
-                lambda d=d: (simhash_banded(docs(d), 4), ["band", "bk"]),
+                "simhash", scale, f"max_hamming=3,bands={bnd}",
+                lambda d=d, bnd=bnd: simhash_near_dup_pairs(
+                    docs(d), max_hamming=3, bands=bnd
+                ),
+                lambda d=d, bnd=bnd: (
+                    simhash_banded(docs(d), bnd), ["band", "bk"]
+                ),
                 n_rows,
             )
 
