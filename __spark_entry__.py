@@ -2355,6 +2355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quantile_keep": lambda s, d: domain_quantile_filter(
             load_table(s, d, "documents"), quantile=0.25
         ),
+        # r5: the percentile_approx twin (bounded mergeable sketch
+        # state per domain — the 100 TB call shape). Rows-only:
+        # sketch thresholds are engine-specific; keep-set agreement
+        # vs the exact twin is pinned in tests/test_corpus.py
+        "domain_quantile_keep_approx": lambda s, d: domain_quantile_filter(
+            load_table(s, d, "documents"), quantile=0.25, exact=False
+        ),
         "dedup_incremental_docs": lambda s, d: dedup_incremental(
             load_table(s, d, "documents").where(F.col("doc_id") % 3 != 0),
             fingerprint(load_table(s, d, "documents").where(F.col("doc_id") % 3 == 0)),

@@ -1079,15 +1079,18 @@ def simhash_multiword(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
     )
     toks = tokens_expr(text_col)
+    def word_hashes(j: int):
+        # seed captured OUTSIDE the lambda: a second lambda parameter
+        # would make transform() pass the ELEMENT INDEX into it,
+        # silently replacing the seed with the token position
+        seed = F.lit(str(j))
+        return F.transform(
+            toks, lambda t: h(F.concat_ws("\x1f", seed, t))
+        ).alias(f"__h{j}__")
+
     hashed = ensure_min_parallelism(df).where(F.size(toks) > 0).select(
         F.col(id_col),
-        *[
-            F.transform(
-                toks,
-                lambda t, j=j: h(F.concat_ws("\x1f", F.lit(str(j)), t)),
-            ).alias(f"__h{j}__")
-            for j in range(words)
-        ],
+        *[word_hashes(j) for j in range(words)],
     )
 
     def word_sig(col: str) -> F.Column:

@@ -324,3 +324,32 @@ def test_source_dedup_rates_counts(spark):
            for r in source_dedup_rates(docs).collect()}
     assert got["a"] == (3, 2, round(1 - 2 / 3, 6))
     assert got["b"] == (1, 1, 0.0)
+
+
+def test_domain_quantile_filter_approx_agrees_with_exact(spark):
+    """percentile_approx twin (r5): with accuracy=10000 the sketch
+    threshold is exact on fixture-sized domains, so the keep set must
+    MATCH the exact twin; the pin tolerates sketch drift only in the
+    threshold value, never the decision direction vs its own
+    threshold."""
+    from bht_etl_app_spark.operators.corpus import domain_quantile_filter
+
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        r["doc_id"]: r
+        for r in domain_quantile_filter(sf_docs, quantile=0.25).collect()
+    }
+    approx = {
+        r["doc_id"]: r
+        for r in domain_quantile_filter(
+            sf_docs, quantile=0.25, exact=False
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(
+        1 for k in exact if exact[k]["keep"] == approx[k]["keep"]
+    )
+    assert agree / len(exact) >= 0.95
+    # internal consistency: keep always equals the threshold compare
+    for r in approx.values():
+        assert r["keep"] == (float(r["n_tokens"]) >= r["threshold"])
