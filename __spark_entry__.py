@@ -1593,6 +1593,103 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
 
 
+_PQ_PARAMS = {"m": 2, "k": 16, "max_iter": 2}
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (Jégou et al. 2011): m=2 subspace
+    codebooks of k=16 codewords, trained by the deterministic
+    unrollable Lloyd's fit per subspace; encoding is a pure argmin-L2
+    projection. 64-dim float vectors -> 2 small codes (the ~400x
+    storage/shuffle cut of the ANN tier at 100 TB)."""
+    from bht_etl_app_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, **_PQ_PARAMS)
+    return pq_encode(emb, books)
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes: per-query m x k L2 lookup table
+    (driver-computed, literal-embedded), per-candidate cost = m
+    element_at lookups + a sequential fold; top-k lowers to
+    TakeOrderedAndProject. The oracle replays training, encoding,
+    LUT arithmetic, and the (dist, vec_id) ordering."""
+    from bht_etl_app_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    books = pq_train(emb, **_PQ_PARAMS)
+    return pq_topk(pq_encode(emb, books), qv, books, k=10)
+
+
+def _pq_chains_cte(k: int = 16, rounds: int = 2, dim: int = 64) -> str:
+    """The two subspace Lloyd's chains (prefixes p0/p1) over the
+    vector halves — shared by the pq_codes and ann_pq_topk oracles."""
+    d = dim // 2
+    return (
+        _kmeans_cte(
+            k, rounds,
+            vec_sql=f"list_slice(CAST(embedding AS DOUBLE[]), 1, {d})",
+            prefix="p0",
+        )
+        + ",\n"
+        + _kmeans_cte(
+            k, rounds,
+            vec_sql=f"list_slice(CAST(embedding AS DOUBLE[]), {d + 1}, {dim})",
+            prefix="p1",
+        )
+    )
+
+
+def _pq_codes_oracle_sql(k: int = 16, rounds: int = 2) -> str:
+    fin = rounds + 1
+    return f"""
+WITH {_pq_chains_cte(k, rounds)}
+SELECT a.vec_id,
+       [CAST(a.list_id AS BIGINT), CAST(b.list_id AS BIGINT)] AS codes
+FROM p0a{fin} a JOIN p1a{fin} b USING (vec_id)
+"""
+
+
+def _ann_pq_topk_oracle_sql(
+    k: int = 16, rounds: int = 2, topk: int = 10, dim: int = 64
+) -> str:
+    """ADC replay: LUT entries are dimension-sequential squared-L2
+    folds of the data-resident query (vec_id 0) against the fitted
+    9 dp-quantized codewords — bit-compatible with the Spark driver's
+    Python LUT; total = lut0 + lut1 in subspace order, rounded 6 dp
+    before the (dist, vec_id) top-k."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_pq_chains_cte(k, rounds, dim)},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+lut0 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[i] - c[i]) * (q.v[i] - c[i]))) AS dd
+  FROM p0c{rounds}, q
+),
+lut1 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[{d} + i] - c[i]) * (q.v[{d} + i] - c[i]))) AS dd
+  FROM p1c{rounds}, q
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT a.vec_id, round_even(l0.dd + l1.dd, 6) AS adc_dist
+  FROM p0a{fin} a JOIN p1a{fin} b USING (vec_id)
+  JOIN lut0 l0 ON l0.cid = a.list_id
+  JOIN lut1 l1 ON l1.cid = b.list_id
+)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     from bht_etl_app_spark.operators.sampling import stratified_sample
 
@@ -1927,56 +2024,64 @@ def _kmeans_cluster_sizes_oracle_sql(k: int = 8, rounds: int = 3) -> str:
     )
 
 
-def _kmeans_cte(k: int, rounds: int) -> str:
+def _kmeans_cte(
+    k: int,
+    rounds: int,
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    prefix: str = "",
+) -> str:
     """WITH-body CTE chain for the unrolled Lloyd's fit: ends at
-    ``a{rounds+1}(vec_id, v, list_id)`` — the final assignment under
-    the fitted centroids. Shared by the kmeans and SemDeDup oracles."""
+    ``{prefix}a{rounds+1}(vec_id, v, list_id)`` — the final assignment
+    under the fitted centroids. Shared by the kmeans, SemDeDup,
+    cluster-label, and PQ oracles; ``vec_sql`` lets PQ fit SUBSPACE
+    slices, ``prefix`` namespaces parallel chains in one statement."""
+    x = prefix
     score = (
         "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))"
         " - 0.5 * list_sum(list_transform(c, x -> x * x))"
     )
     assign = """
-s{i} AS (
-  SELECT e.vec_id, e.v, c{p}.cid,
+{x}s{i} AS (
+  SELECT e.vec_id, e.v, {x}c{p}.cid,
          {score} AS score
-  FROM e, c{p}
+  FROM {x}e e, {x}c{p}
 ),
-a{i} AS (
+{x}a{i} AS (
   SELECT vec_id, v, cid AS list_id FROM (
     SELECT vec_id, v, cid,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY score DESC, cid) AS rn
-    FROM s{i}) WHERE rn = 1
+    FROM {x}s{i}) WHERE rn = 1
 )"""
     parts = [
-        f"""e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        f"""{x}e AS (
+  SELECT vec_id, {vec_sql} AS v FROM embeddings
 ),
-c0 AS (
+{x}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, v FROM {x}e ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for i in range(1, rounds + 1):
-        parts.append(assign.format(i=i, p=i - 1, score=score).strip())
+        parts.append(assign.format(i=i, p=i - 1, score=score, x=x).strip())
         parts.append(
-            f"""m{i} AS (
+            f"""{x}m{i} AS (
   SELECT list_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
-  FROM a{i}
+  FROM {x}a{i}
 ),
-n{i} AS (
+{x}n{i} AS (
   SELECT list_id AS cid, list(c ORDER BY pos) AS c FROM (
     SELECT list_id, pos, round_even(AVG(val), 9) AS c
-    FROM m{i} GROUP BY 1, 2
+    FROM {x}m{i} GROUP BY 1, 2
   ) GROUP BY 1
 ),
-c{i} AS (
+{x}c{i} AS (
   SELECT p.cid, COALESCE(n.c, p.c) AS c
-  FROM c{i - 1} p LEFT JOIN n{i} n USING (cid)
+  FROM {x}c{i - 1} p LEFT JOIN {x}n{i} n USING (cid)
 )"""
         )
     fin = rounds + 1
-    parts.append(assign.format(i=fin, p=rounds, score=score).strip())
+    parts.append(assign.format(i=fin, p=rounds, score=score, x=x).strip())
     return ",\n".join(parts)
 
 
@@ -2400,6 +2505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_wide": lambda s, d: _q_simhash_wide(s, d),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        # r5: product quantization (train + encode + ADC query)
+        "pq_codes": _q_pq_codes,
+        "ann_pq_topk": _q_ann_pq_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
@@ -3360,6 +3468,8 @@ SELECT vec_id, cosine FROM (
         "simhash_near_dup_wide": _simhash_wide_near_dup_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
+        "pq_codes": _pq_codes_oracle_sql(),
+        "ann_pq_topk": _ann_pq_topk_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

@@ -94,11 +94,13 @@ HEADLINE = [
     "simhash_docs_fast",
     "near_dup_store_probe",
     "domain_heavy_hitters_cms",
-    # r5: data selection + cluster labeling
+    # r5: data selection + cluster labeling + product quantization
     "dsir_doc_weights",
     "dsir_selected",
     "quality_classifier_scores",
     "cluster_top_terms",
+    "pq_codes",
+    "ann_pq_topk",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

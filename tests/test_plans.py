@@ -345,3 +345,61 @@ def test_dsir_select_topk_is_take_ordered(spark):
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0], (
         "a global sort precedes the top-k"
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The 100 TB selective-dim join story, pinned on a real plan:
+    when a filtered dimension feeds a SHUFFLE join, Spark's runtime
+    Bloom filter must inject a `might_contain` predicate on the fact
+    side — fact rows that can't match are dropped BEFORE the shuffle,
+    which at scale is the difference between shuffling the whole fact
+    table and shuffling the matching slice. (Broadcast joins don't
+    need it: the filter is implicit in the hash table. This pins the
+    shuffle-join path that big fact x big-but-filtered dim hits.)
+    Thresholds lowered so toy scan sizes qualify; restored after."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        assert (
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled"
+            )
+            == "true"
+        )
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter not injected on the fact side"
+        )
+        assert "bloom_filter_agg" in plan
+        # and the result is still right (filter is sound, not just fast)
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

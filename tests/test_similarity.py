@@ -214,3 +214,100 @@ def test_knn_label_vote_majority_and_ties(spark):
     got_self = {r["q_id"]: (r["predicted_label"], r["votes"])
                 for r in knn_label_vote(q_self, corpus, k=3).collect()}
     assert got_self[0] == (1, 2)
+
+
+# -- product quantization (operators/pq.py, r5) --------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_sdf(spark):
+    """64-dim fixture embeddings — PQ needs real dimensionality
+    (the tiny 2-d VECS can't host m=2 x k=8 codebooks)."""
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark, emb_sdf):
+    from bht_etl_app_spark.operators.pq import pq_encode, pq_train
+
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    assert len(books) == 2 and len(books[0]) == 8
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(emb_sdf, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(emb_sdf, books).collect()}
+    assert c1 == c2
+    for codes in c1.values():
+        assert len(codes) == 2
+        assert all(0 <= c < 8 for c in codes)
+
+
+def test_pq_adc_self_distance_is_minimal(spark, emb_sdf):
+    """The query's own vector must score the SMALLEST possible ADC
+    distance (its codes are the argmin codewords for its own
+    subvectors), so the query point ranks first."""
+    from bht_etl_app_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    qv = [float(x) for x in emb_sdf.where("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    top = pq_topk(pq_encode(emb_sdf, books), qv, books, k=5).collect()
+    assert top[0]["vec_id"] == 0
+
+
+def test_pq_adc_matches_python_reference(spark, emb_sdf):
+    """ADC distances replayed in pure Python from the SAME codebooks
+    and codes — pins the LUT indexing and the fold order."""
+    from bht_etl_app_spark.operators.pq import (
+        pq_adc_lut,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    qv = [float(x) for x in emb_sdf.where("vec_id = 1").first()["embedding"]]
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb_sdf, books).collect()}
+    lut = pq_adc_lut(qv, books)
+    k_cw = len(books[0])
+    exp = {
+        v: round(sum(lut[s * k_cw + c] for s, c in enumerate(cs)), 6)
+        for v, cs in codes.items()
+    }
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq_topk(pq_encode(emb_sdf, books), qv, books, k=500).collect()
+    }
+    for v, d in got.items():
+        assert d == exp[v], (v, d, exp[v])
+
+
+def test_ivf_pq_probes_subset_of_full_adc_order(spark, emb_sdf):
+    """IVF-PQ results must be consistent with full ADC over the
+    probed lists: every returned id comes from a probed list, ranked
+    by the same ADC distance; nprobe=all degenerates to full PQ."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    qv = [float(x) for x in emb_sdf.where("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    full = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_topk(pq_encode(emb_sdf, books), qv, books, k=10).collect()
+    ]
+    all_probe = [
+        (r.vec_id, r.adc_dist)
+        for r in ann_ivf_pq_topk(
+            emb_sdf, qv, cents, books, k=10, nprobe=4
+        ).collect()
+    ]
+    assert all_probe == full
+    some = ann_ivf_pq_topk(emb_sdf, qv, cents, books, k=10, nprobe=1).collect()
+    full_ids = dict(full)
+    for r in some:
+        # probed results carry the same ADC distance wherever they
+        # also appear in the full ranking
+        if r.vec_id in full_ids:
+            assert r.adc_dist == full_ids[r.vec_id]
