@@ -1593,6 +1593,16 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
 
 
+def _q_corpus_datacard(spark, sf_dir):
+    """One-pass per-domain data card (datasheet/data-card practice):
+    doc/token counts, language spread, exact-dup rate, short-doc
+    fraction — single groupBy with a multi-distinct Expand, the
+    profile_table shape."""
+    from bht_etl_app_spark.operators.corpus import corpus_datacard
+
+    return corpus_datacard(load_table(spark, sf_dir, "documents"))
+
+
 _PQ_PARAMS = {"m": 2, "k": 16, "max_iter": 2}
 
 
@@ -2527,6 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_fertility": _q_lang_fertility,
         "corpus_snapshot_diff": _q_snapshot_diff,
         "source_dedup_rates": _q_source_dedup_rates,
+        # r5: one-pass per-domain data card (datasheet practice)
+        "corpus_datacard": _q_corpus_datacard,
         # rows-only checks (not cleanly SQL-expressible / engine-specific hashes)
         "approx_distinct_parts": lambda s, d: analytics.approx_distinct_parts(
             load_table(s, d, "lineitem")
@@ -3492,6 +3504,28 @@ SELECT vec_id, cosine FROM (
         "lang_token_fertility": LANG_TOKEN_FERTILITY_SQL,
         "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
         "source_dedup_rates": SOURCE_DEDUP_RATES_SQL,
+        "corpus_datacard": """
+WITH b AS (
+  SELECT source AS domain,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS nt,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         lang
+  FROM documents
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round_even(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round_even(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS en_frac,
+       round_even(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round_even(CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS short_frac
+FROM b GROUP BY 1
+""",
         "winnow_overlap_pairs": """
 WITH fps AS (
 SELECT doc_id, unnest(list_distinct(sel)) AS fp

@@ -101,6 +101,7 @@ HEADLINE = [
     "cluster_top_terms",
     "pq_codes",
     "ann_pq_topk",
+    "corpus_datacard",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -813,3 +813,70 @@ def source_dedup_rates(
         )
         .orderBy("source")
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-domain corpus data card — the one-pass quality/composition
+    report a curation pipeline publishes alongside a release
+    (datasheet/data-card practice): doc and token counts, language
+    spread, exact-duplicate rate, short-doc fraction.
+
+    Output per domain: ``(domain, n_docs, total_tokens, avg_tokens,
+    n_langs, en_frac, dup_rate, short_frac)``; rates rounded to 6 dp.
+
+    Scale posture: ONE scan, ONE groupBy(domain) with map-side
+    partials. The duplicate rate needs distinct fingerprints per
+    domain — count(DISTINCT md5) inside the same aggregate (Spark
+    plans a single Expand pass, the profile_table shape); everything
+    else is a plain conditional sum. Output is |domains| rows.
+    """
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    base = ensure_min_parallelism(df).select(
+        F.col(domain_col).alias("domain"),
+        n_tok.alias("__nt__"),
+        fp.alias("__fp__"),
+        F.col(lang_col).alias("__lang__"),
+    )
+    return (
+        base.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt__").alias("total_tokens"),
+            F.countDistinct("__lang__").alias("n_langs"),
+            F.sum(F.when(F.col("__lang__") == "en", 1).otherwise(0)).alias(
+                "__en__"
+            ),
+            F.countDistinct("__fp__").alias("__uniq__"),
+            F.sum(F.when(F.col("__nt__") < 20, 1).otherwise(0)).alias(
+                "__short__"
+            ),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "total_tokens",
+            F.bround(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            "n_langs",
+            F.bround(
+                F.col("__en__").cast("double") / F.col("n_docs"), 6
+            ).alias("en_frac"),
+            F.bround(
+                F.lit(1.0)
+                - F.col("__uniq__").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            F.bround(
+                F.col("__short__").cast("double") / F.col("n_docs"), 6
+            ).alias("short_frac"),
+        )
+    )

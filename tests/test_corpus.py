@@ -353,3 +353,28 @@ def test_domain_quantile_filter_approx_agrees_with_exact(spark):
     # internal consistency: keep always equals the threshold compare
     for r in approx.values():
         assert r["keep"] == (float(r["n_tokens"]) >= r["threshold"])
+
+
+def test_corpus_datacard_values(spark):
+    from bht_etl_app_spark.operators.corpus import corpus_datacard
+
+    rows = [
+        (0, "a b c", "en", "web"),
+        (1, "a b c", "en", "web"),          # exact dup of doc 0
+        (2, "x y", "fr", "web"),            # short (<20 tokens)
+        (3, " ".join(["t"] * 25), "en", "books"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["domain"]: r for r in corpus_datacard(docs).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 8
+    assert web["avg_tokens"] == round(8 / 3, 6)
+    assert web["n_langs"] == 2
+    assert web["en_frac"] == round(2 / 3, 6)
+    assert web["dup_rate"] == round(1 - 2 / 3, 6)   # 3 docs, 2 distinct fps
+    assert web["short_frac"] == 1.0                  # all web docs < 20 tokens
+    books = got["books"]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+    assert books["short_frac"] == 0.0
