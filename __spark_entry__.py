@@ -1700,6 +1700,117 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
 """
 
 
+def _q_ann_ivf_pq_topk(spark, sf_dir):
+    """Full IVF-PQ composite: coarse k-means (k=8) probe + ADC over
+    PQ codes — the FAISS-style index shape. The oracle replays coarse
+    fit, probe-list ranking, coarse assignment (dot-argmax, the IVF
+    rule), subspace fits, encoding, and the LUT-scored top-k."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import ann_ivf_pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    books = pq_train(emb, **_PQ_PARAMS)
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    return ann_ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=2)
+
+
+def _q_ann_pq_store_topk(spark, sf_dir):
+    """Same query against the PERSISTED index: (vec_id, list_id,
+    codes) written hive-partitioned by list_id (io/layout.py
+    write_pq_index), probed with partition pruning (plan pinned in
+    tests/test_layout.py). Stored-vs-recomputed equality is what the
+    shared oracle green proves."""
+    import tempfile
+
+    from bht_etl_app_spark.io.layout import read_pq_index, write_pq_index
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_pq_index_topk,
+        pq_index_rows,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    books = pq_train(emb, **_PQ_PARAMS)
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    path = tempfile.mkdtemp(prefix="bht-pq-index-")
+    write_pq_index(pq_index_rows(emb, cents, books), path)
+    return ann_pq_index_topk(
+        read_pq_index(spark, path), qv, cents, books, k=10, nprobe=2
+    )
+
+
+def _ann_ivf_pq_oracle_sql(
+    k: int = 16,
+    rounds: int = 2,
+    kc: int = 8,
+    nprobe: int = 2,
+    topk: int = 10,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the IVF-PQ composite: coarse Lloyd's chain
+    (prefix cv) gives the fitted coarse centroids; probe ranking and
+    per-vector coarse assignment use PLAIN dot-product argmax (the
+    IVF rule — ties to the lowest cid), matching ivf_scores_expr;
+    then the two subspace chains + ADC LUT + (dist, vec_id) top-k."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="cv")},
+{_pq_chains_cte(k, rounds, dim)},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_dot_product(q.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cvc{rounds} c, q
+  ) WHERE rn <= {nprobe}
+),
+cassign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cve e, cvc{rounds} c
+  ) WHERE rn = 1
+),
+lut0 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[i] - c[i]) * (q.v[i] - c[i]))) AS dd
+  FROM p0c{rounds}, q
+),
+lut1 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[{d} + i] - c[i]) * (q.v[{d} + i] - c[i]))) AS dd
+  FROM p1c{rounds}, q
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT a.vec_id, round_even(l0.dd + l1.dd, 6) AS adc_dist
+  FROM cassign cv
+  JOIN probe ON cv.list_id = probe.cid
+  JOIN p0a{fin} a ON a.vec_id = cv.vec_id
+  JOIN p1a{fin} b ON b.vec_id = cv.vec_id
+  JOIN lut0 l0 ON l0.cid = a.list_id
+  JOIN lut1 l1 ON l1.cid = b.list_id
+)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     from bht_etl_app_spark.operators.sampling import stratified_sample
 
@@ -2515,9 +2626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_wide": lambda s, d: _q_simhash_wide(s, d),
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        # r5: product quantization (train + encode + ADC query)
+        # r5: product quantization (train + encode + ADC query +
+        # IVF composite + persisted partition-pruned index)
         "pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
@@ -3482,6 +3596,8 @@ SELECT vec_id, cosine FROM (
         "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
         "pq_codes": _pq_codes_oracle_sql(),
         "ann_pq_topk": _ann_pq_topk_oracle_sql(),
+        "ann_ivf_pq_topk": _ann_ivf_pq_oracle_sql(),
+        "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

@@ -101,6 +101,8 @@ HEADLINE = [
     "cluster_top_terms",
     "pq_codes",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_pq_store_topk",
     "corpus_datacard",
     # data QA
     "profile_orders",

@@ -257,3 +257,23 @@ def shard_manifest(spark, path: str):
     return rows.join(sdf, "rel_path", "left").select(
         "file", F.col("n_rows").cast("long").alias("n_rows"), "n_bytes"
     )
+
+
+def write_pq_index(
+    codes: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ index: ``(vec_id, list_id, codes)`` rows
+    written hive-partitioned by ``list_id``. A query probing
+    ``nprobe`` lists reads ONLY those lists' directories — partition
+    pruning happens at planning time, before any file is opened
+    (pinned in tests/test_layout.py). Codes are m small ints per
+    vector, so the stored index is ~orders of magnitude smaller than
+    the float vectors it replaces; the vectors themselves stay in
+    their own table for optional exact re-ranking."""
+    codes.write.mode(mode).partitionBy("list_id").parquet(path)
+
+
+def read_pq_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -58,6 +58,8 @@ __all__ = [
     "pq_adc_lut",
     "pq_topk",
     "ann_ivf_pq_topk",
+    "pq_index_rows",
+    "ann_pq_index_topk",
 ]
 
 
@@ -236,6 +238,77 @@ def ann_ivf_pq_topk(
     dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
     return (
         probed.select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_index_rows(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored-index projection: ``(vec_id, list_id, codes)`` —
+    coarse IVF assignment (dot-product argmax, the IVF rule) plus PQ
+    codes, one pure projection over the corpus. Feed to
+    :func:`~bht_etl_app_spark.io.layout.write_pq_index`."""
+    from .clustering import _argmax_expr, _l2_scores_expr
+    from .similarity import _ivf_list_id, ivf_scores_expr
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = F.array(*[
+        _argmax_expr(_l2_scores_expr(_subvec(vec, s, d_sub), codebooks[s]))
+        for s in range(m)
+    ])
+    return ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        _ivf_list_id(ivf_scores_expr(vec, coarse_centroids)).alias("list_id"),
+        codes.alias("codes"),
+    )
+
+
+def ann_pq_index_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a PERSISTED PQ index
+    (:func:`~bht_etl_app_spark.io.layout.read_pq_index` output): the
+    ``list_id.isin(probes)`` filter prunes the hive partitions at
+    planning time, so only the probed lists' files are scanned —
+    no corpus scan, no shuffle, no float math. Same results as
+    :func:`ann_ivf_pq_topk` over the live frame (stored-vs-recomputed
+    equality is what the shared oracle green proves)."""
+    from .similarity import lit_double_array
+
+    q_scores = sorted(
+        (
+            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(coarse_centroids)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_lists = [i for _, i in q_scores[:nprobe]]
+    n_codewords = len(codebooks[0])
+    lut = lit_double_array(pq_adc_lut(query_vec, codebooks))
+    contribs = F.transform(
+        F.col("codes"),
+        lambda c, s: F.element_at(
+            lut, (s * n_codewords + c + 1).cast("int")
+        ),
+    )
+    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    return (
+        index.where(F.col("list_id").isin(probe_lists))
+        .select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )

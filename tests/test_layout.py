@@ -335,3 +335,38 @@ def test_band_index_append_and_compact(spark, tmp_path):
         assert files_after < files_before
     finally:
         spark.sql("DROP TABLE IF EXISTS t_band_idx2")
+
+
+def test_pq_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted PQ index (r5): codes written hive-partitioned by
+    list_id; an nprobe probe must plan with a PartitionFilters entry
+    on list_id — only the probed lists' directories are read, before
+    any file opens. Results must equal the live-frame composite."""
+    from bht_etl_app_spark.io.layout import read_pq_index, write_pq_index
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_pq_topk,
+        ann_pq_index_topk,
+        pq_index_rows,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(emb, k=4, max_iter=2)
+    path = str(tmp_path / "pqidx")
+    write_pq_index(pq_index_rows(emb, cents, books), path)
+
+    probe = ann_pq_index_topk(
+        read_pq_index(spark, path), qv, cents, books, k=10, nprobe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "list_id" in pf_line, f"probe not partition-pruned: {pf_line}"
+
+    live = ann_ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=2)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in live.collect()
+    ]
