@@ -2693,18 +2693,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ones follow in their original order. Local verification always
     # covers all queries (tools/check_oracle.py).
     verified = _driver_verified_keys()
-    ordered = {k: v for k, v in q.items() if k not in verified}
+    # Within the unverified front-load, keys with NO driver row in any
+    # round (brand-new) outrank stale-green ones (REVERIFY-stamped:
+    # they have a historical green proving the pre-change values, so a
+    # missed re-check costs less than a new key never checked at all).
+    # Matters when the front-load set exceeds the driver's 50-key
+    # window; spill self-heals next round either way.
+    ever = _driver_verified_keys(ignore_reverify=True)
+    ordered = {k: v for k, v in q.items() if k not in verified and k not in ever}
+    ordered.update(
+        {k: v for k, v in q.items() if k not in verified and k in ever}
+    )
     ordered.update({k: v for k, v in q.items() if k in verified})
     return ordered
 
 
-def _driver_verified_keys() -> set[str]:
+def _driver_verified_keys(ignore_reverify: bool = False) -> set[str]:
     """Keys with a fully-green (rows+schema+hash, or rows-only without
     error) row in a driver CORRECTNESS_r*.json from a round AFTER the
     key's last implementation change (``_REVERIFY``): a green row
     predating the change proves nothing, while one from a later round
     re-verifies the key and lets it rotate out of the checked prefix
-    again — the list is self-healing, no manual pruning per round."""
+    again — the list is self-healing, no manual pruning per round.
+    ``ignore_reverify=True`` returns keys green in ANY round (used to
+    rank brand-new keys ahead of stale-green ones in the window)."""
     import glob
     import json
     import os
@@ -2724,7 +2736,7 @@ def _driver_verified_keys() -> set[str]:
             continue
         any_file = True
         for name, r in rows.items():
-            if _REVERIFY.get(name, 0) >= rnd:
+            if not ignore_reverify and _REVERIFY.get(name, 0) >= rnd:
                 continue  # green row predates the implementation change
             if not isinstance(r, dict):
                 continue
