@@ -42,9 +42,16 @@ NESTED_LOOP_OK = {
                              # BroadcastNestedLoopJoin BuildRight over the
                              # 1-row total aggregate (text.py bigram_logprob_scores)
     "domain_mixture",        # crossJoin(broadcast(1-row normalizers))
+    "cluster_top_terms",     # crossJoin(broadcast(1-row token-total/
+                             # cluster-count aggregate) for the c-TF-IDF
+                             # idf denominator — same 1-row BuildRight
+                             # shape as tfidf_top_terms
     "doc_bloom_decontaminate",  # crossJoin(broadcast(1-row bloom bitmap));
                              # verified: the only nested loop is the
                              # BuildRight broadcast of the single bitmap row
+    "dsir_doc_weights",      # crossJoin(broadcast(1-row target/raw bucket
+    "dsir_selected",         # totals) normalizing the DSIR log-ratios
+                             # (selection.py dsir_bucket_logratio)
 }
 
 
