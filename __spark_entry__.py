@@ -43,6 +43,7 @@ from bht_etl_app_spark.operators import (
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_ppjoin,
     quality_scores,
     repetition_signals,
     simhash64,
@@ -64,6 +65,7 @@ from bht_etl_app_spark.operators import (
     upsert_latest,
     vocab_coverage,
 )
+from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
 
@@ -2322,6 +2324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ---- training-data pipeline operators (north star) ----
         "doc_token_stats": lambda s, d: token_stats(load_table(s, d, "documents")),
+        # distributed BPE: corpus-scale word count, vocab-scale merge
+        # rounds (1-row driver argmax per round), broadcast encode
+        "bpe_merges": lambda s, d: bpe_ops.bpe_train(
+            load_table(s, d, "documents"), num_merges=12
+        )[0],
+        "bpe_token_counts": lambda s, d: bpe_ops.bpe_token_counts(
+            load_table(s, d, "documents"), num_merges=12
+        ),
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
@@ -2332,6 +2342,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale step measured 23x wall growth without it)
         "near_dup_jaccard": lambda s, d: ngram_jaccard_pairs(
             load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
+        ),
+        # the LOSSLESS scale path (PPJoin prefix+positional filter) —
+        # its oracle is the UNCAPPED brute-force Jaccard, so the
+        # driver hash-match is a standing proof the filters drop no
+        # pair (tests pin the same against a pure-Python all-pairs)
+        "near_dup_jaccard_ppjoin": lambda s, d: ngram_jaccard_pairs_ppjoin(
+            load_table(s, d, "documents"), threshold=0.8
         ),
         "knn_vec0": _q_knn_vec0,
         "embedding_quantized": _q_embedding_quantized,
@@ -3237,6 +3254,10 @@ SELECT * FROM (
         "q9_product_type_profit": tpch.Q9_SQL,
         "q11_important_part_values": tpch.Q11_SQL,
         "q20_dominant_part_suppliers": tpch.Q20_SQL,
+        # unrolled-merge-round replay of the BPE training loop (the
+        # k-means unrolled-Lloyd's oracle pattern)
+        "bpe_merges": bpe_ops.bpe_oracle_sql(12)["merges"],
+        "bpe_token_counts": bpe_ops.bpe_oracle_sql(12)["token_counts"],
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
@@ -3581,6 +3602,40 @@ pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
          any_value(b.n_sh) AS n_b, count(*) AS shared
   FROM exf a JOIN exf b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+  FROM pairs
+) WHERE jaccard >= 0.8
+""",
+        # oracle for the PPJoin path is the UNCAPPED inverted-index
+        # brute force: a hash match here proves the prefix/positional
+        # filters are lossless, not merely self-consistent
+        "near_dup_jaccard_ppjoin": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM ex a JOIN ex b USING (s)
   WHERE a.id < b.id
   GROUP BY a.id, b.id
 )

@@ -234,6 +234,134 @@ def ngram_jaccard_pairs(
     return track_persisted(pairs, persisted)
 
 
+def ngram_jaccard_pairs_ppjoin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix +
+    positional filtering (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08). Output identical to
+    :func:`ngram_jaccard_pairs` with NO ``max_shingle_df`` cap:
+    ``(id_a, id_b, jaccard)``, pairs ≥ threshold, ``id_a < id_b``.
+
+    Why this exists next to the df-cap variant: the cap is LOSSY — it
+    silently drops pairs whose overlap rides boilerplate shingles.
+    Prefix filtering is LOSSLESS and attacks the same quadratic
+    blowup from the other side: sort each doc's shingles by global
+    rarity ``(df ASC, shingle ASC)`` and index only the first
+    ``|x| - ceil(t·|x|) + 1`` of them (~``(1-t)·|x|+1`` ≈ 20% at
+    t=0.8). Soundness: if ``J(x,y) ≥ t`` then
+    ``|x∩y| ≥ ceil(t·max(|x|,|y|))``, and two sets sharing ≥ α
+    elements of a total order must collide within their first
+    ``len - α + 1`` elements. Because the order is rarest-first, the
+    indexed postings lists are the SHORT ones by construction — the
+    boilerplate shingles that made the naive inverted index quadratic
+    sit at the back of every prefix and are never joined on.
+
+    The positional filter then prunes candidates whose best-case
+    overlap (prefix matches + what can still follow the last matched
+    positions) cannot reach ``α = ceil(t/(1+t)·(|x|+|y|))``, before
+    the exact verify.
+
+    Plan shape at 100 TB: one corpus-scale explode; a vocabulary-keyed
+    df-count aggregation (map-side combine); a per-DOC rank window
+    (bounded by per-doc shingle count — never corpus-wide); a prefix×
+    prefix equi-join on the shingle (the only pair-producing shuffle,
+    bounded by rare-posting lengths); and a verify join that touches
+    only candidate docs' postings. The float guards use an epsilon
+    RELAXATION (never exclusion), so binary-float edges like
+    ``0.8·5 → 4.0000000000000004`` can only admit extra candidates —
+    the exact integer-arithmetic verify keeps output identity.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    eps = 1e-9
+    sh = (
+        _shingled(ensure_min_parallelism(df), text_col, id_col, n, "shingles")
+        .select(F.col(id_col).alias("id"), "shingles")
+        .withColumn("n_sh", F.size("shingles"))
+        .where(F.col("n_sh") > 0)
+    )
+    # postings feed three consumers (df counts, prefix index, verify)
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("s"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - eps).cast("int")
+        + 1
+    )
+    prefix = (
+        ex.join(dfc, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .select("id", "n_sh", "s", "pos")
+        # both self-join sides below read the prefix index; persist the
+        # ~(1-t) slice, not the full posting set
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
+        "s", F.col("pos").alias("pos_a"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
+        "s", F.col("pos").alias("pos_b"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("n_a") + F.col("n_b")).cast("double")
+        - eps
+    )
+    cands = (
+        a.join(b, "s")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter, epsilon-relaxed: |y| ≥ t·|x| both ways
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - eps)
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - eps)
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("pos_a").alias("pa"),
+            F.max("pos_b").alias("pb"),
+        )
+        # positional filter: prefix matches + the tail past the last
+        # matched position upper-bound the total overlap
+        .where(
+            F.col("m")
+            + F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb"))
+            >= alpha
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    shared = (
+        cands.join(ex.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = shared.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    return track_persisted(pairs, ex, prefix)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,112 @@
+"""BPE tokenizer training/encoding vs an independent pure-Python
+reference implementation (textbook Sennrich merge loop over a word-
+frequency dict — no Spark, no DuckDB)."""
+
+from collections import Counter
+
+import pytest
+
+from bht_etl_app_spark.operators.bpe import bpe_token_counts, bpe_train
+
+
+def _python_bpe(texts, num_merges):
+    """Reference BPE: word-freq dict, greedy most-frequent adjacent
+    pair, ties broken by (pair) ascending; returns (merges, per-word
+    token counts)."""
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    segs = {w: tuple(w) for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = Counter()
+        for w, seg in segs.items():
+            for i in range(len(seg) - 1):
+                pairs[(seg[i], seg[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges, {w: len(seg) for w, seg in segs.items()}
+
+
+TEXTS = [
+    "the cat sat on the mat the cat sat",
+    "the dog sat on the log the dog ran",
+    "lowest lower low lowering lowered",
+    "newer newest new renew newness",
+    "aaa aaaa aa aaa aaaa",  # overlapping-run merge semantics
+    "abab ababab ab abab",   # re-pairing after merges
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("k", [1, 5, 12])
+def test_bpe_train_matches_python_reference(docs, k):
+    merges_df, _ = bpe_train(docs, num_merges=k)
+    got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    exp, _ = _python_bpe(TEXTS, k)
+    assert got == exp
+
+
+def test_bpe_vocab_token_counts_match_python_reference(docs):
+    _, vocab = bpe_train(docs, num_merges=8)
+    got = {r["word"]: r["n_tokens"] for r in vocab.collect()}
+    _, exp = _python_bpe(TEXTS, 8)
+    assert got == exp
+
+
+def test_bpe_doc_counts_sum_word_counts(docs):
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, num_merges=8).collect()
+    }
+    _, per_word = _python_bpe(TEXTS, 8)
+    for i, t in enumerate(TEXTS):
+        words = t.lower().split()
+        assert rows[i] == (len(words), sum(per_word[w] for w in words))
+
+
+def test_bpe_empty_docs_report_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, num_merges=2).collect()
+    }
+    assert rows[2] == (0, 0) and rows[3] == (0, 0)
+
+
+def test_bpe_merge_supply_exhaustion_stops_early(spark):
+    # vocabulary of single characters: after merging the only pair
+    # supply dry-runs; the merge table must be shorter than requested
+    docs = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    merges_df, vocab = bpe_train(docs, num_merges=10)
+    got = [tuple(r) for r in merges_df.collect()]
+    assert got == [(1, "a", "b", 3)]
+    assert {r["word"]: r["n_tokens"] for r in vocab.collect()} == {"ab": 1}
+
+
+def test_bpe_token_counts_broadcasts_vocab(docs):
+    plan = (
+        bpe_token_counts(docs, num_merges=2)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert "BatchEvalPython" not in plan, "BPE encode dropped to Python"

