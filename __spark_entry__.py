@@ -1474,6 +1474,61 @@ def _ewma(spark, sf_dir):
     return ewma_per_key(load_table(spark, sf_dir, "events"))
 
 
+def _interpolated(spark, sf_dir):
+    from bht_etl_app_spark.operators.timeseries import interpolate_series
+
+    # one metric (view-event values) for one user cohort: the sparse
+    # series shape gap-fill exists for — most hourly buckets empty
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "view") & (F.col("user_id") % 5 == 0)
+    )
+    return interpolate_series(ev, step="hour")
+
+
+_INTERPOLATED_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+  FROM events
+  WHERE event_type = 'view' AND user_id % 5 = 0
+  GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT s.user_id, s.bucket, o.v
+  FROM spine s LEFT JOIN obs o USING (user_id, bucket)
+),
+w AS (
+  SELECT user_id, bucket, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT user_id, bucket,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pb)) / (epoch(nb) - epoch(pb)))
+  END AS value,
+  (v IS NULL) AS filled
+FROM w
+"""
+
+
 def _dedup_corpus(spark, sf_dir):
     from bht_etl_app_spark.operators.dedup import dedup_corpus
 
@@ -2693,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_heavy_hitters_cms": _q_heavy_hitters_cms,
         "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
+        "user_hourly_interpolated": _interpolated,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
         ),
@@ -3138,6 +3194,7 @@ SELECT * FROM (VALUES
         "customer_order_gaps": windows.CUSTOMER_ORDER_GAPS_SQL,
         "running_monthly_revenue": windows.RUNNING_MONTHLY_REVENUE_SQL,
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
+        "user_hourly_interpolated": _INTERPOLATED_SQL,
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,
         "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
         "order_price_deciles": windows.ORDER_PRICE_DECILES_SQL,

@@ -276,3 +276,90 @@ def ewma_per_key(
         .groupBy(key_col)
         .applyInPandas(_kernel, schema=out_schema)
     )
+
+
+def interpolate_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    step: str = "hour",
+) -> DataFrame:
+    """Gap-fill + linear interpolation of a per-key time series — the
+    resample/interpolate step of metric pipelines (pandas
+    ``resample().interpolate()``, TimescaleDB ``time_bucket_gapfill``
+    + ``interpolate``), distributed.
+
+    Buckets events into ``step``-sized intervals per key, builds the
+    COMPLETE bucket spine from each key's first to last bucket, and
+    fills missing buckets by linear interpolation between the
+    nearest observed neighbors (series edges fall back to the
+    nearest observed value; spine endpoints are observed by
+    construction). Output: ``(key, bucket, value, filled)`` where
+    ``filled`` marks interpolated rows.
+
+    Scale shape: one keyed aggregation to bucket granularity (map-side
+    combine — the corpus never reaches the window), a spine explode
+    that is per-key ``sequence()`` generation (distributed, bounded by
+    span/step per key, never a driver loop), one co-partitioned left
+    join (spine and observations share the (key, bucket) shuffle), and
+    two per-key window scans (last/first ignorenulls) bounded by the
+    key's spine length. Observed bucket means ride the DECIMAL(18,2)
+    fold so the double values are partitioning-invariant.
+    """
+    interval = {"hour": "interval 1 hour", "day": "interval 1 day"}[step]
+    obs = (
+        df.groupBy(
+            F.col(key_col), F.date_trunc(step, F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.expr(interval))).alias("bucket"),
+    )
+    j = spine.join(obs, [key_col, "bucket"], "left")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    pv = F.last("v", ignorenulls=True).over(w_prev)
+    pb = F.last(observed_bucket, ignorenulls=True).over(w_prev)
+    nv = F.first("v", ignorenulls=True).over(w_next)
+    nb = F.first(observed_bucket, ignorenulls=True).over(w_next)
+    frac = (
+        (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(pb)).cast("double")
+        / (F.unix_timestamp(nb) - F.unix_timestamp(pb)).cast("double")
+    )
+    val = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    # no 6dp quantization here: interpolation fractions (1/gap_len)
+    # produce exact decimal ties where engine round() tie-behavior on
+    # near-tie doubles diverges; the unrounded doubles are themselves
+    # deterministic (decimal-fold means, integer-second fractions,
+    # fixed op order), so full precision is the portable choice
+    return j.select(
+        F.col(key_col),
+        F.col("bucket"),
+        val.alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )

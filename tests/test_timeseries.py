@@ -275,3 +275,50 @@ def test_user_cohort_retention_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_interpolate_series_hand_computed(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import interpolate_series
+
+    rows = [
+        # user 1: observed at hours 0, 1, 4 -> gaps at 2 and 3
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 20.0),   # hour-0 mean = 15.0
+        (1, datetime(2024, 1, 1, 1, 10), 30.0),
+        (1, datetime(2024, 1, 1, 4, 5), 90.0),
+        # user 2: single bucket -> spine of one observed row, no fill
+        (2, datetime(2024, 1, 2, 7, 1), 5.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket"].hour): (r["value"], r["filled"])
+        for r in interpolate_series(df).collect()
+    }
+    assert got[(1, 0)] == (15.0, False)
+    assert got[(1, 1)] == (30.0, False)
+    # linear 30 -> 90 across 3 steps: 50 at hour 2, 70 at hour 3
+    assert got[(1, 2)] == (50.0, True)
+    assert got[(1, 3)] == (70.0, True)
+    assert got[(1, 4)] == (90.0, False)
+    assert got[(2, 7)] == (5.5, False)
+    assert len(got) == 6
+
+
+def test_interpolate_series_spine_is_distributed(spark):
+    """The spine must come from a per-key sequence() explode, not a
+    driver loop or a global range join — plan shows Generate, and no
+    cartesian/nested-loop join anywhere."""
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import interpolate_series
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = interpolate_series(df)._jdf.queryExecution().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
