@@ -1468,6 +1468,68 @@ FROM p ASOF LEFT JOIN c
 """
 
 
+def _doc_pairs_t05(spark, sf_dir):
+    # the shared edge list for the graph queries: capped inverted-index
+    # jaccard pairs at t=0.5 (same kernel as near_dup_jaccard)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=64
+    ).select("id_a", "id_b")
+
+
+def _doc_pagerank(spark, sf_dir):
+    from bht_etl_app_spark.operators.graph import pagerank
+
+    return pagerank(_doc_pairs_t05(spark, sf_dir))
+
+
+def _dedup_rep_docs(spark, sf_dir):
+    from bht_etl_app_spark.operators.graph import cluster_representatives
+
+    return cluster_representatives(_doc_pairs_t05(spark, sf_dir))
+
+
+# WITH-clause text defining pairs(id_a, id_b) — the t=0.5 capped
+# jaccard edge list replayed for the graph oracles
+_DOC_PAIRS_T05_CTE = """toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
+exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM exf a JOIN exf b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+from bht_etl_app_spark.operators.graph import pagerank_oracle_sql as _pr_oracle
+
+_graph_oracles = _pr_oracle(_DOC_PAIRS_T05_CTE)
+
+
 def _ewma(spark, sf_dir):
     from bht_etl_app_spark.operators.timeseries import ewma_per_key
 
@@ -2749,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "user_hourly_interpolated": _interpolated,
+        "doc_pagerank": _doc_pagerank,
+        "dedup_rep_docs": _dedup_rep_docs,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
             load_table(s, d, "documents")
         ),
@@ -3195,6 +3259,8 @@ SELECT * FROM (VALUES
         "running_monthly_revenue": windows.RUNNING_MONTHLY_REVENUE_SQL,
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "user_hourly_interpolated": _INTERPOLATED_SQL,
+        "doc_pagerank": _graph_oracles["pagerank"],
+        "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,
         "order_price_percentiles": windows.ORDER_PRICE_PERCENTILES_SQL,
         "order_price_deciles": windows.ORDER_PRICE_DECILES_SQL,

@@ -104,6 +104,11 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "ann_pq_store_topk",
     "corpus_datacard",
+    # r5: lossless PPJoin jaccard, distributed BPE, series gap-fill
+    "near_dup_jaccard_ppjoin",
+    "bpe_token_counts",
+    "user_hourly_interpolated",
+    "dedup_rep_docs",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

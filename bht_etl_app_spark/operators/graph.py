@@ -1,0 +1,203 @@
+"""Graph operators over similarity/dedup pair lists: PageRank
+centrality and centrality-based duplicate-cluster representative
+selection.
+
+Why an engine for training corpora carries PageRank: near-duplicate
+clusters need a KEEPER, and "minimum doc_id" (the dedup.py default)
+is arbitrary — the curation literature keeps the most REPRESENTATIVE
+member instead. Within a similarity graph, that is the highest-
+centrality vertex: the doc most connected to the rest of its cluster.
+:func:`cluster_representatives` composes connected components
+(dedup.dedup_clusters) with :func:`pagerank` to pick it.
+
+Scale posture (100 TB):
+
+- The pair list is the DEDUP graph — orders of magnitude smaller than
+  the corpus (pairs above a similarity threshold), and the only thing
+  shuffled here. Documents never enter.
+- Each PageRank round is one co-partitioned edge⨝rank join (edges are
+  repartitioned on src ONCE and persisted; every round's rank frame
+  shuffles to the same partitioning) plus one contribution aggregation
+  keyed on dst with map-side partial sums.
+- ``num_iters`` is a fixed constant, so the WHOLE computation is one
+  lazy plan — no per-round driver action, no collect (the one driver
+  scalar is the vertex count, computed up front like the k-means
+  seed). Rank mass is vertex-sized end to end.
+- Float discipline (the kmeans_fit rule, applied in-dataflow): each
+  round's rank is quantized to 12 dp, absorbing partial-sum ordering
+  jitter (per-vertex sums are degree-bounded, error ~1e-16·deg per
+  round) so results are partitioning-invariant and replayable by the
+  DuckDB oracle's unrolled rounds.
+
+PageRank on the SYMMETRIZED graph: every vertex in a pair list has
+degree ≥ 1, so there is no dangling mass to redistribute — the
+textbook complication disappears by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["pagerank", "cluster_representatives"]
+
+
+def pagerank(
+    pairs: DataFrame,
+    num_iters: int = 6,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """PageRank over the undirected graph given as a unique pair list
+    ``(id_a, id_b)`` (``id_a < id_b``, as every dedup operator here
+    emits). Returns ``(id, rank)`` for every vertex that appears in a
+    pair, ranks rounded to 6 dp, summing to ~1 over the graph.
+
+    ``rank'(v) = (1-d)/N + d * Σ_{u ~ v} rank(u)/deg(u)`` for
+    ``num_iters`` rounds from the uniform ``1/N`` start.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    # the symmetrized edge list is read by three consumers (degree
+    # table, the per-round join input, and r0's vertex set) — persist
+    # it so the caller's pair computation (often a full jaccard/LSH
+    # plan) runs ONCE, not once per consumer
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges carry their src degree from the start; partitioned on src
+    # ONCE so each round's rank join is co-partitioned
+    edges = (
+        sym.join(deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()  # driver scalar, computed once (primes the cache)
+    if n == 0:
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "id long, rank double")
+    base = (1.0 - damping) / n
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(num_iters):
+        contribs = edges.join(ranks, "src").select(
+            F.col("dst").alias("src"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        ranks = contribs.groupBy("src").agg(
+            F.round(F.lit(base) + F.lit(damping) * F.sum("c"), 12).alias("rank")
+        )
+    out = ranks.select(
+        F.col("src").alias("id"), F.round("rank", 6).alias("rank")
+    )
+    return track_persisted(out, edges, sym)
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    num_iters: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Representative (keeper) per near-duplicate cluster: the member
+    with the highest PageRank centrality within the pair graph, ties
+    to the lowest id. Output: ``(cluster_id, rep_id, size)`` — one row
+    per connected component of the pair list.
+
+    The curation-grade alternative to min-id keeper selection: the
+    chosen doc is the one most similar to the rest of its cluster.
+    Composition: dedup.dedup_clusters (min-label components) ⨝
+    :func:`pagerank`, then one per-cluster window argmax — cluster
+    partitions are component-sized, never corpus-wide.
+    """
+    from bht_etl_app_spark.functions.lifecycle import carry
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_id)
+    ranks = pagerank(pairs, num_iters=num_iters, damping=damping)
+    joined = clusters.join(ranks, clusters["doc_id"] == ranks["id"]).select(
+        "cluster_id", "doc_id", "rank"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    out = (
+        joined.withColumn("__rn__", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("__rn__") == 1, F.col("doc_id"))).alias("rep_id"),
+            F.count(F.lit(1)).alias("size"),
+        )
+    )
+    return carry(out, clusters, ranks)
+
+
+def pagerank_oracle_sql(
+    pairs_cte: str,
+    num_iters: int = 6,
+    damping: float = 0.85,
+) -> dict[str, str]:
+    """DuckDB oracles replaying :func:`pagerank` /
+    :func:`cluster_representatives` with unrolled MATERIALIZED rounds
+    (the bpe/kmeans unrolled-iteration pattern — inlined CTEs would
+    re-expand the chain exponentially).
+
+    ``pairs_cte``: WITH-clause text (no ``WITH`` keyword) defining a
+    CTE ``pairs(id_a, id_b)`` — the edge list. Returns SQL for keys
+    ``"pagerank"`` (``(id, rank)``) and ``"representatives"``
+    (``(cluster_id, rep_id, size)``; components via recursive
+    min-label reachability, keeper by (rank DESC, id ASC)).
+    """
+    # embed Python-computed doubles and CAST: bare 1.0/0.85 literals
+    # parse as DECIMAL in DuckDB and decimal arithmetic would diverge
+    # from Spark's double path
+    d = f"CAST({float(damping)!r} AS DOUBLE)"
+    one_minus_d = f"CAST({(1.0 - float(damping))!r} AS DOUBLE)"
+    head = f"""
+WITH RECURSIVE {pairs_cte},
+und AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+deg AS MATERIALIZED (SELECT s AS src, count(*) AS deg FROM und GROUP BY 1),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (SELECT src, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg)"""
+    rounds = "".join(
+        f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT u.t AS src,
+         round({one_minus_d} / (SELECT n FROM nn)
+               + {d} * sum(r.rank / dg.deg), 12) AS rank
+  FROM und u JOIN r{i} r ON u.s = r.src JOIN deg dg ON dg.src = u.s
+  GROUP BY 1
+)"""
+        for i in range(num_iters)
+    )
+    pagerank_sql = (
+        f"{head}{rounds}\n"
+        f"SELECT src AS id, round(rank, 6) AS rank FROM r{num_iters}"
+    )
+    reps_sql = f"""{head}{rounds},
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.t = reach.id
+),
+clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+j AS (
+  SELECT c.cluster_id, c.doc_id, rk.rank,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY rk.rank DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN r{num_iters} rk ON rk.src = c.doc_id
+)
+SELECT cluster_id,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+       count(*) AS size
+FROM j GROUP BY 1"""
+    return {"pagerank": pagerank_sql, "representatives": reps_sql}

@@ -1,0 +1,67 @@
+"""PageRank + cluster-representative selection vs a pure-Python
+reference implementation."""
+
+import collections
+import random
+
+import pytest
+
+from bht_etl_app_spark.operators.graph import cluster_representatives, pagerank
+
+
+def _python_pagerank(edges, num_iters=6, d=0.85):
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(num_iters):
+        r = {
+            v: round((1 - d) / n + d * sum(r[u] / len(adj[u]) for u in adj[v]), 12)
+            for v in adj
+        }
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_pagerank_path_graph_hand_values(spark):
+    # path 1-2-3: the middle vertex must out-rank the endpoints
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["id"]: r["rank"] for r in pagerank(pairs).collect()}
+    exp = _python_pagerank([(1, 2), (2, 3)])
+    assert got == exp
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_random_graph_matches_reference(spark):
+    rng = random.Random(17)
+    edges = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["rank"] for r in pagerank(pairs).collect()}
+    assert got == _python_pagerank(edges)
+
+
+def test_pagerank_empty_graph(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(pairs).count() == 0
+
+
+def test_cluster_representatives_picks_center_not_min_id(spark):
+    # star around vertex 9 (NOT the min id) + separate pair
+    edges = [(1, 9), (2, 9), (3, 9), (4, 9), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["cluster_id"]: (r["rep_id"], r["size"])
+        for r in cluster_representatives(pairs).collect()
+    }
+    # star cluster keyed by min label 1, kept doc is the HUB 9
+    assert got[1] == (9, 5)
+    # tie on rank in the isolated pair -> lowest id wins
+    assert got[20] == (20, 2)
+
+
+def test_pagerank_mass_conserved(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    total = sum(r["rank"] for r in pagerank(pairs).collect())
+    assert abs(total - 1.0) < 1e-4
