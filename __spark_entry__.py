@@ -2811,6 +2811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "user_hourly_interpolated": _interpolated,
+        "rolling_7d_active_users": lambda s, d: analytics.rolling_active_users(
+            load_table(s, d, "events")
+        ),
         "doc_pagerank": _doc_pagerank,
         "dedup_rep_docs": _dedup_rep_docs,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
@@ -3259,6 +3262,7 @@ SELECT * FROM (VALUES
         "running_monthly_revenue": windows.RUNNING_MONTHLY_REVENUE_SQL,
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "user_hourly_interpolated": _INTERPOLATED_SQL,
+        "rolling_7d_active_users": analytics.ROLLING_ACTIVE_USERS_SQL,
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,

@@ -109,6 +109,7 @@ HEADLINE = [
     "bpe_token_counts",
     "user_hourly_interpolated",
     "dedup_rep_docs",
+    "rolling_7d_active_users",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -395,3 +395,60 @@ def funnel_sql(steps=("view", "click", "purchase"), max_gap_s: int | None = None
         for i, s in enumerate(steps)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct active users per (observed) day —
+    exact, computed the way that scales instead of the way that
+    reads naturally.
+
+    The natural form — ``count(DISTINCT user) OVER (ORDER BY day
+    RANGE N DAYS PRECEDING)`` — is unsupported (windowed distinct),
+    and its workaround (a per-day self-join against the full event
+    range) rereads N days of events per output day. The scale form
+    inverts the direction: each (day, user) activity pair CONTRIBUTES
+    to the ``window_days`` target days it falls inside — a bounded
+    ``sequence()`` explode (×N on the deduplicated day-user pairs,
+    not on raw events), then one distinct count per target day.
+    Cost: one shuffle to dedup (day, user), one explode, one
+    count-distinct aggregation; no repeated scans, no window.
+
+    Only days observed in the data are reported (a calendar-spine
+    variant would join a date spine instead). Output:
+    ``(day, active_users)``.
+    """
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                "d",
+                F.col("d") + F.expr(f"interval {int(window_days) - 1} day"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d AS day FROM du),
+contrib AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day,
+         user_id
+  FROM du
+)
+SELECT c.day, count(DISTINCT c.user_id) AS active_users
+FROM contrib c JOIN days USING (day)
+GROUP BY 1
+"""

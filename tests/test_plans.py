@@ -410,3 +410,25 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rolling_active_users_hand_computed(spark):
+    """Explode-contribution rolling distinct: hand-checkable case with
+    a user active on two days inside one window (must count once)."""
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import rolling_active_users
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)),
+        (1, datetime(2024, 1, 3, 5)),   # same user, 2 days in window
+        (2, datetime(2024, 1, 3, 6)),
+        (3, datetime(2024, 1, 20, 1)),  # far away: own window only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"].strftime("%m-%d"): r["active_users"]
+        for r in rolling_active_users(df, window_days=7).collect()
+    }
+    # observed days: 01-01, 01-03, 01-20
+    assert got == {"01-01": 1, "01-03": 2, "01-20": 1}
