@@ -110,6 +110,7 @@ HEADLINE = [
     "user_hourly_interpolated",
     "dedup_rep_docs",
     "rolling_7d_active_users",
+    "token_zipf_fit",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -805,3 +805,100 @@ def lang_token_fertility(
             F.bround(F.col("__bpe_t__") / F.col("__ws_t__").cast("double"), 6),
         ).otherwise(F.lit(0.0)).alias("bpe_per_ws"),
     )
+
+
+def token_zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution — the
+    datacard-grade summary of vocabulary shape (natural corpora fit
+    ``count ∝ rank^-alpha`` with alpha ≈ 1; synthetic/templated or
+    boilerplate-heavy corpora deviate hard, making this a cheap
+    corpus-health signal). Output: ONE row ``(n_terms, alpha)`` from
+    an OLS fit of ``ln(count) ~ ln(rank)`` over the top ``top_k``
+    terms; ``alpha = -slope``, rounded to 6 dp.
+
+    Scale shape: the corpus collapses to vocabulary counts (map-side
+    combine), the top-k is a ``TakeOrdered(top_k)`` — never a full
+    sort — and everything after operates on ≤ ``top_k`` rows (the
+    single-partition rank window is bounded by the LIMIT above it, not
+    by the vocabulary). Regression sums fold in rank-sorted order (the
+    bm25 array_sort-aggregate pattern) so both engines sum
+    bit-identically — `regr_slope`'s single-pass covariance updates
+    are NOT order-stable across engines.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    ).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def _fold(expr):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _fold(F.col("x")).alias("sx"),
+        _fold(F.col("y")).alias("sy"),
+        _fold(F.col("x") * F.col("x")).alias("sxx"),
+        _fold(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.bround(-slope, 6).alias("alpha"),
+    )
+
+
+TOKEN_ZIPF_FIT_SQL = """
+WITH counts AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY 1
+  ORDER BY cnt DESC, token ASC
+  LIMIT 1000
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM counts
+),
+-- rank-sorted sequential folds match the Spark array_sort aggregates
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         list_sum(list(x ORDER BY rank)) AS sx,
+         list_sum(list(y ORDER BY rank)) AS sy,
+         list_sum(list(x * x ORDER BY rank)) AS sxx,
+         list_sum(list(x * y ORDER BY rank)) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round_even(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS alpha
+FROM s
+"""

@@ -329,3 +329,29 @@ def test_domain_heavy_hitters_cms_bounds_and_topk(spark):
         for r in domain_heavy_hitters(docs, k=1).collect()
     }
     assert top1_cms == top1_exact
+
+
+def test_token_zipf_fit_exact_power_law(spark):
+    """Counts constructed exactly on count = 12/rank: the OLS fit of
+    ln(count) ~ ln(rank) must return alpha = 1 (perfect line)."""
+    from bht_etl_app_spark.operators.text import token_zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = token_zipf_fit(df).collect()[0]
+    assert row["n_terms"] == 4
+    assert abs(row["alpha"] - 1.0) < 1e-6
+
+
+def test_token_zipf_fit_top_k_bounds_rank_window(spark):
+    """The post-limit rank window is bounded by top_k, and the plan's
+    global sort is a TakeOrderedAndProject, not a full Sort+Limit."""
+    from bht_etl_app_spark.operators.text import token_zipf_fit
+
+    df = spark.createDataFrame(
+        [(i, f"t{i} t{i} u{i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = token_zipf_fit(df, top_k=10)
+    assert out.collect()[0]["n_terms"] == 10
+    plan = out._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in plan
