@@ -66,6 +66,7 @@ from bht_etl_app_spark.operators import (
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
+from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import text as _text_mod
 from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
@@ -2815,9 +2816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_active_users": lambda s, d: analytics.rolling_active_users(
             load_table(s, d, "events")
         ),
-        "token_zipf_fit": lambda s, d: __import__(
-            "bht_etl_app_spark.operators.text", fromlist=["token_zipf_fit"]
-        ).token_zipf_fit(load_table(s, d, "documents")),
+        "token_zipf_fit": lambda s, d: _text_mod.token_zipf_fit(
+            load_table(s, d, "documents")
+        ),
+        "events_user_skew": lambda s, d: __import__(
+            "bht_etl_app_spark.operators.profiling", fromlist=["key_skew_report"]
+        ).key_skew_report(load_table(s, d, "events"), "user_id"),
         "doc_pagerank": _doc_pagerank,
         "dedup_rep_docs": _dedup_rep_docs,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
@@ -3268,6 +3272,9 @@ SELECT * FROM (VALUES
         "user_hourly_interpolated": _INTERPOLATED_SQL,
         "rolling_7d_active_users": analytics.ROLLING_ACTIVE_USERS_SQL,
         "token_zipf_fit": _text_mod.TOKEN_ZIPF_FIT_SQL,
+        "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(
+            key="user_id", table="events"
+        ),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,

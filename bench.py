@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_rep_docs",
     "rolling_7d_active_users",
     "token_zipf_fit",
+    "events_user_skew",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -143,3 +143,67 @@ def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the pre-flight check for
+    the engine's own scale levers (salting, AQE skew-join splitting,
+    broadcast thresholds). One row:
+
+    ``(n_rows, n_keys, avg_per_key, max_per_key, top1_share, cv)``
+
+    where ``cv`` is the coefficient of variation of per-key row counts
+    (population stddev / mean — 0 for perfectly uniform keys, large
+    for power-law keys) and ``top1_share`` is the hottest key's row
+    fraction: the number that decides whether ONE task inherits the
+    key after a shuffle.
+
+    Scale shape: one key-count aggregation (map-side combine) to a
+    key-cardinality-sized table, then one global fold of INTEGER power
+    sums (Σc, Σc², max) — mean/variance derive exactly from integers,
+    so the doubles are partitioning-invariant without a fold
+    discipline (the quantity_moments rule). No percentiles on purpose:
+    an exact percentile over per-key counts would sort the key table;
+    max/top-share/cv answer the skew question without it.
+    """
+    _check_idents([key_col], "key")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_per_key"),
+        F.max("c").cast("long").alias("max_per_key"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                - F.pow(
+                    F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"),
+                    F.lit(2.0),
+                )
+            )
+            / (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("cv"),
+    )
+
+
+KEY_SKEW_REPORT_SQL_TEMPLATE = """
+WITH counts AS (
+  SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_per_key,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+       round(sqrt(CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  - pow(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2.0))
+             / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS cv
+FROM counts
+"""

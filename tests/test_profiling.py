@@ -96,3 +96,29 @@ def test_profile_approx_matches_exact_within_hll_error(spark):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
             2, 0.15 * e["n_distinct"]
         ), c
+
+
+def test_key_skew_report_hand_computed(spark):
+    from bht_etl_app_spark.operators.profiling import key_skew_report
+
+    # key 1 x 6 rows, keys 2,3 x 1 row: n=8, k=3, mean=8/3,
+    # max=6, top1=0.75, var = (36+1+1)/3 - (8/3)^2
+    rows = [(1,)] * 6 + [(2,), (3,)]
+    df = spark.createDataFrame(rows, "user_id long")
+    r = key_skew_report(df, "user_id").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_per_key"]) == (8, 3, 6)
+    assert r["top1_share"] == 0.75
+    mean = 8 / 3
+    import math
+    cv = math.sqrt(38 / 3 - mean**2) / mean
+    assert abs(r["cv"] - round(cv, 6)) < 1e-9
+
+
+def test_key_skew_report_rejects_bad_identifier(spark):
+    import pytest as _pytest
+
+    from bht_etl_app_spark.operators.profiling import key_skew_report
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "user_id; drop table x")
