@@ -115,9 +115,15 @@ def cluster_representatives(
     :func:`pagerank`, then one per-cluster window argmax — cluster
     partitions are component-sized, never corpus-wide.
     """
-    from bht_etl_app_spark.functions.lifecycle import carry
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
     from bht_etl_app_spark.operators.dedup import dedup_clusters
 
+    # both sub-operators consume the pair list (components AND the
+    # rank graph) — persist it so the caller's pair plan (a full
+    # jaccard/LSH computation) runs once, not once per consumer
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     clusters = dedup_clusters(pairs)  # (doc_id, cluster_id)
     ranks = pagerank(pairs, num_iters=num_iters, damping=damping)
     joined = clusters.join(ranks, clusters["doc_id"] == ranks["id"]).select(
@@ -134,7 +140,7 @@ def cluster_representatives(
             F.count(F.lit(1)).alias("size"),
         )
     )
-    return carry(out, clusters, ranks)
+    return carry(track_persisted(out, pairs), clusters, ranks)
 
 
 def pagerank_oracle_sql(
