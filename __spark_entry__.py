@@ -1530,6 +1530,7 @@ pairs AS (
 from bht_etl_app_spark.operators.graph import pagerank_oracle_sql as _pr_oracle
 
 _graph_oracles = _pr_oracle(_DOC_PAIRS_T05_CTE)
+_bpe_oracles = bpe_ops.bpe_oracle_sql(12)
 
 
 def _ewma(spark, sf_dir):
@@ -2819,9 +2820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_zipf_fit": lambda s, d: _text_mod.token_zipf_fit(
             load_table(s, d, "documents")
         ),
-        "events_user_skew": lambda s, d: __import__(
-            "bht_etl_app_spark.operators.profiling", fromlist=["key_skew_report"]
-        ).key_skew_report(load_table(s, d, "events"), "user_id"),
+        "events_user_skew": lambda s, d: _skew_mod.key_skew_report(
+            load_table(s, d, "events"), "user_id"
+        ),
         "doc_pagerank": _doc_pagerank,
         "dedup_rep_docs": _dedup_rep_docs,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
@@ -3395,8 +3396,8 @@ SELECT * FROM (
         "q20_dominant_part_suppliers": tpch.Q20_SQL,
         # unrolled-merge-round replay of the BPE training loop (the
         # k-means unrolled-Lloyd's oracle pattern)
-        "bpe_merges": bpe_ops.bpe_oracle_sql(12)["merges"],
-        "bpe_token_counts": bpe_ops.bpe_oracle_sql(12)["token_counts"],
+        "bpe_merges": _bpe_oracles["merges"],
+        "bpe_token_counts": _bpe_oracles["token_counts"],
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

@@ -70,6 +70,15 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         ensure_min_parallelism(df)
         .select(F.explode(tokens_expr(text_col)).alias("word"))
+        # drop words carrying the sentinel control bytes (stray
+        # control chars are routine in crawl data): a \x01/\x02
+        # inside a symbol would corrupt segmentation boundaries, and
+        # \x03 is the oracle's no-op pattern
+        .where(
+            ~F.col("word").contains(_S1)
+            & ~F.col("word").contains(_S2)
+            & ~F.col("word").contains("\x03")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -160,7 +169,10 @@ def bpe_train(
     )
     from bht_etl_app_spark.functions.lifecycle import track_persisted
 
-    return track_persisted(merges_df, words), vocab
+    # the persisted word counts are read by VOCAB's plan (merges_df is
+    # a driver-local literal table) — tie the cache lifetime to vocab,
+    # or `_, vocab = bpe_train(...)` would free it before first use
+    return merges_df, track_persisted(vocab, words)
 
 
 def bpe_token_counts(
@@ -203,7 +215,11 @@ WITH wc AS MATERIALIZED (
     SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                               x -> x <> '')) AS word
     FROM {table}
-  ) GROUP BY 1
+  )
+  WHERE word NOT LIKE '%' || chr(1) || '%'
+    AND word NOT LIKE '%' || chr(2) || '%'
+    AND word NOT LIKE '%' || chr(3) || '%'
+  GROUP BY 1
 ),
 r0 AS MATERIALIZED (
   SELECT word, cnt,

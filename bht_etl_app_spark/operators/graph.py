@@ -81,6 +81,9 @@ def pagerank(
     )
     n = deg.count()  # driver scalar, computed once (primes the cache)
     if n == 0:
+        # nothing downstream will ever read the caches — free eagerly
+        sym.unpersist()
+        edges.unpersist()
         spark = pairs.sparkSession
         return spark.createDataFrame([], "id long, rank double")
     base = (1.0 - damping) / n
@@ -199,7 +202,7 @@ clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
 j AS (
   SELECT c.cluster_id, c.doc_id, rk.rank,
          row_number() OVER (PARTITION BY c.cluster_id
-                            ORDER BY rk.rank DESC, c.doc_id ASC) AS rn
+                            ORDER BY round(rk.rank, 6) DESC, c.doc_id ASC) AS rn
   FROM clusters c JOIN r{num_iters} rk ON rk.src = c.doc_id
 )
 SELECT cluster_id,

@@ -162,7 +162,10 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     key-cardinality-sized table, then one global fold of INTEGER power
     sums (Σc, Σc², max) — mean/variance derive exactly from integers,
     so the doubles are partitioning-invariant without a fold
-    discipline (the quantity_moments rule). No percentiles on purpose:
+    discipline (the quantity_moments rule). The square-sum rides
+    DECIMAL(38,0) (HUGEINT in the oracle): a 1e10-row hot key squares
+    to 1e20, past int64, and the variance is clamped at zero against
+    float cancellation on near-uniform huge counts. No percentiles on purpose:
     an exact percentile over per-key counts would sort the key table;
     max/top-share/cv answer the skew question without it.
     """
@@ -180,11 +183,17 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         ),
         F.round(
             F.sqrt(
-                F.sum(F.col("c") * F.col("c")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-                - F.pow(
-                    F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"),
-                    F.lit(2.0),
+                F.greatest(
+                    F.sum(
+                        F.col("c").cast("decimal(38,0)")
+                        * F.col("c").cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    - F.pow(
+                        F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"),
+                        F.lit(2.0),
+                    ),
+                    F.lit(0.0),
                 )
             )
             / (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")),
@@ -202,8 +211,10 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_per_key,
        CAST(max(c) AS BIGINT) AS max_per_key,
        round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
-       round(sqrt(CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                  - pow(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2.0))
+       round(sqrt(greatest(
+                    CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    - pow(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2.0),
+                    0.0))
              / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS cv
 FROM counts
 """

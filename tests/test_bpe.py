@@ -110,3 +110,34 @@ def test_bpe_token_counts_broadcasts_vocab(docs):
     )
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
     assert "BatchEvalPython" not in plan, "BPE encode dropped to Python"
+
+
+def test_bpe_sentinel_control_chars_in_text_are_dropped(spark):
+    """Stray \\x01/\\x02 control bytes in crawl text must not corrupt
+    segmentation: words carrying them are excluded from training and
+    encoding (LEFT join -> they contribute no subword tokens)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab a\x01b a\x02b"), (2, "ab cd")],
+        "doc_id long, text string",
+    )
+    merges_df, vocab = bpe_train(docs, num_merges=4)
+    words = {r["word"] for r in vocab.collect()}
+    assert words == {"ab", "cd"}
+    got = [tuple(r) for r in merges_df.collect()]
+    assert got[0] == (1, "a", "b", 3)  # 3 clean "ab" occurrences
+
+
+def test_bpe_vocab_owns_word_count_cache(spark):
+    """`_, vocab = bpe_train(...)` drops merges_df immediately; the
+    persisted word-count cache must survive for vocab's evaluation
+    (it is tracked on vocab, not on the driver-local merge table)."""
+    import gc
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab cd cd")], "doc_id long, text string"
+    )
+    _, vocab = bpe_train(docs, num_merges=2)
+    gc.collect()  # would fire merges_df's finalizer under the old wiring
+    assert {r["word"]: r["n_tokens"] for r in vocab.collect()} == {
+        "ab": 1, "cd": 1,
+    }

@@ -122,3 +122,16 @@ def test_key_skew_report_rejects_bad_identifier(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with _pytest.raises(ValueError):
         key_skew_report(df, "user_id; drop table x")
+
+
+def test_key_skew_report_square_sum_rides_decimal(spark):
+    """The c*c power sum must not run in int64: the plan carries a
+    decimal cast (1e10-row hot keys square past 2^63)."""
+    from bht_etl_app_spark.operators.profiling import key_skew_report
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    out = key_skew_report(df, "user_id")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan
+    r = out.collect()[0]
+    assert r["cv"] is not None and r["cv"] >= 0.0
