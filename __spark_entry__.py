@@ -421,6 +421,69 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _ann_recall_oracle_sql(k: int = 5, n_queries: int = 32) -> str:
+    """DuckDB replay of ann_recall_report: the exact brute-force
+    top-k AND the LSH-bucketed approximate top-k (same plane
+    literals/probe set as _ann_knn_join_oracle_sql), joined into
+    per-query recalls and folded in q_id order — the evaluation
+    harness itself is hash-verified, not just the paths it compares."""
+    planes = _emb_lsh_planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    masks = [0] + [1 << i for i in range(len(planes))]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                      e.vec_id) AS rank
+    FROM q, e
+  ) WHERE rank <= {k}
+),
+bits AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, xor(bucket, m) AS bucket
+  FROM bits, unnest({mask_list}) AS t(m)
+  WHERE vec_id < {n_queries}
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT s.q_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.q_id
+                              ORDER BY s.cosine DESC, s.vec_id) AS rank
+    FROM (
+      SELECT p.q_id, c.vec_id,
+             round(list_cosine_similarity(p.qv, c.v), 6) AS cosine
+      FROM probes p JOIN bits c USING (bucket)
+    ) s
+  ) WHERE rank <= {k}
+),
+per_q AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(k)!r} AS recall
+  FROM exact ex LEFT JOIN approx ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({k} AS BIGINT) AS k,
+       round(list_sum(list(recall ORDER BY q_id))
+             / CAST(count(*) AS DOUBLE), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall
+FROM per_q
+"""
+
+
 def _bloom_decontaminate_oracle_sql(
     n: int = 5, m_bits: int = 1 << 20, k_hashes: int = 4
 ) -> str:
@@ -2823,6 +2886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_skew": lambda s, d: _skew_mod.key_skew_report(
             load_table(s, d, "events"), "user_id"
         ),
+        "ann_recall_report": lambda s, d: __import__(
+            "bht_etl_app_spark.operators.similarity", fromlist=["ann_recall_report"]
+        ).ann_recall_report(
+            load_table(s, d, "embeddings"), _emb_lsh_planes(), k=5, n_queries=32
+        ),
         "doc_pagerank": _doc_pagerank,
         "dedup_rep_docs": _dedup_rep_docs,
         "domain_token_sketch": lambda s, d: domain_token_sketches(
@@ -3276,6 +3344,7 @@ SELECT * FROM (VALUES
         "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(
             key="user_id", table="events"
         ),
+        "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,

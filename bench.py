@@ -112,6 +112,7 @@ HEADLINE = [
     "rolling_7d_active_users",
     "token_zipf_fit",
     "events_user_skew",
+    "ann_recall_report",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

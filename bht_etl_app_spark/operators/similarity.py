@@ -561,3 +561,60 @@ def knn_label_vote(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    n_queries: int = 32,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN join against the exact
+    brute-force baseline, on the deterministic query sample
+    ``id < n_queries`` — the evaluation harness that quantifies the
+    ANN speed/recall dial before anyone turns it on a real corpus.
+    One row: ``(n_queries, k, avg_recall, min_recall)``.
+
+    Scale shape: the EXACT side is a broadcast-query scoring pass
+    bounded by ``n_queries × |corpus|`` (the documented eval-scale
+    baseline — n_queries stays fixed as the corpus grows); the ANN
+    side is the production bucketed join. Per-query recall is an
+    exact rational (hits/k); the average folds in q_id-sorted order
+    (the bm25 rule) so the report is bit-stable across engines and
+    partitionings.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (knn_join uses it)
+
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), vec_col
+    )
+    exact = knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col)
+    approx = ann_knn_join(
+        q, emb, planes, k=k, c_id=id_col, vec_col=vec_col,
+        multiprobe_bits=multiprobe_bits,
+    )
+    hits = exact.select("q_id", id_col).join(
+        approx.select("q_id", F.col(id_col), F.lit(1).alias("__hit__")),
+        ["q_id", id_col],
+        "left",
+    )
+    per_q = hits.groupBy("q_id").agg(
+        (
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("double")
+            / F.lit(float(k))
+        ).alias("recall")
+    )
+    ordered_avg = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("q_id", "recall"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["recall"],
+    ) / F.count(F.lit(1)).cast("double")
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(ordered_avg, 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+    )

@@ -311,3 +311,52 @@ def test_ivf_pq_probes_subset_of_full_adc_order(spark, emb_sdf):
         # also appear in the full ranking
         if r.vec_id in full_ids:
             assert r.adc_dist == full_ids[r.vec_id]
+
+
+def test_ann_recall_report_exact_vs_exact_is_one(spark):
+    """With enough multiprobe coverage... simplest invariant: the
+    report of the ANN path against itself-equivalent settings is
+    bounded in [0, 1], and an exhaustive-probe run (flipping every
+    bit combination = all buckets reachable) must reach recall 1.0
+    on a tiny corpus where every vector lands in probe range."""
+    from bht_etl_app_spark.operators.similarity import (
+        ann_recall_report,
+        lsh_planes,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = lsh_planes(2, 3, seed=7)
+    r = ann_recall_report(
+        emb, planes, k=3, n_queries=5, multiprobe_bits=2
+    ).collect()[0]
+    # multiprobe_bits == n_planes flips every bucket bit combination:
+    # candidates = whole corpus -> ANN == exact -> recall exactly 1.0
+    assert (r["n_queries"], r["k"]) == (5, 3)
+    assert r["avg_recall"] == 1.0 and r["min_recall"] == 1.0
+
+
+def test_ann_recall_report_detects_lossy_settings(spark):
+    """Zero probes on many planes must lose neighbors on a spread-out
+    corpus — the report exists to SHOW that, so check it can go below
+    1 while staying within [0, 1]."""
+    import random
+
+    from bht_etl_app_spark.operators.similarity import (
+        ann_recall_report,
+        lsh_planes,
+    )
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = lsh_planes(6, 8, seed=11)
+    r = ann_recall_report(
+        emb, planes, k=5, n_queries=8, multiprobe_bits=0
+    ).collect()[0]
+    assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
+    assert r["avg_recall"] < 1.0, "6 planes / 0 probes should lose neighbors"
