@@ -1768,6 +1768,192 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+def _q_curated_verdicts(spark, sf_dir):
+    """End-to-end curation: quality gate -> exact dedup -> MinHash
+    near-dup keep-min -> benchmark decontamination, one verdict per
+    train doc. hash_fn="md5" selects the portable family so the whole
+    pipeline is oracle-replayable (the dedup_corpus promotion rule)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        hash_fn="md5",
+    )
+
+
+def _curated_verdicts_oracle_sql() -> str:
+    """DuckDB replay of the END-TO-END curation pipeline
+    (corpus.curate_corpus): quality rules → exact md5 keep-min →
+    portable-MinHash near-dup components keep-min → benchmark 5-gram
+    decontamination, each stage consuming only the previous stage's
+    survivors, with the first-dropping stage as the per-doc verdict.
+    Assembled from the proven stage oracles (doc_filter_decisions,
+    dedup_corpus_survivors, doc_decontaminate); MATERIALIZED so the
+    chained stages evaluate once each."""
+    from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    def mix(k: int) -> str:
+        rot, c_signed = minhash_mix_params(k)
+        c_unsigned = c_signed % (1 << 64)
+        rotated = (
+            f"(CAST((CAST(u AS HUGEINT) * {1 << (64 - rot)}) % "
+            f"18446744073709551616 AS UBIGINT) + (u >> {rot}))"
+        )
+        mixed = f"xor({rotated}, {c_unsigned}::UBIGINT)"
+        return (
+            f"MIN(CAST(CASE WHEN {mixed} >= 9223372036854775808::UBIGINT "
+            f"THEN CAST({mixed} AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST({mixed} AS HUGEINT) END AS BIGINT)) AS s{k}"
+        )
+
+    sig_cols = ",\n         ".join(mix(k) for k in range(16))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"concat_ws('|', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}) AS bh"
+        " FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE train AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+t AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
+  FROM train
+),
+q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+dtr AS (
+  SELECT doc_id, round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS distinct_token_ratio
+  FROM t WHERE len(tk) > 0
+),
+tgc AS (
+  SELECT doc_id, gram, count(*) c FROM (
+    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM t)
+  ) GROUP BY 1, 2
+),
+tga AS (
+  SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac
+  FROM tgc GROUP BY doc_id
+),
+lang AS (
+  SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_id) <= 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_es, s_id) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_es, s_id) THEN 'es'
+                      ELSE 'id' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+           len(list_filter(tk, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+           len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) AS s_es,
+           len(list_filter(tk, x -> list_contains(['yang','dan','di','ini','itu','dengan','untuk','dari'], x))) AS s_id
+    FROM t
+  )
+),
+qkeep AS MATERIALIZED (
+  SELECT q.doc_id FROM q
+  LEFT JOIN dtr USING (doc_id)
+  LEFT JOIN tga USING (doc_id)
+  LEFT JOIN lang USING (doc_id)
+  WHERE (q.n_tokens >= 20 AND q.n_tokens <= 1000000)
+    AND (coalesce(dtr.distinct_token_ratio >= 0.2, TRUE)
+         AND coalesce(tga.dup_frac <= 0.5, TRUE))
+    AND lang.lang_pred IN ('en', 'und')
+),
+norm AS MATERIALIZED (
+  SELECT tr.doc_id, md5(lower(trim(regexp_replace(tr.text, '\\s+', ' ', 'g')))) AS fp
+  FROM train tr JOIN qkeep USING (doc_id)
+),
+keepers AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
+sh AS MATERIALIZED (
+  SELECT t.doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(tk) - 3 + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM t JOIN keepers USING (doc_id)
+),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hs GROUP BY doc_id
+),
+bandk AS MATERIALIZED (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+ver AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) /
+                 CAST(len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+                 6) AS j
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+  ) WHERE j >= 0.8
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+),
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+),
+comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+ndrop AS MATERIALIZED (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+ns AS MATERIALIZED (
+  SELECT doc_id FROM keepers
+  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
+),
+ev AS MATERIALIZED (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(range(1, len(t) - 5 + 2),
+           i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS g
+    FROM (
+      SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents WHERE source = 'src0'
+    ) WHERE len(t) >= 5
+  )
+),
+hit AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id,
+           unnest(list_distinct(list_transform(range(1, len(tk) - 5 + 2),
+                  i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS g
+    FROM t JOIN ns USING (doc_id)
+    WHERE len(tk) >= 5
+  ) WHERE g IN (SELECT g FROM ev)
+)
+SELECT tr.doc_id, 'quality' AS verdict FROM train tr
+  WHERE tr.doc_id NOT IN (SELECT doc_id FROM qkeep)
+UNION ALL
+SELECT qk.doc_id, 'exact_dup' FROM qkeep qk
+  WHERE qk.doc_id NOT IN (SELECT doc_id FROM keepers)
+UNION ALL
+SELECT doc_id, 'near_dup' FROM ndrop
+UNION ALL
+SELECT doc_id, 'contaminated' FROM hit
+UNION ALL
+SELECT ns.doc_id, 'kept' FROM ns
+  WHERE ns.doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from bht_etl_app_spark.operators.similarity import ann_ivf_topk
 
@@ -2886,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_skew": lambda s, d: _skew_mod.key_skew_report(
             load_table(s, d, "events"), "user_id"
         ),
+        "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "ann_recall_report": lambda s, d: __import__(
             "bht_etl_app_spark.operators.similarity", fromlist=["ann_recall_report"]
         ).ann_recall_report(
@@ -3345,6 +3532,7 @@ SELECT * FROM (VALUES
             key="user_id", table="events"
         ),
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
+        "curated_verdicts": _curated_verdicts_oracle_sql(),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,

@@ -113,6 +113,7 @@ HEADLINE = [
     "token_zipf_fit",
     "events_user_skew",
     "ann_recall_report",
+    "curated_verdicts",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -880,3 +880,90 @@ def corpus_datacard(
             ).alias("short_frac"),
         )
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decontam_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The END-TO-END curation pipeline, composed the way a full
+    pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
+    an auditable verdict for EVERY input document:
+
+    1. quality gate (Gopher/C4 composite rules)  → ``quality``
+    2. exact dedup (md5 keep-min)                → ``exact_dup``
+    3. MinHash+LSH near-dup, components, keep-min → ``near_dup``
+    4. benchmark n-gram decontamination          → ``contaminated``
+    5. survivors                                 → ``kept``
+
+    Output: ``(doc_id, verdict)`` — verdict is the FIRST stage that
+    dropped the doc (later stages never see it, exactly as the staged
+    run executes). Each stage's scale posture is documented on its
+    own operator; the composition adds only id-keyed semi/anti joins
+    between stages — nothing document-sized shuffles between stages
+    beyond what the stages themselves do.
+
+    ``hash_fn="md5"`` selects the engine-portable MinHash family so
+    the whole pipeline is oracle-replayable end to end.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
+    from bht_etl_app_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_exact,
+        minhash_lsh_pairs,
+    )
+
+    ids = F.col(id_col)
+    # Stage boundaries are persisted: the verdict union has five legs
+    # and each leg's lineage would otherwise re-run every upstream
+    # stage (quality's gram aggregation ~5x, measured 28 s -> at
+    # sf0.01 before persisting). All cached frames are id-keyed
+    # decision/survivor lists — document text never persists.
+    # 1. quality
+    qdec = quality_filter_decisions(
+        df, text_col=text_col, id_col=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    drop_quality = qdec.where(~F.col("keep")).select(
+        ids, F.lit("quality").alias("verdict")
+    )
+    qs = df.join(
+        qdec.where(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    # 2. exact dedup
+    exact_keep = dedup_exact(qs, text_col, id_col).select(id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    drop_exact = qs.select(id_col).join(exact_keep, id_col, "left_anti").select(
+        ids, F.lit("exact_dup").alias("verdict")
+    )
+    es = qs.join(exact_keep, id_col, "left_semi")
+    # 3. near-dup: verified pairs -> components -> keep-min
+    pairs = minhash_lsh_pairs(es, text_col, id_col, hash_fn=hash_fn)
+    comp = dedup_clusters(pairs)
+    drop_near_ids = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    drop_near = drop_near_ids.select(ids, F.lit("near_dup").alias("verdict"))
+    ns = es.join(drop_near_ids, id_col, "left_anti")
+    # 4. decontamination
+    dec = decontaminate(
+        ns, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    drop_cont = dec.where(F.col("contaminated")).select(
+        ids, F.lit("contaminated").alias("verdict")
+    )
+    kept = dec.where(~F.col("contaminated")).select(
+        ids, F.lit("kept").alias("verdict")
+    )
+    out = drop_quality.unionByName(drop_exact).unionByName(drop_near).unionByName(
+        drop_cont
+    ).unionByName(kept)
+    return carry(
+        track_persisted(out, qdec, exact_keep, drop_near_ids, dec), comp
+    )

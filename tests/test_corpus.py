@@ -378,3 +378,36 @@ def test_corpus_datacard_values(spark):
     books = got["books"]
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
     assert books["short_frac"] == 0.0
+
+
+def test_curate_corpus_assigns_first_dropping_stage(spark):
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the green hills with great speed and joy today"
+    )  # 22 tokens, english, no repetition
+    near = good.replace("joy", "glee")
+    rows = [
+        (1, good),                      # kept (min id of its near-dup cluster)
+        (2, good),                      # exact_dup of 1
+        (3, near),                      # near_dup of 1
+        (4, "too short"),               # quality (length)
+        (5, "completely different content about engines and pipelines "
+            "rolling through twenty distinct tokens without repetition "
+            "while quoting benchmark marker five gram match here now"),
+    ]
+    # benchmark shares a 5-gram with doc 5 only
+    bench = [(100, "benchmark marker five gram match here now indeed")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, ev, hash_fn="md5").collect()
+    }
+    assert got[4] == "quality"
+    assert got[2] == "exact_dup"
+    assert got[3] == "near_dup"
+    assert got[5] == "contaminated"
+    assert got[1] == "kept"
+    assert len(got) == 5
