@@ -518,3 +518,136 @@ def ingest_dedup_batch(
             append_band_index(kept_bands, band_index_table, index_buckets)
         else:
             write_band_index(kept_bands, band_index_table, index_buckets)
+
+
+def streaming_curate_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    benchmark_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    decontam_n: int = 5,
+    min_tokens: int = 5,
+    band_index_table: str | None = None,
+):
+    """The streaming twin of
+    :func:`~bht_etl_app_spark.operators.corpus.curate_corpus`: per
+    micro-batch, run the full curation chain — quality gate, exact
+    dedup against everything landed so far (and in-batch min-id),
+    near-dup probe of the accumulated store, benchmark n-gram
+    decontamination — and land only the survivors. The stage order
+    and rules are the BATCH operators verbatim, so a streamed corpus
+    and a backfill land the same documents given the same arrival
+    order.
+
+    Exactly-once by the same construction as the other ingests:
+    survivors partition by ``batch_id`` with dynamic overwrite, and
+    every history probe excludes the current ``batch_id`` so a replay
+    sees the store as it was before the failed attempt. The benchmark
+    frame is static (read once, reused per batch — its gram set is
+    broadcast inside ``decontaminate``).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_curate_batch(
+            batch_df, batch_id, out_path, benchmark_df,
+            threshold=threshold, n=n, decontam_n=decontam_n,
+            min_tokens=min_tokens, band_index_table=band_index_table,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_curate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    benchmark_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    decontam_n: int = 5,
+    min_tokens: int = 5,
+    band_index_table: str | None = None,
+    index_buckets: int = 8,
+) -> None:
+    """One micro-batch of :func:`streaming_curate_ingest`, exposed for
+    replay-idempotency testing (the ingest_corpus_batch contract:
+    same (batch_df, batch_id) twice -> identical shard contents)."""
+    from bht_etl_app_spark.operators.corpus import (
+        decontaminate,
+        quality_filter_decisions,
+    )
+    from bht_etl_app_spark.operators.dedup import (
+        _norm_text,
+        dedup_incremental,
+        minhash_bands,
+        near_dup_incremental,
+    )
+
+    spark = batch_df.sparkSession
+    cols = list(batch_df.columns)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        history = spark.read.parquet(out_path).where(
+            F.col("batch_id") != batch_id
+        ).select(*cols)
+    else:
+        history = spark.createDataFrame([], batch_df.schema)
+
+    # 1. quality (batch-local: the rules are per-document)
+    qdec = quality_filter_decisions(batch_df, min_tokens=min_tokens)
+    qs = batch_df.join(
+        qdec.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    # 2. exact dedup vs landed history + in-batch min-id
+    hist_fps = history.select(_norm_text("text").alias("__t__")).select(
+        F.md5("__t__").alias("fp")
+    )
+    ex = dedup_incremental(qs, hist_fps)
+    es = qs.join(
+        ex.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+    )
+    # 3. near-dup probe of the accumulated store (banded index or
+    #    re-banded shards — the ingest_dedup_batch machinery)
+    history_bands = None
+    if band_index_table is not None and spark.catalog.tableExists(band_index_table):
+        history_bands = (
+            spark.table(band_index_table)
+            .where(F.col("batch_id") != batch_id)
+            .select("id", "band", "bh")
+        )
+    hits = near_dup_incremental(
+        es, history, threshold=threshold, n=n, history_bands=history_bands
+    )
+    ns = es.join(hits.select("doc_id").distinct(), "doc_id", "left_anti")
+    # 4. decontamination against the static benchmark
+    dec = decontaminate(ns, benchmark_df, n=decontam_n)
+    kept = ns.join(
+        dec.where(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    (
+        kept.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+    if band_index_table is not None:
+        from bht_etl_app_spark.io.layout import append_band_index, write_band_index
+
+        kept_bands = minhash_bands(
+            spark.read.parquet(out_path).where(F.col("batch_id") == batch_id),
+            n=n,
+        ).withColumn("batch_id", F.lit(batch_id))
+        if spark.catalog.tableExists(band_index_table):
+            append_band_index(kept_bands, band_index_table, index_buckets)
+        else:
+            write_band_index(kept_bands, band_index_table, index_buckets)

@@ -406,3 +406,53 @@ def test_streaming_dedup_ingest_with_band_index_matches_rebanding(spark, tmp_pat
         assert {r["id"] for r in spark.table(tbl).collect()} == {1, 3, 11}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_curate_ingest_full_chain(spark, tmp_path):
+    """Streaming curation: every stage fires across batches — quality
+    drops in-batch, exact dup vs the landed store drops, near-dup vs
+    the store drops, decontamination vs the static benchmark drops —
+    and a replayed batch leaves the store unchanged."""
+    from bht_etl_app_spark.streaming.events import (
+        ingest_curate_batch,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the green hills with great speed and joy today"
+    )
+    leaky = (
+        "unique fresh wording all around here while quoting benchmark "
+        "marker five gram match here now in the middle of it"
+    )
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")], schema
+    )
+    out = str(tmp_path / "store")
+
+    b0 = spark.createDataFrame(
+        [(1, good), (2, "too short")], schema
+    )
+    ingest_curate_batch(b0, 0, out, bench)
+    kept0 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept0 == {1}  # 2 fails the quality gate
+
+    b1 = spark.createDataFrame(
+        [
+            (10, good),                       # exact dup of landed 1
+            (11, good.replace("joy", "glee")),  # near-dup of landed 1
+            (12, leaky),                      # contaminated
+            (13, "completely different clean content about spark engines "
+                 "running distributed pipelines across many machines now"),
+        ],
+        schema,
+    )
+    ingest_curate_batch(b1, 1, out, bench)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 13}
+
+    # replay batch 1: store unchanged (dynamic-overwrite idempotency)
+    ingest_curate_batch(b1, 1, out, bench)
+    again = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert again == kept
