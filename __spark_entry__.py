@@ -2701,6 +2701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": lambda s, d: bpe_ops.bpe_token_counts(
             load_table(s, d, "documents"), num_merges=12
         ),
+        "bpe_encoded_docs": lambda s, d: bpe_ops.bpe_encode_docs(
+            load_table(s, d, "documents"), num_merges=12
+        ),
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
@@ -3655,6 +3658,7 @@ SELECT * FROM (
         # k-means unrolled-Lloyd's oracle pattern)
         "bpe_merges": _bpe_oracles["merges"],
         "bpe_token_counts": _bpe_oracles["token_counts"],
+        "bpe_encoded_docs": _bpe_oracles["encode"],
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

@@ -107,6 +107,7 @@ HEADLINE = [
     # r5: lossless PPJoin jaccard, distributed BPE, series gap-fill
     "near_dup_jaccard_ppjoin",
     "bpe_token_counts",
+    "bpe_encoded_docs",
     "user_hourly_interpolated",
     "dedup_rep_docs",
     "rolling_7d_active_users",

@@ -119,9 +119,11 @@ def bpe_train(
     - ``merges``: ``(rank, lhs, rhs, freq)`` — merge table in
       training order (may be shorter than ``num_merges`` if the pair
       supply runs dry);
-    - ``vocab``: ``(word, cnt, n_tokens)`` — every distinct corpus
-      word with its encoded token count under the trained merges
-      (the table :func:`bpe_token_counts` broadcast-joins against).
+    - ``vocab``: ``(word, cnt, n_tokens, pieces)`` — every distinct
+      corpus word with its encoded token count and space-joined
+      segmentation under the trained merges (the table
+      :func:`bpe_token_counts` / :func:`bpe_encode_docs`
+      broadcast-join against).
 
     Each round is one vocabulary-sized Spark job (pair count +
     argmax); the per-round driver transfer is ONE row. The
@@ -159,13 +161,20 @@ def bpe_train(
     merges_df = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
     )
-    # token count = number of symbol-open sentinels left in s
+    # token count = number of symbol-open sentinels left in s;
+    # pieces = the human-readable segmentation ("\x01a\x02\x01b\x02"
+    # -> "a b"), consumed by bpe_encode_docs
     vocab = cur.select(
         "word",
         "cnt",
         (F.length("s") - F.length(F.replace(F.col("s"), F.lit(_S1), F.lit(""))))
         .cast("long")
         .alias("n_tokens"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _S2 + _S1, " "),
+            "[" + _S1 + _S2 + "]",
+            "",
+        ).alias("pieces"),
     )
     from bht_etl_app_spark.functions.lifecycle import track_persisted
 
@@ -282,4 +291,71 @@ SELECT doc_id,
        CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_bpe_tokens
 FROM dw LEFT JOIN vocab USING (word)
 GROUP BY doc_id"""
-    return {"merges": merges_sql, "token_counts": counts_sql}
+    encode_sql = f"""{head},{body},
+vocab AS MATERIALIZED (
+  SELECT word,
+         replace(replace(replace(s, chr(2) || chr(1), ' '), chr(1), ''), chr(2), '') AS pieces
+  FROM r{num_merges}
+),
+dw AS (
+  -- index explode (this DuckDB build lacks WITH ORDINALITY):
+  -- 1-based positions over the [NULL]-padded empty-doc case
+  SELECT doc_id, i AS ord, toks2[i] AS word FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END AS toks2
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM {table}
+    )
+  ), unnest(range(1, len(toks2) + 1)) AS t(i)
+)
+SELECT doc_id,
+       coalesce(string_agg(pieces, ' ' ORDER BY ord), '') AS bpe_tokens
+FROM dw LEFT JOIN vocab USING (word)
+GROUP BY doc_id"""
+    return {
+        "merges": merges_sql,
+        "token_counts": counts_sql,
+        "encode": encode_sql,
+    }
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 12,
+) -> DataFrame:
+    """Encode every document into its BPE subword sequence under a
+    tokenizer trained on the same corpus: ``(doc_id, bpe_tokens)``
+    where ``bpe_tokens`` is the space-joined pieces in document order
+    (e.g. ``"lo w er"`` for "lower" before the lo+w merge lands).
+
+    Same vocabulary-first shape as :func:`bpe_token_counts`: each
+    DISTINCT word is segmented once (the training loop's final
+    sentinel state, converted to a piece string by sentinel
+    replacement), broadcast, and joined to the corpus's
+    position-indexed word explode; per-doc reassembly folds in
+    position order. Words excluded from training (sentinel control
+    bytes — see :func:`word_counts`) are omitted from the sequence,
+    and empty docs yield an empty string.
+    """
+    _, vocab = bpe_train(df, text_col, num_merges)
+    word_pieces = vocab.select("word", "pieces")
+    doc_words = ensure_min_parallelism(df).select(
+        F.col(id_col), F.posexplode_outer(tokens_expr(text_col))
+    ).select(id_col, F.col("pos"), F.col("col").alias("word"))
+    ordered = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+            lambda x: x["pieces"],
+        ),
+    )
+    return (
+        doc_words.join(F.broadcast(word_pieces), "word", "left")
+        .groupBy(id_col)
+        .agg(ordered.alias("bpe_tokens"))
+    )

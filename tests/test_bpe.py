@@ -141,3 +141,46 @@ def test_bpe_vocab_owns_word_count_cache(spark):
     assert {r["word"]: r["n_tokens"] for r in vocab.collect()} == {
         "ab": 1, "cd": 1,
     }
+
+
+def test_bpe_encode_docs_reassembles_in_document_order(spark):
+    from bht_etl_app_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "lower lowest low"), (2, ""), (3, "newer lower")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode_docs(docs, num_merges=3).collect()
+    }
+    # pieces concatenated per word, words in document order; the
+    # trained merges must make identical words segment identically
+    assert got[2] == ""
+    w1 = got[1].split()
+    assert "".join(w1) == "lowerlowestlow"
+    seg = dict()
+    for d, text in ((1, "lower lowest low"), (3, "newer lower")):
+        pieces = got[d]
+        # reconstruct word boundaries: pieces join back to the words
+        rest = pieces.replace(" ", "")
+        assert rest == text.replace(" ", "")
+
+
+def test_bpe_encode_matches_token_counts(spark):
+    """n_bpe_tokens from bpe_token_counts equals the piece count of
+    bpe_encode_docs for every doc — the two views of one tokenizer."""
+    from bht_etl_app_spark.operators.bpe import bpe_encode_docs, bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, num_merges=8).collect()
+    }
+    enc = {
+        r["doc_id"]: len(r["bpe_tokens"].split())
+        for r in bpe_encode_docs(docs, num_merges=8).collect()
+    }
+    assert counts == enc
