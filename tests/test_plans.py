@@ -52,6 +52,10 @@ NESTED_LOOP_OK = {
     "dsir_doc_weights",      # crossJoin(broadcast(1-row target/raw bucket
     "dsir_selected",         # totals) normalizing the DSIR log-ratios
                              # (selection.py dsir_bucket_logratio)
+    "ann_recall_report",     # the EXACT baseline side is knn_join's
+                             # broadcast-query scoring pass — the
+                             # documented fixed-Q eval-scale brute
+                             # force the ANN path is measured against
 }
 
 
