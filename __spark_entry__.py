@@ -421,6 +421,44 @@ SELECT q_id, vec_id, cosine, rank FROM (
 """
 
 
+def _hard_negatives_oracle_sql(k: int = 5, n_queries: int = 32) -> str:
+    """DuckDB mirror of hard_negatives: the ann_knn_join bucket/probe
+    replay with the label-mismatch filter applied to CANDIDATES before
+    the per-anchor rank — the order that keeps negatives when an
+    anchor's nearest neighbors share its label."""
+    planes = _emb_lsh_planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    masks = [0] + [1 << i for i in range(len(planes))]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS q_id, label AS ql, v AS qv, xor(bucket, m) AS bucket
+  FROM bits, unnest({mask_list}) AS t(m)
+  WHERE vec_id < {n_queries}
+),
+s AS (
+  SELECT p.q_id, c.vec_id,
+         round(list_cosine_similarity(p.qv, c.v), 6) AS cosine
+  FROM probes p JOIN bits c USING (bucket)
+  WHERE p.ql <> c.label
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
 def _ann_recall_oracle_sql(k: int = 5, n_queries: int = 32) -> str:
     """DuckDB replay of ann_recall_report: the exact brute-force
     top-k AND the LSH-bucketed approximate top-k (same plane
@@ -3076,6 +3114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "user_id"
         ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
+        "hard_negatives": lambda s, d: __import__(
+            "bht_etl_app_spark.operators.similarity", fromlist=["hard_negatives"]
+        ).hard_negatives(
+            load_table(s, d, "embeddings"), _emb_lsh_planes(), k=5, n_queries=32
+        ),
         "ann_recall_report": lambda s, d: __import__(
             "bht_etl_app_spark.operators.similarity", fromlist=["ann_recall_report"]
         ).ann_recall_report(
@@ -3536,6 +3579,7 @@ SELECT * FROM (VALUES
         ),
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
+        "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],
         "purchase_asof_prior_view": windows.PURCHASE_ASOF_PRIOR_VIEW_SQL,

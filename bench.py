@@ -115,6 +115,7 @@ HEADLINE = [
     "events_user_skew",
     "ann_recall_report",
     "curated_verdicts",
+    "hard_negatives",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -618,3 +618,81 @@ def ann_recall_report(
         F.round(ordered_avg, 6).alias("avg_recall"),
         F.round(F.min("recall"), 6).alias("min_recall"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    n_queries: int = 32,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor (the deterministic ``id < n_queries`` sample), the
+    top-``k`` most-similar vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss, found at ANN
+    cost instead of a full scan.
+
+    Same LSH-bucketed candidate machinery as :func:`ann_knn_join`,
+    with the label-mismatch filter applied to CANDIDATES (before the
+    per-anchor rank window, not after — filtering a ranked top-k
+    would lose negatives whenever an anchor's nearest neighbors are
+    same-label, which is exactly the common case). Output:
+    ``(q_id, vec_id, cosine, rank)``, rank ≤ k per anchor.
+
+    Scale shape: identical to ann_knn_join (bucket equi-join, per-
+    anchor bounded window) plus one label column riding each side —
+    labels join nothing, they project through the existing joins.
+    """
+    from itertools import combinations
+
+    from pyspark.sql.window import Window
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(len(planes)), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            masks.append(m)
+
+    anchors = emb.where(F.col(id_col) < n_queries)
+    qb = anchors.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm_expr(F.col(vec_col)).alias("__qn__"),
+        F.col(label_col).alias("__ql__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
+    )
+    probes = qb.select(
+        "q_id",
+        "__qv__",
+        "__qn__",
+        "__ql__",
+        F.explode(
+            F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cb = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv__"),
+        norm_expr(F.col(vec_col)).alias("__cn__"),
+        F.col(label_col).alias("__cl__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
+        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
+    )
+    scored = (
+        probes.join(cb, "bucket")
+        .where(F.col("__ql__") != F.col("__cl__"))
+        .select("q_id", id_col, F.round(cosine, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -360,3 +360,50 @@ def test_ann_recall_report_detects_lossy_settings(spark):
     ).collect()[0]
     assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
     assert r["avg_recall"] < 1.0, "6 planes / 0 probes should lose neighbors"
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative must carry a different label than its
+    anchor, and with exhaustive probes the result equals the exact
+    label-filtered top-k."""
+    from bht_etl_app_spark.operators.similarity import (
+        hard_negatives,
+        knn_join,
+        lsh_planes,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float(i % 4), float((i * 3) % 7), 1.0], i % 2) for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    planes = lsh_planes(2, 3, seed=5)
+    got = hard_negatives(
+        emb, planes, k=3, n_queries=4, multiprobe_bits=2
+    ).collect()
+    labels = {r[0]: r[2] for r in rows}
+    for r in got:
+        assert labels[r["q_id"]] != labels[r["vec_id"]]
+    # exhaustive probes == exact: brute-force the label-filtered top-k
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding", F.col("label").alias("ql")
+    )
+    exact = (
+        knn_join(q.select("q_id", "embedding"), emb, k=30)
+        .join(q.select("q_id", "ql"), "q_id")
+        .join(emb.select(F.col("vec_id"), F.col("label").alias("cl")), "vec_id")
+        .where(F.col("ql") != F.col("cl"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact_top = (
+        exact.withColumn("r2", F.row_number().over(w))
+        .where(F.col("r2") <= 3)
+        .select("q_id", "vec_id", "cosine")
+    )
+    assert {(r["q_id"], r["vec_id"], r["cosine"]) for r in got} == {
+        (r["q_id"], r["vec_id"], r["cosine"]) for r in exact_top.collect()
+    }
