@@ -67,6 +67,7 @@ from bht_etl_app_spark.operators import (
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import profiling as _skew_mod
+from bht_etl_app_spark.operators import similarity as _sim_mod
 from bht_etl_app_spark.operators import text as _text_mod
 from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
@@ -325,10 +326,18 @@ _EMB_LSH_PLANES = 24
 _EMB_LSH_BANDS = 4
 
 
-def _emb_lsh_planes():
+def _emb_lsh_planes(n: int | None = None):
     from bht_etl_app_spark.operators.similarity import lsh_planes
 
-    return lsh_planes(_EMB_LSH_PLANES, _EMB_DIM, seed=42)
+    return lsh_planes(n or _EMB_LSH_PLANES, _EMB_DIM, seed=42)
+
+
+#: plane count for the recall-report / hard-negative contract configs:
+#: 8 planes -> 256 buckets over the fixture's thousands of vectors, so
+#: buckets actually hold neighbors and the recall dial reads mid-range
+#: (24 planes -> 16M buckets is the HIGH-selectivity end of the dial —
+#: correct, but at fixture scale nearly every probe returns only self)
+_EVAL_LSH_PLANES = 8
 
 
 def _q_near_dup_embeddings(spark, sf_dir):
@@ -426,7 +435,7 @@ def _hard_negatives_oracle_sql(k: int = 5, n_queries: int = 32) -> str:
     replay with the label-mismatch filter applied to CANDIDATES before
     the per-anchor rank — the order that keeps negatives when an
     anchor's nearest neighbors share its label."""
-    planes = _emb_lsh_planes()
+    planes = _emb_lsh_planes(_EVAL_LSH_PLANES)
     terms = []
     for i, p in enumerate(planes):
         lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
@@ -465,7 +474,7 @@ def _ann_recall_oracle_sql(k: int = 5, n_queries: int = 32) -> str:
     literals/probe set as _ann_knn_join_oracle_sql), joined into
     per-query recalls and folded in q_id order — the evaluation
     harness itself is hash-verified, not just the paths it compares."""
-    planes = _emb_lsh_planes()
+    planes = _emb_lsh_planes(_EVAL_LSH_PLANES)
     terms = []
     for i, p in enumerate(planes):
         lit = "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
@@ -3114,15 +3123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "user_id"
         ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
-        "hard_negatives": lambda s, d: __import__(
-            "bht_etl_app_spark.operators.similarity", fromlist=["hard_negatives"]
-        ).hard_negatives(
-            load_table(s, d, "embeddings"), _emb_lsh_planes(), k=5, n_queries=32
+        "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
+            load_table(s, d, "embeddings"),
+            _emb_lsh_planes(_EVAL_LSH_PLANES), k=5, n_queries=32,
         ),
-        "ann_recall_report": lambda s, d: __import__(
-            "bht_etl_app_spark.operators.similarity", fromlist=["ann_recall_report"]
-        ).ann_recall_report(
-            load_table(s, d, "embeddings"), _emb_lsh_planes(), k=5, n_queries=32
+        "ann_recall_report": lambda s, d: _sim_mod.ann_recall_report(
+            load_table(s, d, "embeddings"),
+            _emb_lsh_planes(_EVAL_LSH_PLANES), k=5, n_queries=32,
         ),
         "doc_pagerank": _doc_pagerank,
         "dedup_rep_docs": _dedup_rep_docs,
