@@ -37,6 +37,14 @@ from bht_etl_app_spark.operators.sampling import pack_sequences, train_test_spli
 from bht_etl_app_spark.session import load_table
 
 
+# One-call alternative for the filter->dedup->decontaminate front half:
+# bht_etl_app_spark.operators.corpus.curate_corpus(docs, eval_docs)
+# runs the same stage order and returns (doc_id, verdict) with the
+# first dropping stage per document — the auditable form this script's
+# staged composition produces implicitly (contract query
+# `curated_verdicts`; streaming twin: streaming_curate_ingest).
+
+
 def build_training_set(
     docs,
     eval_docs=None,
