@@ -2673,6 +2673,21 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_image_phash_near_dup(spark, sf_dir):
+    """Rows-only (Python PNG-decode seam, like the other media demos):
+    perceptual-hash near-dup over real synthesized PNGs at the
+    loose-threshold eval setting so the fixture yields a non-trivial
+    pair set; banding exactness + brute-force parity pinned in
+    tests/test_multimodal.py."""
+    from bht_etl_app_spark.operators.multimodal import (
+        image_phash_near_dup,
+        synth_png_media_from_documents,
+    )
+
+    media = synth_png_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return image_phash_near_dup(media, max_hamming=10, bands=16)
+
+
 def _q_image_features(spark, sf_dir):
     """REAL image pipeline: docs -> deterministic grayscale PNGs
     (pure-stdlib codec) -> binary media column -> mapInPandas decode
@@ -3137,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "image_features_demo": _q_image_features,
+        "image_phash_near_dup": _q_image_phash_near_dup,
         "audio_features_demo": lambda s, d: _q_audio_features(s, d),
         "video_frames_demo": lambda s, d: _q_video_frames(s, d),
     }

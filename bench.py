@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_recall_report",
     "curated_verdicts",
     "hard_negatives",
+    "image_phash_near_dup",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -425,3 +425,113 @@ def video_frame_stats(
         )
         .orderBy("media_id")
     )
+
+
+def phash_average_gray(content: bytes) -> int:
+    """64-bit average-hash perceptual fingerprint of a grayscale PNG:
+    block-average the image onto an 8x8 grid, set bit ``8*i + j`` when
+    cell (i, j) exceeds the grid mean. Identical images hash equal;
+    small pixel noise flips few bits — hamming distance is the
+    near-dup metric (same contract as SimHash's 64-bit signatures,
+    so the banding machinery is shared). Returns a SIGNED 64-bit int
+    (Spark LongType-compatible)."""
+    from bht_etl_app_spark.operators.png import decode_png_gray
+
+    w, h, pixels = decode_png_gray(bytes(content))
+    if w == 0 or h == 0:
+        return 0
+    cells = []
+    for i in range(8):
+        r0, r1 = (i * h) // 8, max(((i + 1) * h) // 8, (i * h) // 8 + 1)
+        r1 = min(r1, h)
+        for j in range(8):
+            c0, c1 = (j * w) // 8, max(((j + 1) * w) // 8, (j * w) // 8 + 1)
+            c1 = min(c1, w)
+            tot = n = 0
+            for r in range(r0, r1):
+                row = pixels[r * w + c0 : r * w + c1]
+                tot += sum(row)
+                n += len(row)
+            cells.append(tot / n if n else 0.0)
+    mean = sum(cells) / 64.0
+    bits = 0
+    for k, v in enumerate(cells):
+        if v > mean:
+            bits |= 1 << k
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_phashes(
+    media: DataFrame,
+    decode_hash_fn: Callable[[bytes], int] = phash_average_gray,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Perceptual hash per image row via mapInPandas (the image decode
+    is the declared Python seam — same shape as image_features).
+    Output: ``(media_id, phash)`` — 8 bytes per image, the ONLY thing
+    later stages shuffle."""
+    imgs = media.where(F.col("kind") == "image").select("media_id", "content")
+    if repartition_to:
+        imgs = imgs.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": [
+                        decode_hash_fn(bytes(b)) for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return imgs.mapInPandas(run, schema="media_id long, phash long")
+
+
+def image_phash_near_dup(
+    media: DataFrame,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    decode_hash_fn: Callable[[bytes], int] = phash_average_gray,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash — multimodal
+    dedup on the SimHash scale path: the 64-bit phash rides the SAME
+    combinatorial banded hamming join as text SimHash
+    (dedup.simhash_banded_frame — pigeonhole-exact recall, so output
+    is banding-independent), with ``bit_count(xor)`` verification.
+    Images decode ONCE to 8-byte hashes; no pixel data ever shuffles.
+    Output: ``(id_a, id_b, hamming)``, hamming ≤ max_hamming.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+    from bht_etl_app_spark.operators.dedup import (
+        simhash_banded_frame,
+        simhash_pick,
+    )
+
+    if bands is None:
+        bands = max_hamming + 1
+    w = 64 // bands
+    pick = simhash_pick(bands, max_hamming)
+    sig = image_phashes(media, decode_hash_fn).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    banded = simhash_banded_frame(sig, bands, pick, id_col="id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return track_persisted(out, banded)

@@ -289,3 +289,78 @@ def test_mjpeg_decode_rejects_non_jpeg_payload(spark):
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="not a complete JPEG"):
         mjpeg_avi_decode(avi, 1)
+
+
+def test_image_phash_near_dup_finds_noisy_copies(spark):
+    """Identical images pair at hamming 0, a few-pixel-perturbed copy
+    pairs within the threshold, an unrelated image does not; output
+    equals the brute-force all-pairs hamming (banding exactness)."""
+    import itertools
+
+    from bht_etl_app_spark.operators.multimodal import (
+        image_phash_near_dup,
+        phash_average_gray,
+    )
+    from bht_etl_app_spark.operators.png import encode_png_gray
+
+    w = h = 16
+    base = bytes((3 * x + 5 * y) % 251 for y in range(h) for x in range(w))
+    noisy = bytearray(base)
+    noisy[0] = (noisy[0] + 120) % 251  # one hot pixel
+    other = bytes((x * y * 7 + 13) % 251 for y in range(h) for x in range(w))
+    rows = [
+        (1, "image", encode_png_gray(base, w, h), "image/png", "{}"),
+        (2, "image", encode_png_gray(bytes(base), w, h), "image/png", "{}"),
+        (3, "image", encode_png_gray(bytes(noisy), w, h), "image/png", "{}"),
+        (4, "image", encode_png_gray(other, w, h), "image/png", "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string, meta string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_phash_near_dup(media, max_hamming=6).collect()
+    }
+    # brute force from the same hash function
+    hashes = {
+        mid: phash_average_gray(content) for mid, _, content, _, _ in rows
+    }
+    exp = set()
+    for (a, ha), (b, hb) in itertools.combinations(sorted(hashes.items()), 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 6:
+            exp.add((a, b, d))
+    assert got == exp
+    assert (1, 2, 0) in got, "identical images must pair at hamming 0"
+    assert any(a == 1 and b == 3 for a, b, _ in got), "noisy copy lost"
+    assert not any(4 in (a, b) for a, b, _ in got), "unrelated image paired"
+
+
+def test_image_phash_banding_independent(spark):
+    """Pigeonhole exactness transfers from SimHash: any valid bands
+    config yields the identical pair set."""
+    from bht_etl_app_spark.operators.multimodal import image_phash_near_dup
+    from bht_etl_app_spark.operators.png import encode_png_gray
+
+    w = h = 16
+    rows = []
+    for g in range(4):  # 4 groups of 3 noisy variants each
+        base = bytearray((g * 37 + 3 * x + 5 * y) % 251 for y in range(h) for x in range(w))
+        for v in range(3):
+            img = bytearray(base)
+            if v:
+                img[v * 7] = (img[v * 7] + 100 + v) % 251
+            rows.append((g * 10 + v, "image", encode_png_gray(bytes(img), w, h), "image/png", "{}"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string, meta string"
+    )
+    a = {
+        tuple(r)
+        for r in image_phash_near_dup(media, max_hamming=3, bands=4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in image_phash_near_dup(media, max_hamming=3, bands=8).collect()
+    }
+    assert a == b
+    assert a, "synth media from modulo-3 texts should contain near-dups"
