@@ -54,6 +54,7 @@ __all__ = [
     "word_counts",
     "bpe_train",
     "bpe_token_counts",
+    "bpe_encode_docs",
     "bpe_oracle_sql",
 ]
 

@@ -888,6 +888,8 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     decontam_n: int = 5,
+    near_dup_threshold: float = 0.8,
+    min_tokens: int = 20,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
@@ -927,7 +929,7 @@ def curate_corpus(
     # decision/survivor lists — document text never persists.
     # 1. quality
     qdec = quality_filter_decisions(
-        df, text_col=text_col, id_col=id_col
+        df, min_tokens=min_tokens, text_col=text_col, id_col=id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     drop_quality = qdec.where(~F.col("keep")).select(
         ids, F.lit("quality").alias("verdict")
@@ -944,7 +946,13 @@ def curate_corpus(
     )
     es = qs.join(exact_keep, id_col, "left_semi")
     # 3. near-dup: verified pairs -> components -> keep-min
-    pairs = minhash_lsh_pairs(es, text_col, id_col, hash_fn=hash_fn)
+    # threshold passed EXPLICITLY: minhash_lsh_pairs defaults to 0.5,
+    # but the curation rule (and the replaying oracle) verifies at
+    # 0.8 — relying on the default silently over-dropped mid-band
+    # pairs and broke end-to-end replay (r5 session-2 review #1)
+    pairs = minhash_lsh_pairs(
+        es, text_col, id_col, threshold=near_dup_threshold, hash_fn=hash_fn
+    )
     comp = dedup_clusters(pairs)
     drop_near_ids = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

@@ -512,7 +512,11 @@ def image_phash_near_dup(
 
     if bands is None:
         bands = max_hamming + 1
-    w = 64 // bands
+    if not 0 < max_hamming < bands <= 64:
+        raise ValueError(
+            "bands must exceed max_hamming for exact recall "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
     pick = simhash_pick(bands, max_hamming)
     sig = image_phashes(media, decode_hash_fn).select(
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")

@@ -330,6 +330,70 @@ def ann_ivf_topk(
     )
 
 
+def _lsh_scored_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    q_id: str,
+    c_id: str,
+    vec_col: str,
+    multiprobe_bits: int,
+    q_extra: tuple[tuple[str, str], ...] = (),
+    c_extra: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Shared LSH-bucketed candidate scoring for ann_knn_join /
+    hard_negatives: multiprobe mask enumeration, bucket projections
+    on both sides, bucket equi-join, rounded exact cosine. Returns
+    ``(q_id, c_id, cosine, *extra aliases)``. ``q_extra``/``c_extra``
+    are ``(source_col, alias)`` passthroughs that project through the
+    joins (they join nothing)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(len(planes)), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            masks.append(m)
+
+    qb = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("__qv__"),
+        norm_expr(F.col(vec_col)).alias("__qn__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
+        *[F.col(src).alias(al) for src, al in q_extra],
+    )
+    # distinct masks -> distinct probe buckets, so each (query, corpus)
+    # pair joins at most once and no dedup pass is needed
+    probes = qb.select(
+        q_id,
+        "__qv__",
+        "__qn__",
+        *[al for _, al in q_extra],
+        F.explode(
+            F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(c_id),
+        F.col(vec_col).alias("__cv__"),
+        norm_expr(F.col(vec_col)).alias("__cn__"),
+        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        *[F.col(src).alias(al) for src, al in c_extra],
+    )
+    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
+        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
+    )
+    return probes.join(cb, "bucket").select(
+        q_id,
+        c_id,
+        F.round(cosine, 6).alias("cosine"),
+        *[al for _, al in q_extra],
+        *[al for _, al in c_extra],
+    )
+
+
 def ann_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -354,44 +418,11 @@ def ann_knn_join(
     (more planes → smaller buckets, more probes → higher recall).
     Output: ``(q_id, vec_id, cosine, rank)`` with rank ≤ k per query.
     """
-    from itertools import combinations
-
     from pyspark.sql.window import Window
 
-    masks = [0]
-    for r in range(1, multiprobe_bits + 1):
-        for flips in combinations(range(len(planes)), r):
-            m = 0
-            for i in flips:
-                m |= 1 << i
-            masks.append(m)
-
-    qb = queries.select(
-        F.col(q_id),
-        F.col(vec_col).alias("__qv__"),
-        norm_expr(F.col(vec_col)).alias("__qn__"),
-        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
+    scored = _lsh_scored_candidates(
+        queries, corpus, planes, q_id, c_id, vec_col, multiprobe_bits
     )
-    # distinct masks -> distinct probe buckets, so each (query, corpus)
-    # pair joins at most once and no dedup pass is needed
-    probes = qb.select(
-        q_id,
-        "__qv__",
-        "__qn__",
-        F.explode(
-            F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("bucket"),
-    )
-    cb = corpus.select(
-        F.col(c_id),
-        F.col(vec_col).alias("__cv__"),
-        norm_expr(F.col(vec_col)).alias("__cn__"),
-        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
-        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
-    )
-    scored = probes.join(cb, "bucket").select(q_id, c_id, F.round(cosine, 6).alias("cosine"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -586,8 +617,6 @@ def ann_recall_report(
     (the bm25 rule) so the report is bit-stable across engines and
     partitionings.
     """
-    from pyspark.sql.window import Window  # noqa: F401  (knn_join uses it)
-
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), vec_col
     )
@@ -636,60 +665,31 @@ def hard_negatives(
     negatives that actually move a contrastive loss, found at ANN
     cost instead of a full scan.
 
-    Same LSH-bucketed candidate machinery as :func:`ann_knn_join`,
-    with the label-mismatch filter applied to CANDIDATES (before the
-    per-anchor rank window, not after — filtering a ranked top-k
-    would lose negatives whenever an anchor's nearest neighbors are
-    same-label, which is exactly the common case). Output:
+    Same LSH-bucketed candidate machinery as :func:`ann_knn_join`
+    (shared: ``_lsh_scored_candidates``), with the label-mismatch
+    filter applied to CANDIDATES (before the per-anchor rank window,
+    not after — filtering a ranked top-k would lose negatives
+    whenever an anchor's nearest neighbors are same-label, which is
+    exactly the common case). Output:
     ``(q_id, vec_id, cosine, rank)``, rank ≤ k per anchor.
 
     Scale shape: identical to ann_knn_join (bucket equi-join, per-
     anchor bounded window) plus one label column riding each side —
     labels join nothing, they project through the existing joins.
     """
-    from itertools import combinations
-
     from pyspark.sql.window import Window
 
-    masks = [0]
-    for r in range(1, multiprobe_bits + 1):
-        for flips in combinations(range(len(planes)), r):
-            m = 0
-            for i in flips:
-                m |= 1 << i
-            masks.append(m)
-
-    anchors = emb.where(F.col(id_col) < n_queries)
-    qb = anchors.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("__qv__"),
-        norm_expr(F.col(vec_col)).alias("__qn__"),
-        F.col(label_col).alias("__ql__"),
-        hyperplane_bucket_expr(F.col(vec_col), planes).alias("__qb__"),
-    )
-    probes = qb.select(
-        "q_id",
-        "__qv__",
-        "__qn__",
-        "__ql__",
-        F.explode(
-            F.array(*[F.col("__qb__").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("bucket"),
-    )
-    cb = emb.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cv__"),
-        norm_expr(F.col(vec_col)).alias("__cn__"),
-        F.col(label_col).alias("__cl__"),
-        hyperplane_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    cosine = dot_expr(F.col("__qv__"), F.col("__cv__")) / F.nullif(
-        F.col("__qn__") * F.col("__cn__"), F.lit(0.0)
+    anchors = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col), F.col(label_col)
     )
     scored = (
-        probes.join(cb, "bucket")
+        _lsh_scored_candidates(
+            anchors, emb, planes, "q_id", id_col, vec_col, multiprobe_bits,
+            q_extra=((label_col, "__ql__"),),
+            c_extra=((label_col, "__cl__"),),
+        )
         .where(F.col("__ql__") != F.col("__cl__"))
-        .select("q_id", id_col, F.round(cosine, 6).alias("cosine"))
+        .select("q_id", id_col, "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

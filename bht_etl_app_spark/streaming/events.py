@@ -525,10 +525,10 @@ def streaming_curate_ingest(
     out_path: str,
     checkpoint: str,
     benchmark_df: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     n: int = 3,
     decontam_n: int = 5,
-    min_tokens: int = 5,
+    min_tokens: int = 20,
     band_index_table: str | None = None,
 ):
     """The streaming twin of
@@ -569,10 +569,10 @@ def ingest_curate_batch(
     batch_id: int,
     out_path: str,
     benchmark_df: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     n: int = 3,
     decontam_n: int = 5,
-    min_tokens: int = 5,
+    min_tokens: int = 20,
     band_index_table: str | None = None,
     index_buckets: int = 8,
 ) -> None:

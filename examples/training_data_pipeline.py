@@ -37,12 +37,16 @@ from bht_etl_app_spark.operators.sampling import pack_sequences, train_test_spli
 from bht_etl_app_spark.session import load_table
 
 
-# One-call alternative for the filter->dedup->decontaminate front half:
-# bht_etl_app_spark.operators.corpus.curate_corpus(docs, eval_docs)
-# runs the same stage order and returns (doc_id, verdict) with the
-# first dropping stage per document — the auditable form this script's
-# staged composition produces implicitly (contract query
-# `curated_verdicts`; streaming twin: streaming_curate_ingest).
+# Related one-call path: corpus.curate_corpus(docs, eval_docs) returns
+# (doc_id, verdict) with the first dropping stage per document
+# (contract query `curated_verdicts`; streaming twin:
+# streaming_curate_ingest). NOTE it is a DIFFERENT policy than this
+# script, not a drop-in: curate_corpus dedups BEFORE exact-n-gram
+# decontamination (n=5), while this script Bloom-decontaminates
+# (n=8) before dedup — so a contaminated cluster representative is
+# dropped pre-dedup here (another member survives) but post-dedup
+# there (the cluster is lost). Pick the order your contamination
+# policy wants.
 
 
 def build_training_set(

@@ -411,3 +411,22 @@ def test_curate_corpus_assigns_first_dropping_stage(spark):
     assert got[5] == "contaminated"
     assert got[1] == "kept"
     assert len(got) == 5
+
+
+def test_curate_corpus_mid_band_pair_is_kept(spark):
+    """Regression (r5 session-2 review #1): a doc pair with Jaccard in
+    [0.5, 0.8) must be KEPT — minhash_lsh_pairs' default 0.5 threshold
+    was silently verifying below the documented 0.8 curation rule (and
+    below what the replaying oracle uses)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    base = [f"w{i}" for i in range(24)]
+    # ~0.58 shingle jaccard: change a contiguous chunk of tokens
+    variant = base[:16] + [f"x{i}" for i in range(8)]
+    rows = [(1, " ".join(base)), (2, " ".join(variant))]
+    bench = spark.createDataFrame([(9, "zz yy xx ww vv uu tt ss")],
+                                  "doc_id long, text string")
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"]
+           for r in curate_corpus(train, bench, hash_fn="md5").collect()}
+    assert got == {1: "kept", 2: "kept"}

@@ -444,7 +444,8 @@ def test_streaming_curate_ingest_full_chain(spark, tmp_path):
             (11, good.replace("joy", "glee")),  # near-dup of landed 1
             (12, leaky),                      # contaminated
             (13, "completely different clean content about spark engines "
-                 "running distributed pipelines across many machines now"),
+                 "running distributed pipelines across many machines while "
+                 "landing curated survivor documents into partitioned stores"),
         ],
         schema,
     )
