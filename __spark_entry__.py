@@ -68,6 +68,7 @@ from bht_etl_app_spark.operators import (
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
+from bht_etl_app_spark.operators import timeseries as _ts_mod
 from bht_etl_app_spark.operators import text as _text_mod
 from bht_etl_app_spark.operators import sampling
 from bht_etl_app_spark.plans import analytics, arrays, tpch, windows
@@ -3128,6 +3129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "user_hourly_interpolated": _interpolated,
+        "user_type_scd2": lambda s, d: __import__(
+            "bht_etl_app_spark.operators.timeseries",
+            fromlist=["scd2_from_changelog"],
+        ).scd2_from_changelog(load_table(s, d, "events")),
+        "events_customer_fk_audit": lambda s, d: _skew_mod.fk_audit(
+            load_table(s, d, "events"),
+            load_table(s, d, "customer"),
+            "user_id",
+            "c_custkey",
+        ),
         "rolling_7d_active_users": lambda s, d: analytics.rolling_active_users(
             load_table(s, d, "events")
         ),
@@ -3595,6 +3606,16 @@ SELECT * FROM (VALUES
         "running_monthly_revenue": windows.RUNNING_MONTHLY_REVENUE_SQL,
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "user_hourly_interpolated": _INTERPOLATED_SQL,
+        "user_type_scd2": _ts_mod.SCD2_EVENT_TYPE_SQL,
+        "events_customer_fk_audit": """
+WITH c AS (SELECT user_id AS k FROM events),
+p AS (SELECT DISTINCT c_custkey AS k, 1 AS hit FROM customer)
+SELECT CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       round(CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+FROM c LEFT JOIN p USING (k)
+""",
         "rolling_7d_active_users": analytics.ROLLING_ACTIVE_USERS_SQL,
         "token_zipf_fit": _text_mod.TOKEN_ZIPF_FIT_SQL,
         "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(

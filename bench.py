@@ -113,6 +113,8 @@ HEADLINE = [
     "rolling_7d_active_users",
     "token_zipf_fit",
     "events_user_skew",
+    "user_type_scd2",
+    "events_customer_fk_audit",
     "ann_recall_report",
     "curated_verdicts",
     "hard_negatives",

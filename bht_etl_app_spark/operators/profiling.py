@@ -218,3 +218,39 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
              / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS cv
 FROM counts
 """
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the batch-contract
+    check between fact and dimension loads: one row
+    ``(n_child, n_orphans, orphan_rate)`` where orphans are child
+    rows (NULL keys included — a NULL FK joins nothing) whose key has
+    no parent. ONE left join of the child keys against the distinct
+    parent key set (broadcast when dim-sized) feeding ONE conditional
+    aggregate — no anti-join + re-count double pass, no 1-row
+    cross join.
+    """
+    _check_idents([child_key], "child key")
+    _check_idents([parent_key], "parent key")
+    c = child.select(F.col(child_key).alias("__k__"))
+    p = (
+        parent.select(F.col(parent_key).alias("__k__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    return c.join(p, "__k__", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(F.col("__hit__").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+        F.round(
+            F.sum(F.when(F.col("__hit__").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("orphan_rate"),
+    )

@@ -363,3 +363,64 @@ def interpolate_series(
         val.alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a changelog — the
+    canonical warehouse ETL operator: collapse each key's ordered
+    state observations into VERSIONED VALIDITY PERIODS
+    ``(key, state, effective_from, effective_to, is_current)``, one
+    row per run of consecutive equal states (the gaps-and-islands
+    pattern), with ``effective_to`` = the next run's start (open
+    period -> NULL, ``is_current`` = true).
+
+    Scale shape: one shuffle on the key, then two window passes
+    bounded by per-key history length — change-point detection via
+    ``lag(state)``, period close via ``lead(effective_from)`` over
+    the change points only (runs, not raw rows). Deterministic under
+    ts ties via the ``(ts, id)`` composite order.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    changes = (
+        df.select(key_col, ts_col, id_col, state_col)
+        .withColumn("__prev__", F.lag(state_col).over(w))
+        .where(
+            F.col("__prev__").isNull() | (F.col(state_col) != F.col("__prev__"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_EVENT_TYPE_SQL = """
+WITH changes AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type AS state, ts AS effective_from, event_id
+  FROM changes WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, state, effective_from,
+       lead(effective_from) OVER (PARTITION BY user_id
+                                  ORDER BY effective_from ASC, event_id ASC)
+         AS effective_to,
+       (lead(effective_from) OVER (PARTITION BY user_id
+                                   ORDER BY effective_from ASC, event_id ASC)
+          IS NULL) AS is_current
+FROM runs
+"""

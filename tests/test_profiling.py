@@ -135,3 +135,12 @@ def test_key_skew_report_square_sum_rides_decimal(spark):
     assert "decimal(38,0)" in plan
     r = out.collect()[0]
     assert r["cv"] is not None and r["cv"] >= 0.0
+
+
+def test_fk_audit_counts_null_and_missing_keys_as_orphans(spark):
+    from bht_etl_app_spark.operators.profiling import fk_audit
+
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p int")
+    r = fk_audit(child, parent, "k", "p").collect()[0]
+    assert (r["n_child"], r["n_orphans"], r["orphan_rate"]) == (5, 2, 0.4)

@@ -322,3 +322,31 @@ def test_interpolate_series_spine_is_distributed(spark):
     assert "Generate explode" in plan or "Generate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_collapses_runs_and_versions_reopenings(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import scd2_from_changelog
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 1, "view"),
+            (1, datetime(2024, 1, 2), 2, "view"),    # same run
+            (1, datetime(2024, 1, 3), 3, "click"),
+            (1, datetime(2024, 1, 4), 4, "view"),    # REOPENED view: new version
+            (2, datetime(2024, 1, 1), 5, "purchase"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    rows = [
+        (r["user_id"], r["state"], r["effective_from"].day,
+         r["effective_to"].day if r["effective_to"] else None, r["is_current"])
+        for r in scd2_from_changelog(ev).orderBy("user_id", "effective_from").collect()
+    ]
+    assert rows == [
+        (1, "view", 1, 3, False),
+        (1, "click", 3, 4, False),
+        (1, "view", 4, None, True),
+        (2, "purchase", 1, None, True),
+    ]
