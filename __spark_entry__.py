@@ -1644,6 +1644,38 @@ _graph_oracles = _pr_oracle(_DOC_PAIRS_T05_CTE)
 _bpe_oracles = bpe_ops.bpe_oracle_sql(12)
 
 
+def _q_doc_apply_cdc(spark, sf_dir):
+    """CDC application with deletes: every 5th doc arrives as a v2
+    change, every 10th as a tombstone; the snapshot after apply_cdc
+    must upper-case the updated texts and drop the deleted ids (the
+    oracle derives the same snapshot directly — an independent
+    derivation, not a replay)."""
+    from bht_etl_app_spark.operators.corpus import apply_cdc
+
+    docs = load_table(spark, sf_dir, "documents")
+    current = docs.withColumn("version", F.lit(1).cast("long"))
+    changes = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.upper("text"))
+        .withColumn("version", F.lit(2).cast("long"))
+        .withColumn(
+            "op",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    return apply_cdc(current, changes)
+
+
+_DOC_APPLY_CDC_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+       lang, source, n_chars,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
+FROM documents
+WHERE doc_id % 10 <> 0
+"""
+
+
 def _ewma(spark, sf_dir):
     from bht_etl_app_spark.operators.timeseries import ewma_per_key
 
@@ -3129,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_approx": _q_profile_orders_approx,
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "user_hourly_interpolated": _interpolated,
+        "doc_apply_cdc": lambda s, d: _q_doc_apply_cdc(s, d),
         "user_type_scd2": lambda s, d: __import__(
             "bht_etl_app_spark.operators.timeseries",
             fromlist=["scd2_from_changelog"],
@@ -3607,6 +3640,7 @@ SELECT * FROM (VALUES
         "sessionized_event_stats": windows.SESSIONIZED_EVENT_STATS_SQL,
         "user_hourly_interpolated": _INTERPOLATED_SQL,
         "user_type_scd2": _ts_mod.SCD2_EVENT_TYPE_SQL,
+        "doc_apply_cdc": _DOC_APPLY_CDC_SQL,
         "events_customer_fk_audit": """
 WITH c AS (SELECT user_id AS k FROM events),
 p AS (SELECT DISTINCT c_custkey AS k, 1 AS hit FROM customer)

@@ -115,6 +115,7 @@ HEADLINE = [
     "events_user_skew",
     "user_type_scd2",
     "events_customer_fk_audit",
+    "doc_apply_cdc",
     "ann_recall_report",
     "curated_verdicts",
     "hard_negatives",

@@ -672,6 +672,50 @@ def upsert_latest(
     return merged.select(*[F.col(f"__row__.{c}").alias(c) for c in cols])
 
 
+def apply_cdc(
+    current: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Full CDC application — :func:`upsert_latest` plus DELETE
+    support: ``changes`` carries an ``op_col`` of ``'U'``
+    (insert/update) or ``'D'`` (delete); the next snapshot keeps, per
+    id, the payload of the highest ``(version, change-side)`` row
+    UNLESS that winning row is a delete — tombstones drop the id
+    entirely (the Debezium/Delta MERGE semantics on immutable
+    parquet).
+
+    Same scale shape as upsert_latest: union + ONE max_by aggregation
+    on the id key (map-side partials, no window sort); the tombstone
+    filter is a post-aggregation projection on the winner struct.
+    Output schema = ``current``'s schema (no op column).
+    """
+    cols = current.columns
+    if set(cols) | {op_col} != set(changes.columns):
+        raise ValueError(
+            f"changes must be current's schema plus '{op_col}': "
+            f"{sorted(cols)} vs {sorted(changes.columns)}"
+        )
+    tagged = (
+        current.select(*cols)
+        .withColumn("__op__", F.lit("U"))
+        .withColumn("__side__", F.lit(0))
+        .unionByName(
+            changes.select(*cols, F.col(op_col).alias("__op__")).withColumn(
+                "__side__", F.lit(1)
+            )
+        )
+    )
+    payload = F.struct(*[F.col(c) for c in cols], F.col("__op__"))
+    rank = F.struct(F.col(version_col), F.col("__side__"))
+    merged = tagged.groupBy(id_col).agg(F.max_by(payload, rank).alias("__row__"))
+    return merged.where(F.col("__row__.__op__") != "D").select(
+        *[F.col(f"__row__.{c}").alias(c) for c in cols]
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     alpha: float = 0.5,

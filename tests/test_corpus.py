@@ -430,3 +430,34 @@ def test_curate_corpus_mid_band_pair_is_kept(spark):
     got = {r["doc_id"]: r["verdict"]
            for r in curate_corpus(train, bench, hash_fn="md5").collect()}
     assert got == {1: "kept", 2: "kept"}
+
+
+def test_apply_cdc_updates_deletes_and_ignores_stale_changes(spark):
+    from bht_etl_app_spark.operators.corpus import apply_cdc
+
+    cur = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "doc_id long, text string, version long",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 2, "U"),     # update wins on version
+            (3, "ignored", 2, "D"),  # tombstone drops the id
+            (4, "d", 1, "U"),      # insert
+            (1, "stale", 0, "U"),  # stale change loses to current
+        ],
+        "doc_id long, text string, version long, op string",
+    )
+    got = sorted(tuple(r) for r in apply_cdc(cur, chg).collect())
+    assert got == [(1, "a", 1), (2, "b2", 2), (4, "d", 1)]
+
+
+def test_apply_cdc_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from bht_etl_app_spark.operators.corpus import apply_cdc
+
+    cur = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, version long")
+    bad = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, version long")
+    with _pytest.raises(ValueError):
+        apply_cdc(cur, bad)  # missing op column
