@@ -3162,10 +3162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_values": lambda s, d: _ewma(s, d),
         "user_hourly_interpolated": _interpolated,
         "doc_apply_cdc": lambda s, d: _q_doc_apply_cdc(s, d),
-        "user_type_scd2": lambda s, d: __import__(
-            "bht_etl_app_spark.operators.timeseries",
-            fromlist=["scd2_from_changelog"],
-        ).scd2_from_changelog(load_table(s, d, "events")),
+        "user_type_scd2": lambda s, d: _ts_mod.scd2_from_changelog(
+            load_table(s, d, "events")
+        ),
         "events_customer_fk_audit": lambda s, d: _skew_mod.fk_audit(
             load_table(s, d, "events"),
             load_table(s, d, "customer"),

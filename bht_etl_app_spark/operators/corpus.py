@@ -650,26 +650,24 @@ def upsert_latest(
     format this materializes the next snapshot, which is how
     immutable-parquet pipelines roll corpora forward).
 
-    Scale shape: union + one ``max_by`` aggregation on the id key —
-    a single fine-grained shuffle with map-side partial aggregation,
-    NOT a window (`row_number` over id would sort each group; max_by
-    keeps one struct per id per map task). Columns must match; the
-    output schema is the input schema.
+    Delegates to :func:`apply_cdc` with every update tagged ``'U'``
+    (delete-free CDC) so the union + ``max_by`` + struct-unpack core
+    lives ONCE — one fine-grained shuffle with map-side partial
+    aggregation, never a window sort. Columns must match; the output
+    schema is the input schema.
     """
     cols = current.columns
     if set(cols) != set(updates.columns):
         raise ValueError(
             f"schema mismatch: {sorted(cols)} vs {sorted(updates.columns)}"
         )
-    tagged = current.select(*cols).withColumn("__side__", F.lit(0)).unionByName(
-        updates.select(*cols).withColumn("__side__", F.lit(1))
+    return apply_cdc(
+        current,
+        updates.withColumn("__cdc_op__", F.lit("U")),
+        id_col=id_col,
+        version_col=version_col,
+        op_col="__cdc_op__",
     )
-    payload = F.struct(*[F.col(c) for c in cols])
-    rank = F.struct(F.col(version_col), F.col("__side__"))
-    merged = tagged.groupBy(id_col).agg(
-        F.max_by(payload, rank).alias("__row__")
-    )
-    return merged.select(*[F.col(f"__row__.{c}").alias(c) for c in cols])
 
 
 def apply_cdc(
@@ -682,10 +680,17 @@ def apply_cdc(
     """Full CDC application — :func:`upsert_latest` plus DELETE
     support: ``changes`` carries an ``op_col`` of ``'U'``
     (insert/update) or ``'D'`` (delete); the next snapshot keeps, per
-    id, the payload of the highest ``(version, change-side)`` row
-    UNLESS that winning row is a delete — tombstones drop the id
-    entirely (the Debezium/Delta MERGE semantics on immutable
-    parquet).
+    id, the payload of the winning row UNLESS it is a delete —
+    tombstones drop the id entirely (the Debezium/Delta MERGE
+    semantics on immutable parquet).
+
+    Winner rank: ``(version, change-side, op='D')`` — changes beat
+    current on version ties (the upsert rule), and a DELETE beats an
+    UPDATE at the same version (r5 review: without the third rank a
+    same-version U/D pair for one id flipped keep-vs-drop run to
+    run). Any op value other than 'U'/'D' (including NULL) raises at
+    execution — a malformed feed must fail loudly, not silently drop
+    or upsert rows.
 
     Same scale shape as upsert_latest: union + ONE max_by aggregation
     on the id key (map-side partials, no window sort); the tombstone
@@ -698,18 +703,32 @@ def apply_cdc(
             f"changes must be current's schema plus '{op_col}': "
             f"{sorted(cols)} vs {sorted(changes.columns)}"
         )
+    checked_op = F.when(
+        F.col(op_col).isin("U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"apply_cdc: invalid {op_col} value: "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
     tagged = (
         current.select(*cols)
         .withColumn("__op__", F.lit("U"))
         .withColumn("__side__", F.lit(0))
         .unionByName(
-            changes.select(*cols, F.col(op_col).alias("__op__")).withColumn(
+            changes.select(*cols, checked_op.alias("__op__")).withColumn(
                 "__side__", F.lit(1)
             )
         )
     )
     payload = F.struct(*[F.col(c) for c in cols], F.col("__op__"))
-    rank = F.struct(F.col(version_col), F.col("__side__"))
+    rank = F.struct(
+        F.col(version_col),
+        F.col("__side__"),
+        (F.col("__op__") == "D").cast("int"),
+    )
     merged = tagged.groupBy(id_col).agg(F.max_by(payload, rank).alias("__row__"))
     return merged.where(F.col("__row__.__op__") != "D").select(
         *[F.col(f"__row__.{c}").alias(c) for c in cols]

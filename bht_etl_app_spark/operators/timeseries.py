@@ -387,20 +387,25 @@ def scd2_from_changelog(
     ts ties via the ``(ts, id)`` composite order.
     """
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    # NULL-safe change detection (r5 review): `state != prev` is NULL
+    # for NULL states, which both swallowed NULL observations and made
+    # the following row a spurious change point. A lagged constant
+    # marker distinguishes "first row" from "previous state was NULL".
     changes = (
         df.select(key_col, ts_col, id_col, state_col)
         .withColumn("__prev__", F.lag(state_col).over(w))
+        .withColumn("__has_prev__", F.lag(F.lit(1)).over(w))
         .where(
-            F.col("__prev__").isNull() | (F.col(state_col) != F.col("__prev__"))
+            F.col("__has_prev__").isNull()
+            | ~F.col(state_col).eqNullSafe(F.col("__prev__"))
         )
     )
-    w2 = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
     return changes.select(
         F.col(key_col),
         F.col(state_col).alias("state"),
         F.col(ts_col).alias("effective_from"),
-        F.lead(ts_col).over(w2).alias("effective_to"),
-        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.lead(ts_col).over(w).alias("effective_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
 
 
@@ -408,12 +413,15 @@ SCD2_EVENT_TYPE_SQL = """
 WITH changes AS (
   SELECT user_id, ts, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC) AS prev
+                               ORDER BY ts ASC, event_id ASC) AS prev,
+         lag(1) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS has_prev
   FROM events
 ),
 runs AS (
   SELECT user_id, event_type AS state, ts AS effective_from, event_id
-  FROM changes WHERE prev IS NULL OR event_type <> prev
+  FROM changes
+  WHERE has_prev IS NULL OR event_type IS DISTINCT FROM prev
 )
 SELECT user_id, state, effective_from,
        lead(effective_from) OVER (PARTITION BY user_id

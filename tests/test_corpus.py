@@ -461,3 +461,51 @@ def test_apply_cdc_rejects_schema_mismatch(spark):
     bad = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, version long")
     with _pytest.raises(ValueError):
         apply_cdc(cur, bad)  # missing op column
+
+
+def test_apply_cdc_delete_wins_same_version_tie(spark):
+    from bht_etl_app_spark.operators.corpus import apply_cdc
+
+    cur = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, version long")
+    chg = spark.createDataFrame(
+        [(1, "a2", 2, "U"), (1, "ignored", 2, "D")],
+        "doc_id long, text string, version long, op string",
+    )
+    assert apply_cdc(cur, chg).count() == 0  # deterministic: D wins the tie
+
+
+def test_apply_cdc_rejects_invalid_op(spark):
+    from bht_etl_app_spark.operators.corpus import apply_cdc
+
+    cur = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, version long")
+    for bad in ("DELETE", None):
+        chg = spark.createDataFrame(
+            [(2, "b", 2, bad)], "doc_id long, text string, version long, op string"
+        )
+        try:
+            apply_cdc(cur, chg).collect()
+            raise AssertionError(f"op={bad!r} must raise")
+        except Exception as ex:  # SparkRuntimeException (USER_RAISED)
+            assert "invalid op value" in str(ex)
+
+
+def test_scd2_null_states_get_their_own_periods(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import scd2_from_changelog
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 1, "a"),
+            (1, datetime(2024, 1, 2), 2, None),  # NULL state: its own period
+            (1, datetime(2024, 1, 3), 3, "a"),   # reopened after NULL
+            (1, datetime(2024, 1, 4), 4, "a"),   # same run, no change point
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    rows = [
+        (r["state"], r["effective_from"].day,
+         r["effective_to"].day if r["effective_to"] else None)
+        for r in scd2_from_changelog(ev).orderBy("effective_from").collect()
+    ]
+    assert rows == [("a", 1, 2), (None, 2, 3), ("a", 3, None)]
