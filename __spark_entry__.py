@@ -3177,6 +3177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_zipf_fit": lambda s, d: _text_mod.token_zipf_fit(
             load_table(s, d, "documents")
         ),
+        "token_fuzzy_pairs": lambda s, d: _text_mod.token_fuzzy_pairs(
+            load_table(s, d, "documents")
+        ),
         "events_user_skew": lambda s, d: _skew_mod.key_skew_report(
             load_table(s, d, "events"), "user_id"
         ),
@@ -3651,6 +3654,7 @@ FROM c LEFT JOIN p USING (k)
 """,
         "rolling_7d_active_users": analytics.ROLLING_ACTIVE_USERS_SQL,
         "token_zipf_fit": _text_mod.TOKEN_ZIPF_FIT_SQL,
+        "token_fuzzy_pairs": _text_mod.TOKEN_FUZZY_PAIRS_SQL,
         "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(
             key="user_id", table="events"
         ),

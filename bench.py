@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_rep_docs",
     "rolling_7d_active_users",
     "token_zipf_fit",
+    "token_fuzzy_pairs",
     "events_user_skew",
     "user_type_scd2",
     "events_customer_fk_audit",

@@ -902,3 +902,90 @@ SELECT CAST(n AS BIGINT) AS n_terms,
        round_even(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS alpha
 FROM s
 """
+
+
+def token_fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+) -> DataFrame:
+    """Vocabulary spelling-variant pairs within edit distance 1 —
+    typo/variant detection for corpus QA and normalization, via the
+    FastSS deletion-neighborhood join (Bocek et al., "Fast Similarity
+    Search in Large Dictionaries", 2007): two strings within edit
+    distance 1 MUST share a member of their 1-deletion neighborhoods
+    (the string itself plus each single-character deletion), so the
+    candidate join is an equi-join on the variant — lossless blocking,
+    no cross join — and ``levenshtein`` verifies candidates exactly.
+    Output: ``(tok_a, tok_b, dist)`` with ``tok_a < tok_b``,
+    ``dist <= 1``; tokens shorter than ``min_len`` are excluded
+    (3-letter words are all within distance ~1 of each other — noise,
+    and the quadratic end of the neighborhood join).
+
+    Scale shape: the corpus collapses to its vocabulary first (one
+    shuffle, map-side combine); the variant explode is ≤ len+1 rows
+    per DISTINCT token; the self-join keys on the variant string with
+    candidate volume bounded by variant-bucket sizes (natural-language
+    neighborhoods are small); verification is a JVM levenshtein on
+    candidate pairs only.
+    """
+    vocab = (
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .where(F.length("tok") >= min_len)
+        .distinct()
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("tok")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("tok")),
+                        lambda i: F.concat(
+                            F.substring(F.col("tok"), 1, i - 1),
+                            F.col("tok").substr(i + 1, F.length("tok")),
+                        ),
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "v")
+    b = variants.select(F.col("tok").alias("tok_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b").cast("long"))
+        .where(F.col("dist") <= 1)
+    )
+
+
+TOKEN_FUZZY_PAIRS_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ) WHERE length(tok) >= 4
+),
+variants AS (
+  SELECT tok, unnest(list_distinct(
+    list_append(
+      list_transform(range(1, length(tok) + 1),
+                     i -> substr(tok, 1, i - 1) || substr(tok, i + 1)),
+      tok))) AS v
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM variants a JOIN variants b USING (v)
+  WHERE a.tok < b.tok
+)
+SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(tok_a, tok_b) <= 1
+"""

@@ -355,3 +355,52 @@ def test_token_zipf_fit_top_k_bounds_rank_window(spark):
     assert out.collect()[0]["n_terms"] == 10
     plan = out._jdf.queryExecution().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_fuzzy_pairs_matches_brute_force(spark):
+    """FastSS deletion-neighborhood join == all-pairs levenshtein <= 1
+    (lossless blocking), on a vocabulary with substitutions,
+    insertions, deletions, and non-matches."""
+    import itertools
+
+    from bht_etl_app_spark.operators.text import token_fuzzy_pairs
+
+    words = [
+        "color", "colour", "colors",      # insertion chains
+        "analyse", "analyze",             # substitution
+        "spark", "spork", "sparks",
+        "window", "widow",                # deletion
+        "completely", "different",
+    ]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = {tuple(r) for r in token_fuzzy_pairs(docs).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    exp = {
+        (a, b, 1)
+        for a, b in itertools.combinations(sorted(set(words)), 2)
+        if lev(a, b) == 1
+    }
+    assert got == exp
+    assert ("color", "colour", 1) in got and ("widow", "window", 1) in got
+
+
+def test_token_fuzzy_pairs_min_len_excludes_short_noise(spark):
+    from bht_etl_app_spark.operators.text import token_fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "cat bat hat long1 long2")], "doc_id long, text string"
+    )
+    got = {tuple(r) for r in token_fuzzy_pairs(docs, min_len=4).collect()}
+    assert got == {("long1", "long2", 1)}  # 3-letter words excluded
