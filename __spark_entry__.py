@@ -3174,6 +3174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_active_users": lambda s, d: analytics.rolling_active_users(
             load_table(s, d, "events")
         ),
+        "part_copurchase_pairs": lambda s, d: analytics.part_copurchase_pairs(
+            load_table(s, d, "lineitem")
+        ),
         "token_zipf_fit": lambda s, d: _text_mod.token_zipf_fit(
             load_table(s, d, "documents")
         ),
@@ -3653,6 +3656,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_child,
 FROM c LEFT JOIN p USING (k)
 """,
         "rolling_7d_active_users": analytics.ROLLING_ACTIVE_USERS_SQL,
+        "part_copurchase_pairs": analytics.PART_COPURCHASE_SQL,
         "token_zipf_fit": _text_mod.TOKEN_ZIPF_FIT_SQL,
         "token_fuzzy_pairs": _text_mod.TOKEN_FUZZY_PAIRS_SQL,
         "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(

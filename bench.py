@@ -77,6 +77,7 @@ HEADLINE = [
     "knn_label_votes",
     # analytics (r3)
     "user_cohort_retention",
+    "part_copurchase_pairs",
     "funnel_view_click_purchase",
     # r4: composite dedup now oracle-checked; real AVI decode path
     "dedup_corpus_survivors",

@@ -452,3 +452,57 @@ SELECT c.day, count(DISTINCT c.user_id) AS active_users
 FROM contrib c JOIN days USING (day)
 GROUP BY 1
 """
+
+
+def part_copurchase_pairs(
+    lineitem: DataFrame, min_support: int = 3, top_k: int = 50
+) -> DataFrame:
+    """Frequent 2-itemsets over order baskets (the support-counting
+    core of market-basket / co-occurrence analysis): pairs of parts
+    appearing in the same order, with their support (number of
+    distinct orders containing both), filtered to ``min_support`` and
+    ranked to the global top ``top_k``.
+
+    Scale shape: the self-join keys on the ORDER — candidate volume
+    per order is C(basket_size, 2), and basket sizes are bounded
+    (≤ 7 lineitems in TPC-H; real baskets are tens), so the join is
+    linear in orders with a small constant, never corpus-quadratic.
+    Distinct (order, part) first so duplicate part lines don't
+    inflate support. The global top-k lowers to
+    TakeOrderedAndProject via the limit-adjacent sort.
+    Output: ``(part_a, part_b, support, rank)``.
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("part_a"))
+    b = op.select("ok", F.col("pk").alias("part_b"))
+    support = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    ranked = support.orderBy(
+        F.desc("support"), F.asc("part_a"), F.asc("part_b")
+    ).limit(top_k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+PART_COPURCHASE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+support AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS support
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b, support,
+       CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b) AS BIGINT) AS rank
+FROM (SELECT * FROM support ORDER BY support DESC, part_a, part_b LIMIT 50)
+"""

@@ -436,3 +436,24 @@ def test_rolling_active_users_hand_computed(spark):
     }
     # observed days: 01-01, 01-03, 01-20
     assert got == {"01-01": 1, "01-03": 2, "01-20": 1}
+
+
+def test_part_copurchase_hand_computed(spark):
+    from bht_etl_app_spark.plans.analytics import part_copurchase_pairs
+
+    rows = [
+        # order 1: parts 10, 20, 30; order 2: 10, 20; order 3: 10, 20
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (3, 20),  # duplicate line must not inflate support
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = [tuple(r) for r in part_copurchase_pairs(df, min_support=2, top_k=10)
+           .orderBy("rank").collect()]
+    assert got == [(10, 20, 3, 1)]  # (10,30)/(20,30) have support 1 only
+
+
+def test_part_copurchase_topk_is_take_ordered(spark):
+    plan = _plan(spark, "part_copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
