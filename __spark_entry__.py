@@ -3186,6 +3186,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_skew": lambda s, d: _skew_mod.key_skew_report(
             load_table(s, d, "events"), "user_id"
         ),
+        "weighted_sample_docs": lambda s, d: sampling.weighted_sample_k(
+            load_table(s, d, "documents")
+        ),
+        "user_value_outliers": lambda s, d: _skew_mod.value_outlier_report(
+            load_table(s, d, "events")
+        ),
+        "event_transitions": lambda s, d: _ts_mod.event_transitions(
+            load_table(s, d, "events")
+        ),
+        "hourly_count_anomalies": lambda s, d: _ts_mod.hourly_count_anomalies(
+            load_table(s, d, "events")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3662,6 +3674,10 @@ FROM c LEFT JOIN p USING (k)
         "events_user_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(
             key="user_id", table="events"
         ),
+        "weighted_sample_docs": sampling.WEIGHTED_SAMPLE_SQL,
+        "user_value_outliers": _skew_mod.VALUE_OUTLIER_SQL,
+        "event_transitions": _ts_mod.EVENT_TRANSITIONS_SQL,
+        "hourly_count_anomalies": _ts_mod.HOURLY_ANOMALIES_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

@@ -122,6 +122,12 @@ HEADLINE = [
     "curated_verdicts",
     "hard_negatives",
     "image_phash_near_dup",
+    # r5 session 3: weighted sampling, robust outliers, Markov
+    # transitions, rolling anomaly scoring
+    "weighted_sample_docs",
+    "user_value_outliers",
+    "event_transitions",
+    "hourly_count_anomalies",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -23,6 +23,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _NUMERIC_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "decimal",
@@ -254,3 +255,88 @@ def fk_audit(
             6,
         ).alias("orphan_rate"),
     )
+
+
+def value_outlier_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    min_n: int = 8,
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier audit: median / MAD (median absolute
+    deviation) per key and the count of values beyond
+    ``k_mad * MAD`` of the median — the robust-statistics sibling of
+    z-scores (mean/stddev break under the very outliers being hunted;
+    the median/MAD pair has a 50% breakdown point). The per-entity
+    anomaly screen a metrics pipeline runs before trusting per-user
+    aggregates. Output: ``(key, n, med, mad, n_outliers)``, keys with
+    fewer than ``min_n`` values suppressed (tiny samples make MAD
+    meaningless).
+
+    Exactness & parity: exact medians (interpolating, matching
+    DuckDB's ``median``); every double here derives from input values
+    by interpolation halving and subtraction only — no
+    accumulation-order-dependent float fold anywhere, so results are
+    partitioning-invariant without rounding.
+
+    Scale shape: ONE hash exchange on the key; both median windows
+    and the final aggregate reuse that partitioning (the plan shows a
+    single Exchange — pinned in tests), and each window frame is
+    bounded by the per-key row count. Exact grouped medians sort
+    within partitions only. Skewed keys are AQE's problem, same as
+    ``sessionize``.
+    """
+    _check_idents([key_col, value_col], "column")
+    w = Window.partitionBy(key_col)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(key_col, F.col(value_col).cast("double").alias("__v__"))
+        .withColumn("__med__", F.median("__v__").over(w))
+        .withColumn("__ad__", F.abs(F.col("__v__") - F.col("__med__")))
+        .withColumn("__mad__", F.median("__ad__").over(w))
+    )
+    return (
+        base.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__med__").alias("med"),
+            F.min("__mad__").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__ad__") > F.lit(float(k_mad)) * F.col("__mad__"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .where(F.col("n") >= int(min_n))
+    )
+
+
+VALUE_OUTLIER_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT user_id, median(v) AS med, count(*) AS n
+  FROM base GROUP BY 1
+),
+ad AS (
+  SELECT b.user_id, abs(b.v - m.med) AS ad, m.med, m.n
+  FROM base b JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, median(ad) AS mad FROM ad GROUP BY 1
+)
+SELECT a.user_id,
+       CAST(max(a.n) AS BIGINT) AS n,
+       max(a.med) AS med,
+       max(m.mad) AS mad,
+       CAST(sum(CASE WHEN a.ad > CAST(3.0 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ad a JOIN mad m USING (user_id)
+GROUP BY a.user_id
+HAVING max(a.n) >= 8
+"""

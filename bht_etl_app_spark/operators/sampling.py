@@ -180,6 +180,69 @@ def training_order(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    keep_col: str = "source",
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis one-pass scheme (Inf. Proc. Letters 97(5),
+    2006): each row draws a deterministic uniform ``u`` from its id
+    hash and gets priority ``ln(u) / w``; the k LARGEST priorities
+    are a weighted sample without replacement (each row's inclusion
+    probability proportional to its weight, exactly the sequential
+    weighted-draw law). The standard tool for "pick k docs favoring
+    longer/higher-quality ones, reproducibly" — no RNG state, no
+    rejection loop, no second pass.
+
+    Determinism & engine parity: ``u = (u32 + 0.5) / 2^32`` with
+    ``u32`` = first 8 md5 hex chars of the id (the repo-wide portable
+    uniform), so priorities are pure functions of the row and the
+    DuckDB oracle reproduces them; ties broken by id.
+
+    Scale shape: one narrow projection + a global top-k that Catalyst
+    executes as ``TakeOrderedAndProject`` (per-partition heaps of k,
+    driver merge of num_partitions·k rows) — no global sort, no
+    single-partition window. Output: ``(doc_id, <keep_col>, weight)``.
+    """
+    if not 0 < k <= 100_000:
+        raise ValueError(f"k must be in (0, 100000]; got {k}")
+    u32 = F.conv(F.substring(_id_hash(id_col), 1, 8), 16, 10).cast("double")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    return (
+        ensure_min_parallelism(df)
+        .where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(keep_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            (F.log(u) / w).alias("__prio__"),
+        )
+        .orderBy(F.desc("__prio__"), F.col(id_col))
+        .limit(int(k))
+        .drop("__prio__")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+FROM (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(4294967296.0 AS DOUBLE))
+           / CAST(n_chars AS DOUBLE) AS prio
+  FROM documents
+  WHERE n_chars > 0
+)
+ORDER BY prio DESC, doc_id
+LIMIT 100
+"""
+
+
 TRAINING_ORDER_SQL = """
 SELECT doc_id,
        CAST(row_number() OVER (

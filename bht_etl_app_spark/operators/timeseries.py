@@ -432,3 +432,166 @@ SELECT user_id, state, effective_from,
           IS NULL) AS is_current
 FROM runs
 """
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive pair of events of one user,
+    count ``(from_type, to_type)`` and normalize per source state —
+    the behavioral model behind next-action prediction, funnel
+    leak diagnosis, and bot detection (bots have degenerate
+    transition rows). Output:
+    ``(from_type, to_type, n, p)`` with ``sum(p) = 1`` per
+    ``from_type``.
+
+    Exactness: ``p`` is one integer-over-integer division — no float
+    fold, partitioning-invariant unrounded. Ordering under ts ties is
+    pinned by the ``(ts, id)`` composite, so the pair multiset is
+    deterministic.
+
+    Scale shape: one shuffle on the user key, a linear ``lead`` scan
+    per user, then an aggregation to at most |types|² rows; the
+    normalizing window runs over that tiny aggregate, not the events.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM c
+"""
+
+
+def hourly_count_anomalies(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing: int = 24,
+    z_thresh: float = 3.0,
+    min_trailing: int = 12,
+) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type hourly event
+    counts: each observed hour is scored against the mean/stddev of
+    the previous ``trailing`` OBSERVED hours of the same type (rows,
+    not wall-hours — silent hours are absent rows, which is itself
+    the gap-fill operator's job). The monitoring primitive behind
+    "traffic for type X just tripled".
+
+    Exactness: the rolling moments are INTEGER window sums (count,
+    Σn, Σn² — hourly counts square well inside int64), converted to
+    doubles through one fixed expression; ``sqrt`` and ``/`` are
+    correctly-rounded IEEE single ops, so z is bit-identical across
+    engines and partitionings with NO float fold anywhere — the
+    ``quantity_moments`` discipline applied to a sliding frame.
+    Rows without a defensible baseline (fewer than ``min_trailing``
+    trailing hours, or zero variance) are emitted with NULL z and
+    ``anomaly = false`` rather than dropped, so the output still
+    covers every observed hour.
+
+    Scale shape: the hourly rollup is a map-side-combining aggregate
+    to |types|·|hours| rows; the three window sums share ONE
+    partitioning and ONE frame. Per-type history lives in one
+    partition — types are few by construction; for high-cardinality
+    keys use the same pattern partitioned by (key, week-bucket).
+    """
+    hourly = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-int(trailing), -1)
+    )
+    cnt = F.count("n").over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        cnt.alias("__cnt__"),
+        s.cast("double").alias("__s__"),
+        ss.cast("double").alias("__ss__"),
+    )
+    mean = F.col("__s__") / F.col("__cnt__").cast("double")
+    var = (
+        F.col("__ss__") - (F.col("__s__") * F.col("__s__")) / F.col("__cnt__").cast("double")
+    ) / (F.col("__cnt__") - F.lit(1)).cast("double")
+    ok = (F.col("__cnt__") >= int(min_trailing)) & (var > F.lit(0.0))
+    z = F.when(ok, (F.col("n").cast("double") - mean) / F.sqrt(var))
+    return stats.select(
+        "event_type",
+        "hour",
+        "n",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(z_thresh)), F.lit(False)).alias("anomaly"),
+    )
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+         count(n) OVER w AS cnt,
+         CAST(sum(n) OVER w AS DOUBLE) AS s,
+         CAST(sum(n * n) OVER w AS DOUBLE) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, hour, n,
+         CASE WHEN cnt >= 12
+                   AND (ss - (s * s) / CAST(cnt AS DOUBLE))
+                       / CAST(cnt - 1 AS DOUBLE) > CAST(0.0 AS DOUBLE)
+              THEN (CAST(n AS DOUBLE) - s / CAST(cnt AS DOUBLE))
+                   / sqrt((ss - (s * s) / CAST(cnt AS DOUBLE))
+                          / CAST(cnt - 1 AS DOUBLE))
+         END AS z
+  FROM stats
+)
+SELECT event_type, hour, n, z,
+       coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS anomaly
+FROM scored
+"""

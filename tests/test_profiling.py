@@ -144,3 +144,46 @@ def test_fk_audit_counts_null_and_missing_keys_as_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "p int")
     r = fk_audit(child, parent, "k", "p").collect()[0]
     assert (r["n_child"], r["n_orphans"], r["orphan_rate"]) == (5, 2, 0.4)
+
+
+def test_value_outlier_report_hand_computed(spark):
+    from bht_etl_app_spark.operators.profiling import value_outlier_report
+
+    vals_a = [10.0, 12.0, 11.0, 13.0, 12.0, 11.0, 10.0, 100.0]
+    rows = [(1, v) for v in vals_a] + [(2, float(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = value_outlier_report(df).collect()
+    # user 2 has n=7 < min_n -> suppressed
+    assert [r["user_id"] for r in out] == [1]
+    r = out[0]
+    # sorted a: [10,10,11,11,12,12,13,100] -> med 11.5
+    # abs devs sorted: [.5,.5,.5,.5,1.5,1.5,1.5,88.5] -> mad 1.0
+    assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (8, 11.5, 1.0, 1)
+
+
+def test_value_outlier_report_null_values_ignored(spark):
+    from bht_etl_app_spark.operators.profiling import value_outlier_report
+
+    rows = [(1, float(i)) for i in range(8)] + [(1, None)] * 5
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    r = value_outlier_report(df).collect()[0]
+    assert r["n"] == 8 and r["n_outliers"] == 0
+
+
+def test_value_outlier_report_single_exchange_plan(spark):
+    """Both median windows and the final per-key aggregate must reuse
+    ONE hash exchange on the key — a second Exchange would mean the
+    window partitioning isn't feeding the groupBy."""
+    from bht_etl_app_spark.operators.profiling import value_outlier_report
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(50)], "user_id long, value double"
+    )
+    qe = value_outlier_report(df)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    # count tree nodes ("Exchange (4)"), not their detail headers
+    n_exchange = plan.count("Exchange (")
+    assert n_exchange == 1, f"expected 1 Exchange, plan has {n_exchange}:\n{plan}"

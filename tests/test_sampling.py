@@ -97,3 +97,53 @@ def test_winnow_short_doc_empty(spark):
         [(1, "tiny")], "doc_id long, text string"
     )
     assert winnow_fingerprints(docs, k=8, window=4).count() == 0
+
+
+def test_weighted_sample_exact_k_weight_bias_and_determinism(spark):
+    from bht_etl_app_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "heavy" if i < 200 else "light", 1000 if i < 200 else 1)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    picked = weighted_sample_k(df, k=100).collect()
+    assert len(picked) == 100
+    heavy = sum(1 for r in picked if r["source"] == "heavy")
+    # 1000:1 weights -> the heavy half should dominate the sample
+    assert heavy >= 90
+    # pure function of content: same ids under a different partitioning
+    again = weighted_sample_k(df.repartition(7), k=100).collect()
+    assert sorted(r["doc_id"] for r in picked) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_weighted_sample_zero_weight_excluded_and_k_validated(spark):
+    from bht_etl_app_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 5)], "doc_id long, source string, n_chars long"
+    )
+    out = weighted_sample_k(df, k=10).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample_k(df, k=0)
+
+
+def test_weighted_sample_topk_plan(spark):
+    """The global top-k must lower to TakeOrderedAndProject (per-
+    partition heaps), not a global Sort."""
+    from bht_etl_app_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, "s", i + 1) for i in range(100)],
+        "doc_id long, source string, n_chars long",
+    )
+    qe = weighted_sample_k(df, k=5)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan

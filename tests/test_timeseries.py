@@ -350,3 +350,95 @@ def test_scd2_collapses_runs_and_versions_reopenings(spark):
         (1, "view", 4, None, True),
         (2, "purchase", 1, None, True),
     ]
+
+
+def test_event_transitions_hand_computed(spark):
+    from bht_etl_app_spark.operators.timeseries import event_transitions
+
+    rows = [
+        # user 1: A -> B -> A (ts tie between the two A's is broken by
+        # event_id, so the sequence is deterministic)
+        (1, 1, _ts("2024-01-01T00:00:00"), "A"),
+        (2, 1, _ts("2024-01-01T00:10:00"), "B"),
+        (3, 1, _ts("2024-01-01T00:10:00"), "A"),
+        # user 2: A -> A
+        (4, 2, _ts("2024-01-01T00:00:00"), "A"),
+        (5, 2, _ts("2024-01-01T00:05:00"), "A"),
+        # user 3: single event -> no transition
+        (6, 3, _ts("2024-01-01T00:00:00"), "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 0.5),
+        ("A", "A"): (1, 0.5),
+        ("B", "A"): (1, 1.0),
+    }
+
+
+def test_event_transitions_p_sums_to_one_per_source(spark):
+    from bht_etl_app_spark.operators.timeseries import event_transitions
+
+    rows = [
+        (i, i % 5, _ts("2024-01-01T00:00:00").replace(minute=i % 60), t)
+        for i, t in enumerate(["A", "B", "C", "A", "B"] * 20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    per_src = (
+        event_transitions(df)
+        .groupBy("from_type")
+        .agg(F.sum("p").alias("tot"))
+        .collect()
+    )
+    assert per_src and all(abs(r["tot"] - 1.0) < 1e-12 for r in per_src)
+
+
+def _hourly_events_frame(spark, counts):
+    """events rows with counts[i] events inside hour i, one type."""
+    rows, eid = [], 0
+    for i, c in enumerate(counts):
+        for j in range(c):
+            eid += 1
+            rows.append(
+                (eid, 1, datetime(2024, 1, 1 + i // 24, i % 24, j % 60, 0), "X")
+            )
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_hourly_anomalies_flags_spike_and_suppresses_cold_start(spark):
+    from bht_etl_app_spark.operators.timeseries import hourly_count_anomalies
+
+    counts = [2, 3] * 7 + [30]  # 14 alternating baseline hours, then a spike
+    out = (
+        hourly_count_anomalies(_hourly_events_frame(spark, counts))
+        .orderBy("hour")
+        .collect()
+    )
+    assert len(out) == 15
+    # Cold start: fewer than min_trailing observed hours -> NULL z, no flag
+    for r in out[:12]:
+        assert r["z"] is None and r["anomaly"] is False
+    # The spike hour is scored against 14 trailing hours of mean 2.5
+    spike = out[-1]
+    assert spike["n"] == 30
+    assert spike["z"] is not None and spike["z"] > 3.0 and spike["anomaly"]
+    # A baseline hour with a full window is scored but inside the band
+    assert out[13]["z"] is not None and abs(out[13]["z"]) < 3.0
+    assert not out[13]["anomaly"]
+
+
+def test_hourly_anomalies_zero_variance_baseline_gives_null_z(spark):
+    from bht_etl_app_spark.operators.timeseries import hourly_count_anomalies
+
+    counts = [4] * 16  # constant counts: var == 0 -> no defensible score
+    out = hourly_count_anomalies(_hourly_events_frame(spark, counts)).collect()
+    assert all(r["z"] is None and r["anomaly"] is False for r in out)
