@@ -3198,6 +3198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_count_anomalies": lambda s, d: _ts_mod.hourly_count_anomalies(
             load_table(s, d, "events")
         ),
+        "customer_spend_trend": lambda s, d: analytics.customer_spend_trend(
+            load_table(s, d, "orders")
+        ),
+        "orders_benford_audit": lambda s, d: _skew_mod.benford_audit(
+            load_table(s, d, "orders")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3678,6 +3684,8 @@ FROM c LEFT JOIN p USING (k)
         "user_value_outliers": _skew_mod.VALUE_OUTLIER_SQL,
         "event_transitions": _ts_mod.EVENT_TRANSITIONS_SQL,
         "hourly_count_anomalies": _ts_mod.HOURLY_ANOMALIES_SQL,
+        "customer_spend_trend": analytics.CUSTOMER_SPEND_TREND_SQL,
+        "orders_benford_audit": _skew_mod.BENFORD_AUDIT_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

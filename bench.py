@@ -128,6 +128,8 @@ HEADLINE = [
     "user_value_outliers",
     "event_transitions",
     "hourly_count_anomalies",
+    "customer_spend_trend",
+    "orders_benford_audit",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -340,3 +340,96 @@ FROM ad a JOIN mad m USING (user_id)
 GROUP BY a.user_id
 HAVING max(a.n) >= 8
 """
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed so neither engine's log10
+# is in the value path (only the exact literal is).
+_BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame, amount_col: str = "o_totalprice"
+) -> DataFrame:
+    """First-digit (Benford's law) audit of an amount column — the
+    classic fabricated-/corrupted-data screen: naturally occurring
+    multi-scale amounts have first-digit share ~log10(1+1/d), while
+    invented or truncated data do not. Output: one row per leading
+    digit, ``(digit, n, obs_p, exp_p, excess)``, ``excess`` =
+    observed minus expected share.
+
+    Exactness: the digit is extracted via INTEGER floor + string
+    head — no ``log10`` in the row path, whose rounding at exact
+    powers of ten differs per libm and would misbucket boundary
+    amounts; the expected shares are precomputed literals, identical
+    in both engines; ``obs_p`` is one int/int division. Amounts
+    below 1 are excluded (their leading digit needs the fractional
+    expansion, a different audit).
+
+    Scale shape: one map-side-combining aggregate to ≤ 9 rows; the
+    share normalizer is a window over those 9 rows.
+    """
+    digit = F.substring(
+        F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(amount_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    exp_p = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(v))
+            for d, v in _BENFORD_EXPECTED.items()
+        ]
+    )
+    obs_p = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy()
+    ).cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        obs_p.alias("obs_p"),
+        exp_p.alias("exp_p"),
+        (obs_p - exp_p).alias("excess"),
+    )
+
+
+BENFORD_AUDIT_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+exp AS (
+  SELECT * FROM (VALUES
+    (1, CAST(0.3010299956639812 AS DOUBLE)),
+    (2, CAST(0.17609125905568124 AS DOUBLE)),
+    (3, CAST(0.12493873660829992 AS DOUBLE)),
+    (4, CAST(0.09691001300805642 AS DOUBLE)),
+    (5, CAST(0.07918124604762482 AS DOUBLE)),
+    (6, CAST(0.06694678963061322 AS DOUBLE)),
+    (7, CAST(0.05799194697768673 AS DOUBLE)),
+    (8, CAST(0.05115252244738129 AS DOUBLE)),
+    (9, CAST(0.04575749056067514 AS DOUBLE))) AS t(digit, exp_p)
+)
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / CAST(sum(c.n) OVER () AS DOUBLE) AS obs_p,
+       e.exp_p,
+       CAST(c.n AS DOUBLE) / CAST(sum(c.n) OVER () AS DOUBLE) - e.exp_p
+         AS excess
+FROM counts c JOIN exp e USING (digit)
+"""

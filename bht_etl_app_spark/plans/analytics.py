@@ -506,3 +506,85 @@ SELECT part_a, part_b, support,
        CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b) AS BIGINT) AS rank
 FROM (SELECT * FROM support ORDER BY support DESC, part_a, part_b LIMIT 50)
 """
+
+
+def customer_spend_trend(orders: DataFrame, min_orders: int = 5) -> DataFrame:
+    """Per-customer spend trend: the OLS slope (and intercept) of
+    order total vs order date, per customer — the grouped-regression
+    primitive behind churn signals ("whose spend is decaying?") and
+    growth ranking. Output: ``(o_custkey, n_orders, slope,
+    intercept)`` with ``slope`` in price-units per day; customers
+    with fewer than ``min_orders`` orders suppressed (a 2-point
+    trend is noise).
+
+    Exactness: the engine's ``regr_slope`` is a single-pass float
+    covariance whose update order is partitioning-dependent (the
+    ``token_zipf_fit`` lesson), so this computes the FIVE exact
+    power sums instead — x = days-since-epoch (long), y = DECIMAL
+    (18,2) money, Σx, Σx² in int64, Σy, Σxy in widened DECIMAL —
+    and only then combines them in doubles through one fixed
+    formula: every input to the float math is exact, so the result
+    is partitioning-invariant and oracle-reproducible with no fold
+    discipline.
+
+    Scale shape: one map-side-combining groupBy on the customer key;
+    five sums per group, no window, no join, no second pass.
+    """
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    sums = (
+        orders.select(
+            "o_custkey",
+            x.cast("long").alias("__x__"),
+            y.alias("__y__"),
+            x.cast("decimal(10,0)").alias("__xd__"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__x__").cast("double").alias("__sx__"),
+            F.sum(F.col("__x__") * F.col("__x__")).cast("double").alias("__sxx__"),
+            F.sum("__y__").cast("double").alias("__sy__"),
+            F.sum(F.col("__xd__") * F.col("__y__")).cast("double").alias("__sxy__"),
+        )
+        .where(F.col("n_orders") >= int(min_orders))
+    )
+    n = F.col("n_orders").cast("double")
+    den = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    slope = (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / den
+    intercept = (F.col("__sy__") - slope * F.col("__sx__")) / n
+    return sums.where(den > F.lit(0.0)).select(
+        "o_custkey",
+        "n_orders",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+CUSTOMER_SPEND_TREND_SQL = """
+WITH sums AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+  FROM (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS x,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS y
+    FROM orders
+  )
+  GROUP BY 1
+  HAVING count(*) >= 5
+)
+SELECT o_custkey, n_orders,
+       (CAST(n_orders AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_orders AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - ((CAST(n_orders AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_orders AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n_orders AS DOUBLE) AS intercept
+FROM sums
+WHERE CAST(n_orders AS DOUBLE) * sxx - sx * sx > CAST(0.0 AS DOUBLE)
+"""

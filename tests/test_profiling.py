@@ -187,3 +187,45 @@ def test_value_outlier_report_single_exchange_plan(spark):
     # count tree nodes ("Exchange (4)"), not their detail headers
     n_exchange = plan.count("Exchange (")
     assert n_exchange == 1, f"expected 1 Exchange, plan has {n_exchange}:\n{plan}"
+
+
+def test_benford_audit_hand_computed(spark):
+    from bht_etl_app_spark.operators.profiling import benford_audit
+
+    amounts = [1.5, 12.0, 199.99, 2.0, 25.0, 9000.0, 0.5, 0.99]
+    df = spark.createDataFrame([(a,) for a in amounts], "o_totalprice double")
+    out = {r["digit"]: r for r in benford_audit(df).collect()}
+    # sub-1 amounts excluded -> N = 6; digits: 1 x3, 2 x2, 9 x1
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 3 and out[1]["obs_p"] == 0.5
+    assert out[2]["n"] == 2 and out[2]["obs_p"] == 2 / 6
+    assert out[9]["n"] == 1
+    assert out[1]["exp_p"] == 0.3010299956639812
+    assert out[1]["excess"] == 0.5 - 0.3010299956639812
+
+
+def test_customer_spend_trend_recovers_exact_line(spark):
+    from datetime import datetime, timedelta
+
+    from bht_etl_app_spark.plans.analytics import customer_spend_trend
+
+    epoch = datetime(1970, 1, 1)
+    rows = [
+        # customer 1: y = 100 + 10*x on days 0..4 -> slope 10, icept 100
+        *[(1, epoch + timedelta(days=x), 100.0 + 10.0 * x) for x in range(5)],
+        # customer 2: only 3 orders -> suppressed by min_orders
+        *[(2, epoch + timedelta(days=x), 50.0) for x in range(3)],
+        # customer 3: 5 orders all on ONE day -> den == 0, dropped
+        *[(3, epoch, 10.0 * x) for x in range(5)],
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = customer_spend_trend(df).collect()
+    assert [r["o_custkey"] for r in out] == [1]
+    r = out[0]
+    # exact power sums -> the doubles come out exact for this line
+    assert (r["n_orders"], r["slope"], r["intercept"]) == (5, 10.0, 100.0)
+    # partitioning invariance: exact sums feed one fixed float formula
+    again = customer_spend_trend(df.repartition(7)).collect()[0]
+    assert (again["slope"], again["intercept"]) == (r["slope"], r["intercept"])
