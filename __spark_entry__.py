@@ -3204,6 +3204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford_audit": lambda s, d: _skew_mod.benford_audit(
             load_table(s, d, "orders")
         ),
+        "customer_rfm_segments": lambda s, d: analytics.rfm_segments(
+            load_table(s, d, "orders")
+        ),
+        "purchase_attribution": lambda s, d: _ts_mod.purchase_attribution(
+            load_table(s, d, "events")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3686,6 +3692,8 @@ FROM c LEFT JOIN p USING (k)
         "hourly_count_anomalies": _ts_mod.HOURLY_ANOMALIES_SQL,
         "customer_spend_trend": analytics.CUSTOMER_SPEND_TREND_SQL,
         "orders_benford_audit": _skew_mod.BENFORD_AUDIT_SQL,
+        "customer_rfm_segments": analytics.RFM_SEGMENTS_SQL,
+        "purchase_attribution": _ts_mod.PURCHASE_ATTRIBUTION_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

@@ -130,6 +130,8 @@ HEADLINE = [
     "hourly_count_anomalies",
     "customer_spend_trend",
     "orders_benford_audit",
+    "customer_rfm_segments",
+    "purchase_attribution",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -595,3 +595,76 @@ SELECT event_type, hour, n, z,
        coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS anomaly
 FROM scored
 """
+
+
+def purchase_attribution(
+    df: DataFrame,
+    purchase_type: str = "purchase",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """First-touch conversion attribution: for every purchase event,
+    credit the event type that OPENED the purchase's session (the
+    marketing-attribution primitive — "which entry behavior leads to
+    conversion"). Output: ``(first_touch, n_purchases, share)``
+    aggregated over all purchases; ``share`` is one int/int division.
+
+    Composes :func:`sessionize` (same gap semantics and ``(ts, id)``
+    tiebreaks); the first-touch window partitions by
+    ``(user, session_id)`` — a SUBSET-keyed window, so Catalyst
+    reuses the sessionize exchange on the user key rather than
+    re-shuffling (clustered distribution on a superset of the
+    existing hash keys). One shuffle total, then an aggregation to
+    |event types| rows.
+    """
+    s = sessionize(df, gap_seconds=gap_seconds)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    attributed = (
+        s.withColumn("first_touch", F.first("event_type").over(w))
+        .where(F.col("event_type") == purchase_type)
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    tot = Window.partitionBy()
+    return attributed.select(
+        "first_touch",
+        "n_purchases",
+        (
+            F.col("n_purchases").cast("double")
+            / F.sum("n_purchases").over(tot).cast("double")
+        ).alias("share"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+f AS (
+  SELECT event_type,
+         first_value(event_type) OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS first_touch
+  FROM s
+),
+c AS (
+  SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM f WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT first_touch, n_purchases,
+       CAST(n_purchases AS DOUBLE)
+         / CAST(sum(n_purchases) OVER () AS DOUBLE) AS share
+FROM c
+"""

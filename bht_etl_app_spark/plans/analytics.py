@@ -588,3 +588,119 @@ SELECT o_custkey, n_orders,
 FROM sums
 WHERE CAST(n_orders AS DOUBLE) * sxx - sx * sx > CAST(0.0 AS DOUBLE)
 """
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    canonical marketing segmentation: each customer gets 1–5 quantile
+    scores on days-since-last-order (5 = most recent), order count,
+    and total spend, plus the concatenated segment code ("555" = best).
+    Output: ``(o_custkey, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment)``.
+
+    A global ``ntile`` window would rank every customer in ONE task
+    (the vocab_coverage lesson). Instead the quantile BOUNDARIES are
+    computed — one exact-percentile aggregate producing 4 cut points
+    per dimension, a model-parameter-sized 1-row broadcast — and each
+    customer scores itself against the broadcast cuts with a scan-side
+    ``size(filter(...))``. Same shape as ``order_price_deciles``.
+
+    Exactness: recency/frequency are exact ints; monetary rides the
+    DECIMAL(18,2) money discipline; percentile interpolation is
+    ``(a+b)/2``-class halving on doubles (engine-identical); scoring
+    compares each value against the same cut doubles in both engines.
+    The recency anchor is the corpus max order date (1-row broadcast),
+    so the operator is a pure function of the table.
+    """
+    d = F.to_date("o_orderdate")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(d).alias("__last__"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__mon__"),
+    )
+    anchor = orders.agg(F.max(d).alias("__anchor__"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("__anchor__"), F.col("__last__"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.col("__mon__").cast("double").alias("monetary"),
+    )
+    cuts = base.agg(
+        F.expr(
+            "percentile(CAST(recency_days AS DOUBLE),"
+            " array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("__rc__"),
+        F.expr(
+            "percentile(CAST(frequency AS DOUBLE),"
+            " array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("__fc__"),
+        F.expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").alias(
+            "__mc__"
+        ),
+    )
+
+    def _q(val, cut_col):
+        above = F.size(
+            F.filter(F.col(cut_col), lambda c: val.cast("double") > c)
+        )
+        return (F.lit(1) + above).cast("long")
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - _q(F.col("recency_days"), "__rc__")).cast("long").alias(
+            "r_score"
+        ),
+        _q(F.col("frequency"), "__fc__").alias("f_score"),
+        _q(F.col("monetary"), "__mc__").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS ad FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_date, anchor.ad) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM per, anchor
+),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+           AS rc,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+           AS fc,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM base
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(6 - (1 + len(list_filter(cuts.rc,
+              c -> CAST(recency_days AS DOUBLE) > c))) AS BIGINT) AS r_score,
+         CAST(1 + len(list_filter(cuts.fc,
+              c -> CAST(frequency AS DOUBLE) > c)) AS BIGINT) AS f_score,
+         CAST(1 + len(list_filter(cuts.mc,
+              c -> monetary > c)) AS BIGINT) AS m_score
+  FROM base, cuts
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""

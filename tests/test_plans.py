@@ -52,6 +52,12 @@ NESTED_LOOP_OK = {
     "dsir_doc_weights",      # crossJoin(broadcast(1-row target/raw bucket
     "dsir_selected",         # totals) normalizing the DSIR log-ratios
                              # (selection.py dsir_bucket_logratio)
+    "customer_rfm_segments",  # crossJoin(broadcast(1-row anchor date)) +
+                             # crossJoin(broadcast(1-row percentile cuts)):
+                             # both model-parameter-sized aggregates; the
+                             # alternative (global ntile window) is the
+                             # single-partition scale killer this operator
+                             # exists to avoid
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -457,3 +463,77 @@ def test_part_copurchase_hand_computed(spark):
 def test_part_copurchase_topk_is_take_ordered(spark):
     plan = _plan(spark, "part_copurchase_pairs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_segments_hand_computed_and_no_global_window(spark):
+    """Quantile scores come from broadcast cut points, never a global
+    ntile window (the vocab_coverage lesson): the plan must contain NO
+    Window node at all, and extreme customers land in the extreme
+    buckets."""
+    from datetime import datetime, timedelta
+
+    from bht_etl_app_spark.plans.analytics import rfm_segments
+
+    rows = []
+    # customers 1..10: customer i orders i times, latest on day 100+i,
+    # each order worth 100*i -> monotone R/F/M in i
+    for i in range(1, 11):
+        for j in range(i):
+            rows.append(
+                (i, datetime(2024, 1, 1) + timedelta(days=100 + i), 100.0 * i)
+            )
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["o_custkey"]: r for r in rfm_segments(df).collect()}
+    assert len(out) == 10
+    best, worst = out[10], out[1]
+    # customer 10: most recent, most orders, biggest spend
+    assert (best["r_score"], best["f_score"], best["m_score"]) == (5, 5, 5)
+    assert best["segment"] == "555"
+    assert (worst["r_score"], worst["f_score"], worst["m_score"]) == (1, 1, 1)
+    # monotone metrics -> monotone scores
+    assert all(
+        out[i]["f_score"] <= out[i + 1]["f_score"] for i in range(1, 10)
+    )
+    plan = rfm_segments(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_purchase_attribution_first_touch_and_exchange_reuse(spark):
+    from datetime import datetime, timedelta
+
+    from bht_etl_app_spark.operators.timeseries import purchase_attribution
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1, session A: view -> click -> purchase  (credit: view)
+        (1, 1, t0, "view"),
+        (2, 1, t0 + timedelta(seconds=60), "click"),
+        (3, 1, t0 + timedelta(seconds=120), "purchase"),
+        # user 1, session B (gap > 1800s): click -> purchase (credit: click)
+        (4, 1, t0 + timedelta(seconds=5000), "click"),
+        (5, 1, t0 + timedelta(seconds=5060), "purchase"),
+        # user 2: purchase opens its own session (credit: purchase)
+        (6, 2, t0, "purchase"),
+        # user 3: session with no purchase -> no contribution
+        (7, 3, t0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["first_touch"]: r for r in purchase_attribution(df).collect()}
+    assert {k: (v["n_purchases"], v["share"]) for k, v in out.items()} == {
+        "view": (1, 1 / 3),
+        "click": (1, 1 / 3),
+        "purchase": (1, 1 / 3),
+    }
+    # The (user, session_id) window must reuse the sessionize exchange
+    # on user_id — a re-shuffle on the composite key would show up as
+    # hashpartitioning(user_id, session_id)
+    # direct pin: no exchange keyed on the composite — the
+    # (user, session_id) window must reuse the user_id exchange
+    import re as _re
+
+    plan = purchase_attribution(df)._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(r"hashpartitioning\(user_id#\d+L?, session_id", plan), plan
