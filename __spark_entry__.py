@@ -3210,6 +3210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": lambda s, d: _ts_mod.purchase_attribution(
             load_table(s, d, "events")
         ),
+        "token_pmi_pairs": lambda s, d: _text_mod.token_pmi_pairs(
+            load_table(s, d, "documents")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3694,6 +3697,7 @@ FROM c LEFT JOIN p USING (k)
         "orders_benford_audit": _skew_mod.BENFORD_AUDIT_SQL,
         "customer_rfm_segments": analytics.RFM_SEGMENTS_SQL,
         "purchase_attribution": _ts_mod.PURCHASE_ATTRIBUTION_SQL,
+        "token_pmi_pairs": _text_mod.TOKEN_PMI_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

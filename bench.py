@@ -132,6 +132,7 @@ HEADLINE = [
     "orders_benford_audit",
     "customer_rfm_segments",
     "purchase_attribution",
+    "token_pmi_pairs",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

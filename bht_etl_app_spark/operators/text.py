@@ -989,3 +989,106 @@ SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
 FROM cand
 WHERE levenshtein(tok_a, tok_b) <= 1
 """
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 256,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence within
+    documents — collocation/phrase detection and the count statistic
+    behind PPMI word vectors (Church & Hanks 1990; Levy & Goldberg
+    2014 showed SGNS factorizes this matrix). For token pair (a, b):
+    ``pmi = ln(P(a,b) / (P(a)·P(b)))`` over document co-occurrence.
+    Output: ``(tok_a, tok_b, n_pair, pmi)`` for pairs co-occurring in
+    at least ``min_pair_docs`` documents.
+
+    Scale guard: the pair space is capped to the ``top_vocab``
+    highest-document-frequency tokens (global top-k — lowers to
+    TakeOrderedAndProject — then a BROADCAST semi-restriction), so
+    the per-document self-join fans out at most C(top_vocab, 2)
+    pairs per doc — bounded by a config knob, never by vocabulary
+    size. Without the cap a 10k-distinct-token doc would explode 5e7
+    pairs (the near_dup_jaccard df² lesson, applied before it bites).
+
+    Exactness: counts are exact ints; the PMI ratio converts each
+    count to double FIRST (all < 2^53, conversion exact) then does
+    two multiplies, one divide, one ``ln`` — correctly-rounded
+    single ops, no fold, partitioning-invariant.
+    """
+    dt = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    )
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(int(top_vocab))
+    )
+    dv = dt.join(F.broadcast(vocab), "tok")
+    a = dv.select(
+        F.col(id_col),
+        F.col("tok").alias("tok_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = dv.select(
+        F.col(id_col),
+        F.col("tok").alias("tok_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_pair_docs))
+    )
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("__n__").cast("double"))
+        / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+    )
+    # Java Math.log and DuckDB's libm ln differ at the last ulp for
+    # some inputs (observed at sf0.01); 12dp round_even quantization
+    # absorbs it (the kmeans float rule) without touching real digits.
+    return (
+        pairs.crossJoin(F.broadcast(ndocs))
+        .select("tok_a", "tok_b", "n_pair", F.bround(pmi, 12).alias("pmi"))
+    )
+
+
+TOKEN_PMI_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY 1
+  ORDER BY df DESC, tok ASC
+  LIMIT 256
+),
+dv AS (SELECT dt.doc_id, dt.tok, vocab.df FROM dt JOIN vocab USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM dv a JOIN dv b USING (doc_id)
+  WHERE a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 5
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT tok_a, tok_b, n_pair,
+       round_even(ln((CAST(n_pair AS DOUBLE) * CAST(n.nd AS DOUBLE))
+                     / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 12)
+         AS pmi
+FROM pairs, n
+"""

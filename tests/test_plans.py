@@ -52,6 +52,8 @@ NESTED_LOOP_OK = {
     "dsir_doc_weights",      # crossJoin(broadcast(1-row target/raw bucket
     "dsir_selected",         # totals) normalizing the DSIR log-ratios
                              # (selection.py dsir_bucket_logratio)
+    "token_pmi_pairs",       # crossJoin(broadcast(1-row document count))
+                             # for the PMI normalizer
     "customer_rfm_segments",  # crossJoin(broadcast(1-row anchor date)) +
                              # crossJoin(broadcast(1-row percentile cuts)):
                              # both model-parameter-sized aggregates; the

@@ -404,3 +404,53 @@ def test_token_fuzzy_pairs_min_len_excludes_short_noise(spark):
     )
     got = {tuple(r) for r in token_fuzzy_pairs(docs, min_len=4).collect()}
     assert got == {("long1", "long2", 1)}  # 3-letter words excluded
+
+
+def test_token_pmi_hand_computed_and_vocab_cap(spark):
+    import math
+
+    from bht_etl_app_spark.operators.text import token_pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b"),
+            (3, "a c"),
+            (4, "b c"),
+            (5, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in token_pmi_pairs(docs, min_pair_docs=1).collect()
+    }
+    # df: a=4, b=3, c=2; N=5; pairs: (a,b)=2, (a,c)=1, (b,c)=1
+    assert {k: v["n_pair"] for k, v in out.items()} == {
+        ("a", "b"): 2,
+        ("a", "c"): 1,
+        ("b", "c"): 1,
+    }
+    assert abs(out[("a", "b")]["pmi"] - round(math.log(2 * 5 / (4 * 3)), 12)) < 1e-12
+    assert abs(out[("b", "c")]["pmi"] - round(math.log(1 * 5 / (3 * 2)), 12)) < 1e-12
+    # vocabulary cap: top_vocab=2 keeps only a and b (df order, tok tiebreak)
+    capped = {
+        (r["tok_a"], r["tok_b"])
+        for r in token_pmi_pairs(docs, top_vocab=2, min_pair_docs=1).collect()
+    }
+    assert capped == {("a", "b")}
+
+
+def test_token_pmi_duplicate_tokens_count_once_per_doc(spark):
+    from bht_etl_app_spark.operators.text import token_pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y y")], "doc_id long, text string"
+    )
+    out = token_pmi_pairs(docs, min_pair_docs=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # document co-occurrence, not token-instance: n_pair = 2 docs
+    assert (r["tok_a"], r["tok_b"], r["n_pair"]) == ("x", "y", 2)
+    # pmi = ln(2*2/(2*2)) = 0
+    assert r["pmi"] == 0.0
