@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark.session import load_table
+from bht_etl_app_spark.operators import dedup as _dedup_sql
 from bht_etl_app_spark.functions.exprs import codebook_recode_expr
 from bht_etl_app_spark.operators import (
     brand_dictionary,
@@ -42,8 +43,10 @@ from bht_etl_app_spark.operators import (
     knn_for_query,
     language_id,
     minhash_lsh_pairs,
+    containment_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_ppjoin,
+    source_overlap_matrix,
     quality_scores,
     repetition_signals,
     simhash64,
@@ -2817,6 +2820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard_ppjoin": lambda s, d: ngram_jaccard_pairs_ppjoin(
             load_table(s, d, "documents"), threshold=0.8
         ),
+        # the asymmetric twin: subsumption (quote/excerpt) duplicates
+        # that a Jaccard threshold structurally misses
+        "doc_containment_pairs": lambda s, d: containment_pairs(
+            load_table(s, d, "documents"), threshold=0.9, max_shingle_df=64
+        ),
+        "source_overlap_matrix": lambda s, d: source_overlap_matrix(
+            load_table(s, d, "documents")
+        ),
         "knn_vec0": _q_knn_vec0,
         "embedding_quantized": _q_embedding_quantized,
         "knn_vec0_quantized": _q_knn_vec0_quantized,
@@ -3698,6 +3709,8 @@ FROM c LEFT JOIN p USING (k)
         "customer_rfm_segments": analytics.RFM_SEGMENTS_SQL,
         "purchase_attribution": _ts_mod.PURCHASE_ATTRIBUTION_SQL,
         "token_pmi_pairs": _text_mod.TOKEN_PMI_SQL,
+        "doc_containment_pairs": _dedup_sql.CONTAINMENT_PAIRS_SQL,
+        "source_overlap_matrix": _dedup_sql.SOURCE_OVERLAP_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

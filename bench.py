@@ -133,6 +133,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "purchase_attribution",
     "token_pmi_pairs",
+    "doc_containment_pairs",
+    "source_overlap_matrix",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

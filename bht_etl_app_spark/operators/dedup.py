@@ -1333,3 +1333,191 @@ def simhash_near_dup_pairs_wide(
         .distinct()
     )
     return track_persisted(out, banded)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = 64,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: for docs A, B the
+    containment of A in B is ``|A∩B| / |A|`` over n-gram shingles
+    (Broder 1997's second resemblance measure). This catches the
+    subsumption duplicates Jaccard structurally misses — a short doc
+    quoted whole inside a long one has containment ≈ 1 but Jaccard
+    ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup keeps both copies.
+    The training-data case is quote/excerpt/boilerplate subsumption.
+    Output: ``(id_a, id_b, shared, c_a, c_b)`` with ``id_a < id_b``,
+    kept when ``max(c_a, c_b) >= threshold`` — ``c_a`` is "A inside
+    B", ``c_b`` the reverse.
+
+    Same inverted-shingle-index machinery (and the same
+    ``max_shingle_df`` stop-shingle cap, mirrored in the oracle) as
+    :func:`ngram_jaccard_pairs`: candidates come from the shingle
+    equi-join, never a cross join; scores are exact int/int
+    divisions rounded at 6dp.
+    """
+    from pyspark import StorageLevel
+
+    sh = _shingled(
+        ensure_min_parallelism(df), text_col, id_col, n, "shingles"
+    ).select(F.col(id_col).alias("id"), "shingles").withColumn(
+        "n_sh", F.size("shingles")
+    )
+    persisted = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exploded = persisted
+    if max_shingle_df is not None:
+        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df)), "s"
+        ).drop("df")
+    a = exploded.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias("c_a"),
+            F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("c_b"),
+        )
+        .where(F.greatest(F.col("c_a"), F.col("c_b")) >= threshold)
+    )
+    return track_persisted(pairs, persisted)
+
+
+CONTAINMENT_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
+exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM exf a JOIN exf b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, shared, c_a, c_b FROM (
+  SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         round(shared / CAST(n_a AS DOUBLE), 6) AS c_a,
+         round(shared / CAST(n_b AS DOUBLE), 6) AS c_b
+  FROM pairs
+) WHERE greatest(c_a, c_b) >= 0.9
+"""
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    src_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of corpus
+    sources, the number of distinct n-gram shingles present in BOTH,
+    as overlap coefficient (``shared / min(|A|,|B|)``) and Jaccard —
+    the corpus-QA signal for "these two crawls/feeds duplicate each
+    other" and the train/eval CONTAMINATION check when one source is
+    a benchmark. Output:
+    ``(src_a, src_b, shared, overlap, jaccard)``, ``src_a < src_b``.
+
+    Scale shape: the corpus first collapses to DISTINCT
+    ``(source, shingle)`` rows (one shuffle, map-side combine) — at
+    most |sources| rows per shingle survive, so the shingle-keyed
+    self-join fans out ≤ C(|sources|, 2) pairs per shingle, bounded
+    by the source count, never document-quadratic (no df cap needed,
+    unlike the doc-pair operators). Per-source sizes ride a broadcast
+    join; the final matrix is |sources|²-sized.
+    """
+    ss = (
+        _shingled(ensure_min_parallelism(df), text_col, src_col, n, "sh")
+        .select(F.col(src_col).alias("src"), F.explode("sh").alias("s"))
+        .distinct()
+    )
+    sizes = ss.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = ss.select(F.col("src").alias("src_a"), "s")
+    b = ss.select(F.col("src").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("overlap"),
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ss AS (
+  SELECT DISTINCT source AS src, unnest(shingles) AS s FROM sh
+),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM ss GROUP BY 1),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ss a JOIN ss b USING (s)
+  WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.shared,
+       round(p.shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS overlap,
+       round(p.shared / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.src
+JOIN sizes sb ON p.src_b = sb.src
+"""

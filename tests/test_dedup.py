@@ -511,3 +511,60 @@ def test_ppjoin_prefix_index_smaller_than_full_postings(spark):
     )
     plan = ngram_jaccard_pairs_ppjoin(docs, threshold=0.8)._jdf.queryExecution().toString()
     assert "row_number" in plan.lower()
+
+
+def test_containment_catches_subsumption_jaccard_misses(spark):
+    from bht_etl_app_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"           # 3 trigram shingles
+    long = short + " zeta eta theta iota kappa lam mu" # 10 shingles, superset
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    # all 3 of doc 1's shingles appear in doc 2 -> c_a = 1.0
+    assert (r["id_a"], r["id_b"], r["shared"], r["c_a"]) == (1, 2, 3, 1.0)
+    assert r["c_b"] == 0.3
+    # the same pair is INVISIBLE to a 0.8-Jaccard dedup (J = 3/10)
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_respects_stop_shingle_cap(spark):
+    from bht_etl_app_spark.operators.dedup import containment_pairs
+
+    # every doc shares one boilerplate sentence; with the cap at 2 the
+    # boilerplate shingles (df=3) drop and no pair survives
+    boiler = "same legal footer text here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(3)], "doc_id long, text string"
+    )
+    assert containment_pairs(docs, threshold=0.9, max_shingle_df=2).count() == 0
+    assert containment_pairs(docs, threshold=0.9, max_shingle_df=None).count() == 3
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from bht_etl_app_spark.operators.dedup import source_overlap_matrix
+
+    # source A: shingles {a b c, b c d}; source B shares exactly
+    # {a b c}; source C disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "a b c x y", "B"),
+            (3, "p q r s", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap_matrix(docs).collect()}
+    # A: {abc, bcd}; B: {abc, bcx, cxy}; C: {pqr, qrs}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r["shared"] == 1
+    assert r["overlap"] == 0.5       # 1 / min(2, 3)
+    assert r["jaccard"] == 0.25      # 1 / (2 + 3 - 1)
