@@ -3224,6 +3224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi_pairs": lambda s, d: _text_mod.token_pmi_pairs(
             load_table(s, d, "documents")
         ),
+        "user_retention_curve": lambda s, d: _ts_mod.user_retention_curve(
+            load_table(s, d, "events")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3711,6 +3714,7 @@ FROM c LEFT JOIN p USING (k)
         "token_pmi_pairs": _text_mod.TOKEN_PMI_SQL,
         "doc_containment_pairs": _dedup_sql.CONTAINMENT_PAIRS_SQL,
         "source_overlap_matrix": _dedup_sql.SOURCE_OVERLAP_SQL,
+        "user_retention_curve": _ts_mod.USER_RETENTION_CURVE_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

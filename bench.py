@@ -135,6 +135,7 @@ HEADLINE = [
     "token_pmi_pairs",
     "doc_containment_pairs",
     "source_overlap_matrix",
+    "user_retention_curve",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

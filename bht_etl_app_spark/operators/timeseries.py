@@ -668,3 +668,135 @@ SELECT first_touch, n_purchases,
          / CAST(sum(n_purchases) OVER () AS DOUBLE) AS share
 FROM c
 """
+
+
+def user_retention_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime — the
+    censoring-correct retention curve (naive "percent still active
+    after t days" is biased because recently-arrived users haven't
+    HAD t days yet). Per user: lifetime = days between first and last
+    event; the observation is a CHURN EVENT if the user has been
+    silent for at least ``censor_gap_days`` before the corpus end,
+    otherwise it is right-censored (still alive). The estimator:
+    ``S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)`` over distinct event times,
+    where ``n_i`` counts users still at risk. Output one row per
+    distinct lifetime: ``(t_days, n_risk, n_churned, n_censored,
+    survival)``.
+
+    Exactness: ``d/n`` are int/int divisions; the running product
+    rides ``exp(Σ ln(1 - d/n))`` with the sum ORDER-DEFINED by the
+    cumulative window (both engines add in t order), and the result
+    quantized 12dp against 1-ulp libm ln/exp divergence (the
+    token_pmi lesson).
+
+    Scale shape: one per-user aggregate (map-side combine), a 1-row
+    broadcast corpus-end anchor, then ALL windows run over the
+    per-distinct-lifetime aggregate — bounded by the observation
+    span in days (a few thousand rows for a decade), not by users.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    per = df.groupBy(user_col).agg(
+        F.min(day).alias("__first__"), F.max(day).alias("__last__")
+    )
+    end = df.agg(F.max(day).alias("__end__"))
+    obs = per.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("__last__"), F.col("__first__"))
+        .cast("long")
+        .alias("t_days"),
+        (
+            F.datediff(F.col("__end__"), F.col("__last__"))
+            >= int(censor_gap_days)
+        ).alias("churned"),
+    )
+    per_t = obs.groupBy("t_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("__n_t__"),
+    )
+    w_all = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_total = F.sum("__n_t__").over(
+        Window.orderBy("t_days").rangeBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    n_risk = n_total - F.coalesce(
+        F.sum("__n_t__").over(w_prev), F.lit(0)
+    )
+    staged = per_t.select(
+        "t_days",
+        "n_churned",
+        "n_censored",
+        n_risk.cast("long").alias("n_risk"),
+    )
+    ln_term = F.when(
+        F.col("n_churned") > 0,
+        F.log(
+            F.lit(1.0)
+            - F.col("n_churned").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    surv = F.exp(F.sum(ln_term).over(w_all))
+    return staged.select(
+        "t_days",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.bround(surv, 12).alias("survival"),
+    )
+
+
+USER_RETENTION_CURVE_SQL = """
+WITH per AS (
+  SELECT user_id,
+         date_trunc('day', min(ts)) AS first_d,
+         date_trunc('day', max(ts)) AS last_d
+  FROM events GROUP BY 1
+),
+anchor AS (SELECT date_trunc('day', max(ts)) AS end_d FROM events),
+obs AS (
+  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t_days,
+         date_diff('day', last_d, anchor.end_d) >= 7 AS churned
+  FROM per, anchor
+),
+per_t AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned,
+         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_censored,
+         CAST(count(*) AS BIGINT) AS n_t
+  FROM obs GROUP BY 1
+),
+staged AS (
+  SELECT t_days, n_churned, n_censored,
+         CAST(sum(n_t) OVER () - coalesce(sum(n_t) OVER (
+                ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t
+)
+SELECT t_days, n_risk, n_churned, n_censored,
+       round_even(exp(sum(
+         CASE WHEN n_churned > 0
+              THEN ln(CAST(1.0 AS DOUBLE)
+                      - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              ELSE CAST(0.0 AS DOUBLE) END
+       ) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 12)
+         AS survival
+FROM staged
+"""

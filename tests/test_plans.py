@@ -54,6 +54,9 @@ NESTED_LOOP_OK = {
                              # (selection.py dsir_bucket_logratio)
     "token_pmi_pairs",       # crossJoin(broadcast(1-row document count))
                              # for the PMI normalizer
+    "user_retention_curve",  # crossJoin(broadcast(1-row corpus-end day));
+                             # all windows run on the per-lifetime
+                             # aggregate, bounded by the observation span
     "customer_rfm_segments",  # crossJoin(broadcast(1-row anchor date)) +
                              # crossJoin(broadcast(1-row percentile cuts)):
                              # both model-parameter-sized aggregates; the

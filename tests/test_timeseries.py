@@ -442,3 +442,40 @@ def test_hourly_anomalies_zero_variance_baseline_gives_null_z(spark):
     counts = [4] * 16  # constant counts: var == 0 -> no defensible score
     out = hourly_count_anomalies(_hourly_events_frame(spark, counts)).collect()
     assert all(r["z"] is None and r["anomaly"] is False for r in out)
+
+
+def test_user_retention_curve_hand_computed_km(spark):
+    from datetime import timedelta
+
+    from bht_etl_app_spark.operators.timeseries import user_retention_curve
+
+    d0 = _ts("2024-01-01T12:00:00")
+
+    def ev(eid, uid, day):
+        return (eid, uid, d0 + timedelta(days=day), "x")
+
+    rows = [
+        # corpus end = day 30 (u_anchor's last event)
+        ev(1, 1, 0),                 # u1: t=0,  silent 30d -> churned
+        ev(2, 2, 0), ev(3, 2, 10),   # u2: t=10, silent 20d -> churned
+        ev(4, 3, 5), ev(5, 3, 28),   # u3: t=23, silent 2d  -> censored
+        ev(6, 4, 0), ev(7, 4, 30),   # u4 anchors corpus end; t=30 censored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["t_days"]: r for r in user_retention_curve(df).collect()}
+    assert set(out) == {0, 10, 23, 30}
+    # KM: S(0) = 1 - 1/4; S(10) = 3/4 * (1 - 1/3) = 1/2; censoring
+    # at t=23,30 leaves S flat
+    assert out[0]["n_risk"] == 4 and out[0]["n_churned"] == 1
+    assert abs(out[0]["survival"] - 0.75) < 1e-9
+    assert out[10]["n_risk"] == 3 and abs(out[10]["survival"] - 0.5) < 1e-9
+    assert out[23]["n_churned"] == 0 and out[23]["n_censored"] == 1
+    assert abs(out[23]["survival"] - 0.5) < 1e-9
+    assert abs(out[30]["survival"] - 0.5) < 1e-9
+    # estimator invariants
+    ts = sorted(out)
+    surv = [out[t]["survival"] for t in ts]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
