@@ -173,6 +173,50 @@ def dedup_incremental(
     )
 
 
+def _shingle_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: int | None,
+):
+    """Shared inverted-shingle-index candidate machinery for the
+    symmetric (Jaccard) and asymmetric (containment) pair operators:
+    explode distinct shingles, optionally drop stop-shingles above
+    ``max_shingle_df``, self-join on the shingle, count shared
+    shingles per pair. Returns ``(pairs, persisted)`` where pairs =
+    ``(id_a, id_b, n_a, n_b, shared)`` with ``id_a < id_b`` and
+    ``persisted`` is the exploded posting set both self-join sides
+    read (persisted because Catalyst does not reuse the exchange
+    across aliased sides — PERFORMANCE.md materialize-or-recompute
+    rule; callers must thread it through ``track_persisted``)."""
+    from pyspark import StorageLevel
+
+    sh = _shingled(
+        ensure_min_parallelism(df), text_col, id_col, n, "shingles"
+    ).select(F.col(id_col).alias("id"), "shingles").withColumn(
+        "n_sh", F.size("shingles")
+    )
+    persisted = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exploded = persisted
+    if max_shingle_df is not None:
+        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df)), "s"
+        ).drop("df")
+    a = exploded.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs, persisted
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -191,46 +235,18 @@ def ngram_jaccard_pairs(
     docs (stop-shingles) — the standard guard against quadratic blowup
     on boilerplate at scale.
     """
-    from pyspark import StorageLevel
-
-    sh = _shingled(
-        ensure_min_parallelism(df), text_col, id_col, n, "shingles"
-    ).select(F.col(id_col).alias("id"), "shingles").withColumn("n_sh", F.size("shingles"))
-    # persisted: both self-join sides below reference this pipeline and
-    # Catalyst does not reuse the exchange across aliased sides — see
-    # PERFORMANCE.md materialize-or-recompute rule
-    persisted = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cand, persisted = _shingle_candidate_pairs(
+        df, text_col, id_col, n, max_shingle_df
     )
-    exploded = persisted
-    if max_shingle_df is not None:
-        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        exploded = (
-            exploded.join(F.broadcast(df_counts.where(F.col("df") <= max_shingle_df)), "s")
-            .drop("df")
-        )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
-    )
-    pairs = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
     return track_persisted(pairs, persisted)
 
 
@@ -1360,38 +1376,16 @@ def containment_pairs(
     equi-join, never a cross join; scores are exact int/int
     divisions rounded at 6dp.
     """
-    from pyspark import StorageLevel
-
-    sh = _shingled(
-        ensure_min_parallelism(df), text_col, id_col, n, "shingles"
-    ).select(F.col(id_col).alias("id"), "shingles").withColumn(
-        "n_sh", F.size("shingles")
+    cand, persisted = _shingle_candidate_pairs(
+        df, text_col, id_col, n, max_shingle_df
     )
-    persisted = sh.select("id", "n_sh", F.explode("shingles").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    exploded = persisted
-    if max_shingle_df is not None:
-        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        exploded = exploded.join(
-            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df)), "s"
-        ).drop("df")
-    a = exploded.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
-    b = exploded.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
-    pairs = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("shared").cast("long").alias("shared"),
-            F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias("c_a"),
-            F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("c_b"),
-        )
-        .where(F.greatest(F.col("c_a"), F.col("c_b")) >= threshold)
-    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias("c_a"),
+        F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("c_b"),
+    ).where(F.greatest(F.col("c_a"), F.col("c_b")) >= threshold)
     return track_persisted(pairs, persisted)
 
 
@@ -1453,10 +1447,16 @@ def source_overlap_matrix(
     unlike the doc-pair operators). Per-source sizes ride a broadcast
     join; the final matrix is |sources|²-sized.
     """
+    from pyspark import StorageLevel
+
+    # three consumers (sizes, both self-join sides) read this corpus-
+    # wide distinct — persist it, or the tokenize+shingle+explode
+    # pipeline recomputes per consumer (materialize-or-recompute rule)
     ss = (
         _shingled(ensure_min_parallelism(df), text_col, src_col, n, "sh")
         .select(F.col(src_col).alias("src"), F.explode("sh").alias("s"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = ss.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = ss.select(F.col("src").alias("src_a"), "s")
@@ -1469,7 +1469,7 @@ def source_overlap_matrix(
     )
     sa = sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(sa), "src_a")
         .join(F.broadcast(sb), "src_b")
         .select(
@@ -1486,6 +1486,7 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+    return track_persisted(out, ss)
 
 
 SOURCE_OVERLAP_SQL = """

@@ -1019,10 +1019,17 @@ def token_pmi_pairs(
     two multiplies, one divide, one ``ln`` — correctly-rounded
     single ops, no fold, partitioning-invariant.
     """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    # the corpus-wide tokenize+explode feeds BOTH the vocabulary
+    # aggregation and the dv join (different grouping keys, no
+    # exchange reuse) — persist it (materialize-or-recompute rule)
     dt = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = (
         dt.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -1055,10 +1062,10 @@ def token_pmi_pairs(
     # Java Math.log and DuckDB's libm ln differ at the last ulp for
     # some inputs (observed at sf0.01); 12dp round_even quantization
     # absorbs it (the kmeans float rule) without touching real digits.
-    return (
-        pairs.crossJoin(F.broadcast(ndocs))
-        .select("tok_a", "tok_b", "n_pair", F.bround(pmi, 12).alias("pmi"))
+    out = pairs.crossJoin(F.broadcast(ndocs)).select(
+        "tok_a", "tok_b", "n_pair", F.bround(pmi, 12).alias("pmi")
     )
+    return track_persisted(out, dt)
 
 
 TOKEN_PMI_SQL = """

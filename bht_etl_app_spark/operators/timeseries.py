@@ -742,14 +742,35 @@ def user_retention_curve(
         "n_censored",
         n_risk.cast("long").alias("n_risk"),
     )
+    # d == n (every remaining user churns at this lifetime — only
+    # possible at the maximum observed lifetime) would be ln(0):
+    # Spark F.log returns NULL (silently SKIPPED by a window sum,
+    # freezing survival at its previous value) and DuckDB ln raises.
+    # Handle it structurally: the term stays 0 and a cumulative flag
+    # hard-sets survival to 0 from that row on, in both engines.
     ln_term = F.when(
-        F.col("n_churned") > 0,
+        (F.col("n_churned") > 0) & (F.col("n_churned") < F.col("n_risk")),
         F.log(
             F.lit(1.0)
             - F.col("n_churned").cast("double") / F.col("n_risk").cast("double")
         ),
     ).otherwise(F.lit(0.0))
-    surv = F.exp(F.sum(ln_term).over(w_all))
+    # cumulative SEQUENTIAL fold, not a float window sum: DuckDB
+    # evaluates windowed sums via segment-tree combination while Spark
+    # accumulates in frame order — float addition is non-associative,
+    # so long curves could drift past the 12dp quantization. The
+    # repo's sorted-fold idiom (aggregate over the frame-ordered list
+    # <-> list_sum(list(...) OVER ...)) adds in the same order in
+    # both engines.
+    ln_sum = F.aggregate(
+        F.collect_list(ln_term).over(w_all),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dead = F.max(
+        F.when(F.col("n_churned") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_all)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(ln_sum))
     return staged.select(
         "t_days",
         "n_risk",
@@ -790,13 +811,17 @@ staged AS (
   FROM per_t
 )
 SELECT t_days, n_risk, n_churned, n_censored,
-       round_even(exp(sum(
-         CASE WHEN n_churned > 0
-              THEN ln(CAST(1.0 AS DOUBLE)
-                      - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE))
-              ELSE CAST(0.0 AS DOUBLE) END
-       ) OVER (ORDER BY t_days
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 12)
-         AS survival
+       round_even(CASE WHEN max(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END)
+                         OVER w_cum = 1
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE exp(list_sum(list(
+                    CASE WHEN n_churned > 0 AND n_churned < n_risk
+                         THEN ln(CAST(1.0 AS DOUBLE)
+                                 - CAST(n_churned AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))
+                         ELSE CAST(0.0 AS DOUBLE) END
+                  ) OVER w_cum)) END, 12) AS survival
 FROM staged
+WINDOW w_cum AS (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """

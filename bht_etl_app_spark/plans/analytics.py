@@ -606,9 +606,10 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     ``size(filter(...))``. Same shape as ``order_price_deciles``.
 
     Exactness: recency/frequency are exact ints; monetary rides the
-    DECIMAL(18,2) money discipline; percentile interpolation is
-    ``(a+b)/2``-class halving on doubles (engine-identical); scoring
-    compares each value against the same cut doubles in both engines.
+    DECIMAL(18,2) money discipline; the percentile cut points are
+    12dp-quantized in BOTH engines before scoring (Spark and DuckDB
+    interpolate with differently-associated float formulas — an
+    unquantized 1-ulp cut would flip boundary customers).
     The recency anchor is the corpus max order date (1-row broadcast),
     so the operator is a pure function of the table.
     """
@@ -627,18 +628,24 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         "frequency",
         F.col("__mon__").cast("double").alias("monetary"),
     )
+    # Cut points are quantized at 12dp: Spark percentile() and DuckDB
+    # quantile_cont() interpolate with differently-associated float
+    # formulas, and an unquantized 1-ulp cut divergence would flip a
+    # boundary customer's score (the interpolation-tie trap from the
+    # repo's oracle-quirks list — kmeans rule applied).
     cuts = base.agg(
         F.expr(
-            "percentile(CAST(recency_days AS DOUBLE),"
-            " array(0.2D, 0.4D, 0.6D, 0.8D))"
+            "transform(percentile(CAST(recency_days AS DOUBLE),"
+            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 12))"
         ).alias("__rc__"),
         F.expr(
-            "percentile(CAST(frequency AS DOUBLE),"
-            " array(0.2D, 0.4D, 0.6D, 0.8D))"
+            "transform(percentile(CAST(frequency AS DOUBLE),"
+            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 12))"
         ).alias("__fc__"),
-        F.expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").alias(
-            "__mc__"
-        ),
+        F.expr(
+            "transform(percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D)),"
+            " c -> bround(c, 12))"
+        ).alias("__mc__"),
     )
 
     def _q(val, cut_col):
@@ -681,11 +688,14 @@ base AS (
   FROM per, anchor
 ),
 cuts AS (
-  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
-           AS rc,
-         quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
-           AS fc,
-         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+  SELECT list_transform(
+           quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]),
+           c -> round_even(c, 12)) AS rc,
+         list_transform(
+           quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]),
+           c -> round_even(c, 12)) AS fc,
+         list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                        c -> round_even(c, 12)) AS mc
   FROM base
 ),
 scored AS (

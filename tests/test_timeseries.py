@@ -479,3 +479,28 @@ def test_user_retention_curve_hand_computed_km(spark):
     surv = [out[t]["survival"] for t in ts]
     assert all(0.0 <= s <= 1.0 for s in surv)
     assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_user_retention_curve_total_churn_at_max_lifetime(spark):
+    """d == n at the maximum lifetime is ln(0): survival must drop to
+    EXACTLY 0 (the review's failure case — a NULL log term silently
+    skipped by a window sum would freeze it at the prior value)."""
+    from datetime import timedelta
+
+    from bht_etl_app_spark.operators.timeseries import user_retention_curve
+
+    d0 = _ts("2024-01-01T12:00:00")
+    rows = [
+        (1, 1, d0, "x"),
+        (2, 1, d0 + timedelta(days=50), "x"),   # u1: t=50, churned
+        (3, 2, d0 + timedelta(days=55), "x"),
+        (4, 2, d0 + timedelta(days=60), "x"),   # u2 anchors end; t=5 censored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["t_days"]: r for r in user_retention_curve(df).collect()}
+    assert out[5]["n_censored"] == 1 and out[5]["survival"] == 1.0
+    # at t=50: n_risk=1, n_churned=1 -> everyone at risk churned
+    assert out[50]["n_risk"] == 1 and out[50]["n_churned"] == 1
+    assert out[50]["survival"] == 0.0
