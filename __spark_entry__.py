@@ -3227,6 +3227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention_curve": lambda s, d: _ts_mod.user_retention_curve(
             load_table(s, d, "events")
         ),
+        "part_cooccurrence_sim": lambda s, d: analytics.part_cooccurrence_sim(
+            load_table(s, d, "lineitem")
+        ),
+        "top_session_paths": lambda s, d: _ts_mod.top_session_paths(
+            load_table(s, d, "events")
+        ),
+        "orders_price_drift_psi": lambda s, d: _skew_mod.price_drift_psi(
+            load_table(s, d, "orders")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3715,6 +3724,9 @@ FROM c LEFT JOIN p USING (k)
         "doc_containment_pairs": _dedup_sql.CONTAINMENT_PAIRS_SQL,
         "source_overlap_matrix": _dedup_sql.SOURCE_OVERLAP_SQL,
         "user_retention_curve": _ts_mod.USER_RETENTION_CURVE_SQL,
+        "part_cooccurrence_sim": analytics.PART_COOCCURRENCE_SIM_SQL,
+        "top_session_paths": _ts_mod.TOP_SESSION_PATHS_SQL,
+        "orders_price_drift_psi": _skew_mod.PRICE_DRIFT_PSI_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

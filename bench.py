@@ -136,6 +136,9 @@ HEADLINE = [
     "doc_containment_pairs",
     "source_overlap_matrix",
     "user_retention_curve",
+    "part_cooccurrence_sim",
+    "top_session_paths",
+    "orders_price_drift_psi",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -433,3 +433,159 @@ SELECT c.digit, c.n,
          AS excess
 FROM counts c JOIN exp e USING (digit)
 """
+
+
+def price_drift_psi(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    date_col: str = "o_orderdate",
+    pivot: str = "1996-01-01",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference period
+    (``date < pivot``) and a current period — THE standard drift
+    metric for monitoring a feature/score distribution between
+    training time and serving time:
+    ``PSI = Σ_bins (p_cur - p_ref) · ln(p_cur / p_ref)`` over decile
+    bins of the REFERENCE distribution (<0.1 stable, >0.25 drifted).
+    Output: one row per bin — ``(bin, n_ref, n_cur, p_ref, p_cur,
+    contrib, psi_total)`` (``psi_total`` repeated for convenience).
+
+    Determinism: bin cut points are reference-percentiles quantized
+    at 12dp in both engines (the RFM rule); proportions are
+    Laplace-smoothed ``(n + 0.5) / (N + 0.5·B)`` so an empty current
+    bin stays finite — all exact-int-derived; each bin's ``ln``
+    contribution is 12dp-quantized, and the total rides the
+    frame-ordered list fold (the KM rule), never a float window sum.
+
+    Scale shape: one pass for the cuts (1-row broadcast), one
+    scan-side bin assignment + two map-side-combining bin counts,
+    everything after runs on ≤ ``n_bins`` rows.
+    """
+    fracs = ", ".join(
+        f"{i / n_bins:.10f}D" for i in range(1, int(n_bins))
+    )
+    ref = df.where(F.col(date_col) < F.lit(pivot).cast("timestamp"))
+    cur = df.where(F.col(date_col) >= F.lit(pivot).cast("timestamp"))
+    cuts = ref.agg(
+        F.expr(
+            f"transform(percentile(CAST({value_col} AS DOUBLE),"
+            f" array({fracs})), c -> bround(c, 12))"
+        ).alias("__cuts__")
+    )
+
+    def _binned(side: DataFrame, name: str) -> DataFrame:
+        return (
+            side.select(F.col(value_col).cast("double").alias("__v__"))
+            .crossJoin(F.broadcast(cuts))
+            .select(
+                (
+                    F.lit(1)
+                    + F.size(
+                        F.filter(F.col("__cuts__"), lambda c: F.col("__v__") > c)
+                    )
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    rc = _binned(ref, "n_ref")
+    cc = _binned(cur, "n_cur")
+    joined = (
+        rc.join(cc, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = Window.orderBy("bin").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = float(n_bins)
+    p_ref = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.sum("n_ref").over(tot).cast("double") + F.lit(0.5 * b)
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.sum("n_cur").over(tot).cast("double") + F.lit(0.5 * b)
+    )
+    staged = joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        F.bround(
+            (p_cur - p_ref) * F.log(p_cur / p_ref), 12
+        ).alias("contrib"),
+    )
+    psi = F.bround(
+        F.aggregate(
+            F.collect_list("contrib").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        12,
+    )
+    return staged.select("*", psi.alias("psi_total"))
+
+
+PRICE_DRIFT_PSI_SQL = """
+WITH ref AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+cur AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+),
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(v, [0.1000000000, 0.2000000000, 0.3000000000,
+                             0.4000000000, 0.5000000000, 0.6000000000,
+                             0.7000000000, 0.8000000000, 0.9000000000]),
+           c -> round_even(c, 12)) AS cs
+  FROM ref
+),
+rb AS (
+  SELECT 1 + len(list_filter(cuts.cs, c -> v > c)) AS bin,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM ref, cuts GROUP BY 1
+),
+cb AS (
+  SELECT 1 + len(list_filter(cuts.cs, c -> v > c)) AS bin,
+         CAST(count(*) AS BIGINT) AS n_cur
+  FROM cur, cuts GROUP BY 1
+),
+joined AS (
+  SELECT coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref,
+         coalesce(n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+),
+staged AS (
+  SELECT bin, n_ref, n_cur,
+         (CAST(n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(sum(n_ref) OVER () AS DOUBLE) + CAST(5.0 AS DOUBLE))
+           AS p_ref,
+         (CAST(n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(sum(n_cur) OVER () AS DOUBLE) + CAST(5.0 AS DOUBLE))
+           AS p_cur
+  FROM joined
+),
+contribs AS (
+  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+         round_even((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS contrib
+  FROM staged
+)
+SELECT bin, n_ref, n_cur, p_ref, p_cur, contrib,
+       round_even(list_sum(list(contrib) OVER (
+         ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)), 12) AS psi_total
+FROM contribs
+"""

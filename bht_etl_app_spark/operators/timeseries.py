@@ -825,3 +825,85 @@ FROM staged
 WINDOW w_cum AS (ORDER BY t_days
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def top_session_paths(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    top_k: int = 20,
+    max_len: int = 20,
+) -> DataFrame:
+    """Most common session event paths — full-sequence clickstream
+    mining (the N-step generalization of the transition matrix):
+    each session becomes the ordered string of its event types
+    ("view>click>purchase"), truncated at ``max_len`` steps, and the
+    global top ``top_k`` paths are ranked by frequency. The
+    product-analytics primitive behind "what do converting sessions
+    actually look like".
+
+    Determinism: the per-session sequence is an ``array_sort`` over
+    ``(ts, event_id, type)`` structs — total order, ties pinned.
+    Scale shape: one shuffle on the user key (the per-session
+    aggregate's ``(user, session)`` grouping is satisfied by the
+    sessionize partitioning); ``max_len`` bounds the path string a
+    marathon bot session could otherwise build; the path count
+    aggregate is path-cardinality-sized with map-side combine, and
+    the top-k lowers to TakeOrderedAndProject.
+    """
+    s = sessionize(df, gap_seconds=gap_seconds)
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    int(max_len),
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    ranked = paths.orderBy(F.desc("n_sessions"), F.asc("path")).limit(int(top_k))
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+TOP_SESSION_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+paths AS (
+  SELECT array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:20], '>') AS path
+  FROM s GROUP BY user_id, sid
+),
+counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY 1
+)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+         AS rank
+FROM (SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT 20)
+"""

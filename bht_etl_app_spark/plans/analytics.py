@@ -714,3 +714,85 @@ SELECT o_custkey, recency_days, frequency, monetary,
          || CAST(m_score AS VARCHAR) AS segment
 FROM scored
 """
+
+
+def part_cooccurrence_sim(
+    lineitem: DataFrame, min_support: int = 3, top_k: int = 50
+) -> DataFrame:
+    """Item-item cosine similarity over order baskets — the
+    neighborhood model behind "customers who bought X also bought Y"
+    (Sarwar et al., "Item-Based Collaborative Filtering", WWW'01):
+    ``sim(a,b) = c_ab / sqrt(c_a · c_b)`` where ``c_ab`` counts
+    orders containing both and ``c_i`` orders containing the item.
+    Output: the global top ``top_k`` pairs by similarity,
+    ``(part_a, part_b, support, sim, rank)``.
+
+    Scale shape: identical to :func:`part_copurchase_pairs` — the
+    self-join keys on the ORDER, fan-out C(basket, 2) per order,
+    basket-bounded; per-item counts ride a broadcast join (item
+    vocabulary is dimension-sized relative to the fact table). The
+    cosine is sqrt/division over exact ints — deterministic, no fold.
+    ``min_support`` suppresses the 1-co-occurrence noise floor that
+    cosine otherwise ranks absurdly high for rare item pairs.
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = op.select("ok", F.col("pk").alias("part_a"))
+    b = op.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    ca = item.select(F.col("pk").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item.select(F.col("pk").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.desc("sim"), F.asc("part_a"), F.asc("part_b")
+    ).limit(int(top_k))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("sim"), F.asc("part_a"), F.asc("part_b"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+PART_COOCCURRENCE_SIM_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+item AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS support
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT part_a, part_b, support,
+         round(support / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6)
+           AS sim
+  FROM pairs
+  JOIN item ca ON pairs.part_a = ca.pk
+  JOIN item cb ON pairs.part_b = cb.pk
+)
+SELECT part_a, part_b, support, sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, part_a, part_b) AS BIGINT)
+         AS rank
+FROM (SELECT * FROM scored ORDER BY sim DESC, part_a, part_b LIMIT 50)
+"""

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
                              # (selection.py dsir_bucket_logratio)
     "token_pmi_pairs",       # crossJoin(broadcast(1-row document count))
                              # for the PMI normalizer
+    "orders_price_drift_psi",  # crossJoin(broadcast(1-row reference
+                             # percentile cuts)) for both period sides
     "user_retention_curve",  # crossJoin(broadcast(1-row corpus-end day));
                              # all windows run on the per-lifetime
                              # aggregate, bounded by the observation span
@@ -542,3 +544,71 @@ def test_purchase_attribution_first_touch_and_exchange_reuse(spark):
 
     plan = purchase_attribution(df)._jdf.queryExecution().executedPlan().toString()
     assert not _re.search(r"hashpartitioning\(user_id#\d+L?, session_id", plan), plan
+
+
+def test_part_cooccurrence_sim_hand_computed(spark):
+    import math
+
+    from bht_etl_app_spark.plans.analytics import part_cooccurrence_sim
+
+    # parts 1,2 together in 3 orders; part 1 in 4 orders, part 2 in 3
+    rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 1), (4, 3), (4, 3),  # dup line: distinct() must collapse
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = part_cooccurrence_sim(df, min_support=2, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["support"], r["rank"]) == (1, 2, 3, 1)
+    assert abs(r["sim"] - round(3 / math.sqrt(4 * 3), 6)) < 1e-9
+
+
+def test_top_session_paths_orders_and_truncates(spark):
+    from datetime import datetime, timedelta
+
+    from bht_etl_app_spark.operators.timeseries import top_session_paths
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # two users with the same view>click>purchase session
+    for u in (1, 2):
+        for i, t in enumerate(["view", "click", "purchase"]):
+            eid += 1
+            rows.append((eid, u, t0 + timedelta(seconds=10 * i), t))
+    # one user with a marathon 30-step session -> truncated to max_len
+    for i in range(30):
+        eid += 1
+        rows.append((eid, 3, t0 + timedelta(seconds=10 * i), "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["path"]: r for r in top_session_paths(df, max_len=5).collect()}
+    assert out["view>click>purchase"]["n_sessions"] == 2
+    assert out["view>click>purchase"]["rank"] == 1
+    assert out[">".join(["view"] * 5)]["n_sessions"] == 1  # truncated at 5
+
+
+def test_price_drift_psi_zero_when_identical_large_when_shifted(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.profiling import price_drift_psi
+
+    before, after = datetime(1995, 1, 1), datetime(1997, 1, 1)
+    # identical value multisets in both periods -> PSI exactly 0
+    vals = [float(v) for v in range(100, 200)]
+    rows = [(v, before) for v in vals] + [(v, after) for v in vals]
+    df = spark.createDataFrame(rows, "o_totalprice double, o_orderdate timestamp")
+    out = price_drift_psi(df).collect()
+    assert len(out) == 10
+    assert all(r["contrib"] == 0.0 and r["psi_total"] == 0.0 for r in out)
+    # shifted current period -> large PSI
+    rows2 = [(v, before) for v in vals] + [(v + 80.0, after) for v in vals]
+    df2 = spark.createDataFrame(rows2, "o_totalprice double, o_orderdate timestamp")
+    out2 = price_drift_psi(df2).collect()
+    psi = out2[0]["psi_total"]
+    assert all(r["psi_total"] == psi for r in out2)
+    assert psi > 0.25
