@@ -3236,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_drift_psi": lambda s, d: _skew_mod.price_drift_psi(
             load_table(s, d, "orders")
         ),
+        "doc_readability": lambda s, d: _text_mod.readability_scores(
+            load_table(s, d, "documents")
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3727,6 +3730,7 @@ FROM c LEFT JOIN p USING (k)
         "part_cooccurrence_sim": analytics.PART_COOCCURRENCE_SIM_SQL,
         "top_session_paths": _ts_mod.TOP_SESSION_PATHS_SQL,
         "orders_price_drift_psi": _skew_mod.PRICE_DRIFT_PSI_SQL,
+        "doc_readability": _text_mod.READABILITY_SQL,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

@@ -139,6 +139,7 @@ HEADLINE = [
     "part_cooccurrence_sim",
     "top_session_paths",
     "orders_price_drift_psi",
+    "doc_readability",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

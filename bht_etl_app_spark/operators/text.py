@@ -1099,3 +1099,74 @@ SELECT tok_a, tok_b, n_pair,
          AS pmi
 FROM pairs, n
 """
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document — the grade-level quality
+    signal corpus pipelines use next to the length/stopword heuristics
+    (``quality_scores``): ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``. Syllables use the standard vowel-group
+    proxy (runs of ``[aeiouy]+`` per word — exact syllabification
+    needs a dictionary; the proxy is monotone with it and entirely
+    deterministic), sentences the ``[.!?]+`` terminator count
+    (minimum 1 so fragment docs still score). Output: ``(doc_id,
+    n_sentences, n_words, n_syllables, flesch)``, empty docs dropped.
+
+    Pure projection — no shuffle, no join; all three counts are
+    regex/array expressions inside whole-stage codegen, and the score
+    is a fixed float formula over exact ints (engine-identical with
+    matched parenthesization; literals cast explicitly).
+    """
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            n_sent.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            n_syll.cast("long").alias("n_syllables"),
+            F.bround(flesch, 6).alias("flesch"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+READABILITY_SQL = """
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round_even(CAST(206.835 AS DOUBLE)
+                  - CAST(1.015 AS DOUBLE)
+                    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - CAST(84.6 AS DOUBLE)
+                    * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                  6) AS flesch
+FROM (
+  SELECT doc_id,
+         CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                       s -> trim(s) <> '')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+WHERE n_words > 0
+"""

@@ -454,3 +454,37 @@ def test_token_pmi_duplicate_tokens_count_once_per_doc(spark):
     assert (r["tok_a"], r["tok_b"], r["n_pair"]) == ("x", "y", 2)
     # pmi = ln(2*2/(2*2)) = 0
     assert r["pmi"] == 0.0
+
+
+def test_readability_hand_computed(spark):
+    from bht_etl_app_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 2 sentences, 6 words
+            (2, "no terminator here"),          # fragment -> 1 sentence
+            (3, ""),                            # empty -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    r = out[1]
+    assert (r["n_sentences"], r["n_words"]) == (2, 6)
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r["n_syllables"] == 6
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(r["flesch"] - expected) < 1e-9
+    assert out[2]["n_sentences"] == 1
+
+
+def test_readability_is_pure_projection(spark):
+    from bht_etl_app_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(i, "some words here. more words!") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = readability_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
