@@ -452,52 +452,58 @@ def price_drift_psi(
     contrib, psi_total)`` (``psi_total`` repeated for convenience).
 
     Determinism: bin cut points are reference-percentiles quantized
-    at 12dp in both engines (the RFM rule); proportions are
-    Laplace-smoothed ``(n + 0.5) / (N + 0.5·B)`` so an empty current
-    bin stays finite — all exact-int-derived; each bin's ``ln``
-    contribution is 12dp-quantized, and the total rides the
+    at 6dp in both engines — 6dp is DELIBERATE: for price-magnitude
+    cuts (~1e5) a 12dp quantum sits BELOW one ulp (~1.5e-11) and
+    rounds every double to itself, protecting nothing; 1e-6 is far
+    above ulp spacing yet far below the bin widths, so a 1-ulp
+    interpolation divergence between the engines can never move a
+    cut. Proportions are Laplace-smoothed ``(n + 0.5) / (N + 0.5·B)``
+    so an empty current bin stays finite — all exact-int-derived;
+    each bin's ``ln`` contribution is 12dp-quantized (O(1) magnitude,
+    where 12dp genuinely absorbs jitter), and the total rides the
     frame-ordered list fold (the KM rule), never a float window sum.
 
-    Scale shape: one pass for the cuts (1-row broadcast), one
-    scan-side bin assignment + two map-side-combining bin counts,
-    everything after runs on ≤ ``n_bins`` rows.
+    Scale shape: one reference pass for the cuts (1-row broadcast) +
+    ONE counting scan that bins both periods with conditional sums —
+    no second scan, no outer join; everything after runs on
+    ≤ ``n_bins`` rows.
     """
     fracs = ", ".join(
         f"{i / n_bins:.10f}D" for i in range(1, int(n_bins))
     )
-    ref = df.where(F.col(date_col) < F.lit(pivot).cast("timestamp"))
-    cur = df.where(F.col(date_col) >= F.lit(pivot).cast("timestamp"))
-    cuts = ref.agg(
-        F.expr(
-            f"transform(percentile(CAST({value_col} AS DOUBLE),"
-            f" array({fracs})), c -> bround(c, 12))"
-        ).alias("__cuts__")
-    )
-
-    def _binned(side: DataFrame, name: str) -> DataFrame:
-        return (
-            side.select(F.col(value_col).cast("double").alias("__v__"))
-            .crossJoin(F.broadcast(cuts))
-            .select(
-                (
-                    F.lit(1)
-                    + F.size(
-                        F.filter(F.col("__cuts__"), lambda c: F.col("__v__") > c)
-                    )
-                ).alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(name))
+    is_ref = F.col(date_col) < F.lit(pivot).cast("timestamp")
+    cuts = (
+        df.where(is_ref)
+        .agg(
+            F.expr(
+                f"transform(percentile(CAST({value_col} AS DOUBLE),"
+                f" array({fracs})), c -> bround(c, 6))"
+            ).alias("__cuts__")
         )
-
-    rc = _binned(ref, "n_ref")
-    cc = _binned(cur, "n_cur")
+    )
     joined = (
-        rc.join(cc, "bin", "full")
+        df.select(
+            F.col(value_col).cast("double").alias("__v__"),
+            is_ref.alias("__is_ref__"),
+        )
+        .crossJoin(F.broadcast(cuts))
         .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(F.col("__cuts__"), lambda c: F.col("__v__") > c)
+                )
+            ).alias("bin"),
+            "__is_ref__",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__is_ref__"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("__is_ref__"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_cur"),
         )
     )
     tot = Window.orderBy("bin").rangeBetween(
@@ -536,37 +542,25 @@ def price_drift_psi(
 
 
 PRICE_DRIFT_PSI_SQL = """
-WITH ref AS (
-  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(CAST(o_totalprice AS DOUBLE),
+                         [0.1000000000, 0.2000000000, 0.3000000000,
+                          0.4000000000, 0.5000000000, 0.6000000000,
+                          0.7000000000, 0.8000000000, 0.9000000000]),
+           c -> round_even(c, 6)) AS cs
+  FROM orders
   WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
 ),
-cur AS (
-  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-),
-cuts AS (
-  SELECT list_transform(
-           quantile_cont(v, [0.1000000000, 0.2000000000, 0.3000000000,
-                             0.4000000000, 0.5000000000, 0.6000000000,
-                             0.7000000000, 0.8000000000, 0.9000000000]),
-           c -> round_even(c, 12)) AS cs
-  FROM ref
-),
-rb AS (
-  SELECT 1 + len(list_filter(cuts.cs, c -> v > c)) AS bin,
-         CAST(count(*) AS BIGINT) AS n_ref
-  FROM ref, cuts GROUP BY 1
-),
-cb AS (
-  SELECT 1 + len(list_filter(cuts.cs, c -> v > c)) AS bin,
-         CAST(count(*) AS BIGINT) AS n_cur
-  FROM cur, cuts GROUP BY 1
-),
 joined AS (
-  SELECT coalesce(rb.bin, cb.bin) AS bin,
-         coalesce(n_ref, 0) AS n_ref,
-         coalesce(n_cur, 0) AS n_cur
-  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+  SELECT 1 + len(list_filter(cuts.cs,
+                             c -> CAST(o_totalprice AS DOUBLE) > c)) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM orders, cuts
+  GROUP BY 1
 ),
 staged AS (
   SELECT bin, n_ref, n_cur,

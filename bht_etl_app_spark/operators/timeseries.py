@@ -597,6 +597,28 @@ FROM scored
 """
 
 
+# The ONE canonical sessionize oracle fragment (gap parameterized,
+# strict '>' semantics, (ts, event_id) tiebreaks): every SQL oracle
+# that replays sessionize composes this, so the session-boundary
+# definition lives in exactly one string. (session_window_stats
+# deliberately does NOT use it — native session windows close at
+# gap >= , a different semantic.)
+SESSIONIZE_SQL_CTE = """e AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)"""
+
+
 def purchase_attribution(
     df: DataFrame,
     purchase_type: str = "purchase",
@@ -637,21 +659,7 @@ def purchase_attribution(
     )
 
 
-PURCHASE_ATTRIBUTION_SQL = """
-WITH e AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, event_id, ts, event_type,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM e
-),
+PURCHASE_ATTRIBUTION_SQL = "WITH " + SESSIONIZE_SQL_CTE.format(gap=1800) + """,
 f AS (
   SELECT event_type,
          first_value(event_type) OVER (
@@ -878,21 +886,7 @@ def top_session_paths(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-TOP_SESSION_PATHS_SQL = """
-WITH e AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, event_id, ts, event_type,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM e
-),
+TOP_SESSION_PATHS_SQL = "WITH " + SESSIONIZE_SQL_CTE.format(gap=1800) + """,
 paths AS (
   SELECT array_to_string(
            (list(event_type ORDER BY ts, event_id))[1:20], '>') AS path

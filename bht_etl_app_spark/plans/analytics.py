@@ -607,7 +607,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
     Exactness: recency/frequency are exact ints; monetary rides the
     DECIMAL(18,2) money discipline; the percentile cut points are
-    12dp-quantized in BOTH engines before scoring (Spark and DuckDB
+    6dp-quantized in BOTH engines before scoring (Spark and DuckDB
     interpolate with differently-associated float formulas — an
     unquantized 1-ulp cut would flip boundary customers).
     The recency anchor is the corpus max order date (1-row broadcast),
@@ -628,23 +628,25 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         "frequency",
         F.col("__mon__").cast("double").alias("monetary"),
     )
-    # Cut points are quantized at 12dp: Spark percentile() and DuckDB
+    # Cut points are quantized at 6dp: Spark percentile() and DuckDB
     # quantile_cont() interpolate with differently-associated float
     # formulas, and an unquantized 1-ulp cut divergence would flip a
-    # boundary customer's score (the interpolation-tie trap from the
-    # repo's oracle-quirks list — kmeans rule applied).
+    # boundary customer's score. 6dp, not 12dp: monetary cuts sit at
+    # ~1e5 where one ulp (~1.5e-11) is BELOW a 1e-12 quantum — 12dp
+    # would round every double to itself and protect nothing, while
+    # 1e-6 is far above ulp spacing and far below any real boundary.
     cuts = base.agg(
         F.expr(
             "transform(percentile(CAST(recency_days AS DOUBLE),"
-            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 12))"
+            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 6))"
         ).alias("__rc__"),
         F.expr(
             "transform(percentile(CAST(frequency AS DOUBLE),"
-            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 12))"
+            " array(0.2D, 0.4D, 0.6D, 0.8D)), c -> bround(c, 6))"
         ).alias("__fc__"),
         F.expr(
             "transform(percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D)),"
-            " c -> bround(c, 12))"
+            " c -> bround(c, 6))"
         ).alias("__mc__"),
     )
 
@@ -690,12 +692,12 @@ base AS (
 cuts AS (
   SELECT list_transform(
            quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]),
-           c -> round_even(c, 12)) AS rc,
+           c -> round_even(c, 6)) AS rc,
          list_transform(
            quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]),
-           c -> round_even(c, 12)) AS fc,
+           c -> round_even(c, 6)) AS fc,
          list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
-                        c -> round_even(c, 12)) AS mc
+                        c -> round_even(c, 6)) AS mc
   FROM base
 ),
 scored AS (

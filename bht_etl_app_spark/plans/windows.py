@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bht_etl_app_spark.operators.timeseries import (
+    SESSIONIZE_SQL_CTE as _SESSIONIZE_SQL_CTE,
+)
+
+from bht_etl_app_spark.operators.timeseries import (
     asof_join,
     range_join_recent,
     session_stats,
@@ -147,21 +151,8 @@ def sessionized_event_stats(events: DataFrame, gap_seconds: int = 1800) -> DataF
     )
 
 
-SESSIONIZED_EVENT_STATS_SQL = """
-WITH e AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM e
-)
+SESSIONIZED_EVENT_STATS_SQL = (
+    "WITH " + _SESSIONIZE_SQL_CTE.format(gap=1800) + """
 SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        COUNT(*) AS n_events,
        MIN(ts) AS session_start,
@@ -169,6 +160,7 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY 1, 2
 """
+)
 
 
 def purchase_asof_prior_view(events: DataFrame) -> DataFrame:
