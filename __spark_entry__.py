@@ -2741,6 +2741,38 @@ def _q_image_features(spark, sf_dir):
     )
 
 
+
+def _q_jsonl_pysource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential proof of the custom Python DataSource
+    (io/pysource.py, the Spark 4 ``pyspark.sql.datasource`` API):
+    the documents table is written out as JSONL shards and read BACK
+    through ``bht_jsonl`` — partition-planned, conf-gated filter
+    pushdown — while the oracle reads the original table. A
+    hash-match certifies the full custom read path (shard listing,
+    per-partition decode, schema-ordered emission, NULL handling)."""
+    import re as _re
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from bht_etl_app_spark.io.pysource import JsonlShardDataSource
+
+    spark.dataSource.register(JsonlShardDataSource)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    out = _tempfile.mkdtemp(
+        prefix="bht_jsonl_" + _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    )
+    _shutil.rmtree(out, ignore_errors=True)
+    docs.coalesce(4).write.mode("overwrite").json(out)
+    return (
+        spark.read.format("bht_jsonl")
+        .option("path", out)
+        .schema("doc_id bigint, text string, n_chars bigint")
+        .load()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ---- reference operators (SURVEY.md §2) ----
@@ -3239,6 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": lambda s, d: _text_mod.readability_scores(
             load_table(s, d, "documents")
         ),
+        "ab_test_zstats": lambda s, d: analytics.ab_test_zstats(
+            load_table(s, d, "events")
+        ),
+        "jsonl_pysource_roundtrip": _q_jsonl_pysource_roundtrip,
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3731,6 +3767,10 @@ FROM c LEFT JOIN p USING (k)
         "top_session_paths": _ts_mod.TOP_SESSION_PATHS_SQL,
         "orders_price_drift_psi": _skew_mod.PRICE_DRIFT_PSI_SQL,
         "doc_readability": _text_mod.READABILITY_SQL,
+        "ab_test_zstats": analytics.AB_TEST_ZSTATS_SQL,
+        "jsonl_pysource_roundtrip": (
+            "SELECT doc_id, text, n_chars FROM documents"
+        ),
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

@@ -140,6 +140,8 @@ HEADLINE = [
     "top_session_paths",
     "orders_price_drift_psi",
     "doc_readability",
+    "ab_test_zstats",
+    "jsonl_pysource_roundtrip",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

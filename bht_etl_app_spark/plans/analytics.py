@@ -798,3 +798,108 @@ SELECT part_a, part_b, support, sim,
          AS rank
 FROM (SELECT * FROM scored ORDER BY sim DESC, part_a, part_b LIMIT 50)
 """
+
+
+def ab_test_zstats(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-statistic for a deterministic 50/50 user split
+    — the experimentation primitive: users are assigned to arms by id
+    hash (md5 parity — the repo's reproducible "randomization"), the
+    conversion metric is "user emitted ``convert_type`` at least
+    once", and the pooled two-proportion z is
+    ``(p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))``. |z| > 1.96 ≈ the
+    5% level. An A/A test on real traffic (as here, where assignment
+    is independent of behavior) should hover near 0 — which makes
+    this double as the SRM/instrumentation sanity check. One row:
+    ``(n_a, n_b, conv_a, conv_b, p_a, p_b, z)``.
+
+    Exactness: counts are exact ints; p's and z derive through fixed
+    single-op float arithmetic (no fold, no ln) — deterministic
+    unrounded. Scale shape: one per-user aggregate (map-side
+    combine), then a 1-row fold.
+    """
+    arm = (
+        F.conv(F.substring(F.md5(F.col(user_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+        ).alias("__conv__")
+    ).select(arm.alias("__arm__"), "__conv__")
+    agg = per_user.agg(
+        F.sum(F.when(F.col("__arm__") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__arm__") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__arm__") == 0, F.col("__conv__")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__arm__") == 1, F.col("__conv__")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (p_a - p_b) / se)
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z"),
+    )
+
+
+AB_TEST_ZSTATS_SQL = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 2
+           AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+       CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (CAST(1.0 AS DOUBLE)
+                         - CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) > 0
+            THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (CAST(1.0 AS DOUBLE)
+                           - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM agg
+"""

@@ -612,3 +612,54 @@ def test_price_drift_psi_zero_when_identical_large_when_shifted(spark):
     psi = out2[0]["psi_total"]
     assert all(r["psi_total"] == psi for r in out2)
     assert psi > 0.25
+
+
+def test_ab_test_zstats_matches_reference_formula(spark):
+    import hashlib
+    import math
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import ab_test_zstats
+
+    # 40 users; even user ids convert — arms come from md5 parity, so
+    # replicate the assignment and the pooled-z reference in Python
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        eid += 1
+        rows.append((eid, u, datetime(2024, 1, 1), "view"))
+        if u % 2 == 0:
+            eid += 1
+            rows.append((eid, u, datetime(2024, 1, 1, 1), "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = ab_test_zstats(df).collect()[0]
+
+    arms = {u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+            for u in range(1, 41)}
+    n_a = sum(1 for a in arms.values() if a == 0)
+    n_b = 40 - n_a
+    conv_a = sum(1 for u, a in arms.items() if a == 0 and u % 2 == 0)
+    conv_b = sum(1 for u, a in arms.items() if a == 1 and u % 2 == 0)
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (
+        n_a, n_b, conv_a, conv_b
+    )
+    p = (conv_a + conv_b) / 40
+    se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    expected_z = (conv_a / n_a - conv_b / n_b) / se
+    assert abs(r["z"] - expected_z) < 1e-12
+
+
+def test_ab_test_zstats_degenerate_all_convert_gives_null_z(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import ab_test_zstats
+
+    rows = [(u, u, datetime(2024, 1, 1), "purchase") for u in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = ab_test_zstats(df).collect()[0]
+    # p == 1 -> zero pooled variance -> z undefined, not a crash
+    assert r["z"] is None

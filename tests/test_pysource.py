@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 API): partition planning,
+default-mode reads, conf-gated filter pushdown, loud malformed-line
+failure."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def shard_dir(tmp_path):
+    for shard in range(3):
+        with open(tmp_path / f"part-{shard}.jsonl", "w") as fh:
+            for i in range(10):
+                doc_id = shard * 10 + i
+                fh.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": f"doc {doc_id}",
+                         "n_chars": 6 if doc_id % 2 == 0 else None}
+                    )
+                    + "\n"
+                )
+    return str(tmp_path)
+
+
+def _register(spark):
+    from bht_etl_app_spark.io.pysource import JsonlShardDataSource
+
+    spark.dataSource.register(JsonlShardDataSource)
+
+
+def test_pysource_partition_planning_and_read(spark, shard_dir):
+    _register(spark)
+    df = spark.read.format("bht_jsonl").option("path", shard_dir).load()
+    # one partition per shard file — N-way parallel read
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 30
+    got = sorted(r["doc_id"] for r in df.where("doc_id >= 25").collect())
+    assert got == [25, 26, 27, 28, 29]
+    # missing keys surface as NULLs, not drops
+    assert df.where("n_chars IS NULL").count() == 15
+
+
+def test_pysource_pushdown_mode_same_results(spark, shard_dir):
+    _register(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.format("bht_jsonl").option("path", shard_dir).load()
+        got = sorted(
+            r["doc_id"]
+            for r in df.where(
+                "doc_id > 4 AND doc_id <= 12 AND n_chars IS NOT NULL"
+            ).collect()
+        )
+        assert got == [6, 8, 10, 12]
+    finally:
+        spark.conf.unset(key)
+
+
+def test_pysource_pushfilters_partitions_supported_from_unsupported(spark):
+    from pyspark.sql.datasource import EqualTo, Not
+    from pyspark.sql.types import StructType
+
+    from bht_etl_app_spark.io.pysource import JsonlShardPushdownReader
+
+    schema = StructType.fromDDL("doc_id bigint, text string, n_chars bigint")
+    rdr = JsonlShardPushdownReader({"path": "/nonexistent"}, schema)
+    eq = EqualTo(("doc_id",), 3)
+    nested = EqualTo(("props", "key"), "x")   # nested path: not pushable
+    neg = Not(EqualTo(("doc_id",), 4))        # negation: not pushable
+    unsupported = list(rdr.pushFilters([eq, nested, neg]))
+    assert rdr.filters == [eq]
+    assert unsupported == [nested, neg]
+
+
+def test_pysource_malformed_line_fails_loudly(spark, tmp_path):
+    _register(spark)
+    with open(tmp_path / "bad.jsonl", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok", "n_chars": 2}\n')
+        fh.write("this is not json\n")
+    df = spark.read.format("bht_jsonl").option("path", str(tmp_path)).load()
+    with pytest.raises(Exception, match="(?i)json|Expecting value"):
+        df.collect()
+
+
+def test_pysource_missing_path_or_empty_dir_raise(spark, tmp_path):
+    _register(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("bht_jsonl").load().collect()
+    with pytest.raises(Exception, match="no .jsonl shards"):
+        (
+            spark.read.format("bht_jsonl")
+            .option("path", str(tmp_path))
+            .load()
+            .collect()
+        )
