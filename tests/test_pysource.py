@@ -96,3 +96,53 @@ def test_pysource_missing_path_or_empty_dir_raise(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_pysource_streaming_incremental_and_exactly_once(spark, tmp_path):
+    """The streaming half: new shards appended between availableNow
+    runs arrive exactly once (shard-count offsets persisted in the
+    checkpoint)."""
+    import json as _json
+
+    _register(spark)
+    src = tmp_path / "shards"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_shard(idx, ids):
+        with open(src / f"part-{idx:05d}.jsonl", "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps({"doc_id": i, "text": f"d{i}", "n_chars": 2})
+                    + "\n"
+                )
+
+    def run_once():
+        stream = (
+            spark.readStream.format("bht_jsonl")
+            .option("path", str(src))
+            .schema("doc_id bigint, text string, n_chars bigint")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_shard(0, range(0, 5))
+    write_shard(1, range(5, 10))
+    run_once()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(sink)).collect())
+    assert got == list(range(10))
+
+    # producer appends one more shard; restart from the checkpoint —
+    # ONLY the new shard lands (no replay of shards 0-1)
+    write_shard(2, range(10, 13))
+    run_once()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(sink)).collect())
+    assert got == list(range(13))
