@@ -2742,6 +2742,32 @@ def _q_image_features(spark, sf_dir):
 
 
 
+
+def _q_sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery surface (SQL:2016 / Spark 4): the
+    per-outer-row "top-N within this group, computed in a dependent
+    subquery" shape — Catalyst decorrelates it to a ranked window
+    over the join, so the plan stays set-based (no per-row re-execution).
+    Top-2 nations per region by customer count."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region_v r,
+        LATERAL (
+          SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+          FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n_name
+          LIMIT 2
+        ) t
+        """
+    )
+
+
 def _q_jsonl_pysource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differential proof of the custom Python DataSource
     (io/pysource.py, the Spark 4 ``pyspark.sql.datasource`` API):
@@ -3275,6 +3301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")
         ),
         "jsonl_pysource_roundtrip": _q_jsonl_pysource_roundtrip,
+        "sql_lateral_top_nations": _q_sql_lateral_topn,
+        "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
+            load_table(s, d, "events").withColumn(
+                "hour_of_day", F.hour("ts")
+            ),
+            ["event_type", "hour_of_day"],
+        ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
@@ -3771,6 +3804,19 @@ FROM c LEFT JOIN p USING (k)
         "jsonl_pysource_roundtrip": (
             "SELECT doc_id, text, n_chars FROM documents"
         ),
+        "events_k_anonymity": _skew_mod.K_ANONYMITY_EVENTS_SQL,
+        "sql_lateral_top_nations": """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n_name
+  LIMIT 2
+) t
+""",
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),

@@ -142,6 +142,8 @@ HEADLINE = [
     "doc_readability",
     "ab_test_zstats",
     "jsonl_pysource_roundtrip",
+    "sql_lateral_top_nations",
+    "events_k_anonymity",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

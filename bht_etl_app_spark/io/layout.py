@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -277,3 +278,76 @@ def write_pq_index(
 
 def read_pq_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def zorder_key(
+    cols: Sequence[str],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    bits: int = 16,
+):
+    """Z-order (Morton) interleave expression over N numeric columns:
+    each value is rank-normalized into ``[0, 2^bits)`` against the
+    supplied min/max, then the columns' bits are interleaved into one
+    long. Sorting by this key clusters rows that are close in EVERY
+    dimension, so parquet min/max stats prune multi-column range
+    queries — the lakehouse OPTIMIZE ZORDER technique; a single-column
+    sort gives one dimension perfect stats and leaves the others
+    uniform across every file.
+
+    Pure integer/bit expression after one multiply (floor-scaled), so
+    the key is deterministic; ``N · bits`` must fit in 63 bits.
+    min/max come from the caller (one 1-row aggregate — see
+    :func:`write_zordered`).
+    """
+    n = len(cols)
+    if not cols or n * bits > 63:
+        raise ValueError(f"need 1..{63 // bits} columns at {bits} bits")
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        norm = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            * F.lit(float((1 << bits) - 1))
+            / F.lit(span)
+        )
+        scaled.append(F.floor(norm).cast("long"))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: one 1-row min/max aggregate, then a
+    range repartition + within-file sort on the Morton key (dropped
+    before write). Every listed column gets narrow per-file min/max
+    stats simultaneously — the multi-dimensional sibling of
+    :func:`write_range_sorted` (test asserts the per-file range
+    narrowing on BOTH dimensions vs a single-column sort)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}__"), F.max(c).alias(f"__max_{c}__")]
+    row = df.agg(*aggs).collect()[0]
+    mins = [row[f"__min_{c}__"] for c in cols]
+    maxs = [row[f"__max_{c}__"] for c in cols]
+    keyed = df.withColumn("__z__", zorder_key(cols, mins, maxs, bits))
+    (
+        keyed.repartitionByRange(num_files, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -583,3 +583,59 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, contrib,
                                 AND UNBOUNDED FOLLOWING)), 12) AS psi_total
 FROM contribs
 """
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a dataset passes BEFORE release/training: every row
+    should be indistinguishable from at least ``k-1`` others on the
+    quasi-identifiers (Sweeney 2002); groups smaller than ``k`` are
+    re-identification risks. One summary row: ``(n_rows, n_groups,
+    min_group_size, groups_below_k, rows_below_k, k)`` — a release
+    gate checks ``groups_below_k == 0``, and ``rows_below_k`` sizes
+    the suppression/generalization work if it isn't.
+
+    Pure integer derivation (two map-side-combining aggregates), so
+    the audit is deterministic with no float discipline at all.
+    Scale shape: one shuffle on the quasi-key to a group-cardinality
+    table, then a 1-row fold.
+    """
+    if not quasi_cols:
+        raise ValueError("at least one quasi-identifier column required")
+    _check_idents(quasi_cols, "quasi-identifier")
+    c = F.col("__c__")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .agg(
+            F.sum(c).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min(c).cast("long").alias("min_group_size"),
+            F.sum(F.when(c < int(k), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_k"),
+            F.sum(F.when(c < int(k), c).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+            F.lit(int(k)).cast("long").alias("k"),
+        )
+    )
+
+
+K_ANONYMITY_EVENTS_SQL = """
+WITH g AS (
+  SELECT event_type, hour(ts) AS hour_of_day, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(c) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST(5 AS BIGINT) AS k
+FROM g
+"""

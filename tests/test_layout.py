@@ -370,3 +370,64 @@ def test_pq_index_probe_prunes_partitions(spark, tmp_path):
     assert [tuple(r) for r in probe.collect()] == [
         tuple(r) for r in live.collect()
     ]
+
+
+
+def test_zorder_write_narrows_stats_on_both_dimensions(spark, tmp_path):
+    """The point of Z-order: after clustering on (custkey, totalprice),
+    EVERY file covers a narrow slice of BOTH columns' ranges, so
+    parquet stats prune two-dimensional range queries; a single-column
+    sort on custkey leaves totalprice ~uniform per file (span ratio
+    near 1)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from bht_etl_app_spark.io.layout import write_range_sorted, write_zordered
+
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    rows = orders.collect()
+    spans = {}
+    for col in ("o_custkey", "o_totalprice"):
+        vals = [r[col] for r in rows]
+        spans[col] = (min(vals), max(vals))
+
+    def avg_span_ratio(path, col):
+        lo_g, hi_g = spans[col]
+        ratios = []
+        for f in sorted(_glob.glob(path + "/part-*.parquet")):
+            vals = _pq.read_table(f, columns=[col])[col].to_pylist()
+            ratios.append((max(vals) - min(vals)) / (hi_g - lo_g))
+        return sum(ratios) / len(ratios)
+
+    z = str(tmp_path / "z")
+    s = str(tmp_path / "s")
+    write_zordered(orders, z, ["o_custkey", "o_totalprice"], num_files=8)
+    write_range_sorted(orders, s, ["o_custkey"], num_files=8)
+
+    assert spark.read.parquet(z).count() == len(rows)
+    # single-column sort: custkey files are razor thin, totalprice ~full
+    assert avg_span_ratio(s, "o_custkey") < 0.3
+    assert avg_span_ratio(s, "o_totalprice") > 0.8
+    # z-order: BOTH dimensions materially narrower than the sort's
+    # neglected dimension
+    zc = avg_span_ratio(z, "o_custkey")
+    zp = avg_span_ratio(z, "o_totalprice")
+    assert zc < 0.75 and zp < 0.75, (zc, zp)
+
+
+def test_zorder_key_validation_and_degenerate_span(spark):
+    import pytest as _pytest
+
+    from bht_etl_app_spark.io.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key([], [], [])
+    with _pytest.raises(ValueError):
+        zorder_key(list("abcdef"), [0] * 6, [1] * 6, bits=16)  # 96 bits
+    # constant column (zero span) contributes zero bits, not a crash
+    df = spark.createDataFrame([(1, 5), (2, 5)], "a int, b int")
+    out = df.withColumn(
+        "z", zorder_key(["a", "b"], [1, 5], [2, 5], bits=4)
+    ).collect()
+    assert [r["z"] for r in out] == sorted(r["z"] for r in out)

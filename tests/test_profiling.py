@@ -229,3 +229,22 @@ def test_customer_spend_trend_recovers_exact_line(spark):
     # partitioning invariance: exact sums feed one fixed float formula
     again = customer_spend_trend(df.repartition(7)).collect()[0]
     assert (again["slope"], again["intercept"]) == (r["slope"], r["intercept"])
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    from bht_etl_app_spark.operators.profiling import k_anonymity_report
+
+    rows = (
+        [("a", 1)] * 10 + [("a", 2)] * 3 + [("b", 1)] * 1
+    )
+    df = spark.createDataFrame(rows, "qt string, qh int")
+    r = k_anonymity_report(df, ["qt", "qh"], k=5).collect()[0]
+    assert (
+        r["n_rows"], r["n_groups"], r["min_group_size"],
+        r["groups_below_k"], r["rows_below_k"], r["k"],
+    ) == (14, 3, 1, 2, 4, 5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
