@@ -32,10 +32,14 @@ from __future__ import annotations
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     GreaterThan,
@@ -83,6 +87,9 @@ class JsonlShardDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return JsonlShardStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlShardWriter(self.options, schema, overwrite)
 
 
 def _passes(row_value, f: Filter) -> bool:
@@ -227,3 +234,73 @@ class JsonlShardStreamReader(SimpleDataSourceStreamReader):
         return iter(list(self._rows(
             files[int(start.get("n_shards", 0)): int(end.get("n_shards", 0))]
         )))
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    staged: str
+    final: str
+    n_rows: int
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Write half of the shard source, with the two-phase commit every
+    distributed writer needs: each task writes its partition to a
+    STAGED file (``_staging/``), the driver's ``commit`` renames the
+    full set into place only when EVERY task succeeded, and ``abort``
+    deletes the staging area — a failed/speculated task can never
+    leave a half-shard where a reader (or the streaming reader above,
+    whose offsets are shard counts) would see it."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bht_jsonl requires .option('path', <dir>)")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        staged = os.path.join(staging, name)
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {f: row[i] for i, f in enumerate(self.fields)}
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _ShardCommit(
+            staged=staged,
+            final=os.path.join(self.path, name),
+            n_rows=n,
+        )
+
+    def commit(self, messages):
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            os.replace(m.staged, m.final)
+        self._cleanup()
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        self._cleanup()
+
+    def _cleanup(self):
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)

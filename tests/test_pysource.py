@@ -146,3 +146,66 @@ def test_pysource_streaming_incremental_and_exactly_once(spark, tmp_path):
     run_once()
     got = sorted(r["doc_id"] for r in spark.read.parquet(str(sink)).collect())
     assert got == list(range(13))
+
+
+def test_pysource_write_roundtrip_and_staging_cleanup(spark, tmp_path):
+    """Write path: df.write.format('bht_jsonl') lands committed shards
+    only (no _staging leftovers), and the batch reader round-trips the
+    exact rows."""
+    _register(spark)
+    out = tmp_path / "out"
+    out.mkdir()
+    df = spark.createDataFrame(
+        [(i, f"d{i}", i * 2) for i in range(25)],
+        "doc_id long, text string, n_chars long",
+    ).repartition(4)
+    (
+        df.write.format("bht_jsonl")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    shards = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert len(shards) == 4
+    assert not (out / "_staging").exists()
+    back = (
+        spark.read.format("bht_jsonl").option("path", str(out)).load()
+    )
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(25))
+    # overwrite replaces the shard set rather than accumulating
+    (
+        df.limit(5).repartition(1).write.format("bht_jsonl")
+        .option("path", str(out))
+        .mode("overwrite")
+        .save()
+    )
+    assert (
+        spark.read.format("bht_jsonl").option("path", str(out)).load().count()
+        == 5
+    )
+
+
+def test_pysource_failed_write_leaves_no_shards(spark, tmp_path):
+    """Two-phase commit: a task failure aborts the job with ZERO
+    committed shards visible to readers."""
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    out = tmp_path / "out"
+    out.mkdir()
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    ).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id = 7 THEN raise_error('boom') "
+               "ELSE 'ok' END").alias("text"),
+        F.lit(2).alias("n_chars"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        (
+            df.repartition(2).write.format("bht_jsonl")
+            .option("path", str(out))
+            .mode("append")
+            .save()
+        )
+    assert [n for n in os.listdir(out) if n.endswith(".jsonl")] == []
