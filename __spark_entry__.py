@@ -3302,6 +3302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "jsonl_pysource_roundtrip": _q_jsonl_pysource_roundtrip,
         "sql_lateral_top_nations": _q_sql_lateral_topn,
+        "user_twap": lambda s, d: _ts_mod.user_twap(
+            load_table(s, d, "events")
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3805,6 +3808,7 @@ FROM c LEFT JOIN p USING (k)
             "SELECT doc_id, text, n_chars FROM documents"
         ),
         "events_k_anonymity": _skew_mod.K_ANONYMITY_EVENTS_SQL,
+        "user_twap": _ts_mod.USER_TWAP_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

@@ -144,6 +144,7 @@ HEADLINE = [
     "jsonl_pysource_roundtrip",
     "sql_lateral_top_nations",
     "events_k_anonymity",
+    "user_twap",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -901,3 +901,89 @@ SELECT path, n_sessions,
          AS rank
 FROM (SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT 20)
 """
+
+
+def user_twap(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average value per user — the irregular-sampling
+    mean (finance's TWAP, metering's time-in-state average): each
+    observation is weighted by how long it was current (microseconds
+    until the user's next event), so a burst of identical readings
+    doesn't dominate the way a plain ``avg`` lets it. The last
+    observation of each user has no successor and is excluded (an
+    open interval has no defined weight); users with fewer than two
+    events yield no row. Output: ``(user, n_intervals, span_us,
+    twap)``.
+
+    Exactness: weights are INTEGER microsecond deltas and values ride
+    DECIMAL(18,2) (the fixture's 2dp metric discipline), so
+    ``Σ(v·dt)`` is an exact DECIMAL sum — order-free (verified
+    bit-identical across engines). The final division is quantized at
+    12dp: DuckDB's DECIMAL(38,2)→DOUBLE cast rounds in two steps
+    (hugeint→double, then /100) and lands 1 ulp off Spark's
+    correctly-rounded BigDecimal cast; at TWAP magnitude 12dp sits
+    far above ulp spacing and absorbs it. NULL values are
+    excluded from both numerator and denominator (their time belongs
+    to no observation, mirroring "gap", not "zero").
+
+    Scale shape: one shuffle on the user key, a ``lead`` window scan,
+    one map-side-combining aggregate.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    dt = F.lead(us).over(w) - us
+    staged = (
+        df.select(
+            F.col(user_col),
+            F.col(value_col).cast("decimal(18,2)").alias("__v__"),
+            dt.alias("__dt__"),
+        )
+        .where(F.col("__dt__").isNotNull() & F.col("__v__").isNotNull())
+    )
+    return (
+        staged.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("__dt__").cast("long").alias("span_us"),
+            F.sum(F.col("__v__") * F.col("__dt__").cast("decimal(20,0)")).alias(
+                "__num__"
+            ),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            user_col,
+            "n_intervals",
+            "span_us",
+            F.bround(
+                F.col("__num__").cast("double")
+                / F.col("span_us").cast("double"),
+                12,
+            ).alias("twap"),
+        )
+    )
+
+
+USER_TWAP_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC)
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_us,
+       round_even(CAST(sum(v * CAST(dt AS DECIMAL(20,0))) AS DOUBLE)
+                  / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 12) AS twap
+FROM staged
+WHERE dt IS NOT NULL AND v IS NOT NULL
+GROUP BY user_id
+HAVING sum(dt) > 0
+"""

@@ -504,3 +504,60 @@ def test_user_retention_curve_total_churn_at_max_lifetime(spark):
     # at t=50: n_risk=1, n_churned=1 -> everyone at risk churned
     assert out[50]["n_risk"] == 1 and out[50]["n_churned"] == 1
     assert out[50]["survival"] == 0.0
+
+
+def test_user_twap_hand_computed_and_null_gaps(spark):
+    from datetime import timedelta
+
+    from bht_etl_app_spark.operators.timeseries import user_twap
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        # user 1: 10.0 held for 3s, then 20.0 for 1s, last obs open
+        (1, 1, t0, 10.0),
+        (2, 1, t0 + timedelta(seconds=3), 20.0),
+        (3, 1, t0 + timedelta(seconds=4), 99.0),
+        # user 2: single event -> no interval -> no row
+        (4, 2, t0, 5.0),
+        # user 3: NULL value interval excluded from num AND den
+        (5, 3, t0, 8.0),
+        (6, 3, t0 + timedelta(seconds=2), None),
+        (7, 3, t0 + timedelta(seconds=5), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in user_twap(df).collect()}
+    assert set(out) == {1, 3}
+    r1 = out[1]
+    # (10*3s + 20*1s) / 4s = 12.5
+    assert (r1["n_intervals"], r1["span_us"]) == (2, 4_000_000)
+    assert r1["twap"] == 12.5
+    # user 3: only the 8.0->NULL interval has a value: 8.0 over 2s
+    r3 = out[3]
+    assert (r3["n_intervals"], r3["span_us"], r3["twap"]) == (1, 2_000_000, 8.0)
+
+
+def test_user_twap_burst_does_not_dominate(spark):
+    """The point of time-weighting: a 1-second burst of high readings
+    cannot drag the average the way plain avg() lets it."""
+    from datetime import timedelta
+
+    from bht_etl_app_spark.operators.timeseries import user_twap
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [(i, 1, t0 + timedelta(seconds=i), 100.0) for i in range(10)]
+    rows += [(100 + i, 1, t0 + timedelta(seconds=9, microseconds=100 + i), 0.0)
+             for i in range(50)]
+    rows.append((999, 1, t0 + timedelta(seconds=10), 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    r = user_twap(df).collect()[0]
+    # time-weighted: ~9s at 100, ~1s at 0 -> ~90. The unweighted mean
+    # is dragged to ~16 by the 50 burst rows; the gap is the operator.
+    from pyspark.sql import functions as F
+
+    plain = df.agg(F.avg("value")).collect()[0][0]
+    assert abs(r["twap"] - 90.0) < 0.1
+    assert plain < 20.0 and r["twap"] - plain > 70.0
