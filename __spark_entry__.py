@@ -3305,6 +3305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_twap": lambda s, d: _ts_mod.user_twap(
             load_table(s, d, "events")
         ),
+        "user_max_drawdown": lambda s, d: _ts_mod.user_max_drawdown(
+            load_table(s, d, "events")
+        ),
+        "customer_gini": lambda s, d: analytics.customer_gini(
+            load_table(s, d, "orders")
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3809,6 +3815,8 @@ FROM c LEFT JOIN p USING (k)
         ),
         "events_k_anonymity": _skew_mod.K_ANONYMITY_EVENTS_SQL,
         "user_twap": _ts_mod.USER_TWAP_SQL,
+        "user_max_drawdown": _ts_mod.USER_MAX_DRAWDOWN_SQL,
+        "customer_gini": analytics.CUSTOMER_GINI_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

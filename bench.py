@@ -145,6 +145,8 @@ HEADLINE = [
     "sql_lateral_top_nations",
     "events_k_anonymity",
     "user_twap",
+    "user_max_drawdown",
+    "customer_gini",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -987,3 +987,67 @@ WHERE dt IS NOT NULL AND v IS NOT NULL
 GROUP BY user_id
 HAVING sum(dt) > 0
 """
+
+
+def user_max_drawdown(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Maximum drawdown of each user's value series — the largest
+    peak-to-trough drop ``max_t(running_max(v) - v_t)``, the
+    risk/degradation metric from finance that reads just as well on
+    engagement or quality series ("how far below their best has this
+    user fallen"). Output: ``(user, n_obs, peak, max_drawdown)``.
+
+    The recurrence is NOT a black-box state kernel (unlike EWMA):
+    running-max is an associative window aggregate, so the whole
+    thing is two exact passes — a cumulative ``max`` window then a
+    grouped ``max`` of (cummax − v) — with values on DECIMAL(18,2)
+    end-to-end; no floats anywhere, no quantization needed.
+
+    Scale shape: one shuffle on the user key, per-user-bounded
+    window scan, map-side-combining final aggregate.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    staged = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(user_col),
+            v.alias("__v__"),
+            F.max(v).over(w).alias("__peak__"),
+        )
+    )
+    return staged.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max("__peak__").cast("double").alias("peak"),
+        F.max(F.col("__peak__") - F.col("__v__")).cast("double").alias(
+            "max_drawdown"
+        ),
+    )
+
+
+USER_MAX_DRAWDOWN_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         max(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(max(peak) AS DOUBLE) AS peak,
+       CAST(max(peak - v) AS DOUBLE) AS max_drawdown
+FROM staged
+GROUP BY user_id
+"""

@@ -903,3 +903,116 @@ SELECT n_a, n_b, conv_a, conv_b,
        END AS z
 FROM agg
 """
+
+
+def customer_gini(orders: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    number behind "do 20% of customers drive 80% of revenue" (0 =
+    perfectly even, →1 = one whale): with spend ascending-ranked
+    ``x_(1) ≤ … ≤ x_(n)``,
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)``. One row:
+    ``(n_customers, total_spend, gini)``.
+
+    The rank-weighted sum needs a GLOBAL ascending rank — the classic
+    single-partition-window trap. This uses the two-phase bucketed
+    ranking (the ``training_order`` pattern, value-ordered): spend
+    percentile cut points (6dp-quantized, 1-row broadcast) define
+    ORDER-PRESERVING buckets (ties share a bucket by construction);
+    per-bucket counts prefix-sum on the driver (``n_buckets`` longs —
+    model-parameter-sized); rank = bucket offset + in-bucket
+    row_number, each window bounded at ~n/``n_buckets`` rows. The
+    oracle ranks directly with one row_number — any correct total
+    order gives the identical Σ i·x, so the hash-match proves the
+    two-phase rank IS the global rank.
+
+    Exactness: spend rides DECIMAL(18,2); ``Σ i·x`` is an exact
+    DECIMAL(38,2) sum (rank × spend); the final ratio is
+    12dp-quantized because large decimal sums cross engines through
+    differently-rounded DECIMAL→DOUBLE casts (the TWAP lesson) —
+    gini is O(1), so 12dp genuinely absorbs it.
+    """
+    from pyspark.sql.window import Window
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("__x__")
+    )
+    fracs = ", ".join(
+        f"{i / n_buckets:.10f}D" for i in range(1, int(n_buckets))
+    )
+    cuts = spend.agg(
+        F.expr(
+            f"transform(percentile(CAST(__x__ AS DOUBLE), array({fracs})),"
+            " c -> bround(c, 6))"
+        ).alias("__cuts__")
+    )
+    bucketed = spend.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "__x__",
+        F.size(
+            F.filter(
+                F.col("__cuts__"),
+                lambda c: F.col("__x__").cast("double") > c,
+            )
+        ).alias("__b__"),
+    )
+    counts = sorted(
+        bucketed.groupBy("__b__").count().collect(), key=lambda r: r["__b__"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__b__"], acc))
+        acc += r["count"]
+    odf = orders.sparkSession.createDataFrame(
+        offsets, "__b__ int, __off__ long"
+    )
+    w = Window.partitionBy("__b__").orderBy(F.asc("__x__"), F.asc("o_custkey"))
+    ranked = bucketed.join(F.broadcast(odf), "__b__").select(
+        "__x__",
+        (F.col("__off__") + F.row_number().over(w)).cast("decimal(19,0)").alias(
+            "__i__"
+        ),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__i__") * F.col("__x__")).alias("__six__"),
+    )
+    n = F.col("n_customers").cast("double")
+    sx = F.col("__sx__").cast("double")
+    six = F.col("__six__").cast("double")
+    return agg.select(
+        "n_customers",
+        F.col("__sx__").cast("double").alias("total_spend"),
+        F.bround(
+            (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 12
+        ).alias("gini"),
+    )
+
+
+CUSTOMER_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x,
+         CAST(row_number() OVER (ORDER BY x ASC, o_custkey ASC)
+              AS DECIMAL(19,0)) AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         sum(x) AS sx,
+         sum(i * x) AS six
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(sx AS DOUBLE) AS total_spend,
+       round_even((CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)
+                   - (CAST(n_customers AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+         AS gini
+FROM agg
+"""

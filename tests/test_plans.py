@@ -56,6 +56,9 @@ NESTED_LOOP_OK = {
                              # for the PMI normalizer
     "orders_price_drift_psi",  # crossJoin(broadcast(1-row reference
                              # percentile cuts)) for both period sides
+    "customer_gini",         # crossJoin(broadcast(1-row spend percentile
+                             # cuts)) defining the order-preserving rank
+                             # buckets of the two-phase global ranking
     "user_retention_curve",  # crossJoin(broadcast(1-row corpus-end day));
                              # all windows run on the per-lifetime
                              # aggregate, bounded by the observation span
@@ -663,3 +666,33 @@ def test_ab_test_zstats_degenerate_all_convert_gives_null_z(spark):
     r = ab_test_zstats(df).collect()[0]
     # p == 1 -> zero pooled variance -> z undefined, not a crash
     assert r["z"] is None
+
+
+def test_customer_gini_limits_and_no_global_window(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import customer_gini
+
+    d = datetime(2024, 1, 1)
+    # equal spends -> gini exactly 0
+    eq = spark.createDataFrame(
+        [(c, d, 100.0) for c in range(1, 11)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    r = customer_gini(eq).collect()[0]
+    assert r["n_customers"] == 10 and r["gini"] == 0.0
+    # one whale among near-zero spenders -> gini near (n-1)/n
+    whale = spark.createDataFrame(
+        [(c, d, 0.01) for c in range(1, 10)] + [(10, d, 1_000_000.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    g = customer_gini(whale).collect()[0]["gini"]
+    assert 0.85 < g < 0.9001
+    # the rank must come from the bucketed two-phase, never ONE
+    # unpartitioned row_number window over all customers
+    plan = customer_gini(eq)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Window \[.*row_number", plan):
+        seg = plan[m.start(): m.start() + 300]
+        assert "__b__" in seg, f"global row_number window:\n{seg}"

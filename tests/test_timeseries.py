@@ -561,3 +561,27 @@ def test_user_twap_burst_does_not_dominate(spark):
     plain = df.agg(F.avg("value")).collect()[0][0]
     assert abs(r["twap"] - 90.0) < 0.1
     assert plain < 20.0 and r["twap"] - plain > 70.0
+
+
+def test_user_max_drawdown_hand_computed(spark):
+    from datetime import timedelta
+
+    from bht_etl_app_spark.operators.timeseries import user_max_drawdown
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        (i + 1, 1, t0 + timedelta(seconds=i), v)
+        for i, v in enumerate([10.0, 5.0, 20.0, 7.0])
+    ]
+    rows.append((9, 2, t0, None))          # all-NULL user: no row
+    rows.append((10, 3, t0, 4.0))          # single obs: drawdown 0
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in user_max_drawdown(df).collect()}
+    assert set(out) == {1, 3}
+    # cummax [10,10,20,20] -> drawdowns [0,5,0,13]
+    assert (out[1]["n_obs"], out[1]["peak"], out[1]["max_drawdown"]) == (
+        4, 20.0, 13.0
+    )
+    assert (out[3]["peak"], out[3]["max_drawdown"]) == (4.0, 0.0)
