@@ -69,6 +69,7 @@ from bht_etl_app_spark.operators import (
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
+from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
 from bht_etl_app_spark.operators import timeseries as _ts_mod
@@ -3311,6 +3312,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_gini": lambda s, d: analytics.customer_gini(
             load_table(s, d, "orders")
         ),
+        "embedding_covariance": lambda s, d: _emb_mod.embedding_covariance(
+            load_table(s, d, "embeddings")
+        ),
+        "label_centroid_sim": lambda s, d: _emb_mod.label_centroid_sim(
+            load_table(s, d, "embeddings")
+        ),
+        "embedding_pca_coords": lambda s, d: _emb_mod.embedding_pca_coords(
+            load_table(s, d, "embeddings")
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3817,6 +3827,8 @@ FROM c LEFT JOIN p USING (k)
         "user_twap": _ts_mod.USER_TWAP_SQL,
         "user_max_drawdown": _ts_mod.USER_MAX_DRAWDOWN_SQL,
         "customer_gini": analytics.CUSTOMER_GINI_SQL,
+        "embedding_covariance": _emb_mod.EMBEDDING_COVARIANCE_SQL,
+        "label_centroid_sim": _emb_mod.LABEL_CENTROID_SIM_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

@@ -145,6 +145,9 @@ HEADLINE = [
     "sql_lateral_top_nations",
     "events_k_anonymity",
     "user_twap",
+    "embedding_covariance",
+    "label_centroid_sim",
+    "embedding_pca_coords",
     "user_max_drawdown",
     "customer_gini",
     # data QA
