@@ -70,6 +70,7 @@ from bht_etl_app_spark.operators import (
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import embstats as _emb_mod
+from bht_etl_app_spark.operators import clustering as _cluster_mod
 from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
 from bht_etl_app_spark.operators import timeseries as _ts_mod
@@ -3321,6 +3322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_coords": lambda s, d: _emb_mod.embedding_pca_coords(
             load_table(s, d, "embeddings")
         ),
+        "kcenter_selected": lambda s, d: _cluster_mod.kcenter_select(
+            load_table(s, d, "embeddings"), k=8
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3829,6 +3833,7 @@ FROM c LEFT JOIN p USING (k)
         "customer_gini": analytics.CUSTOMER_GINI_SQL,
         "embedding_covariance": _emb_mod.EMBEDDING_COVARIANCE_SQL,
         "label_centroid_sim": _emb_mod.LABEL_CENTROID_SIM_SQL,
+        "kcenter_selected": _cluster_mod.kcenter_oracle_sql(k=8),
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

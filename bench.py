@@ -148,6 +148,7 @@ HEADLINE = [
     "embedding_covariance",
     "label_centroid_sim",
     "embedding_pca_coords",
+    "kcenter_selected",
     "user_max_drawdown",
     "customer_gini",
     # data QA

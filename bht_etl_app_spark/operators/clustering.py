@@ -340,3 +340,139 @@ def cluster_top_terms(
         .where(F.col("rank") <= top_k)
     )
     return track_persisted(out, ct)
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) over the
+    int8-quantized store — the classic 2-approximation to the k-center
+    objective, used as DIVERSE SUBSET SELECTION in data curation
+    (coreset seeding, eval-set picking, k-means++-style init): each
+    round adds the point FARTHEST from everything selected so far, so
+    the chosen set spreads across the embedding space instead of
+    sampling the densest mode. Output: one row per selection,
+    ``(sel_rank, vec_id, dist_sq)`` where ``dist_sq`` is the squared
+    L2 distance to the previously-selected set at selection time (the
+    monotonically non-increasing coverage-radius sequence; NULL for
+    the seed). Seed = the smallest id (deterministic, no RNG — the
+    ``kmeans_fit`` convention).
+
+    Exactness: distances are INTEGER sums of squared int8-code
+    deltas ((2·127)²·dim ≈ 4.1e6 — comfortably int64), argmax ties
+    broken by smallest id; the whole trajectory is exact, so the
+    DuckDB round-for-round replay hash-matches with no float
+    discipline at all.
+
+    Scale shape: k rounds; each is ONE corpus scan projecting the
+    min-distance to an r-row literal center matrix (model parameters
+    in the expression, the ``kmeans_fit`` shape) followed by a
+    global top-1 that lowers to TakeOrderedAndProject (per-partition
+    heaps, k·dim ints to the driver per round). Recomputing min-dist
+    against all r centers keeps rounds STATELESS — no chained
+    lineage, no caching obligations — at O(n·r·d) integer ops per
+    round, the right trade until k reaches the hundreds.
+    """
+    from bht_etl_app_spark.operators.similarity import quantize_embeddings
+
+    qz = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "qvec"
+    )
+    seed = qz.orderBy(F.asc(id_col)).limit(1).head()
+    if seed is None:
+        raise ValueError("kcenter_select on an empty input")
+    picked: list[tuple[int, list[int], int | None]] = [
+        (seed[id_col], [int(x) for x in seed["qvec"]], None)
+    ]
+    for _ in range(1, int(k)):
+        mat = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for _, c, _ in picked]
+        )
+        dists = F.transform(
+            mat,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    c,
+                    lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        top = (
+            qz.select(F.col(id_col), "qvec", F.array_min(dists).alias("mind"))
+            .orderBy(F.desc("mind"), F.asc(id_col))
+            .limit(1)
+            .head()
+        )
+        # coverage radius 0 means every remaining point duplicates a
+        # selected center — picking one adds no diversity; stop (the
+        # oracle mirrors this with WHERE mind > 0 before each argmax)
+        if top is None or top["mind"] == 0:
+            break
+        picked.append(
+            (top[id_col], [int(x) for x in top["qvec"]], int(top["mind"]))
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            (r + 1, pid, dist)
+            for r, (pid, _, dist) in enumerate(picked)
+        ],
+        "sel_rank long, vec_id long, dist_sq long",
+    )
+
+
+def kcenter_oracle_sql(k: int = 8) -> str:
+    """Round-for-round DuckDB replay of :func:`kcenter_select`:
+    unrolled MATERIALIZED CTE chain (the ``pagerank_oracle_sql``
+    pattern — inlined CTE chains re-expand exponentially), one
+    (distance-update, argmax) pair per round, exact integer
+    arithmetic throughout."""
+    from bht_etl_app_spark.operators.embstats import QUANTIZE_SQL_CTE
+
+    def dist(outer: str, sel: str) -> str:
+        return (
+            f"(SELECT list_sum(list_transform(range(1, len({outer}.qvec) + 1),"
+            f" i -> ({outer}.qvec[CAST(i AS INT)] - s.qvec[CAST(i AS INT)])"
+            f" * ({outer}.qvec[CAST(i AS INT)] - s.qvec[CAST(i AS INT)])))"
+            f" FROM {sel} s)"
+        )
+
+    parts = ["WITH " + QUANTIZE_SQL_CTE + ","]
+    parts.append(
+        "sel1 AS MATERIALIZED (SELECT vec_id, qvec FROM q"
+        " ORDER BY vec_id LIMIT 1),"
+    )
+    parts.append(
+        "d1 AS MATERIALIZED (SELECT q.vec_id, q.qvec,"
+        f" {dist('q', 'sel1')} AS mind FROM q),"
+    )
+    for r in range(2, int(k) + 1):
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT vec_id, qvec, mind"
+            f" FROM d{r - 1} WHERE mind > 0"
+            f" ORDER BY mind DESC, vec_id LIMIT 1),"
+        )
+        if r < int(k):
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.qvec,"
+                f" least(d.mind, {dist('d', f'sel{r}')}) AS mind"
+                f" FROM d{r - 1} d),"
+            )
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
+        " CAST(NULL AS BIGINT) AS dist_sq FROM sel1"
+    ]
+    for r in range(2, int(k) + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id,"
+            f" CAST(mind AS BIGINT) AS dist_sq FROM sel{r}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

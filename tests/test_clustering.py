@@ -72,3 +72,48 @@ def test_semantic_dedup_no_pairs_keeps_everything(spark):
     out = semantic_dedup(emb, k=2, threshold=0.999).collect()
     assert all(r["kept"] for r in out)
     assert len(out) == 4
+
+
+def test_kcenter_greedy_matches_numpy_replay(spark):
+    import numpy as np
+
+    from bht_etl_app_spark.operators.clustering import kcenter_select
+    from bht_etl_app_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.normal(size=6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = np.array(
+        [r["qvec"] for r in quantize_embeddings(df).orderBy("vec_id").collect()],
+        dtype=np.int64,
+    )
+    # driver-side greedy replay: seed = min id, then farthest-first
+    picked = [0]
+    mind = ((q - q[0]) ** 2).sum(axis=1)
+    want = [(1, 0, None)]
+    for r in range(2, 6):
+        nxt = int(np.lexsort((np.arange(len(q)), -mind))[0])
+        want.append((r, nxt, int(mind[nxt])))
+        picked.append(nxt)
+        mind = np.minimum(mind, ((q - q[nxt]) ** 2).sum(axis=1))
+    got = [
+        (r["sel_rank"], r["vec_id"], r["dist_sq"])
+        for r in kcenter_select(df, k=5).orderBy("sel_rank").collect()
+    ]
+    assert got == want
+
+
+def test_kcenter_radius_non_increasing_and_k_gt_n(spark):
+    from bht_etl_app_spark.operators.clustering import kcenter_select
+
+    # 3 distinct points plus one exact duplicate of the seed: the run
+    # must stop at 3 selections (coverage radius hits 0 — the
+    # duplicate never gets picked), each vec_id once, radii
+    # non-increasing
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_select(df, k=10).orderBy("sel_rank").collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+    dists = [r["dist_sq"] for r in got[1:]]
+    assert all(d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
