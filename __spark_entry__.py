@@ -1606,6 +1606,14 @@ def _dedup_rep_docs(spark, sf_dir):
     return cluster_representatives(_doc_pairs_t05(spark, sf_dir))
 
 
+def _q_copurchase_triangles(spark, sf_dir):
+    from bht_etl_app_spark.operators.graph import triangle_stats
+
+    return triangle_stats(
+        analytics.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 # WITH-clause text defining pairs(id_a, id_b) — the t=0.5 capped
 # jaccard edge list replayed for the graph oracles
 _DOC_PAIRS_T05_CTE = """toks AS (
@@ -3325,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_selected": lambda s, d: _cluster_mod.kcenter_select(
             load_table(s, d, "embeddings"), k=8
         ),
+        "copurchase_triangles": _q_copurchase_triangles,
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3834,6 +3843,7 @@ FROM c LEFT JOIN p USING (k)
         "embedding_covariance": _emb_mod.EMBEDDING_COVARIANCE_SQL,
         "label_centroid_sim": _emb_mod.LABEL_CENTROID_SIM_SQL,
         "kcenter_selected": _cluster_mod.kcenter_oracle_sql(k=8),
+        "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

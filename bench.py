@@ -149,6 +149,7 @@ HEADLINE = [
     "label_centroid_sim",
     "embedding_pca_coords",
     "kcenter_selected",
+    "copurchase_triangles",
     "user_max_drawdown",
     "customer_gini",
     # data QA

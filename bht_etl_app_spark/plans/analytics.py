@@ -1016,3 +1016,74 @@ SELECT n_customers,
          AS gini
 FROM agg
 """
+
+
+def copurchase_edges(lineitem: DataFrame, min_support: int = 3) -> DataFrame:
+    """The co-purchase GRAPH (unranked twin of
+    :func:`part_copurchase_pairs`): unique part pairs sharing at least
+    ``min_support`` distinct orders, as ``(id_a, id_b)`` with
+    ``id_a < id_b`` — the edge-list input shape of the
+    ``operators/graph.py`` family. Same scale bound: the self-join
+    keys on the order, so candidates are C(basket, 2) per order."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("id_a"))
+    b = op.select("ok", F.col("pk").alias("id_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") >= min_support)
+        .select("id_a", "id_b")
+    )
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.a < e.b)
+              THEN d2.deg ELSE d1.deg END AS ddst
+  FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v
+),
+cands AS (
+  SELECT w1.dst AS src, w2.dst AS dst
+  FROM o w1 JOIN o w2 ON w1.src = w2.src
+  WHERE w1.ddst < w2.ddst OR (w1.ddst = w2.ddst AND w1.dst < w2.dst)
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM cands c
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = c.src AND o.dst = c.dst)
+),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT t FROM tri) AS n_triangles,
+         (SELECT CAST(sum(CAST(deg AS HUGEINT) * (deg - 1)) // 2 AS BIGINT)
+          FROM deg) AS n_wedges
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE)
+       END AS global_clustering
+FROM agg
+"""

@@ -65,3 +65,38 @@ def test_pagerank_mass_conserved(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     total = sum(r["rank"] for r in pagerank(pairs).collect())
     assert abs(total - 1.0) < 1e-4
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from bht_etl_app_spark.operators.graph import triangle_stats
+
+    # K4: C(4,3)=4 triangles, wedges = 4 * C(3,2) = 12, coeff = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "id_a long, id_b long")
+    row = triangle_stats(df).head()
+    assert (row["n_nodes"], row["n_edges"]) == (4, 6)
+    assert (row["n_triangles"], row["n_wedges"]) == (4, 12)
+    assert row["global_clustering"] == 1.0
+
+    # path 0-1-2-3: no triangles, 2 wedges, coeff 0
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    row = triangle_stats(path).head()
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 2
+    assert row["global_clustering"] == 0.0
+
+
+def test_triangle_stats_star_plus_triangle(spark):
+    from bht_etl_app_spark.operators.graph import triangle_stats
+
+    # hub 0 connected to 1..5, plus one closing edge (1,2):
+    # exactly 1 triangle; wedges = C(5,2) at hub wait hub deg 5 ->
+    # C(5,2)=10, spokes 1,2 have deg 2 -> 1 each, so 12 wedges
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    row = triangle_stats(df).head()
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 12
+    assert row["global_clustering"] == 3.0 * 1 / 12
