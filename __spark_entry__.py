@@ -3334,6 +3334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"), k=8
         ),
         "copurchase_triangles": _q_copurchase_triangles,
+        "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
+            load_table(s, d, "orders")
+        ),
+        "revenue_dow_seasonality": lambda s, d: analytics.revenue_dow_seasonality(
+            load_table(s, d, "orders")
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3844,6 +3850,8 @@ FROM c LEFT JOIN p USING (k)
         "label_centroid_sim": _emb_mod.LABEL_CENTROID_SIM_SQL,
         "kcenter_selected": _cluster_mod.kcenter_oracle_sql(k=8),
         "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
+        "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
+        "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

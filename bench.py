@@ -150,6 +150,8 @@ HEADLINE = [
     "embedding_pca_coords",
     "kcenter_selected",
     "copurchase_triangles",
+    "daily_revenue_cusum",
+    "revenue_dow_seasonality",
     "user_max_drawdown",
     "customer_gini",
     # data QA

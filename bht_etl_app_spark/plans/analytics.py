@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dec(col: str):
@@ -1086,4 +1087,216 @@ SELECT n_nodes, n_edges, n_triangles, n_wedges,
                  / CAST(n_wedges AS DOUBLE)
        END AS global_clustering
 FROM agg
+"""
+
+
+def daily_revenue_cusum(orders: DataFrame, z_alarm: float = 5.0) -> DataFrame:
+    """Page's CUSUM change-point statistic over the daily revenue
+    series — the sequential control chart behind "did the level of
+    this metric shift, and when": cumulative deviation from the
+    series mean, reset implicitly by tracking the running extremum
+    (``S⁺_t = C_t − min_{j≤t} C_j`` — the prefix-sum formulation of
+    the ``max(0, ·)`` recurrence, which keeps the whole statistic a
+    pair of window aggregates instead of a stateful kernel). Drift
+    allowance is 0 (plain Page CUSUM vs the global mean): a nonzero
+    ``kσ`` drift would put a float inside the running sum and break
+    integer exactness. Output per day: ``(day, revenue, z_pos,
+    z_neg, alarm)`` where z is the CUSUM in σ units, quantized at 8dp
+    — magnitude-aware: ``dev`` reaches ~1e16 (past 2^53), so the
+    decimal→double casts carry ~1e-10 engine divergence after the
+    σ division; 12dp would sit BELOW that noise (observed live at
+    sf0.01), 8dp absorbs it with 6 orders of margin.
+
+    Exactness: revenue rides integer CENTS (DECIMAL(38,0));
+    ``dev_t = N·cum_t − t·S`` clears the μ division, so every
+    cumulative quantity is exact (integer window sums are
+    association-free); σ enters only in the FINAL fixed-order double
+    expression, whose wide-decimal→double casts the 8dp quantization
+    absorbs.
+
+    Scale shape: one map-side-combining rollup to |days| rows; every
+    window runs over that day-sized frame (decades = thousands of
+    rows), partitionable by series key when used per-metric.
+    """
+    day = F.date_trunc("DAY", F.col("o_orderdate"))
+    daily = (
+        orders.groupBy(day.alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev__")
+        )
+        .select(
+            "day",
+            (F.col("__rev__") * 100).cast("decimal(38,0)").alias("c"),
+        )
+    )
+    w_all = Window.orderBy("day").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.count(F.lit(1)).over(w_all).cast("decimal(38,0)")
+    s = F.sum("c").over(w_all).cast("decimal(38,0)")
+    ssq = F.sum(F.col("c") * F.col("c")).over(w_all).cast("decimal(38,0)")
+    cum = F.sum("c").over(w_cum).cast("decimal(38,0)")
+    t = F.row_number().over(Window.orderBy("day")).cast("decimal(38,0)")
+    staged = daily.select(
+        "day",
+        "c",
+        (n * cum - t * s).alias("dev"),
+        n.cast("double").alias("__n__"),
+        s.cast("double").alias("__s__"),
+        ssq.cast("double").alias("__ssq__"),
+    )
+    # zero-variance / single-day series have no defensible sigma: emit
+    # NULL z and alarm=false (the hourly_count_anomalies convention)
+    # rather than dividing by zero (an ERROR under Spark 4's default
+    # ANSI mode). greatest(n-1, 1) keeps the variance expression
+    # evaluable on the n==1 row; that row is guarded out anyway.
+    var = (
+        F.col("__ssq__") - F.col("__s__") * F.col("__s__") / F.col("__n__")
+    ) / F.greatest(F.col("__n__") - F.lit(1.0), F.lit(1.0))
+    ok = (F.col("__n__") > F.lit(1.0)) & (var > F.lit(0.0))
+    cusum_pos = F.col("dev") - F.min("dev").over(w_cum)
+    cusum_neg = F.max("dev").over(w_cum) - F.col("dev")
+    z = lambda cusum: F.when(  # noqa: E731
+        ok,
+        F.bround(cusum.cast("double") / (F.col("__n__") * F.sqrt(var)), 8),
+    )
+    scored = staged.select(
+        "day",
+        (F.col("c").cast("double") / F.lit(100.0)).alias("revenue"),
+        z(cusum_pos).alias("z_pos"),
+        z(cusum_neg).alias("z_neg"),
+    )
+    return scored.select(
+        "day",
+        "revenue",
+        "z_pos",
+        "z_neg",
+        F.coalesce(
+            F.greatest("z_pos", "z_neg") > F.lit(float(z_alarm)), F.lit(False)
+        ).alias("alarm"),
+    )
+
+
+DAILY_REVENUE_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(38,0)) AS c
+  FROM orders GROUP BY 1
+),
+staged AS (
+  SELECT day, c,
+         CAST(count(*) OVER () AS DECIMAL(38,0))
+           * sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           - CAST(row_number() OVER (ORDER BY day) AS DECIMAL(38,0))
+             * sum(c) OVER () AS dev,
+         CAST(count(*) OVER () AS DOUBLE) AS n,
+         CAST(CAST(sum(c) OVER () AS DECIMAL(38,0)) AS DOUBLE) AS s,
+         CAST(CAST(sum(c * c) OVER () AS DECIMAL(38,0)) AS DOUBLE) AS ssq
+  FROM daily
+),
+scored AS (
+  SELECT day, CAST(c AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+         CASE WHEN n > CAST(1.0 AS DOUBLE)
+                   AND (ssq - s * s / n)
+                       / greatest(n - CAST(1.0 AS DOUBLE),
+                                  CAST(1.0 AS DOUBLE)) > CAST(0.0 AS DOUBLE)
+              THEN round_even(CAST(dev - min(dev) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                  / (n * sqrt((ssq - s * s / n)
+                              / greatest(n - CAST(1.0 AS DOUBLE),
+                                         CAST(1.0 AS DOUBLE)))), 8)
+         END AS z_pos,
+         CASE WHEN n > CAST(1.0 AS DOUBLE)
+                   AND (ssq - s * s / n)
+                       / greatest(n - CAST(1.0 AS DOUBLE),
+                                  CAST(1.0 AS DOUBLE)) > CAST(0.0 AS DOUBLE)
+              THEN round_even(CAST(max(dev) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) - dev AS DOUBLE)
+                  / (n * sqrt((ssq - s * s / n)
+                              / greatest(n - CAST(1.0 AS DOUBLE),
+                                         CAST(1.0 AS DOUBLE)))), 8)
+         END AS z_neg
+  FROM staged
+)
+SELECT day, revenue, z_pos, z_neg,
+       coalesce(greatest(z_pos, z_neg) > CAST(5.0 AS DOUBLE), false) AS alarm
+FROM scored
+"""
+
+
+def revenue_dow_seasonality(orders: DataFrame) -> DataFrame:
+    """Day-of-week seasonality index of revenue — mean daily revenue
+    for each weekday over the grand mean daily revenue (the
+    ratio-to-moving-average decomposition's seasonal factor, on the
+    weekly cycle): the capacity-planning primitive behind "Mondays
+    run 12% hot". Output: ``(dow, n_days, avg_revenue, index)`` with
+    Spark's 1=Sunday..7=Saturday convention.
+
+    Exactness: integer-cents sums per weekday; the mean-of-means
+    ratio is cleared to ``(s_d·N)/(n_d·S)`` — one fixed-order double
+    expression of exact integers, 12dp-quantized.
+
+    Scale shape: two nested map-side rollups (days, then 7 weekday
+    rows); the normalizing window runs over 7 rows.
+    """
+    day = F.date_trunc("DAY", F.col("o_orderdate"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev__")
+    )
+    per_dow = (
+        daily.select(
+            F.dayofweek("day").cast("long").alias("dow"),
+            (F.col("__rev__") * 100).cast("decimal(38,0)").alias("c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").cast("decimal(38,0)").alias("s"),
+        )
+    )
+    w = Window.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_tot = F.sum("n_days").over(w).cast("double")
+    s_tot = F.sum("s").over(w).cast("double")
+    return per_dow.select(
+        "dow",
+        "n_days",
+        F.bround(
+            F.col("s").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0),
+            12,
+        ).alias("avg_revenue"),
+        F.bround(
+            (F.col("s").cast("double") * n_tot)
+            / (F.col("n_days").cast("double") * s_tot),
+            12,
+        ).alias("index"),
+    )
+
+
+REVENUE_DOW_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(38,0)) AS c
+  FROM orders GROUP BY 1
+),
+per_dow AS (
+  SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS DECIMAL(38,0)) AS s
+  FROM daily GROUP BY 1
+)
+SELECT dow, n_days,
+       round_even(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  / CAST(100.0 AS DOUBLE), 12) AS avg_revenue,
+       round_even((CAST(s AS DOUBLE) * CAST(sum(n_days) OVER () AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE)
+                     * CAST(CAST(sum(s) OVER () AS DECIMAL(38,0)) AS DOUBLE)),
+                  12) AS index
+FROM per_dow
 """

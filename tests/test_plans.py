@@ -696,3 +696,58 @@ def test_customer_gini_limits_and_no_global_window(spark):
     for m in _re.finditer(r"Window \[.*row_number", plan):
         seg = plan[m.start(): m.start() + 300]
         assert "__b__" in seg, f"global row_number window:\n{seg}"
+
+
+def test_daily_revenue_cusum_flat_and_step(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import daily_revenue_cusum
+
+    # flat series: dev_t = 0 everywhere -> z == 0, no alarms
+    flat = [
+        (i, 1, "O", 100.0, datetime(2024, 1, 1 + i), "1-URGENT")
+        for i in range(10)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    got = daily_revenue_cusum(spark.createDataFrame(flat, schema)).collect()
+    # zero variance: no defensible sigma -> NULL z, alarm stays false
+    assert all(r["z_pos"] is None and r["z_neg"] is None for r in got)
+    assert not any(r["alarm"] for r in got)
+
+    # hard level shift: the post-step z_pos must strictly grow and the
+    # pre-step days stay at z_pos == 0 (running-min tracks the drop)
+    step = [
+        (i, 1, "O", 100.0 if i < 10 else 500.0, datetime(2024, 1, 1 + i), "x")
+        for i in range(20)
+    ]
+    got = sorted(
+        daily_revenue_cusum(spark.createDataFrame(step, schema)).collect(),
+        key=lambda r: r["day"],
+    )
+    post = [r["z_pos"] for r in got[10:]]
+    assert all(b > a for a, b in zip(post, post[1:]))
+    assert got[-1]["z_pos"] > got[-1]["z_neg"]
+
+
+def test_revenue_dow_seasonality_uniform_is_one(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import revenue_dow_seasonality
+
+    rows = [
+        (i, 1, "O", 250.0, datetime(2024, 1, 1 + i), "x") for i in range(28)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    got = revenue_dow_seasonality(spark.createDataFrame(rows, schema)).collect()
+    assert len(got) == 7
+    assert sorted(r["dow"] for r in got) == [1, 2, 3, 4, 5, 6, 7]
+    for r in got:
+        assert r["n_days"] == 4
+        assert r["avg_revenue"] == 250.0
+        assert r["index"] == 1.0
