@@ -3340,6 +3340,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_dow_seasonality": lambda s, d: analytics.revenue_dow_seasonality(
             load_table(s, d, "orders")
         ),
+        "part_association_rules": lambda s, d: analytics.part_association_rules(
+            load_table(s, d, "lineitem")
+        ),
+        "conversion_lag_hist": lambda s, d: _ts_mod.conversion_lag_hist(
+            load_table(s, d, "events")
+        ),
+        "events_l_diversity": lambda s, d: _skew_mod.l_diversity_report(
+            load_table(s, d, "events").withColumn(
+                "hour_of_day", F.hour("ts")
+            ),
+            ["event_type", "hour_of_day"],
+            "user_id",
+        ),
         "events_k_anonymity": lambda s, d: _skew_mod.k_anonymity_report(
             load_table(s, d, "events").withColumn(
                 "hour_of_day", F.hour("ts")
@@ -3852,6 +3865,9 @@ FROM c LEFT JOIN p USING (k)
         "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
+        "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,
+        "conversion_lag_hist": _ts_mod.CONVERSION_LAG_HIST_SQL,
+        "events_l_diversity": _skew_mod.L_DIVERSITY_EVENTS_SQL,
         "sql_lateral_top_nations": """
 SELECT r.r_name, t.n_name, t.n_customers
 FROM region r,

@@ -154,6 +154,9 @@ HEADLINE = [
     "revenue_dow_seasonality",
     "user_max_drawdown",
     "customer_gini",
+    "part_association_rules",
+    "conversion_lag_hist",
+    "events_l_diversity",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -639,3 +639,69 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(5 AS BIGINT) AS k
 FROM g
 """
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion
+    (Machanavajjhala 2007): a quasi-identifier group can be large
+    (k-anonymous) yet still leak if everyone in it shares the same
+    SENSITIVE value; each group must contain at least ``l`` distinct
+    sensitive values. One summary row: ``(n_rows, n_groups, min_l,
+    groups_below_l, rows_below_l, l)`` — release gate is
+    ``groups_below_l == 0``.
+
+    Pure integer derivation: one exact distinct-count aggregation on
+    the (quasi, sensitive) key, then the group fold — deterministic,
+    no float anywhere. Scale shape: the distinct is a two-level
+    map-side-combining aggregate keyed on (quasi, sensitive), then a
+    group-cardinality table, then a 1-row fold; for web-scale
+    sensitive cardinalities swap the exact distinct for the HLL
+    sketch path (the ``profile_orders_approx`` pattern) — the gate
+    comparison tolerates sketch error at l ≫ rsd.
+    """
+    if not quasi_cols:
+        raise ValueError("at least one quasi-identifier column required")
+    _check_idents(quasi_cols + [sensitive_col], "audit")
+    g = (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.countDistinct(sensitive_col).alias("__l__"),
+        )
+    )
+    c, lv = F.col("__c__"), F.col("__l__")
+    return g.agg(
+        F.sum(c).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min(lv).cast("long").alias("min_l"),
+        F.sum(F.when(lv < int(l_min), 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_l"),
+        F.sum(F.when(lv < int(l_min), c).otherwise(0))
+        .cast("long")
+        .alias("rows_below_l"),
+        F.lit(int(l_min)).cast("long").alias("l"),
+    )
+
+
+L_DIVERSITY_EVENTS_SQL = """
+WITH g AS (
+  SELECT event_type, hour(ts) AS hour_of_day,
+         count(*) AS c, count(DISTINCT user_id) AS l
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN l < 3 THEN c ELSE 0 END) AS BIGINT)
+         AS rows_below_l,
+       CAST(3 AS BIGINT) AS l
+FROM g
+"""

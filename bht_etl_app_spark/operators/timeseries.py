@@ -1051,3 +1051,90 @@ SELECT user_id,
 FROM staged
 GROUP BY user_id
 """
+
+
+def conversion_lag_hist(
+    df: DataFrame,
+    first_type: str = "view",
+    convert_type: str = "purchase",
+    bucket_hours: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for every user, the lag from
+    their FIRST ``first_type`` event to their first ``convert_type``
+    event at-or-after it, bucketed into ``bucket_hours`` bins — the
+    funnel-velocity histogram behind "how long does view→purchase
+    take" (medians hide the bimodality this exposes). Output:
+    ``(lag_bucket, n_users, share)`` where ``lag_bucket`` is hours
+    (floor), covering only converting users; ``share`` sums to 1.
+
+    Exactness: lags are integer microseconds, buckets integer floor
+    division, ``share`` one int/int double division — no float folds.
+
+    Scale shape: two per-user map-side-combining aggregates (first
+    touch, first conversion) joined on the user key — both sides
+    shrink to one row per user BEFORE the join, so the join input is
+    user-sized, not event-sized; the residual ``>=`` rides the
+    conversion aggregate's conditional min, not a range join. The
+    histogram aggregate is bucket-cardinality-sized; the normalizing
+    window runs over the histogram.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    firsts = (
+        df.where(F.col(type_col) == first_type)
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t0__"))
+    )
+    convs = df.where(F.col(type_col) == convert_type).select(
+        F.col(user_col), us.alias("__tc__")
+    )
+    lag = (
+        convs.join(firsts, user_col)
+        .where(F.col("__tc__") >= F.col("__t0__"))
+        .groupBy(user_col)
+        .agg(
+            (F.min("__tc__") - F.first("__t0__")).alias("__lag_us__")
+        )
+    )
+    bucket_us = int(bucket_hours) * 3_600_000_000
+    hist = (
+        lag.select(
+            F.floor(F.col("__lag_us__") / F.lit(bucket_us)).cast("long").alias(
+                "lag_bucket"
+            )
+        )
+        .groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    tot = Window.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "lag_bucket",
+        "n_users",
+        (
+            F.col("n_users").cast("double") / F.sum("n_users").over(tot).cast("double")
+        ).alias("share"),
+    )
+
+
+CONVERSION_LAG_HIST_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+lag AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) - any_value(f.t0) AS lag_us
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t0
+  GROUP BY e.user_id
+),
+hist AS (
+  SELECT CAST(lag_us // 3600000000 AS BIGINT) AS lag_bucket,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM lag GROUP BY 1
+)
+SELECT lag_bucket, n_users,
+       CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE) AS share
+FROM hist
+"""

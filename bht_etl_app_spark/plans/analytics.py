@@ -1300,3 +1300,129 @@ SELECT dow, n_days,
                   12) AS index
 FROM per_dow
 """
+
+
+def part_association_rules(
+    lineitem: DataFrame, min_support: int = 3, top_k: int = 50
+) -> DataFrame:
+    """Association rules from the frequent 2-itemsets — the
+    confidence/lift layer over :func:`part_copurchase_pairs`'s
+    support counts (the classic market-basket output: "baskets with
+    A also contain B"): for each directed rule A→B with joint
+    support ≥ ``min_support``, ``confidence = n_AB / n_A`` and
+    ``lift = n_AB·N / (n_A·n_B)`` over the N distinct baskets.
+    Output: global top ``top_k`` by (lift, confidence, ids),
+    ``(antecedent, consequent, n_joint, n_ante, n_cons, confidence,
+    lift, rank)``.
+
+    Exactness: all counts are exact integers; confidence and lift
+    are fixed-order double expressions of exact ints, 12dp-quantized
+    so the rank ORDER itself is engine-stable (sorting on an
+    unquantized float invites cross-engine tie flips).
+
+    Scale shape: identical to the pair counting (order-keyed
+    self-join bounded by basket size); the rules frame is
+    pair-cardinality-sized, per-item counts broadcast onto it, the
+    1-row basket total rides the whitelisted broadcast crossJoin,
+    and the top-k lowers to TakeOrderedAndProject.
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    totals = op.agg(F.countDistinct("ok").cast("long").alias("__N__"))
+    items = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    a = op.select("ok", F.col("pk").alias("pa"))
+    b = op.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+        .where(F.col("n_joint") >= int(min_support))
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_joint"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_joint",
+        )
+    )
+    joined = (
+        rules.join(
+            F.broadcast(items.select(F.col("pk").alias("antecedent"),
+                                     F.col("n_i").alias("n_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(items.select(F.col("pk").alias("consequent"),
+                                     F.col("n_i").alias("n_cons"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    conf = F.bround(
+        F.col("n_joint").cast("double") / F.col("n_ante").cast("double"), 12
+    )
+    lift = F.bround(
+        (F.col("n_joint").cast("double") * F.col("__N__").cast("double"))
+        / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double")),
+        12,
+    )
+    scored = joined.select(
+        "antecedent",
+        "consequent",
+        "n_joint",
+        "n_ante",
+        "n_cons",
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )
+    order = [
+        F.desc("lift"),
+        F.desc("confidence"),
+        F.asc("antecedent"),
+        F.asc("consequent"),
+    ]
+    ranked = scored.orderBy(*order).limit(int(top_k))
+    w = Window.orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+PART_ASSOCIATION_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+totals AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
+items AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_i FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_joint
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_joint FROM pairs
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, n_joint FROM pairs
+),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.n_joint,
+         ia.n_i AS n_ante, ic.n_i AS n_cons,
+         round_even(CAST(r.n_joint AS DOUBLE) / CAST(ia.n_i AS DOUBLE), 12)
+           AS confidence,
+         round_even((CAST(r.n_joint AS DOUBLE) * CAST(t.n AS DOUBLE))
+                    / (CAST(ia.n_i AS DOUBLE) * CAST(ic.n_i AS DOUBLE)), 12)
+           AS lift
+  FROM rules r
+  JOIN items ia ON r.antecedent = ia.pk
+  JOIN items ic ON r.consequent = ic.pk
+  CROSS JOIN totals t
+)
+SELECT antecedent, consequent, n_joint, n_ante, n_cons, confidence, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, confidence DESC,
+                               antecedent, consequent) AS BIGINT) AS rank
+FROM (SELECT * FROM scored
+      ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      LIMIT 50)
+"""

@@ -68,6 +68,8 @@ NESTED_LOOP_OK = {
                              # alternative (global ntile window) is the
                              # single-partition scale killer this operator
                              # exists to avoid
+    "part_association_rules",  # crossJoin(broadcast(1-row basket total))
+                             # for the lift normalizer
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -751,3 +753,69 @@ def test_revenue_dow_seasonality_uniform_is_one(spark):
         assert r["n_days"] == 4
         assert r["avg_revenue"] == 250.0
         assert r["index"] == 1.0
+
+
+def test_part_association_rules_hand_case(spark):
+    from bht_etl_app_spark.plans.analytics import part_association_rules
+
+    # baskets: {1,2} x3, {1} x1  -> N=4, n_1=4, n_2=3, n_12=3
+    rows = []
+    for ok in range(3):
+        rows += [(ok, 1), (ok, 2)]
+    rows += [(3, 1)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+    for r in part_association_rules(li, min_support=3, top_k=10).collect()}
+    r12, r21 = got[(1, 2)], got[(2, 1)]
+    assert r12["confidence"] == 3 / 4 and r21["confidence"] == 1.0
+    # lift symmetric: 3*4/(4*3) = 1.0
+    assert r12["lift"] == 1.0 and r21["lift"] == 1.0
+    # 2->1 ranks first (equal lift, higher confidence)
+    assert r21["rank"] == 1 and r12["rank"] == 2
+
+
+def test_conversion_lag_hist_semantics(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import conversion_lag_hist
+
+    rows = [
+        # user 1: view at t0, purchase 30min later -> bucket 0
+        (1, 1, datetime(2024, 1, 1, 0, 0), "view", None),
+        (2, 1, datetime(2024, 1, 1, 0, 30), "purchase", None),
+        # user 2: purchase BEFORE any view (excluded), then a view,
+        # then a purchase 25h later -> bucket 25
+        (3, 2, datetime(2024, 1, 1, 0, 0), "purchase", None),
+        (4, 2, datetime(2024, 1, 1, 1, 0), "view", None),
+        (5, 2, datetime(2024, 1, 2, 2, 0), "purchase", None),
+        # user 3: view only -> no row
+        (6, 3, datetime(2024, 1, 1, 0, 0), "view", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    got = {r["lag_bucket"]: r for r in conversion_lag_hist(df).collect()}
+    assert set(got) == {0, 25}
+    assert got[0]["n_users"] == 1 and got[25]["n_users"] == 1
+    assert got[0]["share"] == 0.5
+
+
+def test_l_diversity_report_hand_case(spark):
+    from bht_etl_app_spark.operators.profiling import l_diversity_report
+
+    rows = [
+        # group A: 3 rows, all the same sensitive value -> l = 1
+        ("a", 1, 10), ("a", 1, 10), ("a", 1, 10),
+        # group B: 2 rows, 2 distinct sensitive values -> l = 2
+        ("b", 1, 10), ("b", 1, 11),
+        # group C: 3 distinct -> l = 3 (passes l_min=3)
+        ("c", 1, 10), ("c", 1, 11), ("c", 1, 12),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens int")
+    row = l_diversity_report(df, ["q1", "q2"], "sens", l_min=3).head()
+    assert row["n_rows"] == 8 and row["n_groups"] == 3
+    assert row["min_l"] == 1
+    assert row["groups_below_l"] == 2
+    assert row["rows_below_l"] == 5
