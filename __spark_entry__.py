@@ -1614,6 +1614,14 @@ def _q_copurchase_triangles(spark, sf_dir):
     )
 
 
+def _q_copurchase_link_pred(spark, sf_dir):
+    from bht_etl_app_spark.operators.graph import link_prediction_scores
+
+    return link_prediction_scores(
+        analytics.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 # WITH-clause text defining pairs(id_a, id_b) — the t=0.5 capped
 # jaccard edge list replayed for the graph oracles
 _DOC_PAIRS_T05_CTE = """toks AS (
@@ -3334,6 +3342,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"), k=8
         ),
         "copurchase_triangles": _q_copurchase_triangles,
+        "copurchase_link_pred": _q_copurchase_link_pred,
+        "supplier_return_wilson": lambda s, d: analytics.supplier_return_wilson(
+            load_table(s, d, "lineitem")
+        ),
+        "embedding_dim_outliers": lambda s, d: _emb_mod.embedding_dim_outliers(
+            load_table(s, d, "embeddings"), t=2
+        ),
+        "events_chi2_independence": lambda s, d: _skew_mod.chi2_independence(
+            load_table(s, d, "events").withColumn(
+                "hour_of_day", F.hour("ts")
+            ),
+            "event_type",
+            "hour_of_day",
+        ),
+        "weekend_revenue_welch": lambda s, d: analytics.weekend_revenue_welch(
+            load_table(s, d, "orders")
+        ),
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),
@@ -3863,6 +3888,11 @@ FROM c LEFT JOIN p USING (k)
         "label_centroid_sim": _emb_mod.LABEL_CENTROID_SIM_SQL,
         "kcenter_selected": _cluster_mod.kcenter_oracle_sql(k=8),
         "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
+        "copurchase_link_pred": analytics.COPURCHASE_LINK_PRED_SQL,
+        "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
+        "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
+        "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,
+        "weekend_revenue_welch": analytics.WEEKEND_REVENUE_WELCH_SQL,
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,

@@ -157,6 +157,11 @@ HEADLINE = [
     "part_association_rules",
     "conversion_lag_hist",
     "events_l_diversity",
+    "copurchase_link_pred",
+    "supplier_return_wilson",
+    "embedding_dim_outliers",
+    "events_chi2_independence",
+    "weekend_revenue_welch",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -335,3 +335,91 @@ def embedding_pca_coords(
         ) - F.lit(offset)
         cols.append(F.round(score, 6).alias(f"pc{c + 1}"))
     return qz.select(*cols)
+
+
+def embedding_dim_outliers(
+    emb: DataFrame,
+    t: int = 3,
+    top_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score outlier audit over the int8-quantized
+    store — the embedding-QA gate that catches corrupted vectors
+    (dead encoder dims, NaN-squashed rows, wrong-model mixes) before
+    they poison ANN/clustering: a vector is flagged on every
+    dimension where its code deviates from that dimension's mean by
+    more than ``t`` population standard deviations. Output: top
+    ``top_k`` flagged vectors by ``(n_outlier_dims desc, id)``:
+    ``(vec_id, n_outlier_dims, rank)``.
+
+    Exactness — the z-gate is evaluated ENTIRELY in integers by
+    clearing denominators: with per-dim count n, sum s, square-sum q,
+    ``|z| > t  ⟺  (n·x − s)² > t²·(n·q − s²)`` (z² = (x−s/n)² /
+    ((nq−s²)/n²) — multiply through by n²). Both sides ride
+    DECIMAL(38,0)/HUGEINT: no float exists anywhere in the operator,
+    so results are partitioning-invariant and bit-identical to the
+    oracle with no quantization discipline at all. Constant
+    dimensions (nq = s²) flag nothing, structurally.
+
+    Scale shape: one posexplode scan → d-row per-dim moment table
+    (map-side combine; d=64 → 64 rows regardless of corpus size),
+    broadcast back onto a second exploded scan for the gate, per-id
+    count, global top-k → TakeOrderedAndProject. Square-sums are
+    bounded by 127²·n — route them long at n ≤ 1e13, decimal above.
+    """
+    q = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    ex = q.select(
+        F.col(id_col), F.posexplode("qvec").alias("dim", "x")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("long")).cast("long").alias("q"),
+    )
+    j = ex.join(F.broadcast(stats), "dim")
+    dec = lambda c: c.cast("decimal(38,0)")
+    dev = dec(F.col("n")) * dec(F.col("x")) - dec(F.col("s"))
+    var_num = dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(
+        F.col("s")
+    )
+    flagged = j.where(dev * dev > F.lit(int(t) * int(t)) * var_num)
+    counts = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_outlier_dims")
+    )
+    order = [F.desc("n_outlier_dims"), F.asc(id_col)]
+    ranked = counts.orderBy(*order).limit(int(top_k))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+EMBEDDING_DIM_OUTLIERS_SQL = "WITH " + QUANTIZE_SQL_CTE + """,
+ex AS (
+  SELECT vec_id, i - 1 AS dim, qvec[CAST(i AS INT)] AS x
+  FROM q, unnest(range(1, len(qvec) + 1)) AS t(i)
+),
+stats AS (
+  SELECT dim, CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s,
+         CAST(sum(x * x) AS HUGEINT) AS qq
+  FROM ex GROUP BY 1
+),
+flagged AS (
+  SELECT ex.vec_id
+  FROM ex JOIN stats USING (dim)
+  -- mirrors the contract call's t=2 (t^2 = 4); the synthetic store
+  -- has bounded tails, so the production default t=3 flags nothing
+  -- at fixture SFs
+  WHERE (n * CAST(x AS HUGEINT) - s) * (n * CAST(x AS HUGEINT) - s)
+        > 4 * (n * qq - s * s)
+),
+counts AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_outlier_dims
+  FROM flagged GROUP BY 1
+)
+SELECT vec_id, n_outlier_dims,
+       CAST(row_number() OVER (ORDER BY n_outlier_dims DESC, vec_id) AS BIGINT)
+         AS rank
+FROM (SELECT * FROM counts ORDER BY n_outlier_dims DESC, vec_id LIMIT 50)
+"""

@@ -705,3 +705,95 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(3 AS BIGINT) AS l
 FROM g
 """
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence over the
+    ``row_col × col_col`` contingency table — the categorical-drift /
+    association audit behind "is event mix independent of hour?"
+    (pairs with the crosstab operator the way ``ab_test_zstats``
+    pairs with the funnel). One row: ``(chi2, dof, n, n_rows,
+    n_cols)``; compare chi2 against the chi-square quantile at dof
+    externally (no CDF in either engine).
+
+    Exactness: expected counts are cleared to integers — the cell
+    term ``(o−e)²/e`` with ``e=r·c/N`` becomes ``(o·N − r·c)² /
+    (N·r·c)``; the difference is computed EXACTLY in DECIMAL(38,0)
+    then cast once to double, so each term is one fixed-association
+    double expression of exact ints. Terms are quantized at 6dp
+    (magnitude-aware: terms reach O(N), where a 12dp quantum sits
+    below ulp spacing and quantizes nothing) and summed as
+    DECIMAL(38,6) — exact, order-free accumulation.
+
+    Scale shape: one map-side-combining aggregate to cell counts
+    (cardinality |rows|·|cols|, NOT data-sized), marginals derived
+    from the cell frame (no second scan), broadcast back, 1-row fold.
+    """
+    _check_idents([row_col, col_col], "audit")
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__o__")
+    )
+    rt = cells.groupBy(row_col).agg(F.sum("__o__").cast("long").alias("__r__"))
+    ct = cells.groupBy(col_col).agg(F.sum("__o__").cast("long").alias("__c__"))
+    tot = cells.agg(
+        F.sum("__o__").cast("long").alias("__n__"),
+        F.countDistinct(row_col).cast("long").alias("__nr__"),
+        F.countDistinct(col_col).cast("long").alias("__nc__"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), row_col)
+        .join(F.broadcast(ct), col_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    diff = (dec("__o__") * dec("__n__") - dec("__r__") * dec("__c__")).cast(
+        "double"
+    )
+    term = (diff * diff) / (
+        F.col("__n__").cast("double")
+        * F.col("__r__").cast("double")
+        * F.col("__c__").cast("double")
+    )
+    return j.agg(
+        F.bround(
+            F.sum(F.bround(term, 6).cast("decimal(38,6)")).cast("double"), 6
+        ).alias("chi2"),
+        ((F.first("__nr__") - 1) * (F.first("__nc__") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.first("__n__").alias("n"),
+        F.first("__nr__").alias("n_rows"),
+        F.first("__nc__").alias("n_cols"),
+    )
+
+
+CHI2_EVENTS_SQL = """
+WITH cells AS (
+  SELECT event_type AS rv, hour(ts) AS cv, CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+ct AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT rv) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT cv) AS BIGINT) AS n_cols
+  FROM cells
+)
+SELECT round_even(CAST(sum(CAST(round_even(
+           (CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+            * CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
+           6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi2,
+       CAST((any_value(n_rows) - 1) * (any_value(n_cols) - 1) AS BIGINT)
+         AS dof,
+       any_value(n) AS n, any_value(n_rows) AS n_rows,
+       any_value(n_cols) AS n_cols
+FROM cells JOIN rt USING (rv) JOIN ct USING (cv) CROSS JOIN tot
+"""

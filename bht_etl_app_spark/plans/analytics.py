@@ -1426,3 +1426,276 @@ FROM (SELECT * FROM scored
       ORDER BY lift DESC, confidence DESC, antecedent, consequent
       LIMIT 50)
 """
+
+
+def supplier_return_wilson(
+    lineitem: DataFrame,
+    z: float = 1.96,
+    min_n: int = 20,
+    top_k: int = 25,
+) -> DataFrame:
+    """Suppliers ranked by return rate the statistically honest way:
+    by the WILSON score lower bound of the returned-line proportion
+    (`l_returnflag = 'R'`), not the raw rate — raw-proportion ranking
+    puts a 2/2 supplier above a 190/200 one; the Wilson interval
+    (Wilson 1927, the standard fix popularized for rating sort)
+    shrinks small-n estimates toward the prior. Output: top ``top_k``
+    by ``(wilson_lb desc, suppkey)``: ``(l_suppkey, n_lines,
+    n_returns, return_rate, wilson_lb, rank)``.
+
+    Exactness: counts are exact integers; ``return_rate`` and
+    ``wilson_lb`` are ONE fixed-association double expression of
+    exact ints and the ``z`` literal, 12dp-quantized (sqrt and
+    division are correctly rounded IEEE ops — identical across
+    engines when the expression tree is spelled identically, which
+    the oracle mirrors token for token).
+
+    Scale shape: one map-side-combining aggregate keyed on suppkey
+    (supplier-cardinality output), scalar math on the aggregate,
+    global top-k lowered to TakeOrderedAndProject.
+    """
+    g = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returns"),
+        )
+        .where(F.col("n_lines") >= int(min_n))
+    )
+    n = F.col("n_lines").cast("double")
+    k = F.col("n_returns").cast("double")
+    zz = float(z) * float(z)
+    phat = k / n
+    lb = (
+        phat
+        + F.lit(zz) / (F.lit(2.0) * n)
+        - F.lit(float(z))
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + F.lit(zz) / (F.lit(4.0) * n)) / n
+        )
+    ) / (F.lit(1.0) + F.lit(zz) / n)
+    scored = g.select(
+        "l_suppkey",
+        "n_lines",
+        "n_returns",
+        F.bround(phat, 12).alias("return_rate"),
+        F.bround(lb, 12).alias("wilson_lb"),
+    )
+    order = [F.desc("wilson_lb"), F.asc("l_suppkey")]
+    ranked = scored.orderBy(*order).limit(int(top_k))
+    w = Window.orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SUPPLIER_RETURN_WILSON_SQL = """
+WITH g AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem GROUP BY 1
+  HAVING count(*) >= 20
+),
+scored AS (
+  SELECT l_suppkey, n_lines, n_returns,
+         round_even(CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE), 12)
+           AS return_rate,
+         round_even(
+           (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+              + CAST(3.8415999999999997 AS DOUBLE)
+                / (CAST(2.0 AS DOUBLE) * CAST(n_lines AS DOUBLE))
+              - CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE)
+                             - CAST(n_returns AS DOUBLE)
+                               / CAST(n_lines AS DOUBLE))
+                        + CAST(3.8415999999999997 AS DOUBLE)
+                          / (CAST(4.0 AS DOUBLE) * CAST(n_lines AS DOUBLE)))
+                       / CAST(n_lines AS DOUBLE)))
+           / (CAST(1.0 AS DOUBLE)
+              + CAST(3.8415999999999997 AS DOUBLE) / CAST(n_lines AS DOUBLE)),
+           12) AS wilson_lb
+  FROM g
+)
+SELECT l_suppkey, n_lines, n_returns, return_rate, wilson_lb,
+       CAST(row_number() OVER (ORDER BY wilson_lb DESC, l_suppkey) AS BIGINT)
+         AS rank
+FROM (SELECT * FROM scored ORDER BY wilson_lb DESC, l_suppkey LIMIT 25)
+"""
+
+
+COPURCHASE_LINK_PRED_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+nbrs AS (
+  SELECT a AS w, b AS x FROM e UNION ALL SELECT b AS w, a AS x FROM e
+),
+centers AS (
+  SELECT n.w, n.x, d.deg
+  FROM nbrs n JOIN deg d ON n.w = d.v
+  WHERE d.deg >= 2 AND d.deg <= 256
+),
+wedges AS (
+  SELECT n1.x AS u, n2.x AS v, n1.deg
+  FROM centers n1 JOIN centers n2 ON n1.w = n2.w
+  WHERE n1.x < n2.x
+),
+non_edges AS (
+  SELECT u, v, deg FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v)
+),
+scored AS (
+  SELECT u AS id_u, v AS id_v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         round_even(CAST(sum(CAST(round_even(
+             CAST(1.0 AS DOUBLE) / CAST(deg AS DOUBLE), 12)
+           AS DECIMAL(38,12))) AS DOUBLE), 12) AS ra
+  FROM non_edges GROUP BY 1, 2
+)
+SELECT id_u, id_v, common_neighbors, ra,
+       CAST(row_number() OVER (ORDER BY ra DESC, common_neighbors DESC,
+                               id_u, id_v) AS BIGINT) AS rank
+FROM (SELECT * FROM scored
+      ORDER BY ra DESC, common_neighbors DESC, id_u, id_v
+      LIMIT 50)
+"""
+
+
+def weekend_revenue_welch(orders: DataFrame) -> DataFrame:
+    """Welch two-sample t-test of daily revenue, weekend vs weekday —
+    "do weekends really sell differently?" with unequal variances
+    handled correctly (Welch 1947; the equal-variance Student test is
+    wrong whenever group sizes/variances differ, which daily revenue
+    always does). One row: ``(n_weekday, n_weekend, mean_weekday,
+    mean_weekend, t_stat, welch_dof)``; NULL t/dof when either group
+    has <2 days or both variances are zero (the structural ANSI-safe
+    guard, as in ``daily_revenue_cusum``).
+
+    Exactness: day sums ride integer cents; group count/sum/sumsq are
+    exact (power sums on DECIMAL(38,0)); means, the t statistic and
+    the Welch–Satterthwaite dof are fixed-association double
+    expressions of those exact ints, quantized magnitude-aware
+    (means 6dp at O(1e5); t and dof 8dp at O(1-100)).
+
+    Scale shape: one date-keyed aggregate (day-cardinality output),
+    one 1-row conditional fold — nothing data-sized past the first
+    map-side combine.
+    """
+    days = (
+        orders.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev__")
+        )
+        .select(
+            (F.dayofweek("d").isin(1, 7)).alias("we"),
+            (F.col("__rev__") * 100).cast("decimal(38,0)").alias("x"),
+        )
+    )
+    g = days.agg(
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("we"), F.col("x"))).alias("s1"),
+        F.sum(F.when(~F.col("we"), F.col("x") * F.col("x"))).alias("q1"),
+        F.sum(F.when(F.col("we"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("we"), F.col("x"))).alias("s2"),
+        F.sum(F.when(F.col("we"), F.col("x") * F.col("x"))).alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    # a = var1/n1 = (n1*q1 - s1^2) / (n1^2 * (n1-1)), likewise b
+    a = (dec("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1d * n1d * (n1d - F.lit(1.0))
+    )
+    b = (dec("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+        n2d * n2d * (n2d - F.lit(1.0))
+    )
+    diff = (dec("n2") * F.col("s1") - dec("n1") * F.col("s2")).cast(
+        "double"
+    ) / (n1d * n2d)
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    pos = a + b
+    t = F.when(ok & (pos > 0), F.bround(diff / F.sqrt(pos), 8))
+    dof = F.when(
+        ok & (pos > 0),
+        F.bround(
+            (pos * pos)
+            / (a * a / (n1d - F.lit(1.0)) + b * b / (n2d - F.lit(1.0))),
+            8,
+        ),
+    )
+    return g.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.bround(F.col("s1").cast("double") / (n1d * F.lit(100.0)), 6).alias(
+            "mean_weekday"
+        ),
+        F.bround(F.col("s2").cast("double") / (n2d * F.lit(100.0)), 6).alias(
+            "mean_weekend"
+        ),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+WEEKEND_REVENUE_WELCH_SQL = """
+WITH days AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+),
+lab AS (
+  SELECT (dayofweek(d) + 1 = 1 OR dayofweek(d) + 1 = 7) AS we, x FROM days
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         sum(CASE WHEN NOT we THEN x END) AS s1,
+         sum(CASE WHEN NOT we THEN x * x END) AS q1,
+         CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         sum(CASE WHEN we THEN x END) AS s2,
+         sum(CASE WHEN we THEN x * x END) AS q2
+  FROM lab
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       round_even(CAST(s1 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(100.0 AS DOUBLE)), 6)
+         AS mean_weekday,
+       round_even(CAST(s2 AS DOUBLE)
+                  / (CAST(n2 AS DOUBLE) * CAST(100.0 AS DOUBLE)), 6)
+         AS mean_weekend,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND aa + bb > 0 THEN
+         round_even((CAST(n2 * s1 - n1 * s2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                    / sqrt(aa + bb), 8)
+       END AS t_stat,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND aa + bb > 0 THEN
+         round_even(((aa + bb) * (aa + bb))
+                    / (aa * aa / (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                       + bb * bb
+                         / (CAST(n2 AS DOUBLE) - CAST(1.0 AS DOUBLE))), 8)
+       END AS welch_dof
+FROM (
+  SELECT *,
+         CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+              * (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS aa,
+         CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (CAST(n2 AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS bb
+  FROM g
+)
+"""

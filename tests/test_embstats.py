@@ -103,3 +103,19 @@ def test_pca_component_variance_ordering(spark, tiny_emb):
     # near-orthogonality of the projected coordinates
     denom = math.sqrt(float(pc1 @ pc1) * float(pc2 @ pc2))
     assert abs(float(pc1 @ pc2)) / denom < 1e-3
+
+
+def test_embedding_dim_outliers_planted(spark):
+    from bht_etl_app_spark.operators.embstats import embedding_dim_outliers
+
+    # nine [1,1] rows and one [1,-1]: dim 0 is constant (flags
+    # nothing structurally), dim 1 flags only the planted -1 row
+    # under the exact integer gate (n*x - s)^2 > t^2 * (n*q - s^2)
+    rows = [(i, [1.0, 1.0], 0) for i in range(9)] + [(99, [1.0, -1.0], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_dim_outliers(emb, t=2).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == 99
+    assert out[0]["n_outlier_dims"] == 1 and out[0]["rank"] == 1

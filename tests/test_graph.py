@@ -100,3 +100,38 @@ def test_triangle_stats_star_plus_triangle(spark):
     assert row["n_triangles"] == 1
     assert row["n_wedges"] == 12
     assert row["global_clustering"] == 3.0 * 1 / 12
+
+
+def test_link_prediction_hand_case(spark):
+    from bht_etl_app_spark.operators.graph import link_prediction_scores
+
+    # path graph 3-2-1-4: wedge centers 1 {2,4} and 2 {1,3} predict
+    # the two missing closures with cn=1, ra=1/deg(center)=0.5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "id_a long, id_b long"
+    )
+    rows = link_prediction_scores(pairs).collect()
+    got = {(r["id_u"], r["id_v"]): r for r in rows}
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in rows:
+        assert r["common_neighbors"] == 1 and r["ra"] == 0.5
+    assert got[(1, 3)]["rank"] == 1 and got[(2, 4)]["rank"] == 2
+    # triangle edges are never predicted: connect 1-3 -> only (2,4)
+    # remains (and 3-2-1 wedges no longer produce it)
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (1, 3)], "id_a long, id_b long"
+    )
+    rows2 = link_prediction_scores(pairs2).collect()
+    assert (1, 3) not in {(r["id_u"], r["id_v"]) for r in rows2}
+
+
+def test_link_prediction_center_degree_cap(spark):
+    from bht_etl_app_spark.operators.graph import link_prediction_scores
+
+    # star center 1 with 4 leaves: every leaf pair is a candidate
+    # through center 1 (deg 4); capping below 4 excludes the hub
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "id_a long, id_b long"
+    )
+    assert link_prediction_scores(pairs).count() == 6
+    assert link_prediction_scores(pairs, max_center_degree=3).count() == 0

@@ -70,6 +70,8 @@ NESTED_LOOP_OK = {
                              # exists to avoid
     "part_association_rules",  # crossJoin(broadcast(1-row basket total))
                              # for the lift normalizer
+    "events_chi2_independence",  # crossJoin(broadcast(1-row N/dims
+                             # fold)) for the expected-count clearing
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -819,3 +821,88 @@ def test_l_diversity_report_hand_case(spark):
     assert row["min_l"] == 1
     assert row["groups_below_l"] == 2
     assert row["rows_below_l"] == 5
+
+
+def test_supplier_return_wilson_ranks_by_lower_bound(spark):
+    import math
+
+    from bht_etl_app_spark.plans.analytics import supplier_return_wilson
+
+    # supplier 1: 2/2 returned (raw rate 1.0), supplier 2: 90/100 —
+    # Wilson lower bound must put the high-n supplier FIRST
+    rows = [(1, "R")] * 2 + [(2, "R")] * 90 + [(2, "N")] * 10
+    li = spark.createDataFrame(
+        [(s, f) for s, f in rows], "l_suppkey long, l_returnflag string"
+    )
+    got = {
+        r["l_suppkey"]: r
+        for r in supplier_return_wilson(li, min_n=1, top_k=10).collect()
+    }
+    assert got[2]["rank"] == 1 and got[1]["rank"] == 2
+    assert got[1]["return_rate"] == 1.0 and got[2]["return_rate"] == 0.9
+
+    def wilson(k, n, z=1.96):
+        zz = z * z
+        p = k / n
+        lb = (p + zz / (2.0 * n) - z * math.sqrt(
+            (p * (1.0 - p) + zz / (4.0 * n)) / n)) / (1.0 + zz / n)
+        return round(lb, 12)
+
+    assert got[1]["wilson_lb"] == wilson(2, 2)
+    assert got[2]["wilson_lb"] == wilson(90, 100)
+
+
+def test_weekend_revenue_welch_hand_case(spark):
+    import math
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import weekend_revenue_welch
+
+    # weekdays (Mon 2024-01-01 .. Thu): 100, 110, 120, 130
+    # weekend (Sat 2024-01-06, Sun): 200, 260
+    vals = {
+        datetime(2024, 1, 1): 100.0,
+        datetime(2024, 1, 2): 110.0,
+        datetime(2024, 1, 3): 120.0,
+        datetime(2024, 1, 4): 130.0,
+        datetime(2024, 1, 6): 200.0,
+        datetime(2024, 1, 7): 260.0,
+    }
+    orders = spark.createDataFrame(
+        [(i, d, v) for i, (d, v) in enumerate(vals.items())],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    row = weekend_revenue_welch(orders).head()
+    assert row["n_weekday"] == 4 and row["n_weekend"] == 2
+    assert row["mean_weekday"] == 115.0 and row["mean_weekend"] == 230.0
+    wd = [100.0, 110.0, 120.0, 130.0]
+    we = [200.0, 260.0]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    a, b = var(wd) / len(wd), var(we) / len(we)
+    t_ref = (115.0 - 230.0) / math.sqrt(a + b)
+    dof_ref = (a + b) ** 2 / (a * a / 3 + b * b / 1)
+    assert abs(row["t_stat"] - t_ref) < 1e-6
+    assert abs(row["welch_dof"] - dof_ref) < 1e-6
+
+
+def test_weekend_revenue_welch_degenerate_null(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import weekend_revenue_welch
+
+    # a single weekend day: n2 < 2 -> t/dof NULL, means still real
+    orders = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 100.0),
+            (2, datetime(2024, 1, 2), 100.0),
+            (3, datetime(2024, 1, 6), 50.0),
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    row = weekend_revenue_welch(orders).head()
+    assert row["t_stat"] is None and row["welch_dof"] is None
+    assert row["mean_weekday"] == 100.0 and row["mean_weekend"] == 50.0

@@ -248,3 +248,29 @@ def test_k_anonymity_report_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         k_anonymity_report(df, [], k=5)
+
+
+def test_chi2_independence_hand_case(spark):
+    from bht_etl_app_spark.operators.profiling import chi2_independence
+
+    # 2x2 with all expected counts 15: chi2 = 4 * (25/15) = 20/3
+    rows = (
+        [("A", "X")] * 10 + [("A", "Y")] * 20
+        + [("B", "X")] * 20 + [("B", "Y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    row = chi2_independence(df, "r", "c").head()
+    assert row["n"] == 60 and row["dof"] == 1
+    assert row["n_rows"] == 2 and row["n_cols"] == 2
+    assert abs(row["chi2"] - 20.0 / 3.0) < 1e-5
+
+
+def test_chi2_independence_independent_is_zero(spark):
+    from bht_etl_app_spark.operators.profiling import chi2_independence
+
+    # perfectly proportional table -> chi2 exactly 0
+    rows = [("A", "X")] * 10 + [("A", "Y")] * 10 + [("B", "X")] * 20 + [
+        ("B", "Y")
+    ] * 20
+    df = spark.createDataFrame(rows, "r string, c string")
+    assert chi2_independence(df, "r", "c").head()["chi2"] == 0.0
