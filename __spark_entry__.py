@@ -72,6 +72,7 @@ from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import clustering as _cluster_mod
 from bht_etl_app_spark.operators import profiling as _skew_mod
+from bht_etl_app_spark.operators import graph as _graph_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
 from bht_etl_app_spark.operators import timeseries as _ts_mod
 from bht_etl_app_spark.operators import text as _text_mod
@@ -1620,6 +1621,28 @@ def _q_copurchase_link_pred(spark, sf_dir):
     return link_prediction_scores(
         analytics.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     )
+
+
+def _q_copurchase_communities(spark, sf_dir):
+    from bht_etl_app_spark.operators.graph import label_propagation_communities
+
+    return label_propagation_communities(
+        analytics.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+# the co-purchase support>=3 edge list, shared by the graph-family
+# oracles (triangles / link prediction / communities)
+_COPURCHASE_EDGES_CTE = """op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e AS (
+  SELECT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)"""
 
 
 # WITH-clause text defining pairs(id_a, id_b) — the t=0.5 capped
@@ -3343,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "copurchase_triangles": _q_copurchase_triangles,
         "copurchase_link_pred": _q_copurchase_link_pred,
+        "copurchase_communities": _q_copurchase_communities,
         "supplier_return_wilson": lambda s, d: analytics.supplier_return_wilson(
             load_table(s, d, "lineitem")
         ),
@@ -3889,6 +3913,9 @@ FROM c LEFT JOIN p USING (k)
         "kcenter_selected": _cluster_mod.kcenter_oracle_sql(k=8),
         "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
         "copurchase_link_pred": analytics.COPURCHASE_LINK_PRED_SQL,
+        "copurchase_communities": _graph_mod.label_propagation_oracle_sql(
+            _COPURCHASE_EDGES_CTE
+        ),
         "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
         "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,

@@ -162,6 +162,7 @@ HEADLINE = [
     "embedding_dim_outliers",
     "events_chi2_independence",
     "weekend_revenue_welch",
+    "copurchase_communities",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -40,7 +40,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["pagerank", "cluster_representatives", "link_prediction_scores"]
+__all__ = [
+    "pagerank",
+    "cluster_representatives",
+    "link_prediction_scores",
+    "label_propagation_communities",
+]
 
 
 def pagerank(
@@ -392,4 +397,101 @@ def link_prediction_scores(
     w = Window.orderBy(*order)
     return track_persisted(
         ranked.withColumn("rank", F.row_number().over(w).cast("long")), e
+    )
+
+
+def label_propagation_communities(
+    pairs: DataFrame,
+    num_rounds: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan 2007) over an undirected unique pair list: every vertex
+    starts as its own label; each round it adopts the most frequent
+    label among its NEIGHBORS (ties -> smallest label). Communities
+    are the coarser, denser cousin of connected components
+    (``dedup.dedup_clusters``): CC merges anything touching, LPA
+    splits a component along its sparse cuts — the topic/basket
+    grouping layer over co-purchase and similarity graphs. Output:
+    ``(id, community)`` for every vertex in a pair.
+
+    Determinism: synchronous rounds + the (count desc, label asc)
+    total-order tie-break make every round a pure function of the
+    previous labelling — bit-identical across engines and
+    partitionings with zero float anywhere. ``num_rounds`` is FIXED
+    (not run-to-convergence): sync LPA can oscillate on bipartite
+    structures, so a bounded unrolling is both the determinism and
+    the termination story (the pagerank rule), and the oracle replays
+    the same rounds as materialized CTEs.
+
+    Scale shape: each round is one edge⨝label equi-join co-located
+    on the symmetrized edge partitioning (persisted once, the
+    pagerank pattern), a (vertex,label)-keyed count with map-side
+    combine, and a vertex-keyed argmax window — everything keys on
+    vertex ids, nothing quadratic; label frames are vertex-sized.
+    """
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    sym = (
+        pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).cast("long").alias("src"),
+                         F.col(id_a).cast("long").alias("dst"))
+        )
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(int(num_rounds)):
+        msgs = sym.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "lab")
+        counts = msgs.groupBy("v", "lab").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .select("v", "lab")
+        )
+    out = labels.select(F.col("v").alias("id"), F.col("lab").alias("community"))
+    return track_persisted(out, sym)
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str, num_rounds: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation_communities`:
+    ``edges_cte`` must define ``e(a, b)`` with ``a < b``; rounds are
+    unrolled as MATERIALIZED CTEs (the pagerank-oracle rule — DuckDB
+    re-inlines chained CTEs exponentially otherwise)."""
+    parts = [
+        edges_cte,
+        """sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS v, src AS lab FROM sym
+)""",
+    ]
+    for i in range(int(num_rounds)):
+        parts.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT s.dst AS v, l.lab, count(*) AS cnt
+  FROM sym s JOIN l{i} l ON s.src = l.v
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+  SELECT v, lab FROM c{i + 1}
+  QUALIFY row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab) = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v AS id, lab AS community FROM l{int(num_rounds)}"
     )

@@ -135,3 +135,22 @@ def test_link_prediction_center_degree_cap(spark):
     )
     assert link_prediction_scores(pairs).count() == 6
     assert link_prediction_scores(pairs, max_center_degree=3).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    from bht_etl_app_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    # two triangles bridged by 3-4: LPA must split along the sparse
+    # cut that connected components would merge
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_communities(pairs).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6] == 3
