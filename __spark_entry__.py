@@ -3383,6 +3383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekend_revenue_welch": lambda s, d: analytics.weekend_revenue_welch(
             load_table(s, d, "orders")
         ),
+        "daily_revenue_decompose": lambda s, d: analytics.daily_revenue_decompose(
+            load_table(s, d, "orders")
+        ),
+        "events_view_purchase_xcorr": lambda s, d: analytics.event_type_xcorr(
+            load_table(s, d, "events")
+        ),
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),
@@ -3920,6 +3926,8 @@ FROM c LEFT JOIN p USING (k)
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
         "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,
         "weekend_revenue_welch": analytics.WEEKEND_REVENUE_WELCH_SQL,
+        "daily_revenue_decompose": analytics.DAILY_REVENUE_DECOMPOSE_SQL,
+        "events_view_purchase_xcorr": analytics.EVENT_TYPE_XCORR_SQL,
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,

@@ -163,6 +163,8 @@ HEADLINE = [
     "events_chi2_independence",
     "weekend_revenue_welch",
     "copurchase_communities",
+    "daily_revenue_decompose",
+    "events_view_purchase_xcorr",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

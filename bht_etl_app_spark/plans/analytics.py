@@ -1699,3 +1699,214 @@ FROM (
   FROM g
 )
 """
+
+
+def daily_revenue_decompose(orders: DataFrame) -> DataFrame:
+    """Additive seasonal-trend decomposition of daily revenue
+    (the classical moving-average method: trend = centered 7-day MA,
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest) — the "is Tuesday actually down, or is that just the
+    trend?" chart. Output: one row per day, ``(day, revenue, trend,
+    seasonal, residual)``; the 3 edge days on each end have NULL
+    trend/residual (incomplete centered window), seasonal is defined
+    everywhere.
+
+    Exactness: the centered sum and the detrended series stay in
+    INTEGER cents — ``D = 7·c − Σ_{±3} c`` is exact DECIMAL(38,0), so
+    the per-dow seasonal mean is one fixed double expression of exact
+    ints; every emitted double is a single quantized expression
+    (6dp — dollar magnitudes).
+
+    Scale shape: one map-side rollup to |days| rows; all windows run
+    over the day-sized frame (the ``daily_revenue_cusum`` rule —
+    decades of days = thousands of rows; partitionable by series key
+    when used per-metric). The dow-seasonal join broadcasts 7 rows.
+    """
+    daily = (
+        orders.groupBy(
+            F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev__")
+        )
+        .select(
+            "day", (F.col("__rev__") * 100).cast("decimal(38,0)").alias("c")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    staged = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.dayofweek("day").alias("dow"),
+    ).select(
+        "day",
+        "c",
+        "dow",
+        F.when(
+            F.col("n7") == 7,
+            (F.lit(7).cast("decimal(38,0)") * F.col("c") - F.col("s7")).cast(
+                "decimal(38,0)"
+            ),
+        ).alias("d7"),
+        F.when(F.col("n7") == 7, F.col("s7")).alias("s7"),
+    )
+    seas = staged.where(F.col("d7").isNotNull()).groupBy("dow").agg(
+        F.sum("d7").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    seasonal = F.bround(
+        F.col("sd").cast("double")
+        / (F.col("nd").cast("double") * F.lit(700.0)),
+        6,
+    )
+    j = staged.join(
+        F.broadcast(seas.select("dow", seasonal.alias("seasonal"))), "dow"
+    )
+    detr = F.col("d7").cast("double") / F.lit(700.0)
+    return j.select(
+        "day",
+        F.bround(F.col("c").cast("double") / F.lit(100.0), 6).alias("revenue"),
+        F.bround(F.col("s7").cast("double") / F.lit(700.0), 6).alias("trend"),
+        "seasonal",
+        F.when(
+            F.col("d7").isNotNull(),
+            F.bround(detr - F.col("seasonal"), 6),
+        ).alias("residual"),
+    )
+
+
+DAILY_REVENUE_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(38,0)) AS c
+  FROM orders GROUP BY 1
+),
+staged AS (
+  SELECT day, c, dayofweek(day) + 1 AS dow,
+         CASE WHEN count(*) OVER w = 7 THEN
+           CAST(7 AS DECIMAL(38,0)) * c - sum(c) OVER w
+         END AS d7,
+         CASE WHEN count(*) OVER w = 7 THEN sum(c) OVER w END AS s7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow,
+         round_even(CAST(sum(d7) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * CAST(700.0 AS DOUBLE)), 6)
+           AS seasonal
+  FROM staged WHERE d7 IS NOT NULL GROUP BY 1
+)
+SELECT s.day,
+       round_even(CAST(s.c AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS revenue,
+       round_even(CAST(s.s7 AS DOUBLE) / CAST(700.0 AS DOUBLE), 6) AS trend,
+       e.seasonal,
+       CASE WHEN s.d7 IS NOT NULL THEN
+         round_even(CAST(s.d7 AS DOUBLE) / CAST(700.0 AS DOUBLE) - e.seasonal,
+                    6)
+       END AS residual
+FROM staged s JOIN seas e USING (dow)
+"""
+
+
+def event_type_xcorr(
+    events: DataFrame,
+    type_x: str = "view",
+    type_y: str = "purchase",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag Pearson cross-correlation between the daily counts of
+    two event types — "do views predict purchases, and by how many
+    days?": for each lag ℓ in ``[-max_lag, max_lag]``, the
+    correlation of ``(x_d, y_{d+ℓ})`` over the days both series
+    cover. Output: ``(lag, n_days, r)``; positive ℓ means ``type_x``
+    LEADS ``type_y`` by ℓ days. NULL r when either series is
+    constant over the aligned days (structural ANSI guard).
+
+    Exactness: both series and all five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact INTEGER sums on
+    DECIMAL(38,0); r is one fixed-association double expression per
+    lag, 12dp-quantized (|r| ≤ 1 — O(1) magnitude).
+
+    Scale shape: the corpus collapses to two day-cardinality count
+    frames BEFORE anything joins; the lag fan-out is a
+    2·max_lag+1-way projection explode (no join), the alignment is
+    one date-keyed equi-join of day-sized frames, and the output is
+    (2·max_lag+1)-row. Nothing data-sized survives the first
+    map-side combine.
+    """
+    xs = (
+        events.where(F.col("event_type") == type_x)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+    )
+    ys = (
+        events.where(F.col("event_type") == type_y)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y"))
+    )
+    lags = list(range(-int(max_lag), int(max_lag) + 1))
+    fan = xs.select(
+        "d", "x", F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag")
+    )
+    j = fan.join(
+        ys.select(F.col("d").alias("__dy__"), "y"),
+        F.date_add(F.col("d"), F.col("lag")) == F.col("__dy__"),
+    )
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = F.when(
+        (vx > 0) & (vy > 0), F.bround(cov / F.sqrt(vx * vy), 12)
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag"), "n_days", r.alias("r")
+    ).orderBy("lag")
+
+
+EVENT_TYPE_XCORR_SQL = """
+WITH xs AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+ys AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+fan AS (
+  SELECT r.d, r.x, CAST(l AS BIGINT) AS lag
+  FROM xs r, unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(l)
+),
+j AS (
+  SELECT f.lag, f.x, c.y
+  FROM fan f JOIN ys c ON f.d + CAST(f.lag AS INT) = c.d
+),
+g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lag, n_days,
+       CASE WHEN CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+       THEN round_even(
+         CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+         12)
+       END AS r
+FROM g
+"""

@@ -906,3 +906,52 @@ def test_weekend_revenue_welch_degenerate_null(spark):
     row = weekend_revenue_welch(orders).head()
     assert row["t_stat"] is None and row["welch_dof"] is None
     assert row["mean_weekday"] == 100.0 and row["mean_weekend"] == 50.0
+
+
+def test_daily_revenue_decompose_constant_series(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import daily_revenue_decompose
+
+    # 14 constant days: trend == revenue on the 8 interior days,
+    # seasonal and residual exactly 0, 3 NULL-trend edge days per end
+    orders = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i), 100.0) for i in range(14)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = daily_revenue_decompose(orders).collect()
+    assert len(rows) == 14
+    interior = [r for r in rows if r["trend"] is not None]
+    assert len(interior) == 8
+    for r in rows:
+        assert r["revenue"] == 100.0
+        assert r["seasonal"] == 0.0
+        if r["trend"] is not None:
+            assert r["trend"] == 100.0 and r["residual"] == 0.0
+        else:
+            assert r["residual"] is None
+
+
+def test_event_type_xcorr_planted_lag(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import event_type_xcorr
+
+    # purchases are exactly 2x the previous day's views -> r = 1.0 at
+    # lag +1 (views lead); the nonlinear pattern breaks lag-0
+    views = [1, 5, 2, 8, 3]
+    rows = []
+    eid = 0
+    for i, v in enumerate(views):
+        for _ in range(v):
+            rows.append((eid, datetime(2024, 1, 1 + i), 1, "view"))
+            eid += 1
+        for _ in range(2 * v):
+            rows.append((eid, datetime(2024, 1, 2 + i), 1, "purchase"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["lag"]: r for r in event_type_xcorr(df).collect()}
+    assert got[1]["n_days"] == 5 and got[1]["r"] == 1.0
+    assert got[0]["r"] is not None and got[0]["r"] < 1.0
