@@ -2088,6 +2088,69 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking fused with the IVF ANN
+    vector ranking by reciprocal-rank fusion — the two contract
+    retrievers composed the way a production RAG stack runs them."""
+    from pyspark.sql.window import Window
+
+    from bht_etl_app_spark.operators.similarity import ann_ivf_topk, rrf_fuse
+    from bht_etl_app_spark.operators.text import bm25_query_scores
+
+    bm = bm25_query_scores(
+        load_table(spark, sf_dir, "documents"), ["spark", "sort", "filter"]
+    ).select("doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.where(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    qv = [float(x) for x in head[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in head[1:5]]
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ann = (
+        ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm, ann])
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    """RRF fusion oracle composed from the two retriever oracles
+    (nested-WITH CTE bodies; each inner statement is the verbatim
+    oracle of its contract twin, so a hash-match re-proves BOTH
+    retrievers plus the fusion arithmetic)."""
+    bm = BM25_QUERY_SCORES_SQL.strip()
+    ann = _ann_ivf_topk_oracle_sql().strip()
+    return f"""
+WITH bm AS MATERIALIZED ({bm}),
+annq AS MATERIALIZED ({ann}),
+annr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM annq
+),
+u AS (
+  SELECT doc_id, CAST(round_even(
+      CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)),
+      12) AS DECIMAL(38,12)) AS term
+  FROM bm
+  UNION ALL
+  SELECT doc_id, CAST(round_even(
+      CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE)),
+      12) AS DECIMAL(38,12)) AS term
+  FROM annr
+),
+g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         round_even(CAST(sum(term) AS DOUBLE), 12) AS rrf
+  FROM u GROUP BY 1
+)
+SELECT doc_id, n_lists, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM (SELECT * FROM g ORDER BY rrf DESC, doc_id LIMIT 10)
+"""
+
+
 def _q_corpus_datacard(spark, sf_dir):
     """One-pass per-domain data card (datasheet/data-card practice):
     doc/token counts, language spread, exact-dup rate, short-doc
@@ -3389,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_view_purchase_xcorr": lambda s, d: analytics.event_type_xcorr(
             load_table(s, d, "events")
         ),
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),
@@ -3928,6 +3992,7 @@ FROM c LEFT JOIN p USING (k)
         "weekend_revenue_welch": analytics.WEEKEND_REVENUE_WELCH_SQL,
         "daily_revenue_decompose": analytics.DAILY_REVENUE_DECOMPOSE_SQL,
         "events_view_purchase_xcorr": analytics.EVENT_TYPE_XCORR_SQL,
+        "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,

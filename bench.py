@@ -165,6 +165,7 @@ HEADLINE = [
     "copurchase_communities",
     "daily_revenue_decompose",
     "events_view_purchase_xcorr",
+    "hybrid_rrf_topk",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -696,3 +696,49 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009) — the standard
+    hybrid-retrieval combiner: given N ranked lists (each
+    ``(id_col, rank)``), score every candidate
+    ``Σ_lists 1/(rrf_k + rank)`` over the lists it appears in and
+    return the global top ``k``. Rank-based, so lexical (BM25) and
+    vector (ANN) scores fuse without calibration — the reason RRF
+    beats score interpolation in practice. Output: ``(doc_id,
+    n_lists, rrf, rank)``.
+
+    Exactness: each term is ONE correctly-rounded IEEE division of
+    exact ints (bit-identical cross-engine), 12dp-quantized and
+    summed as DECIMAL(38,12) — exact order-free accumulation across
+    lists (the ``link_prediction_scores`` RA rule).
+
+    Scale shape: input lists are top-k-sized (retriever outputs, not
+    corpora); one union + one id-keyed aggregate + a
+    TakeOrderedAndProject top-k. Fusing N retrievers over huge
+    candidate pools stays linear in Σ list sizes.
+    """
+    if not rankings:
+        raise ValueError("at least one ranking required")
+    term = F.bround(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double")), 12
+    ).cast("decimal(38,12)")
+    parts = [r.select(F.col(id_col), term.alias("__t__")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.bround(F.sum("__t__").cast("double"), 12).alias("rrf"),
+    )
+    order = [F.desc("rrf"), F.asc(id_col)]
+    ranked = g.orderBy(*order).limit(int(k))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -72,6 +72,8 @@ NESTED_LOOP_OK = {
                              # for the lift normalizer
     "events_chi2_independence",  # crossJoin(broadcast(1-row N/dims
                              # fold)) for the expected-count clearing
+    "hybrid_rrf_topk",       # inherits bm25_query_scores' whitelisted
+                             # 1-row N/avgdl broadcast on the lexical arm
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute

@@ -407,3 +407,18 @@ def test_hard_negatives_excludes_same_label(spark):
     assert {(r["q_id"], r["vec_id"], r["cosine"]) for r in got} == {
         (r["q_id"], r["vec_id"], r["cosine"]) for r in exact_top.collect()
     }
+
+
+def test_rrf_fuse_hand_case(spark):
+    from bht_etl_app_spark.operators.similarity import rrf_fuse
+
+    l1 = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    l2 = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse([l1, l2], k=5).collect()}
+    # doc 20 appears in both lists -> fused score 1/61 + 1/62 wins
+    assert got[20]["rank"] == 1 and got[20]["n_lists"] == 2
+    assert got[10]["rank"] == 2 and got[30]["rank"] == 3
+    t61 = round(1.0 / 61.0, 12)
+    t62 = round(1.0 / 62.0, 12)
+    assert got[20]["rrf"] == round(t61 + t62, 12)
+    assert got[10]["rrf"] == t61 and got[30]["rrf"] == t62
