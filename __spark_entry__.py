@@ -1631,18 +1631,6 @@ def _q_copurchase_communities(spark, sf_dir):
     )
 
 
-# the co-purchase support>=3 edge list, shared by the graph-family
-# oracles (triangles / link prediction / communities)
-_COPURCHASE_EDGES_CTE = """op AS (
-  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-),
-e AS (
-  SELECT a.pk AS a, b.pk AS b
-  FROM op a JOIN op b USING (ok)
-  WHERE a.pk < b.pk
-  GROUP BY 1, 2
-  HAVING count(*) >= 3
-)"""
 
 
 # WITH-clause text defining pairs(id_a, id_b) — the t=0.5 capped
@@ -2094,19 +2082,18 @@ def _q_hybrid_rrf(spark, sf_dir):
     retrievers composed the way a production RAG stack runs them."""
     from pyspark.sql.window import Window
 
-    from bht_etl_app_spark.operators.similarity import ann_ivf_topk, rrf_fuse
+    from bht_etl_app_spark.operators.similarity import rrf_fuse
     from bht_etl_app_spark.operators.text import bm25_query_scores
 
     bm = bm25_query_scores(
         load_table(spark, sf_dir, "documents"), ["spark", "sort", "filter"]
     ).select("doc_id", "rank")
-    emb = load_table(spark, sf_dir, "embeddings")
-    head = emb.where(F.col("vec_id") < 5).orderBy("vec_id").collect()
-    qv = [float(x) for x in head[0]["embedding"]]
-    centroids = [[float(x) for x in r["embedding"]] for r in head[1:5]]
+    # the ANN arm IS the ann_ivf_topk contract query (same params, same
+    # vector selection) so the fused result and its composed oracle can
+    # never drift one-sided
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     ann = (
-        ann_ivf_topk(emb, qv, centroids, k=5, nprobe=2)
+        _q_ann_ivf_topk(spark, sf_dir)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
@@ -3984,7 +3971,7 @@ FROM c LEFT JOIN p USING (k)
         "copurchase_triangles": analytics.COPURCHASE_TRIANGLES_SQL,
         "copurchase_link_pred": analytics.COPURCHASE_LINK_PRED_SQL,
         "copurchase_communities": _graph_mod.label_propagation_oracle_sql(
-            _COPURCHASE_EDGES_CTE
+            analytics.COPURCHASE_EDGES_CTE
         ),
         "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,

@@ -729,24 +729,32 @@ def chi2_independence(
     below ulp spacing and quantizes nothing) and summed as
     DECIMAL(38,6) — exact, order-free accumulation.
 
-    Scale shape: one map-side-combining aggregate to cell counts
-    (cardinality |rows|·|cols|, NOT data-sized), marginals derived
-    from the cell frame (no second scan), broadcast back, 1-row fold.
+    Zero cells COUNT: the table is densified to the full
+    |rows|·|cols| grid (an unobserved combination still contributes
+    ``e = r·c/N`` to the statistic — dropping it would understate
+    chi2 while dof assumes the full table).
+
+    Scale shape: one map-side-combining aggregate to cell counts,
+    densified by crossing the two marginal frames (both
+    category-cardinality-sized, broadcast), observed counts left-
+    joined back on — everything past the first aggregate is
+    |rows|·|cols|-sized, NOT data-sized; 1-row fold.
     """
     _check_idents([row_col, col_col], "audit")
-    cells = df.groupBy(row_col, col_col).agg(
+    obs = df.groupBy(row_col, col_col).agg(
         F.count(F.lit(1)).cast("long").alias("__o__")
     )
-    rt = cells.groupBy(row_col).agg(F.sum("__o__").cast("long").alias("__r__"))
-    ct = cells.groupBy(col_col).agg(F.sum("__o__").cast("long").alias("__c__"))
-    tot = cells.agg(
+    rt = obs.groupBy(row_col).agg(F.sum("__o__").cast("long").alias("__r__"))
+    ct = obs.groupBy(col_col).agg(F.sum("__o__").cast("long").alias("__c__"))
+    tot = obs.agg(
         F.sum("__o__").cast("long").alias("__n__"),
         F.countDistinct(row_col).cast("long").alias("__nr__"),
         F.countDistinct(col_col).cast("long").alias("__nc__"),
     )
+    grid = rt.crossJoin(F.broadcast(ct))
     j = (
-        cells.join(F.broadcast(rt), row_col)
-        .join(F.broadcast(ct), col_col)
+        grid.join(obs, [row_col, col_col], "left")
+        .withColumn("__o__", F.coalesce(F.col("__o__"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
@@ -772,17 +780,22 @@ def chi2_independence(
 
 
 CHI2_EVENTS_SQL = """
-WITH cells AS (
+WITH obs AS (
   SELECT event_type AS rv, hour(ts) AS cv, CAST(count(*) AS BIGINT) AS o
   FROM events GROUP BY 1, 2
 ),
-rt AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
-ct AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+rt AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+ct AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
 tot AS (
   SELECT CAST(sum(o) AS BIGINT) AS n,
          CAST(count(DISTINCT rv) AS BIGINT) AS n_rows,
          CAST(count(DISTINCT cv) AS BIGINT) AS n_cols
-  FROM cells
+  FROM obs
+),
+cells AS (
+  SELECT rt.rv, ct.cv, rt.r, ct.c, coalesce(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.rv = rt.rv AND obs.cv = ct.cv
 )
 SELECT round_even(CAST(sum(CAST(round_even(
            (CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
@@ -795,5 +808,5 @@ SELECT round_even(CAST(sum(CAST(round_even(
          AS dof,
        any_value(n) AS n, any_value(n_rows) AS n_rows,
        any_value(n_cols) AS n_cols
-FROM cells JOIN rt USING (rv) JOIN ct USING (cv) CROSS JOIN tot
+FROM cells CROSS JOIN tot
 """

@@ -1073,13 +1073,14 @@ def conversion_lag_hist(
     Exactness: lags are integer microseconds, buckets integer floor
     division, ``share`` one int/int double division — no float folds.
 
-    Scale shape: two per-user map-side-combining aggregates (first
-    touch, first conversion) joined on the user key — both sides
-    shrink to one row per user BEFORE the join, so the join input is
-    user-sized, not event-sized; the residual ``>=`` rides the
-    conversion aggregate's conditional min, not a range join. The
-    histogram aggregate is bucket-cardinality-sized; the normalizing
-    window runs over the histogram.
+    Scale shape: the first-touch side shrinks to one row per user
+    BEFORE the join; the conversion side stays event-granular into
+    the user-keyed equi-join (the ``>= t0`` filter needs t0 first),
+    bounded by the ``convert_type`` selectivity, and collapses to one
+    row per user in the conditional-min aggregate immediately after —
+    an equi-join plus filter, never a range join. The histogram
+    aggregate is bucket-cardinality-sized; the normalizing window
+    runs over the histogram.
     """
     us = F.unix_micros(F.col(ts_col))
     firsts = (

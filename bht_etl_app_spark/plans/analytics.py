@@ -1041,15 +1041,21 @@ def copurchase_edges(lineitem: DataFrame, min_support: int = 3) -> DataFrame:
     )
 
 
-COPURCHASE_TRIANGLES_SQL = """
-WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+# the support>=3 co-purchase edge list e(a, b), a < b — the ONE
+# source for every graph-family oracle (triangles / link prediction /
+# communities); the 3 literal mirrors copurchase_edges(min_support=3)
+COPURCHASE_EDGES_CTE = """op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
 e AS (
   SELECT a.pk AS a, b.pk AS b
   FROM op a JOIN op b USING (ok)
   WHERE a.pk < b.pk
   GROUP BY 1, 2
   HAVING count(*) >= 3
-),
+)"""
+
+COPURCHASE_TRIANGLES_SQL = "WITH " + COPURCHASE_EDGES_CTE + """,
 deg AS (
   SELECT v, CAST(count(*) AS BIGINT) AS deg
   FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
@@ -1326,9 +1332,20 @@ def part_association_rules(
     1-row basket total rides the whitelisted broadcast crossJoin,
     and the top-k lowers to TakeOrderedAndProject.
     """
-    op = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    # the distinct basket scan has FOUR consumers (totals, item
+    # counts, both self-join arms) — persist it so the lineitem scan
+    # + distinct runs once (the link_prediction_scores rule)
+    op = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = op.agg(F.countDistinct("ok").cast("long").alias("__N__"))
     items = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     a = op.select("ok", F.col("pk").alias("pa"))
@@ -1387,9 +1404,14 @@ def part_association_rules(
     ]
     ranked = scored.orderBy(*order).limit(int(top_k))
     w = Window.orderBy(*order)
-    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    return track_persisted(
+        ranked.withColumn("rank", F.row_number().over(w).cast("long")), op
+    )
 
 
+# NOTE: inlines its own op/pairs derivation (it needs the JOINT
+# COUNTS the shared COPURCHASE_EDGES_CTE drops); the HAVING >= 3
+# literal must stay aligned with part_association_rules(min_support=3)
 PART_ASSOCIATION_RULES_SQL = """
 WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
 totals AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
@@ -1506,18 +1528,18 @@ scored AS (
            AS return_rate,
          round_even(
            (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
-              + CAST(3.8415999999999997 AS DOUBLE)
+              + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                 / (CAST(2.0 AS DOUBLE) * CAST(n_lines AS DOUBLE))
               - CAST(1.96 AS DOUBLE)
                 * sqrt((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
                           * (CAST(1.0 AS DOUBLE)
                              - CAST(n_returns AS DOUBLE)
                                / CAST(n_lines AS DOUBLE))
-                        + CAST(3.8415999999999997 AS DOUBLE)
+                        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                           / (CAST(4.0 AS DOUBLE) * CAST(n_lines AS DOUBLE)))
                        / CAST(n_lines AS DOUBLE)))
            / (CAST(1.0 AS DOUBLE)
-              + CAST(3.8415999999999997 AS DOUBLE) / CAST(n_lines AS DOUBLE)),
+              + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_lines AS DOUBLE)),
            12) AS wilson_lb
   FROM g
 )
@@ -1528,15 +1550,7 @@ FROM (SELECT * FROM scored ORDER BY wilson_lb DESC, l_suppkey LIMIT 25)
 """
 
 
-COPURCHASE_LINK_PRED_SQL = """
-WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-e AS (
-  SELECT a.pk AS a, b.pk AS b
-  FROM op a JOIN op b USING (ok)
-  WHERE a.pk < b.pk
-  GROUP BY 1, 2
-  HAVING count(*) >= 3
-),
+COPURCHASE_LINK_PRED_SQL = "WITH " + COPURCHASE_EDGES_CTE + """,
 deg AS (
   SELECT v, CAST(count(*) AS BIGINT) AS deg
   FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
@@ -1708,8 +1722,10 @@ def daily_revenue_decompose(orders: DataFrame) -> DataFrame:
     the rest) — the "is Tuesday actually down, or is that just the
     trend?" chart. Output: one row per day, ``(day, revenue, trend,
     seasonal, residual)``; the 3 edge days on each end have NULL
-    trend/residual (incomplete centered window), seasonal is defined
-    everywhere.
+    trend/residual (incomplete centered window), and a day-of-week
+    that never owns a complete window (series shorter than ~13 days)
+    gets NULL seasonal — days are NEVER dropped (left join on the
+    seasonal means).
 
     Exactness: the centered sum and the detrended series stay in
     INTEGER cents — ``D = 7·c − Σ_{±3} c`` is exact DECIMAL(38,0), so
@@ -1762,7 +1778,9 @@ def daily_revenue_decompose(orders: DataFrame) -> DataFrame:
         6,
     )
     j = staged.join(
-        F.broadcast(seas.select("dow", seasonal.alias("seasonal"))), "dow"
+        F.broadcast(seas.select("dow", seasonal.alias("seasonal"))),
+        "dow",
+        "left",
     )
     detr = F.col("d7").cast("double") / F.lit(700.0)
     return j.select(
@@ -1771,7 +1789,7 @@ def daily_revenue_decompose(orders: DataFrame) -> DataFrame:
         F.bround(F.col("s7").cast("double") / F.lit(700.0), 6).alias("trend"),
         "seasonal",
         F.when(
-            F.col("d7").isNotNull(),
+            F.col("d7").isNotNull() & F.col("seasonal").isNotNull(),
             F.bround(detr - F.col("seasonal"), 6),
         ).alias("residual"),
     )
@@ -1804,11 +1822,11 @@ SELECT s.day,
        round_even(CAST(s.c AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS revenue,
        round_even(CAST(s.s7 AS DOUBLE) / CAST(700.0 AS DOUBLE), 6) AS trend,
        e.seasonal,
-       CASE WHEN s.d7 IS NOT NULL THEN
+       CASE WHEN s.d7 IS NOT NULL AND e.seasonal IS NOT NULL THEN
          round_even(CAST(s.d7 AS DOUBLE) / CAST(700.0 AS DOUBLE) - e.seasonal,
                     6)
        END AS residual
-FROM staged s JOIN seas e USING (dow)
+FROM staged s LEFT JOIN seas e USING (dow)
 """
 
 

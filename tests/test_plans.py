@@ -957,3 +957,22 @@ def test_event_type_xcorr_planted_lag(spark):
     got = {r["lag"]: r for r in event_type_xcorr(df).collect()}
     assert got[1]["n_days"] == 5 and got[1]["r"] == 1.0
     assert got[0]["r"] is not None and got[0]["r"] < 1.0
+
+
+def test_daily_revenue_decompose_short_series_keeps_days(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import daily_revenue_decompose
+
+    # 12 days: one day-of-week never owns a complete centered window
+    # -> NULL seasonal, but NO day is dropped (review finding: the
+    # seasonal join must be a left join)
+    orders = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i), 100.0) for i in range(12)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = daily_revenue_decompose(orders).collect()
+    assert len(rows) == 12
+    assert any(r["seasonal"] is None for r in rows)
+    for r in rows:
+        assert r["revenue"] == 100.0

@@ -274,3 +274,19 @@ def test_chi2_independence_independent_is_zero(spark):
     ] * 20
     df = spark.createDataFrame(rows, "r string, c string")
     assert chi2_independence(df, "r", "c").head()["chi2"] == 0.0
+
+
+def test_chi2_independence_zero_cell_counts(spark):
+    from bht_etl_app_spark.operators.profiling import chi2_independence
+
+    # B-Y never observed: the zero cell still contributes (0-E)^2/E
+    # = E = 40*30/100 = 12 (review finding: dropping it understates
+    # chi2 while dof assumes the full table)
+    rows = [("A", "X")] * 30 + [("A", "Y")] * 30 + [("B", "X")] * 40
+    df = spark.createDataFrame(rows, "r string, c string")
+    row = chi2_independence(df, "r", "c").head()
+    # full hand computation: cells (30,28)=... E_AX=42, E_AY=18,
+    # E_BX=28, E_BY=12 -> chi2 = 144/42 + 144/18 + 144/28 + 12
+    exp = 144 / 42 + 144 / 18 + 144 / 28 + 12.0
+    assert row["dof"] == 1
+    assert abs(row["chi2"] - exp) < 1e-5
