@@ -180,6 +180,23 @@ def test_bm25_topk_rewritten_to_take_ordered(spark):
     )
 
 
+def test_r5_topk_operators_lower_to_take_ordered(spark):
+    """Every r5 orderBy().limit() + rank-window operator relies on the
+    same TakeOrderedAndProject lowering as bm25 — pin it per query so
+    a refactor can't silently revert any of them to a global sort."""
+    for name in (
+        "part_association_rules",
+        "copurchase_link_pred",
+        "supplier_return_wilson",
+        "embedding_dim_outliers",
+        "hybrid_rrf_topk",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: global top-k not lowered to TakeOrderedAndProject"
+        )
+
+
 def test_vocab_coverage_windows_are_partitioned(spark):
     """vocab_coverage's rank/cum_pct must run on range-bucketed
     window partitions (two-phase ranking), never an unpartitioned
@@ -316,6 +333,14 @@ def test_bucketed_rankings_invariant_under_parallelism(spark):
                 "kmeans_cluster_sizes",
                 "mixture_sample_docs",
                 "bm25_query_scores",
+                # r5 stats/graph additions: quantized float reductions
+                # (Wilson lb, Welch t, chi2 term sum, decimal RA/RRF
+                # sums) must not shift with partitioning either
+                "supplier_return_wilson",
+                "weekend_revenue_welch",
+                "events_chi2_independence",
+                "copurchase_link_pred",
+                "hybrid_rrf_topk",
             ):
                 rows = sorted(tuple(r) for r in qs[name](spark, SF).collect())
                 out.setdefault(name, []).append(rows)
