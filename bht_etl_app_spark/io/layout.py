@@ -280,6 +280,47 @@ def read_pq_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_pq_index(codes: DataFrame, path: str) -> None:
+    """Append a new batch's ``(vec_id, list_id, codes)`` rows to the
+    stored IVF-PQ index — the production index-maintenance path: new
+    vectors are encoded with the EXISTING coarse centroids and
+    codebooks (``pq_index_rows`` with the stored model — no retrain,
+    the standard faiss ``add`` semantics; retraining is a separate,
+    rarer event) and land as new files inside their ``list_id=``
+    hive partitions, so probe-time partition pruning keeps working
+    unchanged across appends. Each append adds one file per populated
+    list — run :func:`compact_pq_index` periodically (the
+    ``append_band_index`` rule)."""
+    codes.write.mode("append").partitionBy("list_id").parquet(path)
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> int:
+    """Rewrite the PQ index in place: collapse per-append file
+    accumulation to one file per list partition and drop duplicate
+    rows (a replayed ingest batch appends twice; ADC scoring is
+    per-row, so dupes inflate candidate cost and can duplicate a
+    top-k entry — unlike the band index, dedup here is a
+    CORRECTNESS matter for the probe's returned list). Returns the
+    compacted row count. Same crash-safety shape as
+    :func:`compact_band_index`: materialize first (eager
+    localCheckpoint), then overwrite, then free the blocks."""
+    from bht_etl_app_spark.functions.lifecycle import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    snap = spark.read.parquet(path).distinct().localCheckpoint(eager=True)
+    ids = persistent_rdd_ids(sc) - before
+    try:
+        n = snap.count()
+        snap.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    finally:
+        unpersist_rdd_ids(sc, ids)
+    return n
+
+
 def zorder_key(
     cols: Sequence[str],
     mins: Sequence[float],

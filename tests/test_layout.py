@@ -431,3 +431,53 @@ def test_zorder_key_validation_and_degenerate_span(spark):
         "z", zorder_key(["a", "b"], [1, 5], [2, 5], bits=4)
     ).collect()
     assert [r["z"] for r in out] == sorted(r["z"] for r in out)
+
+
+def test_pq_index_incremental_append_equals_single_build(spark, tmp_path):
+    """Index maintenance (r5): appending a second batch encoded with
+    the STORED model (no retrain — faiss `add` semantics) must yield
+    a probe bit-identical to building the index from the full corpus
+    at once; a duplicate replayed append is healed by compaction
+    (for the PQ index dedup is probe-correctness, not just cost)."""
+    from bht_etl_app_spark.io.layout import (
+        append_pq_index,
+        compact_pq_index,
+        read_pq_index,
+        write_pq_index,
+    )
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_pq_index_topk,
+        pq_index_rows,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    # model fitted on the FIRST batch only — the append must reuse it
+    first = emb.where("vec_id % 2 = 0")
+    second = emb.where("vec_id % 2 = 1")
+    books = pq_train(first, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(first, k=4, max_iter=2)
+
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    write_pq_index(pq_index_rows(emb, cents, books), full_path)
+    write_pq_index(pq_index_rows(first, cents, books), incr_path)
+    append_pq_index(pq_index_rows(second, cents, books), incr_path)
+
+    def probe(path):
+        return [
+            tuple(r)
+            for r in ann_pq_index_topk(
+                read_pq_index(spark, path), qv, cents, books, k=10, nprobe=2
+            ).collect()
+        ]
+
+    assert probe(incr_path) == probe(full_path)
+
+    # replayed append -> duplicate rows; compaction restores the set
+    append_pq_index(pq_index_rows(second, cents, books), incr_path)
+    n = compact_pq_index(spark, incr_path)
+    assert n == emb.count()
+    assert probe(incr_path) == probe(full_path)
