@@ -3440,6 +3440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")
         ),
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        "cohort_ltv_matrix": lambda s, d: analytics.cohort_ltv_matrix(
+            load_table(s, d, "orders")
+        ),
+        "source_token_jsd": lambda s, d: _text_mod.source_token_jsd(
+            load_table(s, d, "documents"), "src0", "src1"
+        ),
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),
@@ -3980,6 +3986,8 @@ FROM c LEFT JOIN p USING (k)
         "daily_revenue_decompose": analytics.DAILY_REVENUE_DECOMPOSE_SQL,
         "events_view_purchase_xcorr": analytics.EVENT_TYPE_XCORR_SQL,
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
+        "cohort_ltv_matrix": analytics.COHORT_LTV_SQL,
+        "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,

@@ -166,6 +166,8 @@ HEADLINE = [
     "daily_revenue_decompose",
     "events_view_purchase_xcorr",
     "hybrid_rrf_topk",
+    "cohort_ltv_matrix",
+    "source_token_jsd",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

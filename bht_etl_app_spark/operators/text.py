@@ -1170,3 +1170,130 @@ FROM (
 )
 WHERE n_words > 0
 """
+
+
+def source_token_jsd(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2, so JSD ∈ [0,1]) between the
+    token distributions of two corpus sources — the symmetric,
+    finite-everywhere drift metric for "did this domain's language
+    shift?" / "how different are these two crawls?" (KL alone is
+    infinite on any token one side lacks; JSD's mixture midpoint
+    makes disjoint supports land at exactly 1). One row: ``(jsd,
+    n_tok_a, n_tok_b, vocab_a, vocab_b, vocab_union)``.
+
+    Exactness: per-token probabilities are single IEEE divisions of
+    exact counts; each token's contribution — ``½p·log2(p/m) +
+    ½q·log2(q/m)``, zero-count sides contributing their 0 limit via a
+    structural CASE (log2 never sees 0 — the ANSI/ln(0) rule) — is
+    one fixed-association double expression, 12dp-quantized (log2 is
+    the ulp-risky transcendental; terms are O(1)) and summed as
+    DECIMAL(38,12): exact, order-free accumulation over the
+    vocabulary.
+
+    Scale shape: one filtered token explode with map-side combine to
+    (token, per-source counts) — the only corpus-sized stage; totals
+    ride the whitelisted 1-row broadcast crossJoin; the term sum
+    collapses the vocabulary-sized frame to one row.
+    """
+    toks = (
+        ensure_min_parallelism(df)
+        .where(F.col(source_col).isin([source_a, source_b]))
+        .select(
+            (F.col(source_col) == source_a).alias("__is_a__"),
+            F.explode(tokens_expr(text_col)).alias("tok"),
+        )
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("__is_a__"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(~F.col("__is_a__"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    totals = per_tok.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+        F.sum(F.when(F.col("a") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("va"),
+        F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vb"),
+        F.count(F.lit(1)).cast("long").alias("vu"),
+    )
+    j = per_tok.crossJoin(F.broadcast(totals))
+    p = F.col("a").cast("double") / F.col("ta").cast("double")
+    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    m = (p + q) * F.lit(0.5)
+    term = F.when(F.col("a") > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("b") > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    return j.agg(
+        F.bround(
+            F.sum(F.bround(term, 12).cast("decimal(38,12)")).cast("double"),
+            12,
+        ).alias("jsd"),
+        F.first("ta").alias("n_tok_a"),
+        F.first("tb").alias("n_tok_b"),
+        F.first("va").alias("vocab_a"),
+        F.first("vb").alias("vocab_b"),
+        F.first("vu").alias("vocab_union"),
+    )
+
+
+SOURCE_TOKEN_JSD_SQL = """
+WITH toks AS (
+  SELECT source = 'src0' AS is_a, unnest(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+per_tok AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+         CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+         CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+         CAST(count(*) AS BIGINT) AS vu
+  FROM per_tok
+),
+terms AS (
+  SELECT
+    (CASE WHEN a > 0 THEN
+       CAST(0.5 AS DOUBLE) * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+         * log2((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                / (((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                    + (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+                   * CAST(0.5 AS DOUBLE)))
+     ELSE CAST(0.0 AS DOUBLE) END
+     +
+     CASE WHEN b > 0 THEN
+       CAST(0.5 AS DOUBLE) * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+         * log2((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                / (((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                    + (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+                   * CAST(0.5 AS DOUBLE)))
+     ELSE CAST(0.0 AS DOUBLE) END) AS term,
+    ta, tb, va, vb, vu
+  FROM per_tok CROSS JOIN totals
+)
+SELECT round_even(CAST(sum(CAST(round_even(term, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE), 12) AS jsd,
+       any_value(ta) AS n_tok_a, any_value(tb) AS n_tok_b,
+       any_value(va) AS vocab_a, any_value(vb) AS vocab_b,
+       any_value(vu) AS vocab_union
+FROM terms
+"""

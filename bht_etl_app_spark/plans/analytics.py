@@ -1928,3 +1928,66 @@ SELECT lag, n_days,
        END AS r
 FROM g
 """
+
+
+def cohort_ltv_matrix(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value matrix — the companion to the retention
+    curve (`user_retention_curve` counts who comes back; this sums
+    what they SPEND): customers grouped by first-order month, revenue
+    accumulated per month-of-age. Output: one row per
+    ``(cohort_month, age_months)`` cell with ``n_customers`` (distinct
+    active buyers in the cell) and ``revenue``; cumulative-LTV curves
+    are a running sum over age within cohort, left to the consumer.
+
+    Exactness: age is pure integer month arithmetic
+    (``(y(m)-y(f))·12 + (mo(m)-mo(f))`` — no months_between float);
+    revenue sums ride DECIMAL(18,2) and the single decimal→double
+    cast is 6dp-quantized (the DuckDB decimal cast is not correctly
+    rounded — the documented trap).
+
+    Scale shape: one customer-keyed first-order aggregate joined back
+    onto orders (both shuffle on the customer key), then a
+    cell-keyed aggregate whose output is |cohorts|·|ages|-sized.
+    """
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("MONTH", F.col("o_orderdate"))).alias("__f__")
+    )
+    j = orders.select(
+        "o_custkey",
+        F.date_trunc("MONTH", F.col("o_orderdate")).alias("__m__"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p__"),
+    ).join(firsts, "o_custkey")
+    age = (F.year("__m__") - F.year("__f__")) * 12 + (
+        F.month("__m__") - F.month("__f__")
+    )
+    return (
+        j.groupBy(
+            F.col("__f__").alias("cohort_month"),
+            age.cast("long").alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.bround(F.sum("__p__").cast("double"), 6).alias("revenue"),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS f
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT o.o_custkey,
+         CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS m,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS p, firsts.f
+  FROM orders o JOIN firsts USING (o_custkey)
+)
+SELECT f AS cohort_month,
+       CAST((year(m) - year(f)) * 12 + (month(m) - month(f)) AS BIGINT)
+         AS age_months,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       round_even(CAST(sum(p) AS DOUBLE), 6) AS revenue
+FROM j GROUP BY 1, 2
+"""

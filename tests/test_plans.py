@@ -74,6 +74,8 @@ NESTED_LOOP_OK = {
                              # fold)) for the expected-count clearing
     "hybrid_rrf_topk",       # inherits bm25_query_scores' whitelisted
                              # 1-row N/avgdl broadcast on the lexical arm
+    "source_token_jsd",      # crossJoin(broadcast(1-row token totals))
+                             # for the probability denominators
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1001,3 +1003,27 @@ def test_daily_revenue_decompose_short_series_keeps_days(spark):
     assert any(r["seasonal"] is None for r in rows)
     for r in rows:
         assert r["revenue"] == 100.0
+
+
+def test_cohort_ltv_matrix_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import cohort_ltv_matrix
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 5), 100.0),
+            (2, 10, datetime(2024, 3, 20), 50.0),
+            (3, 20, datetime(2024, 2, 1), 200.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    got = {
+        (r["cohort_month"].month, r["age_months"]): r
+        for r in cohort_ltv_matrix(orders).collect()
+    }
+    assert got[(1, 0)]["revenue"] == 100.0 and got[(1, 0)]["n_customers"] == 1
+    assert got[(1, 2)]["revenue"] == 50.0
+    assert got[(2, 0)]["revenue"] == 200.0
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}

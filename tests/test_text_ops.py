@@ -488,3 +488,23 @@ def test_readability_is_pure_projection(spark):
     plan = readability_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_source_token_jsd_bounds(spark):
+    from bht_etl_app_spark.operators.text import source_token_jsd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "x"), (2, "a b c", "y"),   # identical dists
+            (3, "p q", "u"), (4, "r s", "v"),       # disjoint dists
+        ],
+        "doc_id long, text string, source string",
+    )
+    same = source_token_jsd(docs, "x", "y").head()
+    assert same["jsd"] == 0.0
+    assert same["vocab_union"] == 3 and same["vocab_a"] == 3
+    disj = source_token_jsd(docs, "u", "v").head()
+    # disjoint supports -> exactly 1 bit (base-2 JSD upper bound)
+    assert disj["jsd"] == 1.0
+    assert disj["vocab_union"] == 4
+    assert disj["vocab_a"] == 2 and disj["vocab_b"] == 2
