@@ -3446,6 +3446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_jsd": lambda s, d: _text_mod.source_token_jsd(
             load_table(s, d, "documents"), "src0", "src1"
         ),
+        # rows-only by declared necessity: DEFLATE is a Python codec
+        # seam (the multimodal-decoder class); parity pytest pins the
+        # kernel against the same interpreter's zlib
+        "doc_compression_ratio": lambda s, d: _text_mod.compression_ratio_scores(
+            load_table(s, d, "documents")
+        ),
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),

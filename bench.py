@@ -168,6 +168,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "cohort_ltv_matrix",
     "source_token_jsd",
+    "doc_compression_ratio",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

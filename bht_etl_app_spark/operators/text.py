@@ -1297,3 +1297,60 @@ SELECT round_even(CAST(sum(CAST(round_even(term, 12) AS DECIMAL(38,12)))
        any_value(vu) AS vocab_union
 FROM terms
 """
+
+
+def compression_ratio_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-rule quality
+    signal the heuristic family (entropy, repetition, stopword ratio)
+    still lacks: highly repetitive boilerplate compresses far below
+    natural prose, machine-generated spam below that, while
+    already-compressed/binary junk refuses to compress at all; filter
+    both tails. Output: ``(doc_id, n_bytes, n_compressed, ratio)``
+    with ``ratio = n_compressed / n_bytes`` (≈0.2-0.4 repetitive,
+    ≈0.4-0.7 prose, ≈1+ incompressible); empty docs get NULL ratio.
+
+    DECLARED Python seam (rows-only in the contract): DEFLATE runs in
+    ``mapInPandas`` Arrow batches — a compression codec is exactly the
+    multimodal-decoder class of kernel, not expressible in Spark SQL.
+    The ratio is a quality SIGNAL, not a portable contract value: the
+    exact compressed size may vary across zlib builds (the parity
+    pytest pins it against the same interpreter's zlib).
+
+    Scale shape: pure projection — no shuffle, no state; batches
+    stream through Arrow with bounded memory, like the PNG/WAV/AVI
+    decode paths.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    lvl = int(level)
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, lvl)))
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "ratio": [
+                        (c / n) if n > 0 else None
+                        for c, n in zip(n_comp, n_bytes)
+                    ],
+                }
+            )
+
+    return ensure_min_parallelism(df).select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=out_schema
+    )

@@ -508,3 +508,29 @@ def test_source_token_jsd_bounds(spark):
     assert disj["jsd"] == 1.0
     assert disj["vocab_union"] == 4
     assert disj["vocab_a"] == 2 and disj["vocab_b"] == 2
+
+
+def test_compression_ratio_parity_and_semantics(spark):
+    import zlib
+
+    from bht_etl_app_spark.operators.text import compression_ratio_scores
+
+    rep = "spam spam spam " * 50
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magpies argue about rainfall statistics in late november"
+    )
+    docs = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio_scores(docs).collect()}
+    # bit parity with the same interpreter's zlib (the declared seam)
+    for did, txt in ((1, rep), (2, prose)):
+        raw = txt.encode("utf-8")
+        assert got[did]["n_bytes"] == len(raw)
+        assert got[did]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert got[did]["ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+    # the signal orders as the Gopher rule expects
+    assert got[1]["ratio"] < got[2]["ratio"]
+    # empty doc -> NULL ratio, zero bytes
+    assert got[3]["n_bytes"] == 0 and got[3]["ratio"] is None
