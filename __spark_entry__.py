@@ -3452,6 +3452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": lambda s, d: _text_mod.compression_ratio_scores(
             load_table(s, d, "documents")
         ),
+        "bm25_eval_metrics": lambda s, d: _text_mod.bm25_eval_metrics(
+            load_table(s, d, "documents"), ["spark", "sort", "filter"]
+        ),
         "daily_revenue_cusum": lambda s, d: analytics.daily_revenue_cusum(
             load_table(s, d, "orders")
         ),
@@ -3994,6 +3997,14 @@ FROM c LEFT JOIN p USING (k)
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
         "cohort_ltv_matrix": analytics.COHORT_LTV_SQL,
         "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
+        "bm25_eval_metrics": _text_mod.BM25_EVAL_METRICS_SQL_TEMPLATE.format(
+            bm25=BM25_QUERY_SCORES_SQL.strip(),
+            rel_pred=(
+                "list_contains(t, 'spark') AND list_contains(t, 'sort')"
+                " AND list_contains(t, 'filter')"
+            ),
+            k=20,
+        ),
         "daily_revenue_cusum": analytics.DAILY_REVENUE_CUSUM_SQL,
         "revenue_dow_seasonality": analytics.REVENUE_DOW_SEASONALITY_SQL,
         "part_association_rules": analytics.PART_ASSOCIATION_RULES_SQL,

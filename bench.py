@@ -169,6 +169,7 @@ HEADLINE = [
     "cohort_ltv_matrix",
     "source_token_jsd",
     "doc_compression_ratio",
+    "bm25_eval_metrics",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -1354,3 +1354,152 @@ def compression_ratio_scores(
     return ensure_min_parallelism(df).select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, schema=out_schema
     )
+
+
+def bm25_eval_metrics(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality metrics for the BM25 ranking — the IR eval
+    layer (`ann_recall_report`'s lexical sibling): score the top-``k``
+    against the conjunctive-containment relevance set (docs whose
+    token set holds ALL query terms — the exact-match qrel a lexical
+    ranker should surface first). One row: ``(n_relevant, hits_at_k,
+    mrr, precision_at_k, recall_at_k, ndcg_at_k)``; MRR/recall/nDCG
+    are NULL when no doc is relevant (structural guard, not 0/0).
+
+    Exactness: ranks and counts are exact ints; MRR terms ``1/rank``
+    are single IEEE divisions; DCG/IDCG discount terms
+    ``1/log2(i+1)`` carry the one transcendental — each term
+    12dp-quantized (O(1) magnitude) and summed as DECIMAL(38,12), so
+    both gain sums are exact order-free accumulations; the final
+    nDCG ratio is one division of those exact-decimal-backed doubles.
+
+    Scale shape: the ranking side is the bm25 top-k (k rows); the
+    relevance side is one projection scan reduced to a doc_id set
+    semi-joinable at k-row cost; IDCG is a k-element literal
+    sequence explode gated by the 1-row relevant-count broadcast.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = tokens_expr(text_col)
+    is_rel = terms and F.lit(True)
+    for t in terms:
+        is_rel = is_rel & F.array_contains(toks, t)
+    rel = ensure_min_parallelism(df).where(is_rel).select(F.col(id_col))
+    ranking = bm25_query_scores(
+        df, query_terms, k=k, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "rank")
+    n_rel = rel.agg(F.count(F.lit(1)).cast("long").alias("__nr__"))
+    marked = ranking.join(
+        rel.withColumn("__rel__", F.lit(1)), id_col, "left"
+    ).select("rank", F.coalesce(F.col("__rel__"), F.lit(0)).alias("__rel__"))
+    dcg_term = F.when(
+        F.col("__rel__") == 1,
+        F.bround(
+            F.lit(1.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0)),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    agg = marked.agg(
+        F.coalesce(F.sum("__rel__"), F.lit(0)).cast("long").alias("__hits__"),
+        F.max(
+            F.when(
+                F.col("__rel__") == 1,
+                F.lit(1.0) / F.col("rank").cast("double"),
+            )
+        ).alias("__mrr__"),
+        F.sum(dcg_term.cast("decimal(38,12)")).alias("__dcg__"),
+    )
+    ideal = (
+        df.sparkSession.range(1, int(k) + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n_rel))
+        .where(F.col("i") <= F.col("__nr__"))
+        .agg(
+            F.sum(
+                F.bround(
+                    F.lit(1.0)
+                    / F.log2(F.col("i").cast("double") + F.lit(1.0)),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("__idcg__")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(n_rel)).crossJoin(F.broadcast(ideal))
+    ndcg = F.when(
+        F.col("__idcg__").isNotNull() & (F.col("__nr__") > 0),
+        F.bround(
+            F.col("__dcg__").cast("double") / F.col("__idcg__").cast("double"),
+            12,
+        ),
+    )
+    return j.select(
+        F.col("__nr__").alias("n_relevant"),
+        F.col("__hits__").alias("hits_at_k"),
+        F.bround(F.col("__mrr__"), 12).alias("mrr"),
+        F.bround(
+            F.col("__hits__").cast("double") / F.lit(float(int(k))), 12
+        ).alias("precision_at_k"),
+        F.when(
+            F.col("__nr__") > 0,
+            F.bround(
+                F.col("__hits__").cast("double")
+                / F.col("__nr__").cast("double"),
+                12,
+            ),
+        ).alias("recall_at_k"),
+        ndcg.alias("ndcg_at_k"),
+    )
+
+
+BM25_EVAL_METRICS_SQL_TEMPLATE = """
+WITH bm AS MATERIALIZED ({bm25}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+rel AS (
+  SELECT doc_id FROM toks
+  WHERE {rel_pred}
+),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel),
+marked AS (
+  SELECT bm.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM bm LEFT JOIN rel USING (doc_id)
+),
+agg AS (
+  SELECT CAST(coalesce(sum(is_rel), 0) AS BIGINT) AS hits,
+         max(CASE WHEN is_rel = 1 THEN
+               CAST(1.0 AS DOUBLE) / CAST(rank AS DOUBLE) END) AS mrr,
+         sum(CAST(CASE WHEN is_rel = 1 THEN
+               round_even(CAST(1.0 AS DOUBLE)
+                          / log2(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)),
+                          12)
+             ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12))) AS dcg
+  FROM marked
+),
+ideal AS (
+  SELECT sum(CAST(round_even(CAST(1.0 AS DOUBLE)
+                  / log2(CAST(i AS DOUBLE) + CAST(1.0 AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS idcg
+  FROM range(1, {k} + 1) AS t(i) CROSS JOIN nr
+  WHERE i <= nr.n
+)
+SELECT nr.n AS n_relevant, agg.hits AS hits_at_k,
+       round_even(agg.mrr, 12) AS mrr,
+       round_even(CAST(agg.hits AS DOUBLE) / CAST({k}.0 AS DOUBLE), 12)
+         AS precision_at_k,
+       CASE WHEN nr.n > 0 THEN
+         round_even(CAST(agg.hits AS DOUBLE) / CAST(nr.n AS DOUBLE), 12)
+       END AS recall_at_k,
+       CASE WHEN ideal.idcg IS NOT NULL AND nr.n > 0 THEN
+         round_even(CAST(agg.dcg AS DOUBLE) / CAST(ideal.idcg AS DOUBLE), 12)
+       END AS ndcg_at_k
+FROM agg CROSS JOIN nr CROSS JOIN ideal
+"""

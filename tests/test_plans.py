@@ -76,6 +76,8 @@ NESTED_LOOP_OK = {
                              # 1-row N/avgdl broadcast on the lexical arm
     "source_token_jsd",      # crossJoin(broadcast(1-row token totals))
                              # for the probability denominators
+    "bm25_eval_metrics",     # bm25's whitelisted 1-row broadcast plus
+                             # the 1-row relevant-count/IDCG folds
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute

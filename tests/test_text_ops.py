@@ -534,3 +534,30 @@ def test_compression_ratio_parity_and_semantics(spark):
     assert got[1]["ratio"] < got[2]["ratio"]
     # empty doc -> NULL ratio, zero bytes
     assert got[3]["n_bytes"] == 0 and got[3]["ratio"] is None
+
+
+def test_bm25_eval_metrics_hand_case(spark):
+    from bht_etl_app_spark.operators.text import bm25_eval_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sort filter"),
+            (2, "spark sort filter spark sort filter extra words here"),
+            (3, "spark spark spark sort"),
+            (4, "entirely unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    row = bm25_eval_metrics(docs, ["spark", "sort", "filter"], k=20).head()
+    # docs 1 and 2 hold all three terms; both must land in the top-20
+    assert row["n_relevant"] == 2 and row["hits_at_k"] == 2
+    assert row["recall_at_k"] == 1.0
+    assert row["precision_at_k"] == 0.1
+    assert row["mrr"] == 1.0  # a relevant doc ranks first
+    assert row["ndcg_at_k"] == 1.0  # relevant docs fill the top ranks
+
+    # no relevant docs -> structural NULLs, zero hits (not 0/0)
+    empty = bm25_eval_metrics(docs, ["zzz"], k=20).head()
+    assert empty["n_relevant"] == 0 and empty["hits_at_k"] == 0
+    assert empty["mrr"] is None and empty["recall_at_k"] is None
+    assert empty["ndcg_at_k"] is None
