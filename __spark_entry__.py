@@ -3443,6 +3443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv_matrix": lambda s, d: analytics.cohort_ltv_matrix(
             load_table(s, d, "orders")
         ),
+        "part_abc_classes": lambda s, d: analytics.part_abc_classes(
+            load_table(s, d, "lineitem")
+        ),
         "source_token_jsd": lambda s, d: _text_mod.source_token_jsd(
             load_table(s, d, "documents"), "src0", "src1"
         ),
@@ -3996,6 +3999,7 @@ FROM c LEFT JOIN p USING (k)
         "events_view_purchase_xcorr": analytics.EVENT_TYPE_XCORR_SQL,
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
         "cohort_ltv_matrix": analytics.COHORT_LTV_SQL,
+        "part_abc_classes": analytics.PART_ABC_SQL,
         "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
         "bm25_eval_metrics": _text_mod.BM25_EVAL_METRICS_SQL_TEMPLATE.format(
             bm25=BM25_QUERY_SCORES_SQL.strip(),

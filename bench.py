@@ -170,6 +170,7 @@ HEADLINE = [
     "source_token_jsd",
     "doc_compression_ratio",
     "bm25_eval_metrics",
+    "part_abc_classes",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

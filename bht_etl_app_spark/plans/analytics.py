@@ -1991,3 +1991,128 @@ SELECT f AS cohort_month,
        round_even(CAST(sum(p) AS DOUBLE), 6) AS revenue
 FROM j GROUP BY 1, 2
 """
+
+
+def part_abc_classes(lineitem: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """ABC / Pareto inventory classification — "which 20% of parts
+    drive 80% of revenue": parts ranked by gross revenue descending,
+    class A while the cumulative share is ≤ 80%, B to 95%, C beyond.
+    Output: one row per class, ``(abc_class, n_parts, revenue,
+    revenue_share)``.
+
+    The cumulative needs a GLOBAL descending rank — the
+    single-partition-window trap, solved with the same two-phase
+    bucketed ranking as ``customer_gini`` extended to PREFIX REVENUE:
+    percentile cut points (1-row broadcast) define order-preserving
+    buckets; per-bucket (count, revenue) prefix-sum on the driver
+    (``n_buckets`` rows — model-parameter-sized); each part's
+    cumulative revenue = its bucket's revenue offset + an in-bucket
+    running sum over a ~n/``n_buckets``-row window. The oracle ranks
+    with one direct window — the hash-match proves the two-phase
+    cumulative IS the global one.
+
+    Exactness: revenue rides DECIMAL(18,2); cumulative sums are exact
+    decimals; CLASS BOUNDARIES are exact integer-scaled decimal
+    comparisons (``A ⟺ 10·cum ≤ 8·total``, ``B ⟺ 20·cum ≤ 19·total``)
+    — no float touches a classification decision; only the output
+    ``revenue``/``revenue_share`` are quantized doubles.
+    """
+    from pyspark.sql.window import Window
+
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("__x__")
+    )
+    fracs = ", ".join(
+        f"{i / n_buckets:.10f}D" for i in range(1, int(n_buckets))
+    )
+    cuts = rev.agg(
+        F.expr(
+            f"transform(percentile(CAST(__x__ AS DOUBLE), array({fracs})),"
+            " c -> bround(c, 6))"
+        ).alias("__cuts__")
+    )
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "l_partkey",
+        "__x__",
+        F.size(
+            F.filter(
+                F.col("__cuts__"),
+                lambda c: F.col("__x__").cast("double") > c,
+            )
+        ).alias("__b__"),
+    )
+    # descending prefix offsets: buckets with HIGHER revenue first
+    parts = bucketed.groupBy("__b__").agg(
+        F.sum("__x__").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    parts.sort(key=lambda r: -r["__b__"])
+    offsets, acc = [], None
+    from decimal import Decimal
+
+    acc = Decimal(0)
+    for r in parts:
+        offsets.append((r["__b__"], str(acc)))
+        acc += r["s"]
+    total = acc
+    if total == 0:
+        return lineitem.sparkSession.createDataFrame(
+            [],
+            "abc_class string, n_parts long, revenue double,"
+            " revenue_share double",
+        )
+    odf = lineitem.sparkSession.createDataFrame(
+        offsets, "__b__ int, __roff__ string"
+    ).select("__b__", F.col("__roff__").cast("decimal(38,2)").alias("__roff__"))
+    w = Window.partitionBy("__b__").orderBy(
+        F.desc("__x__"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed.join(F.broadcast(odf), "__b__").select(
+        "l_partkey",
+        "__x__",
+        (F.col("__roff__") + F.sum("__x__").over(w)).alias("__cum__"),
+    )
+    tot = F.lit(str(total)).cast("decimal(38,2)")
+    cls = (
+        F.when(F.col("__cum__") * 10 <= tot * 8, F.lit("A"))
+        .when(F.col("__cum__") * 20 <= tot * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    out = cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("__x__").alias("__rev__"),
+    )
+    return out.select(
+        "abc_class",
+        "n_parts",
+        F.bround(F.col("__rev__").cast("double"), 4).alias("revenue"),
+        F.bround(
+            F.col("__rev__").cast("double") / F.lit(float(total)), 12
+        ).alias("revenue_share"),
+    )
+
+
+PART_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS x
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, x,
+         sum(x) OVER (ORDER BY x DESC, l_partkey ASC
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(x) OVER () AS tot
+  FROM rev
+),
+cls AS (
+  SELECT x, tot,
+         CASE WHEN c * 10 <= tot * 8 THEN 'A'
+              WHEN c * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round_even(CAST(sum(x) AS DOUBLE), 4) AS revenue,
+       round_even(CAST(sum(x) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE), 12)
+         AS revenue_share
+FROM cls GROUP BY 1
+"""

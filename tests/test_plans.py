@@ -78,6 +78,9 @@ NESTED_LOOP_OK = {
                              # for the probability denominators
     "bm25_eval_metrics",     # bm25's whitelisted 1-row broadcast plus
                              # the 1-row relevant-count/IDCG folds
+    "part_abc_classes",      # crossJoin(broadcast(1-row percentile
+                             # cuts)) — the customer_gini two-phase
+                             # ranking shape
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1029,3 +1032,19 @@ def test_cohort_ltv_matrix_hand_case(spark):
     assert got[(1, 2)]["revenue"] == 50.0
     assert got[(2, 0)]["revenue"] == 200.0
     assert set(got) == {(1, 0), (1, 2), (2, 0)}
+
+
+def test_part_abc_classes_hand_case(spark):
+    from bht_etl_app_spark.plans.analytics import part_abc_classes
+
+    # revenues 80, 15, 3, 2 (total 100): cumulative 80/95/98/100 ->
+    # classes A (<=80%), B (<=95%), C, C — exact decimal boundaries,
+    # both thresholds hit EXACTLY (the <= must include them)
+    rows = [(1, 80.0), (2, 15.0), (3, 3.0), (4, 2.0)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double")
+    got = {r["abc_class"]: r for r in part_abc_classes(li).collect()}
+    assert got["A"]["n_parts"] == 1 and got["A"]["revenue"] == 80.0
+    assert got["B"]["n_parts"] == 1 and got["B"]["revenue"] == 15.0
+    assert got["C"]["n_parts"] == 2 and got["C"]["revenue"] == 5.0
+    assert got["A"]["revenue_share"] == 0.8
+    assert got["C"]["revenue_share"] == 0.05
