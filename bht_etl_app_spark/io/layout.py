@@ -295,29 +295,39 @@ def append_pq_index(codes: DataFrame, path: str) -> None:
 
 
 def compact_pq_index(spark: SparkSession, path: str) -> int:
-    """Rewrite the PQ index in place: collapse per-append file
-    accumulation to one file per list partition and drop duplicate
-    rows (a replayed ingest batch appends twice; ADC scoring is
-    per-row, so dupes inflate candidate cost and can duplicate a
-    top-k entry — unlike the band index, dedup here is a
-    CORRECTNESS matter for the probe's returned list). Returns the
-    compacted row count. Same crash-safety shape as
-    :func:`compact_band_index`: materialize first (eager
-    localCheckpoint), then overwrite, then free the blocks."""
-    from bht_etl_app_spark.functions.lifecycle import (
-        persistent_rdd_ids,
-        unpersist_rdd_ids,
-    )
+    """Rewrite the PQ index: collapse per-append file accumulation to
+    one file per list partition and drop duplicate rows (a replayed
+    ingest batch appends twice; ADC scoring is per-row, so dupes
+    inflate candidate cost and can duplicate a top-k entry — unlike
+    the band index, dedup here is a CORRECTNESS matter for the
+    probe's returned list). Returns the compacted row count.
 
-    sc = spark.sparkContext
-    before = persistent_rdd_ids(sc)
-    snap = spark.read.parquet(path).distinct().localCheckpoint(eager=True)
-    ids = persistent_rdd_ids(sc) - before
-    try:
-        n = snap.count()
-        snap.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    finally:
-        unpersist_rdd_ids(sc, ids)
+    Crash safety: the compacted copy is fully WRITTEN AND COMMITTED
+    to a temp sibling directory before the live directory is touched
+    (an in-place overwrite deletes the only durable copy first — a
+    crash mid-rewrite would lose the index; review finding), then
+    swapped in via two Hadoop FileSystem renames. A crash in the
+    swap window leaves either the old index live or the full
+    compacted copy at ``<path>.compact-tmp`` — never zero durable
+    copies."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    snap = spark.read.parquet(path).distinct()
+    snap.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"could not stage old index aside: {path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+        # put the old index back — the live path must never stay empty
+        fs.rename(jold, jpath)
+        raise IOError(f"could not swap compacted index into {path}")
+    fs.delete(jold, True)
     return n
 
 

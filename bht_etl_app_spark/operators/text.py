@@ -1185,7 +1185,10 @@ def source_token_jsd(
     shift?" / "how different are these two crawls?" (KL alone is
     infinite on any token one side lacks; JSD's mixture midpoint
     makes disjoint supports land at exactly 1). One row: ``(jsd,
-    n_tok_a, n_tok_b, vocab_a, vocab_b, vocab_union)``.
+    n_tok_a, n_tok_b, vocab_a, vocab_b, vocab_union)``; a side with
+    ZERO tokens (absent source name, all-empty texts) has no
+    distribution, so ``jsd`` is structurally NULL — never a
+    NaN-poisoned number.
 
     Exactness: per-token probabilities are single IEEE divisions of
     exact counts; each token's contribution — ``½p·log2(p/m) +
@@ -1232,10 +1235,18 @@ def source_token_jsd(
     p = F.col("a").cast("double") / F.col("ta").cast("double")
     q = F.col("b").cast("double") / F.col("tb").cast("double")
     m = (p + q) * F.lit(0.5)
-    term = F.when(F.col("a") > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(
-        F.lit(0.0)
-    ) + F.when(F.col("b") > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(
-        F.lit(0.0)
+    # structural guard: a side with ZERO tokens (absent/empty source)
+    # has no distribution — jsd is NULL, not a NaN-poisoned value
+    # (0/0 diverges structurally across engines; review finding)
+    both = (F.col("ta") > 0) & (F.col("tb") > 0)
+    term = F.when(
+        both,
+        F.when(F.col("a") > 0, F.lit(0.5) * p * F.log2(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("b") > 0, F.lit(0.5) * q * F.log2(q / m)).otherwise(
+            F.lit(0.0)
+        ),
     )
     return j.agg(
         F.bround(
@@ -1272,6 +1283,7 @@ totals AS (
 ),
 terms AS (
   SELECT
+    CASE WHEN ta > 0 AND tb > 0 THEN
     (CASE WHEN a > 0 THEN
        CAST(0.5 AS DOUBLE) * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
          * log2((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
@@ -1286,7 +1298,8 @@ terms AS (
                 / (((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
                     + (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
                    * CAST(0.5 AS DOUBLE)))
-     ELSE CAST(0.0 AS DOUBLE) END) AS term,
+     ELSE CAST(0.0 AS DOUBLE) END)
+    END AS term,
     ta, tb, va, vb, vu
   FROM per_tok CROSS JOIN totals
 )
@@ -1383,14 +1396,19 @@ def bm25_eval_metrics(
     semi-joinable at k-row cost; IDCG is a k-element literal
     sequence explode gated by the 1-row relevant-count broadcast.
     """
+    if not query_terms:
+        raise ValueError("at least one query term required")
+    # lowercase ONCE and use the same terms on both arms — the
+    # tokenizer lowercases, so mixed-case input would otherwise make
+    # the relevance set and the ranking disagree (review finding)
     terms = [t.lower() for t in query_terms]
     toks = tokens_expr(text_col)
-    is_rel = terms and F.lit(True)
+    is_rel = F.lit(True)
     for t in terms:
         is_rel = is_rel & F.array_contains(toks, t)
     rel = ensure_min_parallelism(df).where(is_rel).select(F.col(id_col))
     ranking = bm25_query_scores(
-        df, query_terms, k=k, text_col=text_col, id_col=id_col
+        df, terms, k=k, text_col=text_col, id_col=id_col
     ).select(F.col(id_col), "rank")
     n_rel = rel.agg(F.count(F.lit(1)).cast("long").alias("__nr__"))
     marked = ranking.join(

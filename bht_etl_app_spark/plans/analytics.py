@@ -18,6 +18,35 @@ def _dec(col: str):
     return F.col(col).cast("decimal(18,2)")
 
 
+def _percentile_buckets(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """Phase one of the two-phase global ranking shared by
+    ``customer_gini`` and ``part_abc_classes``: 6dp-quantized
+    percentile cut points over ``__x__`` (1-row broadcast) assign
+    each row an ORDER-PRESERVING bucket id ``__b__`` (ties share a
+    bucket by construction). Returns ``(id_col, __x__, __b__)``; the
+    caller prefix-sums per-bucket aggregates on the driver
+    (model-parameter-sized) and ranks inside buckets."""
+    fracs = ", ".join(
+        f"{i / n_buckets:.10f}D" for i in range(1, int(n_buckets))
+    )
+    cuts = df.agg(
+        F.expr(
+            f"transform(percentile(CAST(__x__ AS DOUBLE), array({fracs})),"
+            " c -> bround(c, 6))"
+        ).alias("__cuts__")
+    )
+    return df.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "__x__",
+        F.size(
+            F.filter(
+                F.col("__cuts__"),
+                lambda c: F.col("__x__").cast("double") > c,
+            )
+        ).alias("__b__"),
+    )
+
+
 def rollup_region_nation_revenue(
     region: DataFrame, nation: DataFrame, customer: DataFrame,
     orders: DataFrame, lineitem: DataFrame,
@@ -937,25 +966,7 @@ def customer_gini(orders: DataFrame, n_buckets: int = 32) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("__x__")
     )
-    fracs = ", ".join(
-        f"{i / n_buckets:.10f}D" for i in range(1, int(n_buckets))
-    )
-    cuts = spend.agg(
-        F.expr(
-            f"transform(percentile(CAST(__x__ AS DOUBLE), array({fracs})),"
-            " c -> bround(c, 6))"
-        ).alias("__cuts__")
-    )
-    bucketed = spend.crossJoin(F.broadcast(cuts)).select(
-        "o_custkey",
-        "__x__",
-        F.size(
-            F.filter(
-                F.col("__cuts__"),
-                lambda c: F.col("__x__").cast("double") > c,
-            )
-        ).alias("__b__"),
-    )
+    bucketed = _percentile_buckets(spend, "o_custkey", n_buckets)
     counts = sorted(
         bucketed.groupBy("__b__").count().collect(), key=lambda r: r["__b__"]
     )
@@ -2022,39 +2033,23 @@ def part_abc_classes(lineitem: DataFrame, n_buckets: int = 32) -> DataFrame:
     rev = lineitem.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice")).alias("__x__")
     )
-    fracs = ", ".join(
-        f"{i / n_buckets:.10f}D" for i in range(1, int(n_buckets))
-    )
-    cuts = rev.agg(
-        F.expr(
-            f"transform(percentile(CAST(__x__ AS DOUBLE), array({fracs})),"
-            " c -> bround(c, 6))"
-        ).alias("__cuts__")
-    )
-    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
-        "l_partkey",
-        "__x__",
-        F.size(
-            F.filter(
-                F.col("__cuts__"),
-                lambda c: F.col("__x__").cast("double") > c,
-            )
-        ).alias("__b__"),
-    )
+    bucketed = _percentile_buckets(rev, "l_partkey", n_buckets)
     # descending prefix offsets: buckets with HIGHER revenue first
     parts = bucketed.groupBy("__b__").agg(
         F.sum("__x__").alias("s"), F.count(F.lit(1)).alias("c")
     ).collect()
     parts.sort(key=lambda r: -r["__b__"])
-    offsets, acc = [], None
     from decimal import Decimal
 
-    acc = Decimal(0)
+    offsets, acc = [], Decimal(0)
     for r in parts:
         offsets.append((r["__b__"], str(acc)))
         acc += r["s"]
     total = acc
-    if total == 0:
+    if not parts:
+        # EMPTY input only — a zero-sum but non-empty part list still
+        # classifies (everything lands in A: 0 ≤ 0), matching the
+        # oracle's direct-window replay (review finding)
         return lineitem.sparkSession.createDataFrame(
             [],
             "abc_class string, n_parts long, revenue double,"
@@ -2081,13 +2076,16 @@ def part_abc_classes(lineitem: DataFrame, n_buckets: int = 32) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("__x__").alias("__rev__"),
     )
+    share = (
+        F.bround(F.col("__rev__").cast("double") / F.lit(float(total)), 12)
+        if total > 0
+        else F.lit(None).cast("double")
+    )
     return out.select(
         "abc_class",
         "n_parts",
         F.bround(F.col("__rev__").cast("double"), 4).alias("revenue"),
-        F.bround(
-            F.col("__rev__").cast("double") / F.lit(float(total)), 12
-        ).alias("revenue_share"),
+        share.alias("revenue_share"),
     )
 
 
@@ -2112,7 +2110,9 @@ cls AS (
 )
 SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
        round_even(CAST(sum(x) AS DOUBLE), 4) AS revenue,
-       round_even(CAST(sum(x) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE), 12)
-         AS revenue_share
+       CASE WHEN any_value(tot) > 0 THEN
+         round_even(CAST(sum(x) AS DOUBLE)
+                    / CAST(any_value(tot) AS DOUBLE), 12)
+       END AS revenue_share
 FROM cls GROUP BY 1
 """

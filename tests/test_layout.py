@@ -481,3 +481,32 @@ def test_pq_index_incremental_append_equals_single_build(spark, tmp_path):
     n = compact_pq_index(spark, incr_path)
     assert n == emb.count()
     assert probe(incr_path) == probe(full_path)
+
+
+def test_compact_pq_index_leaves_no_stale_temp(spark, tmp_path):
+    """Crash-safe compaction (review finding): the compacted copy is
+    committed to a temp sibling BEFORE the live dir is touched; after
+    success neither staging directory survives."""
+    import os
+
+    from bht_etl_app_spark.io.layout import (
+        append_pq_index,
+        compact_pq_index,
+        read_pq_index,
+        write_pq_index,
+    )
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import pq_index_rows, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(emb, k=4, max_iter=2)
+    path = str(tmp_path / "pqidx")
+    rows = pq_index_rows(emb, cents, books)
+    write_pq_index(rows, path)
+    append_pq_index(rows, path)  # duplicate append
+    n = compact_pq_index(spark, path)
+    assert n == emb.count()
+    assert read_pq_index(spark, path).count() == n
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".compact-old")

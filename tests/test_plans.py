@@ -1048,3 +1048,24 @@ def test_part_abc_classes_hand_case(spark):
     assert got["C"]["n_parts"] == 2 and got["C"]["revenue"] == 5.0
     assert got["A"]["revenue_share"] == 0.8
     assert got["C"]["revenue_share"] == 0.05
+
+
+def test_part_abc_classes_zero_total_matches_oracle_shape(spark):
+    from bht_etl_app_spark.plans.analytics import part_abc_classes
+
+    # all-zero revenue with parts present: everything classes A
+    # (0 <= 0), share NULL — NOT an empty frame (review finding:
+    # Spark and the oracle must agree on the row count)
+    li = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "l_partkey long, l_extendedprice double"
+    )
+    rows = part_abc_classes(li).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["abc_class"] == "A" and r["n_parts"] == 2
+    assert r["revenue"] == 0.0 and r["revenue_share"] is None
+    # truly empty input -> empty frame
+    empty = spark.createDataFrame(
+        [], "l_partkey long, l_extendedprice double"
+    )
+    assert part_abc_classes(empty).count() == 0

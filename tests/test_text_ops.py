@@ -561,3 +561,32 @@ def test_bm25_eval_metrics_hand_case(spark):
     assert empty["n_relevant"] == 0 and empty["hits_at_k"] == 0
     assert empty["mrr"] is None and empty["recall_at_k"] is None
     assert empty["ndcg_at_k"] is None
+
+
+def test_source_token_jsd_empty_side_is_null(spark):
+    from bht_etl_app_spark.operators.text import source_token_jsd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x")], "doc_id long, text string, source string"
+    )
+    row = source_token_jsd(docs, "x", "nope").head()
+    assert row["jsd"] is None
+    assert row["n_tok_a"] == 3 and row["n_tok_b"] == 0
+
+
+def test_bm25_eval_metrics_mixed_case_and_empty_terms(spark):
+    import pytest as _pytest
+
+    from bht_etl_app_spark.operators.text import bm25_eval_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "spark sort filter"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    # mixed-case query must hit the lowercased token stream on BOTH
+    # the relevance and the ranking arm (review finding)
+    row = bm25_eval_metrics(docs, ["Spark", "SORT", "filter"], k=10).head()
+    assert row["n_relevant"] == 1 and row["hits_at_k"] == 1
+    assert row["mrr"] == 1.0
+    with _pytest.raises(ValueError):
+        bm25_eval_metrics(docs, [])
