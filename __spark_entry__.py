@@ -3446,6 +3446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_abc_classes": lambda s, d: analytics.part_abc_classes(
             load_table(s, d, "lineitem")
         ),
+        "nation_supplier_hhi": lambda s, d: analytics.nation_supplier_hhi(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "nation"),
+        ),
         "source_token_jsd": lambda s, d: _text_mod.source_token_jsd(
             load_table(s, d, "documents"), "src0", "src1"
         ),
@@ -4000,6 +4005,7 @@ FROM c LEFT JOIN p USING (k)
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
         "cohort_ltv_matrix": analytics.COHORT_LTV_SQL,
         "part_abc_classes": analytics.PART_ABC_SQL,
+        "nation_supplier_hhi": analytics.NATION_SUPPLIER_HHI_SQL,
         "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
         "bm25_eval_metrics": _text_mod.BM25_EVAL_METRICS_SQL_TEMPLATE.format(
             bm25=BM25_QUERY_SCORES_SQL.strip(),

@@ -171,6 +171,7 @@ HEADLINE = [
     "doc_compression_ratio",
     "bm25_eval_metrics",
     "part_abc_classes",
+    "nation_supplier_hhi",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

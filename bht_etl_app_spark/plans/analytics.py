@@ -2116,3 +2116,84 @@ SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
        END AS revenue_share
 FROM cls GROUP BY 1
 """
+
+
+def nation_supplier_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl–Hirschman supply-concentration index per nation —
+    the antitrust-style "is this market one whale or many minnows"
+    number (``HHI = Σ share_i²`` over each nation's suppliers; 1/n =
+    perfectly even, →1 = monopoly; regulators flag > 0.25): supplier
+    revenue shares within their nation's lineitem revenue. Output:
+    ``(n_name, n_suppliers, revenue, hhi)``.
+
+    Exactness: the share division is CLEARED — ``HHI = Σr_i² / R²``
+    with ``Σr_i²`` an exact DECIMAL(38,4) sum of decimal squares, so
+    hhi is one fixed double expression of two exact decimals,
+    12dp-quantized; ``revenue`` is the usual quantized decimal cast.
+
+    Scale shape: supplier and nation are broadcast dimension joins
+    (the q5 rule); the only data-sized shuffle keys on
+    (nation, supplier); the HHI aggregate is nation-cardinality.
+    """
+    rev = (
+        lineitem.select("l_suppkey", _dec("l_extendedprice").alias("__p__"))
+        .join(
+            F.broadcast(
+                supplier.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("__p__").alias("__r__"))
+    )
+    g = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("__r__").alias("__R__"),
+        F.sum(F.col("__r__") * F.col("__r__")).alias("__S2__"),
+    )
+    hhi = F.when(
+        F.col("__R__") > 0,
+        F.bround(
+            F.col("__S2__").cast("double")
+            / (F.col("__R__").cast("double") * F.col("__R__").cast("double")),
+            12,
+        ),
+    )
+    return g.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+        ),
+        "s_nationkey",
+    ).select(
+        "n_name",
+        "n_suppliers",
+        F.bround(F.col("__R__").cast("double"), 4).alias("revenue"),
+        hhi.alias("hhi"),
+    )
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(r) AS rr, sum(r * r) AS s2
+  FROM rev GROUP BY 1
+)
+SELECT n.n_name, g.n_suppliers,
+       round_even(CAST(g.rr AS DOUBLE), 4) AS revenue,
+       CASE WHEN g.rr > 0 THEN
+         round_even(CAST(g.s2 AS DOUBLE)
+                    / (CAST(g.rr AS DOUBLE) * CAST(g.rr AS DOUBLE)), 12)
+       END AS hhi
+FROM g JOIN nation n ON g.s_nationkey = n.n_nationkey
+"""

@@ -1069,3 +1069,24 @@ def test_part_abc_classes_zero_total_matches_oracle_shape(spark):
         [], "l_partkey long, l_extendedprice double"
     )
     assert part_abc_classes(empty).count() == 0
+
+
+def test_nation_supplier_hhi_hand_case(spark):
+    from bht_etl_app_spark.plans.analytics import nation_supplier_hhi
+
+    li = spark.createDataFrame(
+        # nation 0: suppliers 1,2 with 75/25 -> HHI = .5625+.0625 = .625
+        # nation 1: monopoly -> HHI = 1.0
+        [(1, 75.0), (1, 0.0), (2, 25.0), (3, 10.0)],
+        "l_suppkey long, l_extendedprice double",
+    )
+    sup = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    )
+    got = {r["n_name"]: r for r in nation_supplier_hhi(li, sup, nat).collect()}
+    assert got["ALPHA"]["n_suppliers"] == 2
+    assert got["ALPHA"]["hhi"] == 0.625
+    assert got["BETA"]["hhi"] == 1.0 and got["BETA"]["revenue"] == 10.0
