@@ -3417,6 +3417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": _q_copurchase_triangles,
         "copurchase_link_pred": _q_copurchase_link_pred,
         "copurchase_communities": _q_copurchase_communities,
+        "copurchase_degree_hist": lambda s, d: _graph_mod.degree_histogram(
+            analytics.copurchase_edges(load_table(s, d, "lineitem"))
+        ),
+        "user_event_entropy": lambda s, d: analytics.user_event_entropy_summary(
+            load_table(s, d, "events")
+        ),
         "supplier_return_wilson": lambda s, d: analytics.supplier_return_wilson(
             load_table(s, d, "lineitem")
         ),
@@ -3996,6 +4002,10 @@ FROM c LEFT JOIN p USING (k)
         "copurchase_communities": _graph_mod.label_propagation_oracle_sql(
             analytics.COPURCHASE_EDGES_CTE
         ),
+        "copurchase_degree_hist": _graph_mod.degree_histogram_oracle_sql(
+            analytics.COPURCHASE_EDGES_CTE
+        ),
+        "user_event_entropy": analytics.USER_EVENT_ENTROPY_SQL,
         "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
         "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,

@@ -172,6 +172,8 @@ HEADLINE = [
     "bm25_eval_metrics",
     "part_abc_classes",
     "nation_supplier_hhi",
+    "copurchase_degree_hist",
+    "user_event_entropy",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

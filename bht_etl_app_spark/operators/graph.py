@@ -495,3 +495,63 @@ def label_propagation_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT v AS id, lab AS community FROM l{int(num_rounds)}"
     )
+
+
+def degree_histogram(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Degree distribution of an undirected unique pair list — the
+    first graph-shape question (power law or uniform? any hubs the
+    banded/wedge operators' caps must worry about?): ``(degree,
+    n_nodes, share)`` per distinct degree. Pure integer counting;
+    ``share`` is one int/int division, 12dp-quantized.
+
+    Scale shape: two map-side-combining aggregates (vertex → degree,
+    degree → count) + a 1-row total broadcast for the share — the
+    histogram is |distinct degrees|-sized, never graph-sized.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    hist = deg.groupBy(F.col("deg").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("__t__"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        F.bround(
+            F.col("n_nodes").cast("double") / F.col("__t__").cast("double"),
+            12,
+        ).alias("share"),
+    )
+
+
+def degree_histogram_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_histogram`; ``edges_cte`` defines
+    ``e(a, b)`` (the shared co-purchase fragment)."""
+    return (
+        "WITH " + edges_cte + """,
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+hist AS (
+  SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS t FROM hist)
+SELECT degree, n_nodes,
+       round_even(CAST(n_nodes AS DOUBLE) / CAST(t AS DOUBLE), 12) AS share
+FROM hist CROSS JOIN tot
+"""
+    )

@@ -2197,3 +2197,85 @@ SELECT n.n_name, g.n_suppliers,
        END AS hhi
 FROM g JOIN nation n ON g.s_nationkey = n.n_nationkey
 """
+
+
+def user_event_entropy_summary(events: DataFrame) -> DataFrame:
+    """Behavioral-diversity summary: Shannon entropy (base 2) of each
+    user's event-type mix, reduced to one row — the "are users
+    single-action bots or diverse browsers" diagnostic
+    (``share_single_type`` is the bot-smell number; mean entropy
+    tracks engagement breadth). Output: ``(n_users, mean_entropy,
+    max_entropy, share_single_type)``.
+
+    Exactness: per-user entropy uses the cleared form ``H = log2(n) −
+    (Σ c·log2 c)/n`` — counts exact; each ``c·log2 c`` term (the one
+    transcendental) is 12dp-quantized and summed as DECIMAL(38,12)
+    per user (exact, order-free), H is one fixed double expression
+    12dp-quantized, and the cross-user mean sums quantized-H decimals
+    the same way. ``c=1`` contributes exactly 0 (log2(1)=0 — no edge
+    case; n≥1 always).
+
+    Scale shape: two nested map-side-combining aggregates
+    ((user,type) → user → 1 row); nothing else.
+    """
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    c = F.col("__c__").cast("double")
+    term = F.bround(c * F.log2(c), 12).cast("decimal(38,12)")
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("__c__").cast("long").alias("__n__"),
+        F.sum(term).alias("__s__"),
+        F.count(F.lit(1)).cast("long").alias("__k__"),
+    )
+    n = F.col("__n__").cast("double")
+    h = F.bround(
+        F.log2(n) - F.col("__s__").cast("double") / n, 12
+    )
+    hu = per_user.select(
+        h.cast("decimal(38,12)").alias("__h__"),
+        (F.col("__k__") == 1).cast("int").alias("__single__"),
+    )
+    return hu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.bround(
+            F.sum("__h__").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            12,
+        ).alias("mean_entropy"),
+        F.bround(F.max("__h__").cast("double"), 12).alias("max_entropy"),
+        F.bround(
+            F.sum("__single__").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            12,
+        ).alias("share_single_type"),
+    )
+
+
+USER_EVENT_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(round_even(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS s,
+         CAST(count(*) AS BIGINT) AS k
+  FROM ut GROUP BY 1
+),
+hu AS (
+  SELECT CAST(round_even(log2(CAST(n AS DOUBLE))
+                         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12)
+              AS DECIMAL(38,12)) AS h,
+         CASE WHEN k = 1 THEN 1 ELSE 0 END AS single
+  FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round_even(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+         AS mean_entropy,
+       round_even(CAST(max(h) AS DOUBLE), 12) AS max_entropy,
+       round_even(CAST(sum(single) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+         AS share_single_type
+FROM hu
+"""

@@ -154,3 +154,15 @@ def test_label_propagation_two_cliques(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == got[6] == 3
+
+
+def test_degree_histogram_hand_case(spark):
+    from bht_etl_app_spark.operators.graph import degree_histogram
+
+    # star 1-(2,3,4): degrees 3,1,1,1
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {r["degree"]: r for r in degree_histogram(pairs).collect()}
+    assert got[1]["n_nodes"] == 3 and got[3]["n_nodes"] == 1
+    assert got[1]["share"] == 0.75 and got[3]["share"] == 0.25

@@ -81,6 +81,8 @@ NESTED_LOOP_OK = {
     "part_abc_classes",      # crossJoin(broadcast(1-row percentile
                              # cuts)) — the customer_gini two-phase
                              # ranking shape
+    "copurchase_degree_hist",  # crossJoin(broadcast(1-row node total))
+                             # for the share denominator
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1090,3 +1092,27 @@ def test_nation_supplier_hhi_hand_case(spark):
     assert got["ALPHA"]["n_suppliers"] == 2
     assert got["ALPHA"]["hhi"] == 0.625
     assert got["BETA"]["hhi"] == 1.0 and got["BETA"]["revenue"] == 10.0
+
+
+def test_user_event_entropy_summary_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import user_event_entropy_summary
+
+    ts = datetime(2024, 1, 1)
+    rows = (
+        # user 1: 2 types evenly -> H = 1.0
+        [(1, 1, ts, "a"), (2, 1, ts, "b")]
+        # user 2: single type -> H = 0
+        + [(3, 2, ts, "a"), (4, 2, ts, "a")]
+        # user 3: 4 types evenly -> H = 2.0
+        + [(5 + i, 3, ts, t) for i, t in enumerate("abcd")]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = user_event_entropy_summary(df).head()
+    assert r["n_users"] == 3
+    assert r["max_entropy"] == 2.0
+    assert r["mean_entropy"] == 1.0  # (1 + 0 + 2) / 3
+    assert abs(r["share_single_type"] - 1 / 3) < 1e-12
