@@ -3423,6 +3423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_entropy": lambda s, d: analytics.user_event_entropy_summary(
             load_table(s, d, "events")
         ),
+        "user_active_streaks": lambda s, d: _ts_mod.user_active_streaks(
+            load_table(s, d, "events")
+        ),
         "supplier_return_wilson": lambda s, d: analytics.supplier_return_wilson(
             load_table(s, d, "lineitem")
         ),
@@ -4006,6 +4009,7 @@ FROM c LEFT JOIN p USING (k)
             analytics.COPURCHASE_EDGES_CTE
         ),
         "user_event_entropy": analytics.USER_EVENT_ENTROPY_SQL,
+        "user_active_streaks": _ts_mod.USER_ACTIVE_STREAKS_SQL,
         "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
         "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,

@@ -174,6 +174,7 @@ HEADLINE = [
     "nation_supplier_hhi",
     "copurchase_degree_hist",
     "user_event_entropy",
+    "user_active_streaks",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -1139,3 +1139,77 @@ SELECT lag_bucket, n_users,
        CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE) AS share
 FROM hist
 """
+
+
+def user_active_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_streak: int = 3,
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reduced to one
+    summary row — the engagement-habit metric (daily-streak mechanics)
+    via the classic gaps-and-islands derivation: with active days
+    ranked per user, ``day − rank`` is constant exactly along a
+    consecutive run, so islands fall out of one group-by. Output:
+    ``(n_users, max_streak, n_users_ge_min, mean_max_streak)``.
+
+    Exactness: everything is integer (distinct days, ranks, island
+    keys, streak lengths) until the one mean division, 12dp-quantized.
+
+    Scale shape: distinct (user, day) with map-side combine; the
+    ranking window partitions BY USER (bounded by a user's active
+    days — never corpus-wide); islands and maxima are two more
+    user-keyed aggregates; output is one row.
+    """
+    days = (
+        df.select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("d")
+    islands = days.select(
+        "u", F.date_sub(F.col("d"), F.row_number().over(w)).alias("__isl__")
+    )
+    streaks = islands.groupBy("u", "__isl__").agg(
+        F.count(F.lit(1)).cast("long").alias("__len__")
+    )
+    per_user = streaks.groupBy("u").agg(
+        F.max("__len__").alias("__mx__")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("__mx__").cast("long").alias("max_streak"),
+        F.sum(F.when(F.col("__mx__") >= int(min_streak), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_ge_min"),
+        F.bround(
+            F.sum("__mx__").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            12,
+        ).alias("mean_max_streak"),
+    )
+
+
+USER_ACTIVE_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT u,
+         d - CAST(row_number() OVER (PARTITION BY u ORDER BY d) AS INT)
+           AS isl
+  FROM days
+),
+streaks AS (
+  SELECT u, isl, CAST(count(*) AS BIGINT) AS len
+  FROM islands GROUP BY 1, 2
+),
+per_user AS (SELECT u, max(len) AS mx FROM streaks GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(max(mx) AS BIGINT) AS max_streak,
+       CAST(sum(CASE WHEN mx >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users_ge_min,
+       round_even(CAST(sum(mx) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+         AS mean_max_streak
+FROM per_user
+"""

@@ -585,3 +585,25 @@ def test_user_max_drawdown_hand_computed(spark):
         4, 20.0, 13.0
     )
     assert (out[3]["peak"], out[3]["max_drawdown"]) == (4.0, 0.0)
+
+
+def test_user_active_streaks_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import user_active_streaks
+
+    rows = [
+        # user 1: days 1,2,3 then 5 -> longest streak 3
+        (1, 1, datetime(2024, 1, 1)), (2, 1, datetime(2024, 1, 2)),
+        (3, 1, datetime(2024, 1, 2, 12)), (4, 1, datetime(2024, 1, 3)),
+        (5, 1, datetime(2024, 1, 5)),
+        # user 2: one day -> streak 1
+        (6, 2, datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    r = user_active_streaks(df).head()
+    assert r["n_users"] == 2 and r["max_streak"] == 3
+    assert r["n_users_ge_min"] == 1
+    assert r["mean_max_streak"] == 2.0
