@@ -3426,6 +3426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_active_streaks": lambda s, d: _ts_mod.user_active_streaks(
             load_table(s, d, "events")
         ),
+        "event_burstiness": lambda s, d: _ts_mod.event_burstiness(
+            load_table(s, d, "events")
+        ),
         "supplier_return_wilson": lambda s, d: analytics.supplier_return_wilson(
             load_table(s, d, "lineitem")
         ),
@@ -4010,6 +4013,7 @@ FROM c LEFT JOIN p USING (k)
         ),
         "user_event_entropy": analytics.USER_EVENT_ENTROPY_SQL,
         "user_active_streaks": _ts_mod.USER_ACTIVE_STREAKS_SQL,
+        "event_burstiness": _ts_mod.EVENT_BURSTINESS_SQL,
         "supplier_return_wilson": analytics.SUPPLIER_RETURN_WILSON_SQL,
         "embedding_dim_outliers": _emb_mod.EMBEDDING_DIM_OUTLIERS_SQL,
         "events_chi2_independence": _skew_mod.CHI2_EVENTS_SQL,

@@ -175,6 +175,7 @@ HEADLINE = [
     "copurchase_degree_hist",
     "user_event_entropy",
     "user_active_streaks",
+    "event_burstiness",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

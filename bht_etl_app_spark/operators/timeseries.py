@@ -1213,3 +1213,109 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
          AS mean_max_streak
 FROM per_user
 """
+
+
+def event_burstiness(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of hourly event counts per
+    type — the point-process "is arrival traffic Poisson or bursty"
+    diagnostic (D = variance/mean of per-hour counts; ≈1 Poisson,
+    ≫1 bursty/flash-crowd, <1 metronomic). Output: ``(event_type,
+    n_hours, n_events, mean_per_hour, dispersion)``.
+
+    The hour spine is COMPLETE over the corpus span (a 1-row min/max
+    broadcast explodes into every hour between them): zero-count
+    hours are real observations — skipping them inflates the mean
+    and buries the burstiness the statistic exists to catch.
+
+    Exactness: dispersion is cleared to ``(n·Σc² − (Σc)²)/(n·Σc)`` —
+    all-integer numerator/denominator on DECIMAL(38,0), one fixed
+    double division 12dp-quantized; the mean likewise.
+
+    Scale shape: one map-side-combining (type, hour) count, one
+    spine explode bounded by span-hours × types, one type-keyed
+    fold. Nothing data-sized past the first aggregate.
+    """
+    hour = F.date_trunc("HOUR", F.col(ts_col))
+    counts = df.groupBy(
+        F.col(type_col).alias("t"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = df.agg(
+        F.date_trunc("HOUR", F.min(ts_col)).alias("h0"),
+        F.date_trunc("HOUR", F.max(ts_col)).alias("h1"),
+    )
+    types = counts.select("t").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "t",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    full = spine.join(counts, ["t", "h"], "left").select(
+        "t", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = full.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum((F.col("c") * F.col("c")).cast("long")).cast("long").alias("__s2__"),
+    )
+    num = (dec("n_hours") * dec("__s2__") - dec("n_events") * dec("n_events")).cast(
+        "double"
+    )
+    den = (dec("n_hours") * dec("n_events")).cast("double")
+    return g.select(
+        F.col("t").alias("event_type"),
+        "n_hours",
+        "n_events",
+        F.bround(
+            F.col("n_events").cast("double") / F.col("n_hours").cast("double"),
+            12,
+        ).alias("mean_per_hour"),
+        F.when(F.col("n_events") > 0, F.bround(num / den, 12)).alias(
+            "dispersion"
+        ),
+    )
+
+
+EVENT_BURSTINESS_SQL = """
+WITH counts AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT t, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT t FROM counts) CROSS JOIN span
+),
+filled AS (
+  SELECT s.t, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c ON s.t = c.t AND s.h = c.h
+),
+g AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS HUGEINT) AS s2
+  FROM filled GROUP BY 1
+)
+SELECT t AS event_type, n_hours, n_events,
+       round_even(CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE), 12)
+         AS mean_per_hour,
+       CASE WHEN n_events > 0 THEN
+         round_even(
+           CAST(CAST(n_hours AS HUGEINT) * s2
+                - CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)
+                AS DOUBLE)
+           / CAST(CAST(n_hours AS HUGEINT) * CAST(n_events AS HUGEINT)
+                  AS DOUBLE),
+           12)
+       END AS dispersion
+FROM g
+"""

@@ -83,6 +83,8 @@ NESTED_LOOP_OK = {
                              # ranking shape
     "copurchase_degree_hist",  # crossJoin(broadcast(1-row node total))
                              # for the share denominator
+    "event_burstiness",      # crossJoin(broadcast(1-row corpus span))
+                             # generating the complete hour spine
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute

@@ -607,3 +607,27 @@ def test_user_active_streaks_hand_case(spark):
     assert r["n_users"] == 2 and r["max_streak"] == 3
     assert r["n_users_ge_min"] == 1
     assert r["mean_max_streak"] == 2.0
+
+
+def test_event_burstiness_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.operators.timeseries import event_burstiness
+
+    rows = (
+        # type "a": 4 events all in hour 0 of a 4-hour span ->
+        # counts [4,0,0,0]: mean 1, var-ish num = 4*16-16=48,
+        # D = 48/(4*4) = 3.0 (bursty)
+        [(i, 1, datetime(2024, 1, 1, 0, i), "a") for i in range(4)]
+        # type "b": one event each hour -> counts [1,1,1,1], D = 0
+        + [(10 + h, 1, datetime(2024, 1, 1, h, 30), "b") for h in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["event_type"]: r for r in event_burstiness(df).collect()}
+    # span is global (hours 0-3) so both types see 4 spine hours
+    assert got["a"]["n_hours"] == 4 and got["b"]["n_hours"] == 4
+    assert got["a"]["mean_per_hour"] == 1.0
+    assert got["a"]["dispersion"] == 3.0
+    assert got["b"]["dispersion"] == 0.0
