@@ -3463,6 +3463,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "supplier"),
             load_table(s, d, "nation"),
         ),
+        "nation_pct_of_parent": lambda s, d: analytics.nation_pct_of_parent(
+            load_table(s, d, "orders"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "region"),
+        ),
         "source_token_jsd": lambda s, d: _text_mod.source_token_jsd(
             load_table(s, d, "documents"), "src0", "src1"
         ),
@@ -4024,6 +4030,7 @@ FROM c LEFT JOIN p USING (k)
         "cohort_ltv_matrix": analytics.COHORT_LTV_SQL,
         "part_abc_classes": analytics.PART_ABC_SQL,
         "nation_supplier_hhi": analytics.NATION_SUPPLIER_HHI_SQL,
+        "nation_pct_of_parent": analytics.NATION_PCT_OF_PARENT_SQL,
         "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
         "bm25_eval_metrics": _text_mod.BM25_EVAL_METRICS_SQL_TEMPLATE.format(
             bm25=BM25_QUERY_SCORES_SQL.strip(),

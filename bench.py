@@ -176,6 +176,7 @@ HEADLINE = [
     "user_event_entropy",
     "user_active_streaks",
     "event_burstiness",
+    "nation_pct_of_parent",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

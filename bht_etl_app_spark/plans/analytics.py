@@ -2279,3 +2279,102 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
          AS share_single_type
 FROM hu
 """
+
+
+def nation_pct_of_parent(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Hierarchical percent-of-parent revenue — the drill-down OLAP
+    staple (each nation's share WITHIN its region, each region's
+    share of the total) computed in one pass: revenue aggregated once
+    at the nation grain, parent totals derived from that frame (never
+    a second scan), shares cleared against exact decimals. Output:
+    one row per nation, ``(r_name, n_name, revenue, pct_of_region,
+    region_pct_of_total)``.
+
+    Exactness: revenue rides DECIMAL(18,2); both share divisions are
+    single fixed double expressions of exact decimal sums,
+    12dp-quantized (the decimal→double cast rule).
+
+    Scale shape: customer/nation/region are broadcast dimension
+    joins (the q5 rule); the one data-sized aggregate keys on the
+    nation; region and grand totals are nation-frame rollups
+    (25-row inputs), the grand total a 1-row broadcast.
+    """
+    rev = (
+        orders.select("o_custkey", _dec("o_totalprice").alias("__p__"))
+        .join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("__p__").alias("__r__"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    "n_name",
+                    "n_regionkey",
+                )
+            ),
+            "c_nationkey",
+        )
+    )
+    reg = rev.groupBy("n_regionkey").agg(F.sum("__r__").alias("__rr__"))
+    tot = reg.agg(F.sum("__rr__").alias("__t__"))
+    return (
+        rev.join(F.broadcast(reg), "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+        .select(
+            "r_name",
+            "n_name",
+            F.bround(F.col("__r__").cast("double"), 4).alias("revenue"),
+            F.bround(
+                F.col("__r__").cast("double") / F.col("__rr__").cast("double"),
+                12,
+            ).alias("pct_of_region"),
+            F.bround(
+                F.col("__rr__").cast("double") / F.col("__t__").cast("double"),
+                12,
+            ).alias("region_pct_of_total"),
+        )
+    )
+
+
+NATION_PCT_OF_PARENT_SQL = """
+WITH rev AS (
+  SELECT n.n_name, n.n_regionkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT n_regionkey, sum(r) AS rr FROM rev GROUP BY 1),
+tot AS (SELECT sum(rr) AS t FROM reg)
+SELECT g.r_name, rev.n_name,
+       round_even(CAST(rev.r AS DOUBLE), 4) AS revenue,
+       round_even(CAST(rev.r AS DOUBLE) / CAST(reg.rr AS DOUBLE), 12)
+         AS pct_of_region,
+       round_even(CAST(reg.rr AS DOUBLE) / CAST(tot.t AS DOUBLE), 12)
+         AS region_pct_of_total
+FROM rev
+JOIN reg USING (n_regionkey)
+CROSS JOIN tot
+JOIN region g ON rev.n_regionkey = g.r_regionkey
+"""

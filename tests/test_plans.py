@@ -85,6 +85,8 @@ NESTED_LOOP_OK = {
                              # for the share denominator
     "event_burstiness",      # crossJoin(broadcast(1-row corpus span))
                              # generating the complete hour spine
+    "nation_pct_of_parent",  # crossJoin(broadcast(1-row grand total))
+                             # for the region-share denominator
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1118,3 +1120,35 @@ def test_user_event_entropy_summary_hand_case(spark):
     assert r["max_entropy"] == 2.0
     assert r["mean_entropy"] == 1.0  # (1 + 0 + 2) / 3
     assert abs(r["share_single_type"] - 1 / 3) < 1e-12
+
+
+def test_nation_pct_of_parent_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import nation_pct_of_parent
+
+    ts = datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, ts, 75.0), (2, 2, ts, 25.0), (3, 3, ts, 100.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "c_custkey long, c_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0), (2, "N2", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    reg = spark.createDataFrame(
+        [(0, "R0"), (1, "R1")], "r_regionkey long, r_name string"
+    )
+    got = {
+        r["n_name"]: r
+        for r in nation_pct_of_parent(orders, cust, nat, reg).collect()
+    }
+    assert got["N0"]["pct_of_region"] == 0.75
+    assert got["N1"]["pct_of_region"] == 0.25
+    assert got["N2"]["pct_of_region"] == 1.0
+    assert got["N0"]["region_pct_of_total"] == 0.5
+    assert got["N2"]["region_pct_of_total"] == 0.5
