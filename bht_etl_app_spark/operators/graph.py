@@ -497,7 +497,17 @@ def label_propagation_oracle_sql(
     )
 
 
+# degree-from-endpoint-union SQL, shared verbatim by every oracle
+# that derives degrees from e(a, b) (triangles + degree histogram)
+DEGREE_CTE = """deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+)"""
+
+
 def degree_histogram(
+
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
@@ -539,12 +549,7 @@ def degree_histogram_oracle_sql(edges_cte: str) -> str:
     """DuckDB twin of :func:`degree_histogram`; ``edges_cte`` defines
     ``e(a, b)`` (the shared co-purchase fragment)."""
     return (
-        "WITH " + edges_cte + """,
-deg AS (
-  SELECT v, CAST(count(*) AS BIGINT) AS deg
-  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-  GROUP BY v
-),
+        "WITH " + edges_cte + ",\n" + DEGREE_CTE + """,
 hist AS (
   SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
   FROM deg GROUP BY 1

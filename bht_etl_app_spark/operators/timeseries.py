@@ -1243,10 +1243,10 @@ def event_burstiness(
     counts = df.groupBy(
         F.col(type_col).alias("t"), hour.alias("h")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    span = df.agg(
-        F.date_trunc("HOUR", F.min(ts_col)).alias("h0"),
-        F.date_trunc("HOUR", F.max(ts_col)).alias("h1"),
-    )
+    # span derived FROM the counts frame (date_trunc is monotone, so
+    # min/max of truncated hours == truncated min/max ts) — no second
+    # scan of the fact table (review finding)
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     types = counts.select("t").distinct()
     spine = types.crossJoin(F.broadcast(span)).select(
         "t",
@@ -1258,10 +1258,14 @@ def event_burstiness(
         "t", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
+    # square IN decimal before summing (the repo power-sum rule —
+    # a long sum of c^2 overflows at ~1e8 events/hour; review finding)
     g = full.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("c").cast("long").alias("n_events"),
-        F.sum((F.col("c") * F.col("c")).cast("long")).cast("long").alias("__s2__"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("__s2__"),
     )
     num = (dec("n_hours") * dec("__s2__") - dec("n_events") * dec("n_events")).cast(
         "double"
@@ -1302,7 +1306,7 @@ filled AS (
 g AS (
   SELECT t, CAST(count(*) AS BIGINT) AS n_hours,
          CAST(sum(c) AS BIGINT) AS n_events,
-         CAST(sum(c * c) AS HUGEINT) AS s2
+         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
   FROM filled GROUP BY 1
 )
 SELECT t AS event_type, n_hours, n_events,

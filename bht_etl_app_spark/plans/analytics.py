@@ -1066,12 +1066,11 @@ e AS (
   HAVING count(*) >= 3
 )"""
 
-COPURCHASE_TRIANGLES_SQL = "WITH " + COPURCHASE_EDGES_CTE + """,
-deg AS (
-  SELECT v, CAST(count(*) AS BIGINT) AS deg
-  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-  GROUP BY v
-),
+from bht_etl_app_spark.operators.graph import DEGREE_CTE as _DEGREE_CTE
+
+COPURCHASE_TRIANGLES_SQL = (
+    "WITH " + COPURCHASE_EDGES_CTE + ",\n" + _DEGREE_CTE + ","
+) + """
 o AS (
   SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.a < e.b)
               THEN e.a ELSE e.b END AS src,
@@ -2207,33 +2206,32 @@ def user_event_entropy_summary(events: DataFrame) -> DataFrame:
     tracks engagement breadth). Output: ``(n_users, mean_entropy,
     max_entropy, share_single_type)``.
 
-    Exactness: per-user entropy uses the cleared form ``H = log2(n) −
-    (Σ c·log2 c)/n`` — counts exact; each ``c·log2 c`` term (the one
-    transcendental) is 12dp-quantized and summed as DECIMAL(38,12)
-    per user (exact, order-free), H is one fixed double expression
-    12dp-quantized, and the cross-user mean sums quantized-H decimals
-    the same way. ``c=1`` contributes exactly 0 (log2(1)=0 — no edge
-    case; n≥1 always).
+    Exactness: per-type terms are ``p·log2 p`` with ``p = c/n`` —
+    BOUNDED magnitude (|p·log2 p| ≤ 0.54), so the 12dp quantization
+    of the one transcendental is genuinely active at ANY count scale
+    (the cleared ``c·log2 c`` form goes quantization-inert past
+    c ≈ 5e3 — review finding, the magnitude-aware rule); quantized
+    terms sum as DECIMAL(38,12) per user (exact, order-free),
+    ``H = −Σ`` exactly, and the cross-user mean sums the exact
+    per-user decimals the same way.
 
-    Scale shape: two nested map-side-combining aggregates
-    ((user,type) → user → 1 row); nothing else.
+    Scale shape: one (user,type) map-side-combining aggregate, a
+    user-keyed total joined back (user-sized both sides), then the
+    user fold and the 1-row fold; nothing else.
     """
     ut = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("__c__")
     )
-    c = F.col("__c__").cast("double")
-    term = F.bround(c * F.log2(c), 12).cast("decimal(38,12)")
-    per_user = ut.groupBy("user_id").agg(
-        F.sum("__c__").cast("long").alias("__n__"),
-        F.sum(term).alias("__s__"),
+    un = ut.groupBy("user_id").agg(F.sum("__c__").cast("long").alias("__n__"))
+    j = ut.join(un, "user_id")
+    p = F.col("__c__").cast("double") / F.col("__n__").cast("double")
+    term = F.bround(p * F.log2(p), 12).cast("decimal(38,12)")
+    per_user = j.groupBy("user_id").agg(
+        (-F.sum(term)).alias("__h__"),
         F.count(F.lit(1)).cast("long").alias("__k__"),
     )
-    n = F.col("__n__").cast("double")
-    h = F.bround(
-        F.log2(n) - F.col("__s__").cast("double") / n, 12
-    )
     hu = per_user.select(
-        h.cast("decimal(38,12)").alias("__h__"),
+        "__h__",
         (F.col("__k__") == 1).cast("int").alias("__single__"),
     )
     return hu.agg(
@@ -2257,19 +2255,15 @@ WITH ut AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
 ),
-per_user AS (
-  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
-         sum(CAST(round_even(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 12)
-             AS DECIMAL(38,12))) AS s,
-         CAST(count(*) AS BIGINT) AS k
-  FROM ut GROUP BY 1
-),
+un AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ut GROUP BY 1),
 hu AS (
-  SELECT CAST(round_even(log2(CAST(n AS DOUBLE))
-                         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12)
-              AS DECIMAL(38,12)) AS h,
-         CASE WHEN k = 1 THEN 1 ELSE 0 END AS single
-  FROM per_user
+  SELECT -sum(CAST(round_even(
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+           AS DECIMAL(38,12))) AS h,
+         CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS single
+  FROM ut JOIN un USING (user_id)
+  GROUP BY user_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_users,
        round_even(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
@@ -2344,13 +2338,24 @@ def nation_pct_of_parent(
             "r_name",
             "n_name",
             F.bround(F.col("__r__").cast("double"), 4).alias("revenue"),
-            F.bround(
-                F.col("__r__").cast("double") / F.col("__rr__").cast("double"),
-                12,
+            # structural guards (ANSI divide-by-zero + oracle parity
+            # on zero-sum revenue — review finding, the
+            # part_abc_classes lesson)
+            F.when(
+                F.col("__rr__") > 0,
+                F.bround(
+                    F.col("__r__").cast("double")
+                    / F.col("__rr__").cast("double"),
+                    12,
+                ),
             ).alias("pct_of_region"),
-            F.bround(
-                F.col("__rr__").cast("double") / F.col("__t__").cast("double"),
-                12,
+            F.when(
+                F.col("__t__") > 0,
+                F.bround(
+                    F.col("__rr__").cast("double")
+                    / F.col("__t__").cast("double"),
+                    12,
+                ),
             ).alias("region_pct_of_total"),
         )
     )
@@ -2369,10 +2374,12 @@ reg AS (SELECT n_regionkey, sum(r) AS rr FROM rev GROUP BY 1),
 tot AS (SELECT sum(rr) AS t FROM reg)
 SELECT g.r_name, rev.n_name,
        round_even(CAST(rev.r AS DOUBLE), 4) AS revenue,
-       round_even(CAST(rev.r AS DOUBLE) / CAST(reg.rr AS DOUBLE), 12)
-         AS pct_of_region,
-       round_even(CAST(reg.rr AS DOUBLE) / CAST(tot.t AS DOUBLE), 12)
-         AS region_pct_of_total
+       CASE WHEN reg.rr > 0 THEN
+         round_even(CAST(rev.r AS DOUBLE) / CAST(reg.rr AS DOUBLE), 12)
+       END AS pct_of_region,
+       CASE WHEN tot.t > 0 THEN
+         round_even(CAST(reg.rr AS DOUBLE) / CAST(tot.t AS DOUBLE), 12)
+       END AS region_pct_of_total
 FROM rev
 JOIN reg USING (n_regionkey)
 CROSS JOIN tot
