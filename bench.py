@@ -177,6 +177,8 @@ HEADLINE = [
     "user_active_streaks",
     "event_burstiness",
     "nation_pct_of_parent",
+    "brand_price_anova",
+    "part_brand_type_chi2",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

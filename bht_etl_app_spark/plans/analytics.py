@@ -2385,3 +2385,105 @@ JOIN reg USING (n_regionkey)
 CROSS JOIN tot
 JOIN region g ON rev.n_regionkey = g.r_regionkey
 """
+
+
+def brand_price_anova(part: DataFrame) -> DataFrame:
+    """One-way ANOVA of retail price across brands — the k-group
+    generalization completing the stats family (chi2 = categorical ×
+    categorical, Welch = 2 groups, this = k groups × continuous):
+    does brand explain price variance? One row: ``(k, n, f_stat,
+    dof_between, dof_within)``; NULL F when within-variance is zero
+    or dof degenerate (structural ANSI guard).
+
+    Exactness: per-brand count/sum/square-sum are exact decimals;
+    the cross-group assembly (``Σ s_g²/n_g`` has incompatible
+    rational denominators, so it can't clear globally) runs as a
+    SORTED ARRAY FOLD over the brand-keyed aggregate — brand count
+    is bounded (a dimension attribute), the fold order is pinned by
+    the sort, and every fold input is an exact-decimal-backed
+    double, so the sum is bit-identical cross-engine (the
+    windowed-float-sum rule); F is one fixed double expression,
+    8dp-quantized (F can reach O(1e3)).
+
+    Scale shape: one map-side-combining brand aggregate (brand-
+    cardinality output), one collect-free 1-row fold over it.
+    """
+    g = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("s"),
+        F.sum(
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("p_retailprice").cast("decimal(18,2)")
+        ).alias("q"),
+    )
+    rows = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("p_brand").alias("b"),
+                F.col("n"),
+                F.col("s").cast("double").alias("sd"),
+                F.col("q").cast("double").alias("qd"),
+            )
+        )
+    )
+    agg = g.agg(rows.alias("__rows__"))
+    k = F.size("__rows__").cast("double")
+    nn = F.aggregate(
+        "__rows__", F.lit(0.0), lambda a, r: a + r["n"].cast("double")
+    )
+    ss = F.aggregate("__rows__", F.lit(0.0), lambda a, r: a + r["sd"])
+    qq = F.aggregate("__rows__", F.lit(0.0), lambda a, r: a + r["qd"])
+    sn = F.aggregate(
+        "__rows__",
+        F.lit(0.0),
+        lambda a, r: a + (r["sd"] * r["sd"]) / r["n"].cast("double"),
+    )
+    ssb = sn - (ss * ss) / nn
+    ssw = qq - sn
+    ok = (k > 1) & (nn > k) & (ssw > 0)
+    f = F.when(
+        ok,
+        F.bround(
+            (ssb / (k - F.lit(1.0))) / (ssw / (nn - k)),
+            8,
+        ),
+    )
+    return agg.select(
+        F.size("__rows__").cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        f.alias("f_stat"),
+        (F.size("__rows__") - 1).cast("long").alias("dof_between"),
+        (nn.cast("long") - F.size("__rows__")).cast("long").alias(
+            "dof_within"
+        ),
+    )
+
+
+BRAND_PRICE_ANOVA_SQL = """
+WITH g AS (
+  SELECT p_brand AS b, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(p_retailprice AS DECIMAL(18,2))) AS s,
+         sum(CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(p_retailprice AS DECIMAL(18,2))) AS q
+  FROM part GROUP BY 1
+),
+folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_sum(list(CAST(n AS DOUBLE) ORDER BY b)) AS nn,
+         list_sum(list(CAST(s AS DOUBLE) ORDER BY b)) AS ss,
+         list_sum(list(CAST(q AS DOUBLE) ORDER BY b)) AS qq,
+         list_sum(list((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / CAST(n AS DOUBLE) ORDER BY b)) AS sn
+  FROM g
+)
+SELECT k, CAST(nn AS BIGINT) AS n,
+       CASE WHEN k > 1 AND nn > CAST(k AS DOUBLE)
+             AND qq - sn > 0 THEN
+         round_even(((sn - (ss * ss) / nn) / (CAST(k AS DOUBLE)
+                                              - CAST(1.0 AS DOUBLE)))
+                    / ((qq - sn) / (nn - CAST(k AS DOUBLE))), 8)
+       END AS f_stat,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(CAST(nn AS BIGINT) - k AS BIGINT) AS dof_within
+FROM folded
+"""

@@ -87,6 +87,8 @@ NESTED_LOOP_OK = {
                              # generating the complete hour spine
     "nation_pct_of_parent",  # crossJoin(broadcast(1-row grand total))
                              # for the region-share denominator
+    "part_brand_type_chi2",  # chi2_independence's whitelisted 1-row
+                             # fold + category-grid cross (2nd carrier)
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1152,3 +1154,26 @@ def test_nation_pct_of_parent_hand_case(spark):
     assert got["N2"]["pct_of_region"] == 1.0
     assert got["N0"]["region_pct_of_total"] == 0.5
     assert got["N2"]["region_pct_of_total"] == 0.5
+
+
+def test_brand_price_anova_hand_case(spark):
+    from bht_etl_app_spark.plans.analytics import brand_price_anova
+
+    # brand A prices {10, 20}, brand B {30, 40}:
+    # grand mean 25, SSB = 2*(15-25)^2 + 2*(35-25)^2 = 400,
+    # SSW = 50 + 50 = 100, F = (400/1)/(100/2) = 8.0
+    part = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", 40.0)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    r = brand_price_anova(part).head()
+    assert r["k"] == 2 and r["n"] == 4
+    assert r["dof_between"] == 1 and r["dof_within"] == 2
+    assert r["f_stat"] == 8.0
+
+    # zero within-variance -> structural NULL, not a division error
+    flat = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 10.0), (3, "B", 20.0), (4, "B", 20.0)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    assert brand_price_anova(flat).head()["f_stat"] is None
