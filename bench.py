@@ -179,6 +179,7 @@ HEADLINE = [
     "nation_pct_of_parent",
     "brand_price_anova",
     "part_brand_type_chi2",
+    "mktsegment_monthly_share",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -2487,3 +2487,71 @@ SELECT k, CAST(nn AS BIGINT) AS n,
        CAST(CAST(nn AS BIGINT) - k AS BIGINT) AS dof_within
 FROM folded
 """
+
+
+def mktsegment_monthly_share(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Market-segment revenue mix by month — the composition-shift
+    chart behind "is AUTOMOBILE eating FURNITURE's share?" (segment
+    drift is the categorical sibling of the PSI price drift already
+    in the contract). Output: one row per (month, segment):
+    ``(month, c_mktsegment, revenue, share_of_month)``.
+
+    Exactness: revenue rides DECIMAL(18,2); the share is one fixed
+    double expression of the cell and month sums (both exact
+    decimals), 12dp-quantized; month totals are derived FROM the
+    cell frame (no second scan) and joined back month-keyed.
+
+    Scale shape: customer is a broadcast dimension join (the q5
+    rule); one (month, segment)-keyed aggregate; the month-total
+    rollup and join are month-cardinality-sized.
+    """
+    cells = (
+        orders.select(
+            "o_custkey",
+            F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"),
+            _dec("o_totalprice").alias("__p__"),
+        )
+        .join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("month", "c_mktsegment")
+        .agg(F.sum("__p__").alias("__r__"))
+    )
+    mtot = cells.groupBy("month").agg(F.sum("__r__").alias("__m__"))
+    return cells.join(F.broadcast(mtot), "month").select(
+        "month",
+        "c_mktsegment",
+        F.bround(F.col("__r__").cast("double"), 4).alias("revenue"),
+        F.when(
+            F.col("__m__") > 0,
+            F.bround(
+                F.col("__r__").cast("double") / F.col("__m__").cast("double"),
+                12,
+            ),
+        ).alias("share_of_month"),
+    )
+
+
+MKTSEGMENT_MONTHLY_SHARE_SQL = """
+WITH cells AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+         c.c_mktsegment,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mtot AS (SELECT month, sum(r) AS m FROM cells GROUP BY 1)
+SELECT cells.month, cells.c_mktsegment,
+       round_even(CAST(cells.r AS DOUBLE), 4) AS revenue,
+       CASE WHEN mtot.m > 0 THEN
+         round_even(CAST(cells.r AS DOUBLE) / CAST(mtot.m AS DOUBLE), 12)
+       END AS share_of_month
+FROM cells JOIN mtot USING (month)
+"""

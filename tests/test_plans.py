@@ -1177,3 +1177,30 @@ def test_brand_price_anova_hand_case(spark):
         "p_partkey long, p_brand string, p_retailprice double",
     )
     assert brand_price_anova(flat).head()["f_stat"] is None
+
+
+def test_mktsegment_monthly_share_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import mktsegment_monthly_share
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 10), 75.0),
+            (2, 2, datetime(2024, 1, 20), 25.0),
+            (3, 1, datetime(2024, 2, 5), 40.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "AUTO"), (2, "HOME")], "c_custkey long, c_mktsegment string"
+    )
+    got = {
+        (r["month"].month, r["c_mktsegment"]): r
+        for r in mktsegment_monthly_share(orders, cust).collect()
+    }
+    assert got[(1, "AUTO")]["share_of_month"] == 0.75
+    assert got[(1, "HOME")]["share_of_month"] == 0.25
+    assert got[(2, "AUTO")]["share_of_month"] == 1.0
+    assert got[(2, "AUTO")]["revenue"] == 40.0
