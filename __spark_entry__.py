@@ -3469,6 +3469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_monthly_share": lambda s, d: analytics.mktsegment_monthly_share(
             load_table(s, d, "orders"), load_table(s, d, "customer")
         ),
+        "daily_revenue_acf": lambda s, d: analytics.daily_revenue_acf(
+            load_table(s, d, "orders")
+        ),
         "part_brand_type_chi2": lambda s, d: _skew_mod.chi2_independence(
             load_table(s, d, "part"), "p_brand", "p_type"
         ),
@@ -4042,6 +4045,7 @@ FROM c LEFT JOIN p USING (k)
         "nation_pct_of_parent": analytics.NATION_PCT_OF_PARENT_SQL,
         "brand_price_anova": analytics.BRAND_PRICE_ANOVA_SQL,
         "mktsegment_monthly_share": analytics.MKTSEGMENT_MONTHLY_SHARE_SQL,
+        "daily_revenue_acf": analytics.DAILY_REVENUE_ACF_SQL,
         "part_brand_type_chi2": """
 WITH obs AS (
   SELECT p_brand AS rv, p_type AS cv, CAST(count(*) AS BIGINT) AS o

@@ -180,6 +180,7 @@ HEADLINE = [
     "brand_price_anova",
     "part_brand_type_chi2",
     "mktsegment_monthly_share",
+    "daily_revenue_acf",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -2555,3 +2555,89 @@ SELECT cells.month, cells.c_mktsegment,
        END AS share_of_month
 FROM cells JOIN mtot USING (month)
 """
+
+
+def daily_revenue_acf(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..``max_lag``
+    — the seasonality detector that needs no period guess (a weekly
+    cycle surfaces as an ACF spike at lag 7; the dow-seasonality
+    operator then quantifies it). Output: ``(lag, n_days, r)`` per
+    lag; NULL r when either aligned slice is constant (structural
+    ANSI guard). Pearson r of ``(x_d, x_{d+lag})`` over days where
+    both exist — the ``event_type_xcorr`` machinery pointed at one
+    series.
+
+    Exactness: day sums ride integer cents (DECIMAL(38,0)); all five
+    sufficient statistics are exact integer sums; r is one
+    fixed-association double expression per lag, 12dp-quantized.
+
+    Scale shape: the corpus collapses to the day-cardinality frame
+    first; the lag fan-out is a projection explode (no join), the
+    alignment one date-keyed equi-join of day-sized frames; output
+    is ``max_lag``-row.
+    """
+    rev = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev__")
+        )
+        .select("d", (F.col("__rev__") * 100).cast("decimal(38,0)").alias("x"))
+    )
+    lags = list(range(1, int(max_lag) + 1))
+    fan = rev.select(
+        "d", "x", F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag")
+    )
+    j = fan.join(
+        rev.select(F.col("d").alias("__dy__"), F.col("x").alias("y")),
+        F.date_add(F.col("d"), F.col("lag")) == F.col("__dy__"),
+    )
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = F.when((vx > 0) & (vy > 0), F.bround(cov / F.sqrt(vx * vy), 12))
+    return g.select(
+        F.col("lag").cast("long").alias("lag"), "n_days", r.alias("r")
+    ).orderBy("lag")
+
+
+DAILY_REVENUE_ACF_SQL = """
+WITH rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+),
+fan AS (
+  SELECT r.d, r.x, CAST(l AS BIGINT) AS lag
+  FROM rev r, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(l)
+),
+j AS (
+  SELECT f.lag, f.x, c.x AS y
+  FROM fan f JOIN rev c ON f.d + CAST(f.lag AS INT) = c.d
+),
+g AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lag, n_days,
+       CASE WHEN CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+       THEN round_even(
+         CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+         12)
+       END AS r
+FROM g
+"""

@@ -1204,3 +1204,21 @@ def test_mktsegment_monthly_share_hand_case(spark):
     assert got[(1, "HOME")]["share_of_month"] == 0.25
     assert got[(2, "AUTO")]["share_of_month"] == 1.0
     assert got[(2, "AUTO")]["revenue"] == 40.0
+
+
+def test_daily_revenue_acf_planted_period(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import daily_revenue_acf
+
+    # strict period-2 series 10,20,10,20,... -> r(2) = 1.0 and
+    # r(1) < 0 (alternation anti-correlates adjacent days)
+    vals = [10.0, 20.0] * 7
+    orders = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + i), v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = {r["lag"]: r for r in daily_revenue_acf(orders).collect()}
+    assert got[2]["r"] == 1.0 and got[4]["r"] == 1.0
+    assert got[1]["r"] < 0
+    assert got[2]["n_days"] == 12
