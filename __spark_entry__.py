@@ -3472,6 +3472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_acf": lambda s, d: analytics.daily_revenue_acf(
             load_table(s, d, "orders")
         ),
+        "segment_migration_matrix": lambda s, d: analytics.segment_migration_matrix(
+            load_table(s, d, "orders")
+        ),
         "part_brand_type_chi2": lambda s, d: _skew_mod.chi2_independence(
             load_table(s, d, "part"), "p_brand", "p_type"
         ),
@@ -4046,6 +4049,7 @@ FROM c LEFT JOIN p USING (k)
         "brand_price_anova": analytics.BRAND_PRICE_ANOVA_SQL,
         "mktsegment_monthly_share": analytics.MKTSEGMENT_MONTHLY_SHARE_SQL,
         "daily_revenue_acf": analytics.DAILY_REVENUE_ACF_SQL,
+        "segment_migration_matrix": analytics.segment_migration_oracle_sql(),
         "part_brand_type_chi2": """
 WITH obs AS (
   SELECT p_brand AS rv, p_type AS cv, CAST(count(*) AS BIGINT) AS o

@@ -181,6 +181,7 @@ HEADLINE = [
     "part_brand_type_chi2",
     "mktsegment_monthly_share",
     "daily_revenue_acf",
+    "segment_migration_matrix",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -2641,3 +2641,66 @@ SELECT lag, n_days,
        END AS r
 FROM g
 """
+
+
+def segment_migration_matrix(
+    orders: DataFrame, split_date: str = "1998-07-01"
+) -> DataFrame:
+    """RFM segment migration between two halves of the order history
+    — the "are my best customers upgrading or decaying" transition
+    matrix: RFM scoring runs independently on the orders before and
+    after ``split_date`` (each period's quantile cuts are its own —
+    segments are relative standings, so comparing absolute cut
+    points across periods would conflate drift with mix), then the
+    per-customer segment codes are full-outer joined. Customers
+    absent from a period appear against the ``'ABSENT'`` marker (the
+    acquisition / churn rows of the matrix). Output: ``(seg_from,
+    seg_to, n_customers)``.
+
+    Exactness: both halves ARE :func:`rfm_segments` (and the oracle
+    composes the proven RFM oracle verbatim with only the source
+    relation swapped — the hybrid-RRF composition rule), so the
+    matrix adds nothing but an integer count over a full-outer join.
+
+    Scale shape: two customer-sized RFM frames (each the
+    broadcast-cut scoring plan), one customer-keyed full-outer join,
+    a (segment x segment)-cardinality aggregate (≤ 126²).
+    """
+    d = F.to_date("o_orderdate")
+    cut = F.lit(split_date).cast("date")
+    p1 = rfm_segments(orders.where(d < cut)).select(
+        "o_custkey", F.col("segment").alias("__s1__")
+    )
+    p2 = rfm_segments(orders.where(d >= cut)).select(
+        "o_custkey", F.col("segment").alias("__s2__")
+    )
+    j = p1.join(p2, "o_custkey", "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("__s1__"), F.lit("ABSENT")).alias("seg_from"),
+        F.coalesce(F.col("__s2__"), F.lit("ABSENT")).alias("seg_to"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+
+
+def segment_migration_oracle_sql(split_date: str = "1998-07-01") -> str:
+    """Composes the PROVEN RFM oracle verbatim over each period's
+    source relation (string-swap of ``FROM orders`` only, so the two
+    replays can never drift from the contract RFM oracle)."""
+    src1 = (
+        "(SELECT * FROM orders WHERE CAST(o_orderdate AS DATE)"
+        f" < DATE '{split_date}')"
+    )
+    src2 = (
+        "(SELECT * FROM orders WHERE CAST(o_orderdate AS DATE)"
+        f" >= DATE '{split_date}')"
+    )
+    rfm1 = RFM_SEGMENTS_SQL.strip().replace("FROM orders", f"FROM {src1}")
+    rfm2 = RFM_SEGMENTS_SQL.strip().replace("FROM orders", f"FROM {src2}")
+    return f"""
+WITH p1 AS MATERIALIZED ({rfm1}),
+p2 AS MATERIALIZED ({rfm2})
+SELECT coalesce(p1.segment, 'ABSENT') AS seg_from,
+       coalesce(p2.segment, 'ABSENT') AS seg_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+GROUP BY 1, 2
+"""

@@ -89,6 +89,8 @@ NESTED_LOOP_OK = {
                              # for the region-share denominator
     "part_brand_type_chi2",  # chi2_independence's whitelisted 1-row
                              # fold + category-grid cross (2nd carrier)
+    "segment_migration_matrix",  # inherits customer_rfm_segments'
+                             # whitelisted anchor/cut broadcasts twice
     "ann_recall_report",     # the EXACT baseline side is knn_join's
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
@@ -1222,3 +1224,33 @@ def test_daily_revenue_acf_planted_period(spark):
     assert got[2]["r"] == 1.0 and got[4]["r"] == 1.0
     assert got[1]["r"] < 0
     assert got[2]["n_days"] == 12
+
+
+def test_segment_migration_matrix_semantics(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import segment_migration_matrix
+
+    # customer 1 orders in both halves, customer 2 only before the
+    # split, customer 3 only after: the matrix must carry one
+    # real->real cell, one churn row (to ABSENT) and one acquisition
+    # row (from ABSENT); total count == distinct customers
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime(1997, 1, 1), 100.0),
+            (2, 1, datetime(1999, 1, 1), 100.0),
+            (3, 2, datetime(1997, 6, 1), 50.0),
+            (4, 3, datetime(1999, 6, 1), 80.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    rows = segment_migration_matrix(orders).collect()
+    assert sum(r["n_customers"] for r in rows) == 3
+    froms = {r["seg_from"] for r in rows}
+    tos = {r["seg_to"] for r in rows}
+    assert "ABSENT" in froms and "ABSENT" in tos
+    # no cell can be ABSENT -> ABSENT (a customer exists somewhere)
+    assert not any(
+        r["seg_from"] == "ABSENT" and r["seg_to"] == "ABSENT" for r in rows
+    )
