@@ -3475,6 +3475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_migration_matrix": lambda s, d: analytics.segment_migration_matrix(
             load_table(s, d, "orders")
         ),
+        "topk_customer_overlap": lambda s, d: analytics.topk_customer_overlap(
+            load_table(s, d, "orders")
+        ),
         "part_brand_type_chi2": lambda s, d: _skew_mod.chi2_independence(
             load_table(s, d, "part"), "p_brand", "p_type"
         ),
@@ -4050,6 +4053,7 @@ FROM c LEFT JOIN p USING (k)
         "mktsegment_monthly_share": analytics.MKTSEGMENT_MONTHLY_SHARE_SQL,
         "daily_revenue_acf": analytics.DAILY_REVENUE_ACF_SQL,
         "segment_migration_matrix": analytics.segment_migration_oracle_sql(),
+        "topk_customer_overlap": analytics.topk_customer_overlap_sql(),
         "part_brand_type_chi2": """
 WITH obs AS (
   SELECT p_brand AS rv, p_type AS cv, CAST(count(*) AS BIGINT) AS o

@@ -182,6 +182,7 @@ HEADLINE = [
     "mktsegment_monthly_share",
     "daily_revenue_acf",
     "segment_migration_matrix",
+    "topk_customer_overlap",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

@@ -2704,3 +2704,84 @@ SELECT coalesce(p1.segment, 'ABSENT') AS seg_from,
 FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+def topk_customer_overlap(
+    orders: DataFrame, k: int = 100, split_date: str = "1998-07-01"
+) -> DataFrame:
+    """Stability of the top-``k`` spender set across the two halves
+    of the order history — the concentration-churn diagnostic
+    ("is the whale list the SAME whales?") that the migration matrix
+    summarizes distributionally and this reduces to one number:
+    Jaccard overlap of the two top-``k`` customer sets. One row:
+    ``(k, n_p1, n_p2, n_overlap, jaccard)`` (``n_p1/n_p2`` < k when
+    a period has fewer customers; NULL jaccard when both empty).
+
+    Exactness: membership is decided by exact decimal spend with the
+    (spend desc, custkey) total order; overlap/union are integer
+    counts; jaccard one int/int division 12dp.
+
+    Scale shape: per-period customer aggregates -> global top-k via
+    TakeOrderedAndProject (k rows each) -> an inner join and a 1-row
+    fold over k-row frames.
+    """
+    d = F.to_date("o_orderdate")
+    cut = F.lit(split_date).cast("date")
+
+    def top(side):
+        return (
+            side.groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "__s__"
+                )
+            )
+            .orderBy(F.desc("__s__"), F.asc("o_custkey"))
+            .limit(int(k))
+            .select("o_custkey")
+        )
+
+    t1 = top(orders.where(d < cut))
+    t2 = top(orders.where(d >= cut))
+    n1 = t1.count()
+    n2 = t2.count()
+    n_ov = t1.join(t2, "o_custkey", "left_semi").count()
+    union = n1 + n2 - n_ov
+    jac = round(n_ov / union, 12) if union > 0 else None
+    return orders.sparkSession.createDataFrame(
+        [(int(k), n1, n2, n_ov, jac)],
+        "k long, n_p1 long, n_p2 long, n_overlap long, jaccard double",
+    )
+
+
+def topk_customer_overlap_sql(
+    k: int = 100, split_date: str = "1998-07-01"
+) -> str:
+    return f"""
+WITH t1 AS (
+  SELECT o_custkey FROM (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{split_date}'
+    GROUP BY 1 ORDER BY s DESC, o_custkey LIMIT {k}
+  )
+),
+t2 AS (
+  SELECT o_custkey FROM (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+    FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{split_date}'
+    GROUP BY 1 ORDER BY s DESC, o_custkey LIMIT {k}
+  )
+),
+c AS (
+  SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n1,
+         CAST((SELECT count(*) FROM t2) AS BIGINT) AS n2,
+         CAST((SELECT count(*) FROM t1 SEMI JOIN t2 USING (o_custkey))
+              AS BIGINT) AS nov
+)
+SELECT CAST({k} AS BIGINT) AS k, n1 AS n_p1, n2 AS n_p2,
+       nov AS n_overlap,
+       CASE WHEN n1 + n2 - nov > 0 THEN
+         round_even(CAST(nov AS DOUBLE) / CAST(n1 + n2 - nov AS DOUBLE), 12)
+       END AS jaccard
+FROM c
+"""

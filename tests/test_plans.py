@@ -1254,3 +1254,27 @@ def test_segment_migration_matrix_semantics(spark):
     assert not any(
         r["seg_from"] == "ABSENT" and r["seg_to"] == "ABSENT" for r in rows
     )
+
+
+def test_topk_customer_overlap_hand_case(spark):
+    from datetime import datetime
+
+    from bht_etl_app_spark.plans.analytics import topk_customer_overlap
+
+    # top-2 before: {1, 2}; top-2 after: {2, 3} -> overlap 1, union 3
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime(1997, 1, 1), 100.0),
+            (2, 2, datetime(1997, 1, 2), 90.0),
+            (3, 3, datetime(1997, 1, 3), 10.0),
+            (4, 2, datetime(1999, 1, 1), 80.0),
+            (5, 3, datetime(1999, 1, 2), 70.0),
+            (6, 1, datetime(1999, 1, 3), 5.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    r = topk_customer_overlap(orders, k=2).head()
+    assert r["n_p1"] == 2 and r["n_p2"] == 2
+    assert r["n_overlap"] == 1
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
