@@ -4051,40 +4051,12 @@ FROM c LEFT JOIN p USING (k)
         "nation_pct_of_parent": analytics.NATION_PCT_OF_PARENT_SQL,
         "brand_price_anova": analytics.BRAND_PRICE_ANOVA_SQL,
         "mktsegment_monthly_share": analytics.MKTSEGMENT_MONTHLY_SHARE_SQL,
-        "daily_revenue_acf": analytics.DAILY_REVENUE_ACF_SQL,
+        "daily_revenue_acf": analytics.daily_revenue_acf_sql(),
         "segment_migration_matrix": analytics.segment_migration_oracle_sql(),
         "topk_customer_overlap": analytics.topk_customer_overlap_sql(),
-        "part_brand_type_chi2": """
-WITH obs AS (
-  SELECT p_brand AS rv, p_type AS cv, CAST(count(*) AS BIGINT) AS o
-  FROM part GROUP BY 1, 2
-),
-rt AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
-ct AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
-tot AS (
-  SELECT CAST(sum(o) AS BIGINT) AS n,
-         CAST(count(DISTINCT rv) AS BIGINT) AS n_rows,
-         CAST(count(DISTINCT cv) AS BIGINT) AS n_cols
-  FROM obs
-),
-cells AS (
-  SELECT rt.rv, ct.cv, rt.r, ct.c, coalesce(obs.o, 0) AS o
-  FROM rt CROSS JOIN ct
-  LEFT JOIN obs ON obs.rv = rt.rv AND obs.cv = ct.cv
-)
-SELECT round_even(CAST(sum(CAST(round_even(
-           (CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
-                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
-            * CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
-                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
-           6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi2,
-       CAST((any_value(n_rows) - 1) * (any_value(n_cols) - 1) AS BIGINT)
-         AS dof,
-       any_value(n) AS n, any_value(n_rows) AS n_rows,
-       any_value(n_cols) AS n_cols
-FROM cells CROSS JOIN tot
-""",
+        "part_brand_type_chi2": _skew_mod.CHI2_SQL_TEMPLATE.format(
+            table="part", row_expr="p_brand", col_expr="p_type"
+        ),
         "source_token_jsd": _text_mod.SOURCE_TOKEN_JSD_SQL,
         "bm25_eval_metrics": _text_mod.BM25_EVAL_METRICS_SQL_TEMPLATE.format(
             bm25=BM25_QUERY_SCORES_SQL.strip(),

@@ -779,10 +779,14 @@ def chi2_independence(
     )
 
 
-CHI2_EVENTS_SQL = """
+# the one chi2 oracle scheme (per-term 6dp round_even -> DECIMAL(38,6)
+# sum -> 6dp final; HUGEINT overflow routing; densified grid) — every
+# chi2 carrier derives from this template so the quantization tuning
+# can never drift between carriers (review finding)
+CHI2_SQL_TEMPLATE = """
 WITH obs AS (
-  SELECT event_type AS rv, hour(ts) AS cv, CAST(count(*) AS BIGINT) AS o
-  FROM events GROUP BY 1, 2
+  SELECT {row_expr} AS rv, {col_expr} AS cv, CAST(count(*) AS BIGINT) AS o
+  FROM {table} GROUP BY 1, 2
 ),
 rt AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
 ct AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
@@ -810,3 +814,7 @@ SELECT round_even(CAST(sum(CAST(round_even(
        any_value(n_cols) AS n_cols
 FROM cells CROSS JOIN tot
 """
+
+CHI2_EVENTS_SQL = CHI2_SQL_TEMPLATE.format(
+    table="events", row_expr="event_type", col_expr="hour(ts)"
+)

@@ -2448,14 +2448,20 @@ def brand_price_anova(part: DataFrame) -> DataFrame:
             8,
         ),
     )
+    # empty-input parity: DuckDB's list() over zero rows is NULL (so
+    # every fold is NULL), while Spark's collect_list is an empty
+    # array folding to 0.0 — mirror the oracle's NULLs structurally
+    # (review finding, the degenerate-input divergence class)
+    nonempty = F.size("__rows__") > 0
     return agg.select(
         F.size("__rows__").cast("long").alias("k"),
-        nn.cast("long").alias("n"),
+        F.when(nonempty, nn.cast("long")).alias("n"),
         f.alias("f_stat"),
         (F.size("__rows__") - 1).cast("long").alias("dof_between"),
-        (nn.cast("long") - F.size("__rows__")).cast("long").alias(
-            "dof_within"
-        ),
+        F.when(
+            nonempty,
+            (nn.cast("long") - F.size("__rows__")).cast("long"),
+        ).alias("dof_within"),
     )
 
 
@@ -2609,7 +2615,16 @@ def daily_revenue_acf(orders: DataFrame, max_lag: int = 7) -> DataFrame:
     ).orderBy("lag")
 
 
-DAILY_REVENUE_ACF_SQL = """
+def daily_revenue_acf_sql(max_lag: int = 7) -> str:
+    """Oracle builder parameterized like the operator (a hardcoded
+    lag list would silently misalign with a non-default ``max_lag``
+    contract call — review finding, the threshold-misalignment
+    class)."""
+    lag_list = ", ".join(str(l) for l in range(1, int(max_lag) + 1))
+    return DAILY_REVENUE_ACF_SQL_TEMPLATE.format(lags=lag_list)
+
+
+DAILY_REVENUE_ACF_SQL_TEMPLATE = """
 WITH rev AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -2618,7 +2633,7 @@ WITH rev AS (
 ),
 fan AS (
   SELECT r.d, r.x, CAST(l AS BIGINT) AS lag
-  FROM rev r, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(l)
+  FROM rev r, unnest([{lags}]) AS t(l)
 ),
 j AS (
   SELECT f.lag, f.x, c.x AS y
@@ -2741,11 +2756,15 @@ def topk_customer_overlap(
             .select("o_custkey")
         )
 
-    t1 = top(orders.where(d < cut))
-    t2 = top(orders.where(d >= cut))
-    n1 = t1.count()
-    n2 = t2.count()
-    n_ov = t1.join(t2, "o_custkey", "left_semi").count()
+    # the top-k id sets are PARAMETER-sized (k rows) — collect each
+    # once and finish with set arithmetic, instead of re-running the
+    # aggregation+TakeOrdered pipeline for every count (review
+    # finding: count() + semi-join.count() evaluated each lazy top-k
+    # plan twice)
+    ids1 = {r[0] for r in top(orders.where(d < cut)).collect()}
+    ids2 = {r[0] for r in top(orders.where(d >= cut)).collect()}
+    n1, n2 = len(ids1), len(ids2)
+    n_ov = len(ids1 & ids2)
     union = n1 + n2 - n_ov
     jac = round(n_ov / union, 12) if union > 0 else None
     return orders.sparkSession.createDataFrame(

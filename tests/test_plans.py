@@ -1278,3 +1278,15 @@ def test_topk_customer_overlap_hand_case(spark):
     assert r["n_p1"] == 2 and r["n_p2"] == 2
     assert r["n_overlap"] == 1
     assert abs(r["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_brand_price_anova_empty_input_matches_oracle_shape(spark):
+    from bht_etl_app_spark.plans.analytics import brand_price_anova
+
+    empty = spark.createDataFrame(
+        [], "p_partkey long, p_brand string, p_retailprice double"
+    )
+    r = brand_price_anova(empty).head()
+    # mirrors the oracle: list() over zero rows is NULL in DuckDB
+    assert r["k"] == 0 and r["n"] is None
+    assert r["f_stat"] is None and r["dof_within"] is None
