@@ -3478,6 +3478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customer_overlap": lambda s, d: analytics.topk_customer_overlap(
             load_table(s, d, "orders")
         ),
+        # second carrier of the generic MAD-outlier operator (another
+        # table/key/value axis — generality contract-proven)
+        "nation_acctbal_outliers": lambda s, d: _skew_mod.value_outlier_report(
+            load_table(s, d, "supplier"),
+            key_col="s_nationkey",
+            value_col="s_acctbal",
+            min_n=3,
+        ),
         "part_brand_type_chi2": lambda s, d: _skew_mod.chi2_independence(
             load_table(s, d, "part"), "p_brand", "p_type"
         ),
@@ -4054,6 +4062,13 @@ FROM c LEFT JOIN p USING (k)
         "daily_revenue_acf": analytics.daily_revenue_acf_sql(),
         "segment_migration_matrix": analytics.segment_migration_oracle_sql(),
         "topk_customer_overlap": analytics.topk_customer_overlap_sql(),
+        "nation_acctbal_outliers": _skew_mod.VALUE_OUTLIER_SQL_TEMPLATE.format(
+            table="supplier",
+            key="s_nationkey",
+            value="s_acctbal",
+            k_mad="3.0",
+            min_n=3,
+        ),
         "part_brand_type_chi2": _skew_mod.CHI2_SQL_TEMPLATE.format(
             table="part", row_expr="p_brand", col_expr="p_type"
         ),

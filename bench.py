@@ -183,6 +183,7 @@ HEADLINE = [
     "daily_revenue_acf",
     "segment_migration_matrix",
     "topk_customer_overlap",
+    "nation_acctbal_outliers",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

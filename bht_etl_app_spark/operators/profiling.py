@@ -314,32 +314,39 @@ def value_outlier_report(
     )
 
 
-VALUE_OUTLIER_SQL = """
+# one oracle scheme for every value_outlier_report carrier — a
+# template so a quantization/threshold change can never drift
+# between carriers (the chi2-template rule)
+VALUE_OUTLIER_SQL_TEMPLATE = """
 WITH base AS (
-  SELECT user_id, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  SELECT {key}, CAST({value} AS DOUBLE) AS v
+  FROM {table} WHERE {value} IS NOT NULL
 ),
 med AS (
-  SELECT user_id, median(v) AS med, count(*) AS n
+  SELECT {key}, median(v) AS med, count(*) AS n
   FROM base GROUP BY 1
 ),
 ad AS (
-  SELECT b.user_id, abs(b.v - m.med) AS ad, m.med, m.n
-  FROM base b JOIN med m USING (user_id)
+  SELECT b.{key}, abs(b.v - m.med) AS ad, m.med, m.n
+  FROM base b JOIN med m USING ({key})
 ),
 mad AS (
-  SELECT user_id, median(ad) AS mad FROM ad GROUP BY 1
+  SELECT {key}, median(ad) AS mad FROM ad GROUP BY 1
 )
-SELECT a.user_id,
+SELECT a.{key},
        CAST(max(a.n) AS BIGINT) AS n,
        max(a.med) AS med,
        max(m.mad) AS mad,
-       CAST(sum(CASE WHEN a.ad > CAST(3.0 AS DOUBLE) * m.mad
+       CAST(sum(CASE WHEN a.ad > CAST({k_mad} AS DOUBLE) * m.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-FROM ad a JOIN mad m USING (user_id)
-GROUP BY a.user_id
-HAVING max(a.n) >= 8
+FROM ad a JOIN mad m USING ({key})
+GROUP BY a.{key}
+HAVING max(a.n) >= {min_n}
 """
+
+VALUE_OUTLIER_SQL = VALUE_OUTLIER_SQL_TEMPLATE.format(
+    table="events", key="user_id", value="value", k_mad="3.0", min_n=8
+)
 
 
 # log10(1 + 1/d) for d = 1..9, precomputed so neither engine's log10
