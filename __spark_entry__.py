@@ -3486,6 +3486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             value_col="s_acctbal",
             min_n=3,
         ),
+        # more generality carriers (template-derived oracles)
+        "part_key_skew": lambda s, d: _skew_mod.key_skew_report(
+            load_table(s, d, "lineitem"), "l_partkey"
+        ),
+        "price_benford_audit": lambda s, d: _skew_mod.benford_audit(
+            load_table(s, d, "part"), amount_col="p_retailprice"
+        ),
         "part_brand_type_chi2": lambda s, d: _skew_mod.chi2_independence(
             load_table(s, d, "part"), "p_brand", "p_type"
         ),
@@ -4068,6 +4075,12 @@ FROM c LEFT JOIN p USING (k)
             value="s_acctbal",
             k_mad="3.0",
             min_n=3,
+        ),
+        "part_key_skew": _skew_mod.KEY_SKEW_REPORT_SQL_TEMPLATE.format(
+            key="l_partkey", table="lineitem"
+        ),
+        "price_benford_audit": _skew_mod.BENFORD_AUDIT_SQL_TEMPLATE.format(
+            table="part", amount="p_retailprice"
         ),
         "part_brand_type_chi2": _skew_mod.CHI2_SQL_TEMPLATE.format(
             table="part", row_expr="p_brand", col_expr="p_type"

@@ -184,6 +184,8 @@ HEADLINE = [
     "segment_migration_matrix",
     "topk_customer_overlap",
     "nation_acctbal_outliers",
+    "part_key_skew",
+    "price_benford_audit",
     # data QA
     "profile_orders",
     "orders_constraint_audit",

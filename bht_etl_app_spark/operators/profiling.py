@@ -412,13 +412,15 @@ def benford_audit(
     )
 
 
-BENFORD_AUDIT_SQL = """
+# template (the chi2-template rule): every Benford carrier derives
+# its oracle here so digit extraction can never drift per-carrier
+BENFORD_AUDIT_SQL_TEMPLATE = """
 WITH counts AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+  SELECT CAST(substr(CAST(CAST(floor({amount}) AS BIGINT) AS VARCHAR),
                      1, 1) AS INTEGER) AS digit,
          CAST(count(*) AS BIGINT) AS n
-  FROM orders
-  WHERE o_totalprice >= 1
+  FROM {table}
+  WHERE {amount} >= 1
   GROUP BY 1
 ),
 exp AS (
@@ -440,6 +442,10 @@ SELECT c.digit, c.n,
          AS excess
 FROM counts c JOIN exp e USING (digit)
 """
+
+BENFORD_AUDIT_SQL = BENFORD_AUDIT_SQL_TEMPLATE.format(
+    table="orders", amount="o_totalprice"
+)
 
 
 def price_drift_psi(
