@@ -2161,7 +2161,16 @@ def _q_pq_codes(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_train(emb, **_PQ_PARAMS)
-    return pq_encode(emb, books)
+    enc = pq_encode(emb, books)
+    # contract shape: one scalar BIGINT column per subspace code —
+    # the driver's value-hasher canonicalizes through pandas, which
+    # cannot hash list cells (r5 driver red), so array-typed output
+    # columns are banned on oracle-checked keys (tools/lint_contract)
+    return enc.select(
+        "vec_id",
+        F.element_at("codes", 1).cast("long").alias("code0"),
+        F.element_at("codes", 2).cast("long").alias("code1"),
+    )
 
 
 def _q_ann_pq_topk(spark, sf_dir):
@@ -2205,7 +2214,8 @@ def _pq_codes_oracle_sql(k: int = 16, rounds: int = 2) -> str:
     return f"""
 WITH {_pq_chains_cte(k, rounds)}
 SELECT a.vec_id,
-       [CAST(a.list_id AS BIGINT), CAST(b.list_id AS BIGINT)] AS codes
+       CAST(a.list_id AS BIGINT) AS code0,
+       CAST(b.list_id AS BIGINT) AS code1
 FROM p0a{fin} a JOIN p1a{fin} b USING (vec_id)
 """
 

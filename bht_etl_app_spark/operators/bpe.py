@@ -266,8 +266,12 @@ r{i + 1} AS MATERIALIZED (
         # NOTE: syms[i] / syms[i+1] are 1-based in DuckDB and
         # range(1, n) excludes n — exactly the n-1 adjacent pairs.
     body = ",".join(rounds)
+    # c = sum(BIGINT) is HUGEINT in DuckDB; the driver canonicalizes
+    # oracle output through pandas, where HUGEINT lands as float64
+    # while Spark's freq is int64 — cast to BIGINT or the value hash
+    # diverges even though every value is equal (r5 driver red)
     merge_rows = "\nUNION ALL\n".join(
-        f"SELECT {i + 1} AS rank, a AS lhs, b AS rhs, c AS freq FROM b{i}"
+        f"SELECT {i + 1} AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS freq FROM b{i}"
         for i in range(num_merges)
     )
     merges_sql = f"{head},{body}\nSELECT rank, lhs, rhs, freq FROM ({merge_rows}) ORDER BY rank"

@@ -184,3 +184,131 @@ def test_bpe_encode_matches_token_counts(spark):
         for r in bpe_encode_docs(docs, num_merges=8).collect()
     }
     assert counts == enc
+
+
+# ---------------------------------------------------------------------------
+# cross-engine tie canonicalization + driver-canonicalization pins
+# (r5 driver red on bpe_merges: VERDICT r5 item #2)
+# ---------------------------------------------------------------------------
+
+# Constructed tie corpus: at round 1 the pairs (x,y) and (p,q) both
+# have weighted frequency 3 and beat everything else; (p,q) < (x,y)
+# lexicographically, so the shared total order (freq DESC, a ASC,
+# b ASC) must pick (p,q) in BOTH engines. Round 2 then ties again
+# between the two leftovers.
+TIE_TEXTS = [
+    "xy xy xy pq pq pq",
+]
+
+
+def _duckdb_merges(texts, num_merges, tmpdir):
+    """Run the DuckDB merges oracle over an ad-hoc documents table."""
+    import duckdb
+    import pandas as pd
+
+    from bht_etl_app_spark.operators.bpe import bpe_oracle_sql
+
+    path = os.path.join(str(tmpdir), "documents.parquet")
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    return con.execute(bpe_oracle_sql(num_merges)["merges"])
+
+
+import os  # noqa: E402
+
+
+def test_bpe_tie_break_agrees_across_engines(spark, tmp_path):
+    """On a corpus with exact pair-frequency ties at multiple rounds,
+    Spark, the pure-Python reference, and the DuckDB oracle must all
+    produce the SAME merge table — the (freq DESC, lhs ASC, rhs ASC)
+    total order is engine-independent (binary string collation both
+    sides)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TIE_TEXTS)], "doc_id long, text string"
+    )
+    merges_df, _ = bpe_train(docs, num_merges=4)
+    got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    exp, _ = _python_bpe(TIE_TEXTS, 4)
+    assert got == exp
+    assert got[0][1:3] == ("p", "q")  # the tie resolved lexicographically
+    oracle = [tuple(r) for r in _duckdb_merges(TIE_TEXTS, 4, tmp_path).fetchall()]
+    assert oracle == got
+
+
+def test_bpe_fixture_corpus_merge_tables_identical_across_engines(
+    spark, tmp_path
+):
+    """Full 12-round merge-table equality Spark vs DuckDB on the
+    module fixture corpus — any tie the corpus happens to contain is
+    covered by the shared total order."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges_df, _ = bpe_train(docs, num_merges=12)
+    got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    oracle = [tuple(r) for r in _duckdb_merges(TEXTS, 12, tmp_path).fetchall()]
+    assert oracle == got
+
+
+def test_bpe_merges_oracle_is_driver_hashable(tmp_path):
+    """Regression pin for the r5 driver red: the merges oracle's
+    pandas conversion (the driver's canonicalization path) must yield
+    int64 freq — sum(BIGINT) is HUGEINT in DuckDB and lands as
+    float64 without the BIGINT cast, hash-diverging from Spark's
+    int64 on equal values."""
+    df = _duckdb_merges(TEXTS, 12, tmp_path).df()
+    assert str(df["freq"].dtype) == "int64"
+
+
+def test_contract_type_hazard_rules():
+    """The lint hazard predicates catch exactly the r5 driver-red
+    classes and pass the types every green oracle uses."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lint_contract",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "lint_contract.py"),
+    )
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    assert lint.oracle_type_hazard("HUGEINT")
+    assert lint.oracle_type_hazard("BIGINT[]")
+    assert lint.oracle_type_hazard("STRUCT(a BIGINT)")
+    assert lint.oracle_type_hazard("MAP(VARCHAR, BIGINT)")
+    for ok in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
+               "TIMESTAMP", "BOOLEAN", "DECIMAL(38,4)"):
+        assert not lint.oracle_type_hazard(ok)
+
+    assert lint.spark_type_hazard("array<bigint>")
+    assert lint.spark_type_hazard("struct<a:bigint>")
+    assert lint.spark_type_hazard("map<string,bigint>")
+    for ok in ("bigint", "int", "double", "string", "date",
+               "timestamp", "boolean", "decimal(38,4)"):
+        assert not lint.spark_type_hazard(ok)
+
+
+def test_check_oracle_rejects_nested_cells():
+    """check_oracle's normalizer must RAISE on list cells (driver-
+    faithful) instead of stringifying them — r5's pq_codes was
+    locally green via str() while driver-red unhashable."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    chk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(chk)
+
+    with _pytest.raises(TypeError, match="nested cell"):
+        chk._norm_val([1, 2])
+    with _pytest.raises(TypeError):
+        chk._norm_val({"a": 1})
+    assert chk._norm_val(3) == ("i", 3)
+    assert chk._norm_val("x") == ("s", "x")

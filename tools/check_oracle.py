@@ -36,6 +36,15 @@ TABLES = (
 
 
 def _norm_val(v):
+    # driver-faithful: the driver canonicalizes through pandas, which
+    # raises "unhashable type" on list/struct cells — reject instead
+    # of stringifying so a driver-unhashable shape fails HERE first
+    # (r5's pq_codes was locally green via str() and driver-red)
+    if isinstance(v, (list, tuple, dict, set, bytearray)):
+        raise TypeError(
+            f"nested cell {type(v).__name__} in oracle-checked output — "
+            "the driver cannot hash this; reshape to scalar columns"
+        )
     if v is None:
         return ("null",)
     if isinstance(v, bool):
@@ -127,8 +136,13 @@ def main():
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if not problems:
-            a = normalize([tuple(r) for r in srows], scols)
-            b = normalize(drows, dcols)
+            try:
+                a = normalize([tuple(r) for r in srows], scols)
+                b = normalize(drows, dcols)
+            except TypeError as e:
+                failures.append(name)
+                print(f"FAIL {name}: {e}")
+                continue
             if a != b:
                 diffs = [
                     (x, y) for x, y in zip(a, b) if x != y

@@ -7,6 +7,17 @@ the driver's value-hash comparison depends on. Catches schema drift
 (renamed aggregate, missing alias, added column) in seconds, where
 the full gate (tools/check_oracle.py) takes minutes of execution.
 
+Driver-hashability rules (both r5 driver reds were this class): the
+driver canonicalizes BOTH result sets through pandas before hashing,
+so on every oracle-checked key
+- Spark output may not contain array/struct/map columns (pandas
+  cannot hash list cells -> ``TypeError: unhashable type``), and
+- oracle output may not contain LIST/STRUCT/MAP *or HUGEINT* columns
+  (duckdb's pandas conversion turns HUGEINT into float64 while the
+  Spark side arrives as int64 — equal values, diverging hash; cast
+  ``sum(BIGINT)`` results to BIGINT).
+Rows-only keys are exempt: the driver only counts their rows.
+
 Usage: python tools/lint_contract.py [sf_dir]
 """
 
@@ -23,6 +34,23 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def spark_type_hazard(dtype: str) -> bool:
+    """True for Spark output types the driver's pandas hasher cannot
+    canonicalize (nested cells are unhashable)."""
+    return dtype.startswith(("array<", "struct<", "map<"))
+
+
+def oracle_type_hazard(duck_type: str) -> bool:
+    """True for DuckDB output types whose pandas conversion diverges
+    from Spark's: nested -> unhashable, HUGEINT -> float64 vs int64."""
+    tu = duck_type.upper()
+    return (
+        "HUGEINT" in tu
+        or tu.endswith("[]")
+        or tu.startswith(("STRUCT", "MAP", "LIST", "UNION"))
+    )
 
 
 def main() -> int:
@@ -42,18 +70,35 @@ def main() -> int:
     problems = []
     for name, fn in qs.items():
         try:
-            cols = fn(spark, sf_dir).columns  # analysis only, no jobs
+            sdf = fn(spark, sf_dir)  # analysis only, no jobs
+            cols = sdf.columns
         except Exception as e:
             problems.append(f"{name}: Spark analysis failed: {e}")
             continue
         if name not in oracles:
             continue
+        for c, t in sdf.dtypes:
+            if spark_type_hazard(t):
+                problems.append(
+                    f"{name}: spark column {c!r} is {t} — the driver's "
+                    "pandas hasher cannot hash nested cells; reshape to "
+                    "scalar columns or drop the oracle (rows-only)"
+                )
         try:
             cur = con.execute(f"DESCRIBE {oracles[name]}")
-            ocols = [r[0] for r in cur.fetchall()]
+            odesc = [(r[0], r[1]) for r in cur.fetchall()]
+            ocols = [c for c, _ in odesc]
         except Exception as e:
             problems.append(f"{name}: oracle SQL failed to plan: {str(e)[:200]}")
             continue
+        for c, t in odesc:
+            if oracle_type_hazard(t):
+                problems.append(
+                    f"{name}: oracle column {c!r} is {t} — duckdb->pandas "
+                    "canonicalization diverges from Spark's (HUGEINT -> "
+                    "float64, nested -> unhashable); CAST to a scalar "
+                    "SQL type"
+                )
         if sorted(cols) != sorted(ocols):
             problems.append(
                 f"{name}: column mismatch spark={sorted(cols)} oracle={sorted(ocols)}"
