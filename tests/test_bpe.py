@@ -312,3 +312,25 @@ def test_check_oracle_rejects_nested_cells():
         chk._norm_val({"a": 1})
     assert chk._norm_val(3) == ("i", 3)
     assert chk._norm_val("x") == ("s", "x")
+
+
+def test_lint_type_class_rules():
+    """The cross-engine type-class lint: same-class widths pass
+    (driver-green precedent), class switches flag."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lint_contract2",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "lint_contract.py"),
+    )
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    tc = lint.type_class
+    assert tc("bigint") == tc("INTEGER")       # width canonicalized
+    assert tc("double") == tc("FLOAT")
+    assert tc("string") == tc("VARCHAR")
+    assert tc("timestamp") == tc("TIMESTAMP WITH TIME ZONE")
+    assert tc("decimal(38,4)") != tc("DOUBLE")  # Decimal obj vs float64
+    assert tc("date") != tc("TIMESTAMP")        # date obj vs datetime64
+    assert tc("bigint") != tc("HUGEINT")        # int64 vs float64

@@ -36,6 +36,32 @@ TABLES = (
 ).split()
 
 
+def type_class(t: str) -> str:
+    """Coarse cross-engine type class: the driver hashes both result
+    sets after pandas conversion, so a Spark/oracle pair whose
+    classes differ (decimal vs double, date vs timestamp) can
+    hash-diverge on equal values. Same-class width differences
+    (int32/int64) are canonicalized by the driver — r1-r5 greens
+    include INTEGER-vs-long pairs."""
+    t = t.lower()
+    if t.startswith(("decimal", "hugeint")):
+        return "dec"
+    if t in ("bigint", "int", "integer", "smallint", "tinyint", "long",
+             "short", "byte", "ubigint", "uinteger", "usmallint", "utinyint"):
+        return "int"
+    if t in ("double", "float", "real"):
+        return "float"
+    if t in ("string", "varchar"):
+        return "str"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("boolean", "bool"):
+        return "bool"
+    return t
+
+
 def spark_type_hazard(dtype: str) -> bool:
     """True for Spark output types the driver's pandas hasher cannot
     canonicalize (nested cells are unhashable)."""
@@ -103,6 +129,15 @@ def main() -> int:
             problems.append(
                 f"{name}: column mismatch spark={sorted(cols)} oracle={sorted(ocols)}"
             )
+        sdtypes = dict(sdf.dtypes)
+        for c, ot in odesc:
+            st = sdtypes.get(c)
+            if st is not None and type_class(st) != type_class(ot):
+                problems.append(
+                    f"{name}: type-class mismatch on {c!r}: spark {st} "
+                    f"vs oracle {ot} — may hash-diverge after the "
+                    "driver's pandas canonicalization"
+                )
     orphans = set(oracles) - set(qs)
     for name in sorted(orphans):
         problems.append(f"{name}: oracle_sql entry with no queries() entry")
