@@ -2165,11 +2165,14 @@ def _q_pq_codes(spark, sf_dir):
     # contract shape: one scalar BIGINT column per subspace code —
     # the driver's value-hasher canonicalizes through pandas, which
     # cannot hash list cells (r5 driver red), so array-typed output
-    # columns are banned on oracle-checked keys (tools/lint_contract)
+    # columns are banned on oracle-checked keys (tools/lint_contract).
+    # Column list derives from m so query and oracle can't drift.
     return enc.select(
         "vec_id",
-        F.element_at("codes", 1).cast("long").alias("code0"),
-        F.element_at("codes", 2).cast("long").alias("code1"),
+        *[
+            F.element_at("codes", s + 1).cast("long").alias(f"code{s}")
+            for s in range(_PQ_PARAMS["m"])
+        ],
     )
 
 
@@ -2210,12 +2213,19 @@ def _pq_chains_cte(k: int = 16, rounds: int = 2, dim: int = 64) -> str:
 
 
 def _pq_codes_oracle_sql(k: int = 16, rounds: int = 2) -> str:
+    # the _pq_chains_cte prefixes (p0/p1) are inherently m=2; guard
+    # so a future m bump fails loudly here instead of silently
+    # narrowing the contract output
+    assert _PQ_PARAMS["m"] == 2, "oracle CTE chains hardcode m=2 subspaces"
     fin = rounds + 1
+    code_cols = ",\n       ".join(
+        f"CAST({t}.list_id AS BIGINT) AS code{s}"
+        for s, t in enumerate(("a", "b"))
+    )
     return f"""
 WITH {_pq_chains_cte(k, rounds)}
 SELECT a.vec_id,
-       CAST(a.list_id AS BIGINT) AS code0,
-       CAST(b.list_id AS BIGINT) AS code1
+       {code_cols}
 FROM p0a{fin} a JOIN p1a{fin} b USING (vec_id)
 """
 

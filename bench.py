@@ -253,20 +253,29 @@ def main():
         "queries": times,
         "sf": sf,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
-        json.dump(detail, f, indent=1)
-    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
-    line = json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "n_queries": len(times),
-        "queries": slowest,
-        "queries_file": "BENCH_DETAILS.json",
-        "sf": sf,
-    })
-    assert len(line) < 1900, f"summary line too long ({len(line)})"
+    if not sys.argv[1:]:
+        # full headline run only: a subset/debug invocation must not
+        # overwrite the committed artifact with partial data labeled
+        # as the headline metric
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    # degrade gracefully: shrink the slowest-queries dict until the
+    # line fits the driver's ~2000-char stdout capture (an assert
+    # would kill the run AFTER the benchmark and leave no JSON at all)
+    for top in range(20, -1, -1):
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:top])
+        line = json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(times),
+            "queries": slowest,
+            "queries_file": "BENCH_DETAILS.json",
+            "sf": sf,
+        })
+        if len(line) < 1900:
+            break
     print(line)
 
 

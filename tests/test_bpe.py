@@ -2,11 +2,25 @@
 reference implementation (textbook Sennrich merge loop over a word-
 frequency dict — no Spark, no DuckDB)."""
 
+import importlib.util
+import os
 from collections import Counter
 
 import pytest
 
 from bht_etl_app_spark.operators.bpe import bpe_token_counts, bpe_train
+
+
+def _load_tool(filename, modname=None):
+    """Import a tools/ script (they are standalone files, not package
+    modules) under its own module name."""
+    spec = importlib.util.spec_from_file_location(
+        modname or filename.rsplit(".", 1)[0],
+        os.path.join(os.path.dirname(__file__), "..", "tools", filename),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _python_bpe(texts, num_merges):
@@ -191,13 +205,13 @@ def test_bpe_encode_matches_token_counts(spark):
 # (r5 driver red on bpe_merges: VERDICT r5 item #2)
 # ---------------------------------------------------------------------------
 
-# Constructed tie corpus: at round 1 the pairs (x,y) and (p,q) both
-# have weighted frequency 3 and beat everything else; (p,q) < (x,y)
-# lexicographically, so the shared total order (freq DESC, a ASC,
-# b ASC) must pick (p,q) in BOTH engines. Round 2 then ties again
-# between the two leftovers.
+# Constructed tie corpus: at round 1 the pairs (p,q), (u,v), (x,y)
+# ALL have weighted frequency 3 — the shared total order (freq DESC,
+# a ASC, b ASC) must pick (p,q) in both engines. Round 2 genuinely
+# ties again ((u,v) vs (x,y), both 3) and must pick (u,v); round 3
+# takes the leftover (x,y). Two real tie rounds, both rank-dependent.
 TIE_TEXTS = [
-    "xy xy xy pq pq pq",
+    "xy xy xy pq pq pq uv uv uv",
 ]
 
 
@@ -217,9 +231,6 @@ def _duckdb_merges(texts, num_merges, tmpdir):
     return con.execute(bpe_oracle_sql(num_merges)["merges"])
 
 
-import os  # noqa: E402
-
-
 def test_bpe_tie_break_agrees_across_engines(spark, tmp_path):
     """On a corpus with exact pair-frequency ties at multiple rounds,
     Spark, the pure-Python reference, and the DuckDB oracle must all
@@ -233,7 +244,8 @@ def test_bpe_tie_break_agrees_across_engines(spark, tmp_path):
     got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
     exp, _ = _python_bpe(TIE_TEXTS, 4)
     assert got == exp
-    assert got[0][1:3] == ("p", "q")  # the tie resolved lexicographically
+    # both tie rounds resolved lexicographically, in rank order
+    assert [g[1:3] for g in got[:3]] == [("p", "q"), ("u", "v"), ("x", "y")]
     oracle = [tuple(r) for r in _duckdb_merges(TIE_TEXTS, 4, tmp_path).fetchall()]
     assert oracle == got
 
@@ -266,17 +278,12 @@ def test_bpe_merges_oracle_is_driver_hashable(tmp_path):
 def test_contract_type_hazard_rules():
     """The lint hazard predicates catch exactly the r5 driver-red
     classes and pass the types every green oracle uses."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "lint_contract",
-        os.path.join(os.path.dirname(__file__), "..", "tools", "lint_contract.py"),
-    )
-    lint = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(lint)
+    lint = _load_tool("lint_contract.py")
 
     assert lint.oracle_type_hazard("HUGEINT")
     assert lint.oracle_type_hazard("BIGINT[]")
+    assert lint.oracle_type_hazard("BIGINT[3]")  # fixed-size arrays too
+    assert lint.oracle_type_hazard("DOUBLE[64]")
     assert lint.oracle_type_hazard("STRUCT(a BIGINT)")
     assert lint.oracle_type_hazard("MAP(VARCHAR, BIGINT)")
     for ok in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
@@ -295,16 +302,9 @@ def test_check_oracle_rejects_nested_cells():
     """check_oracle's normalizer must RAISE on list cells (driver-
     faithful) instead of stringifying them — r5's pq_codes was
     locally green via str() while driver-red unhashable."""
-    import importlib.util
-
     import pytest as _pytest
 
-    spec = importlib.util.spec_from_file_location(
-        "check_oracle",
-        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
-    )
-    chk = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(chk)
+    chk = _load_tool("check_oracle.py")
 
     with _pytest.raises(TypeError, match="nested cell"):
         chk._norm_val([1, 2])
@@ -317,20 +317,18 @@ def test_check_oracle_rejects_nested_cells():
 def test_lint_type_class_rules():
     """The cross-engine type-class lint: same-class widths pass
     (driver-green precedent), class switches flag."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "lint_contract2",
-        os.path.join(os.path.dirname(__file__), "..", "tools", "lint_contract.py"),
-    )
-    lint = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(lint)
+    lint = _load_tool("lint_contract.py", "lint_contract2")
 
     tc = lint.type_class
     assert tc("bigint") == tc("INTEGER")       # width canonicalized
     assert tc("double") == tc("FLOAT")
     assert tc("string") == tc("VARCHAR")
-    assert tc("timestamp") == tc("TIMESTAMP WITH TIME ZONE")
+    assert tc("timestamp") == tc("TIMESTAMP")  # plain ts: green precedent
+    assert tc("binary") == tc("BLOB")          # same class, no false flag
     assert tc("decimal(38,4)") != tc("DOUBLE")  # Decimal obj vs float64
     assert tc("date") != tc("TIMESTAMP")        # date obj vs datetime64
     assert tc("bigint") != tc("HUGEINT")        # int64 vs float64
+    # tz-aware is its own class: duckdb TIMESTAMPTZ -> pandas tz-aware
+    # datetime64, Spark timestamps arrive naive — no green precedent
+    assert tc("timestamp") != tc("TIMESTAMP WITH TIME ZONE")
+    assert tc("timestamp") != tc("TIMESTAMPTZ")

@@ -56,9 +56,18 @@ def type_class(t: str) -> str:
     if t == "date":
         return "date"
     if t.startswith("timestamp"):
+        # tz-aware is its own class: duckdb TIMESTAMPTZ -> pandas
+        # tz-aware datetime64[ns, UTC], while Spark timestamps arrive
+        # naive — equal instants, diverging hash
+        if "with time zone" in t or t.startswith("timestamptz"):
+            return "tstz"
         return "ts"
     if t in ("boolean", "bool"):
         return "bool"
+    if t in ("binary", "blob", "bytea", "varbinary"):
+        return "bin"
+    if t.startswith("interval"):
+        return "interval"
     return t
 
 
@@ -70,11 +79,15 @@ def spark_type_hazard(dtype: str) -> bool:
 
 def oracle_type_hazard(duck_type: str) -> bool:
     """True for DuckDB output types whose pandas conversion diverges
-    from Spark's: nested -> unhashable, HUGEINT -> float64 vs int64."""
+    from Spark's: nested -> unhashable, HUGEINT -> float64 vs int64.
+    Covers both variable ("BIGINT[]") and fixed-size ("BIGINT[3]")
+    array suffixes."""
+    import re
+
     tu = duck_type.upper()
     return (
         "HUGEINT" in tu
-        or tu.endswith("[]")
+        or re.search(r"\[\d*\]$", tu) is not None
         or tu.startswith(("STRUCT", "MAP", "LIST", "UNION"))
     )
 

@@ -74,43 +74,51 @@ def run_chain(spark, sf_dir: str, tag: str) -> dict[str, float]:
     shutil.rmtree(store)
     tbl = f"pipe_band_idx_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    t0 = time.perf_counter()
-    for b in range(3):
-        batch = train.where(F.col("doc_id") % 3 == b)
-        ingest_curate_batch(
-            batch, b, store, bench, band_index_table=tbl, index_buckets=16,
-        )
-    landed = spark.read.parquet(store).count()
-    walls["stream_ingest_3_batches"] = time.perf_counter() - t0
-    spark.catalog.clearCache()
-    sweep_checkpoints(spark.sparkContext)
-
-    # stage 3: PQ index build over the embeddings (codebooks + coarse
-    # centroids + encoded rows, landed hive-partitioned by list)
-    t0 = time.perf_counter()
-    books = pq_train(emb, m=2, k=16, max_iter=2)
-    cents = kmeans_fit(emb, k=8, max_iter=2)
     idx_path = tempfile.mkdtemp(prefix=f"bht-pipe-pq-{tag}-")
-    write_pq_index(pq_index_rows(emb, cents, books), idx_path)
-    walls["pq_index_build"] = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        for b in range(3):
+            batch = train.where(F.col("doc_id") % 3 == b)
+            ingest_curate_batch(
+                batch, b, store, bench, band_index_table=tbl, index_buckets=16,
+            )
+        landed = spark.read.parquet(store).count()
+        walls["stream_ingest_3_batches"] = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        sweep_checkpoints(spark.sparkContext)
 
-    # stage 4: ANN probe against the PERSISTED index (partition-pruned)
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    t0 = time.perf_counter()
-    top = ann_pq_index_topk(
-        read_pq_index(spark, idx_path), qv, cents, books, k=10, nprobe=2
-    ).collect()
-    walls["pq_probe_topk"] = time.perf_counter() - t0
-    spark.catalog.clearCache()
-    sweep_checkpoints(spark.sparkContext)
+        # stage 3: PQ index build over the embeddings (codebooks +
+        # coarse centroids + encoded rows, landed hive-partitioned)
+        t0 = time.perf_counter()
+        books = pq_train(emb, m=2, k=16, max_iter=2)
+        cents = kmeans_fit(emb, k=8, max_iter=2)
+        write_pq_index(pq_index_rows(emb, cents, books), idx_path)
+        walls["pq_index_build"] = time.perf_counter() - t0
 
-    print(
-        f"[{tag}] verdicts={counts} landed={landed} topk={len(top)} "
-        + " ".join(f"{k}={v:.1f}s" for k, v in walls.items())
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    shutil.rmtree(store, ignore_errors=True)
-    shutil.rmtree(idx_path, ignore_errors=True)
+        # stage 4: ANN probe against the PERSISTED index
+        # (partition-pruned)
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        t0 = time.perf_counter()
+        top = ann_pq_index_topk(
+            read_pq_index(spark, idx_path), qv, cents, books, k=10, nprobe=2
+        ).collect()
+        walls["pq_probe_topk"] = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        sweep_checkpoints(spark.sparkContext)
+
+        print(
+            f"[{tag}] verdicts={counts} landed={landed} topk={len(top)} "
+            + " ".join(f"{k}={v:.1f}s" for k, v in walls.items())
+        )
+    finally:
+        # a mid-stage failure must not leak the hive table or the
+        # multi-GB store/index dirs in /tmp across attempts
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(idx_path, ignore_errors=True)
     return walls
 
 
