@@ -192,6 +192,29 @@ HEADLINE = [
 ]
 
 
+def summary_line(times: dict[str, float], sf: float | None,
+                 max_chars: int = 1900) -> str:
+    """The ONE stdout JSON line: total + slowest-N queries, with N
+    shrunk until the line fits the driver's ~2000-char stdout capture
+    (full per-query detail lives in BENCH_DETAILS.json)."""
+    total = round(sum(times.values()), 3)
+    line = "{}"
+    for top in range(20, -1, -1):
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:top])
+        line = json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(times),
+            "queries": slowest,
+            "queries_file": "BENCH_DETAILS.json",
+            "sf": sf,
+        })
+        if len(line) < max_chars:
+            break
+    return line
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -260,23 +283,7 @@ def main():
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
             json.dump(detail, f, indent=1)
-    # degrade gracefully: shrink the slowest-queries dict until the
-    # line fits the driver's ~2000-char stdout capture (an assert
-    # would kill the run AFTER the benchmark and leave no JSON at all)
-    for top in range(20, -1, -1):
-        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:top])
-        line = json.dumps({
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(times),
-            "queries": slowest,
-            "queries_file": "BENCH_DETAILS.json",
-            "sf": sf,
-        })
-        if len(line) < 1900:
-            break
-    print(line)
+    print(summary_line(times, sf))
 
 
 if __name__ == "__main__":

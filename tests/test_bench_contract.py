@@ -1,0 +1,64 @@
+"""bench.py stdout contract: the driver records only the final
+~2000 chars of stdout and parses a JSON line from them, so the ONE
+printed line must always fit regardless of how many headline queries
+exist (r5's full per-query line outgrew the window and the round's
+bench artifact recorded parsed: null)."""
+
+import importlib.util
+import json
+import os
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_summary_line_fits_capture_window_at_any_query_count():
+    bench = _load_bench()
+    # worst case: many queries with long names and 4-digit walls
+    times = {
+        f"extremely_long_query_name_number_{i:04d}_with_padding": 1000.125 + i
+        for i in range(500)
+    }
+    line = bench.summary_line(times, 0.1)
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_wall"
+    assert d["n_queries"] == 500
+    assert d["value"] == round(sum(times.values()), 3)
+    # the slowest queries survive in the line (truncated set, sorted)
+    assert all(k in times for k in d["queries"])
+    if d["queries"]:
+        kept_min = min(d["queries"].values())
+        dropped = [v for k, v in times.items() if k not in d["queries"]]
+        assert all(v <= kept_min for v in dropped)
+
+
+def test_summary_line_keeps_top20_when_it_fits():
+    bench = _load_bench()
+    times = {f"q{i}": float(i) for i in range(50)}
+    d = json.loads(bench.summary_line(times, 0.01))
+    assert len(d["queries"]) == 20
+    assert set(d["queries"]) == {f"q{i}" for i in range(30, 50)}
+
+
+def test_headline_names_resolve_to_contract_queries():
+    """Every HEADLINE name must exist in queries() — a renamed
+    contract key would silently drop out of the bench (bench.py
+    filters `n in qs`) and the round's common-subset comparison
+    would shrink without anyone noticing."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as mod
+
+    bench = _load_bench()
+    qs = set(mod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == []
