@@ -3603,7 +3603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-def _driver_verified_keys(ignore_reverify: bool = False) -> set[str]:
+def _driver_verified_keys(
+    ignore_reverify: bool = False,
+    root: str | None = None,
+    reverify: dict[str, int] | None = None,
+    oracle_keys: set[str] | None = None,
+) -> set[str]:
     """Keys with a fully-green (rows+schema+hash, or rows-only without
     error) row in a driver CORRECTNESS_r*.json from a round AFTER the
     key's last implementation change (``_REVERIFY``): a green row
@@ -3611,16 +3616,22 @@ def _driver_verified_keys(ignore_reverify: bool = False) -> set[str]:
     re-verifies the key and lets it rotate out of the checked prefix
     again — the list is self-healing, no manual pruning per round.
     ``ignore_reverify=True`` returns keys green in ANY round (used to
-    rank brand-new keys ahead of stale-green ones in the window)."""
+    rank brand-new keys ahead of stale-green ones in the window).
+    ``root``/``reverify``/``oracle_keys`` exist for the rotation
+    mechanism's unit tests (tests/test_rotation.py) — production
+    callers use the defaults (repo dir, _REVERIFY, oracle_sql())."""
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    _reverify = _REVERIFY if reverify is None else reverify
     green: set[str] = set()
     any_file = False
-    _CURRENT_ORACLE_KEYS = set(oracle_sql())
+    _CURRENT_ORACLE_KEYS = (
+        set(oracle_sql()) if oracle_keys is None else oracle_keys
+    )
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -3631,7 +3642,7 @@ def _driver_verified_keys(ignore_reverify: bool = False) -> set[str]:
             continue
         any_file = True
         for name, r in rows.items():
-            if not ignore_reverify and _REVERIFY.get(name, 0) >= rnd:
+            if not ignore_reverify and _reverify.get(name, 0) >= rnd:
                 continue  # green row predates the implementation change
             if not isinstance(r, dict):
                 continue
@@ -3653,7 +3664,7 @@ def _driver_verified_keys(ignore_reverify: bool = False) -> set[str]:
             ):
                 green.add(name)
     if not any_file:
-        green = set(_DRIVER_VERIFIED_PRIOR_ROUNDS) - set(_REVERIFY)
+        green = set(_DRIVER_VERIFIED_PRIOR_ROUNDS) - set(_reverify)
     return green
 
 
