@@ -15,6 +15,16 @@ tools/check_oracle.py ...`` builds the Spark session with a non-UTC
 invariant: ``load_table`` pins ``spark.sql.session.timeZone=UTC`` at
 query-build time, so results must match the oracle bit-for-bit
 regardless of the caller's session timezone.
+
+Vanilla-session mode: ``ORACLE_VANILLA=1`` builds a PLAIN
+SparkSession (no package configs at all — Spark defaults: 200
+shuffle partitions, 10 MB broadcast threshold, AQE defaults), which
+is how the external driver actually calls ``queries()``. Different
+partitioning changes plan shapes and float accumulation order, so a
+query whose value path isn't order-stable (unsorted float fold)
+passes the tuned-session gate and diverges here — the same class of
+environment-dependence the driver would expose. Composes with
+ORACLE_TZ.
 """
 
 from __future__ import annotations
@@ -79,8 +89,25 @@ def main():
     from bht_etl_app_spark import get_spark
 
     hostile_tz = os.environ.get("ORACLE_TZ")
-    extra = {"spark.sql.session.timeZone": hostile_tz} if hostile_tz else None
-    spark = get_spark("oracle-check", extra_conf=extra)
+    if os.environ.get("ORACLE_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+        b = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        )
+        if hostile_tz:
+            b = b.config("spark.sql.session.timeZone", hostile_tz)
+        spark = b.getOrCreate()
+        print("vanilla-session mode: Spark defaults "
+              "(200 shuffle partitions, 10MB broadcast threshold)")
+    else:
+        extra = {"spark.sql.session.timeZone": hostile_tz} if hostile_tz else None
+        spark = get_spark("oracle-check", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     if hostile_tz:
         print(f"tz-hostile mode: session timezone = {hostile_tz}")
