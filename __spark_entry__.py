@@ -2215,8 +2215,9 @@ def _pq_chains_cte(k: int = 16, rounds: int = 2, dim: int = 64) -> str:
 def _pq_codes_oracle_sql(k: int = 16, rounds: int = 2) -> str:
     # the _pq_chains_cte prefixes (p0/p1) are inherently m=2; guard
     # so a future m bump fails loudly here instead of silently
-    # narrowing the contract output
-    assert _PQ_PARAMS["m"] == 2, "oracle CTE chains hardcode m=2 subspaces"
+    # narrowing the contract output (explicit raise: survives -O)
+    if _PQ_PARAMS["m"] != 2:
+        raise ValueError("pq_codes oracle CTE chains hardcode m=2 subspaces")
     fin = rounds + 1
     code_cols = ",\n       ".join(
         f"CAST({t}.list_id AS BIGINT) AS code{s}"

@@ -193,26 +193,28 @@ HEADLINE = [
 
 
 def summary_line(times: dict[str, float], sf: float | None,
-                 max_chars: int = 1900) -> str:
+                 max_chars: int = 1900,
+                 metric: str = "headline_queries_total_wall") -> str:
     """The ONE stdout JSON line: total + slowest-N queries, with N
     shrunk until the line fits the driver's ~2000-char stdout capture
-    (full per-query detail lives in BENCH_DETAILS.json)."""
+    (full per-query detail lives in BENCH_DETAILS.json). Raises when
+    even the query-free line exceeds the budget — a silent oversize
+    would scroll the JSON out of the capture window."""
     total = round(sum(times.values()), 3)
-    line = "{}"
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
     for top in range(20, -1, -1):
-        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:top])
         line = json.dumps({
-            "metric": "headline_queries_total_wall",
+            "metric": metric,
             "value": total,
             "unit": "sec",
             "n_queries": len(times),
-            "queries": slowest,
+            "queries": dict(ranked[:top]),
             "queries_file": "BENCH_DETAILS.json",
             "sf": sf,
         })
         if len(line) < max_chars:
-            break
-    return line
+            return line
+    raise ValueError(f"summary line exceeds {max_chars} chars even with no queries")
 
 
 def main():
@@ -283,7 +285,14 @@ def main():
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
             json.dump(detail, f, indent=1)
-    print(summary_line(times, sf))
+    # a subset/debug run must not label partial totals as the
+    # headline metric (the driver parses the last JSON line it sees)
+    metric = (
+        "headline_queries_total_wall"
+        if not sys.argv[1:]
+        else "subset_queries_total_wall"
+    )
+    print(summary_line(times, sf, metric=metric))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,25 @@ def test_summary_line_keeps_top20_when_it_fits():
     assert set(d["queries"]) == {f"q{i}" for i in range(30, 50)}
 
 
+def test_summary_line_raises_loudly_when_budget_is_impossible():
+    import pytest
+
+    bench = _load_bench()
+    with pytest.raises(ValueError, match="exceeds"):
+        bench.summary_line({"q": 1.0}, 0.01, max_chars=10)
+
+
+def test_summary_line_metric_is_parameterized_for_subset_runs():
+    """Subset/debug invocations must not label partial totals as the
+    headline metric — main() switches the metric name when argv
+    carries query names."""
+    bench = _load_bench()
+    d = json.loads(
+        bench.summary_line({"q": 1.0}, 0.01, metric="subset_queries_total_wall")
+    )
+    assert d["metric"] == "subset_queries_total_wall"
+
+
 def test_headline_names_resolve_to_contract_queries():
     """Every HEADLINE name must exist in queries() — a renamed
     contract key would silently drop out of the bench (bench.py

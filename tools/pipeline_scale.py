@@ -115,10 +115,15 @@ def run_chain(spark, sf_dir: str, tag: str) -> dict[str, float]:
         )
     finally:
         # a mid-stage failure must not leak the hive table or the
-        # multi-GB store/index dirs in /tmp across attempts
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # multi-GB store/index dirs in /tmp across attempts; rmtree
+        # first and guard the DROP — a dead session raising here
+        # would mask the original exception AND skip the dir cleanup
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(idx_path, ignore_errors=True)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:
+            pass
     return walls
 
 
