@@ -25,6 +25,13 @@ query whose value path isn't order-stable (unsorted float fold)
 passes the tuned-session gate and diverges here — the same class of
 environment-dependence the driver would expose. Composes with
 ORACLE_TZ.
+
+No-sweep mode: ``ORACLE_NO_SWEEP=1`` skips the between-query
+clearCache/checkpoint sweep, simulating a driver that runs its whole
+window in one session without any cache hygiene. Catches operators
+whose persisted intermediates are not released by their own plan
+lifecycle (accumulating blocks -> memory pressure late in the
+window). Composes with the other modes.
 """
 
 from __future__ import annotations
@@ -140,11 +147,13 @@ def main():
         # operators persist intermediates (banded signatures, gram
         # counts) for their own multi-consumer plans; drop them once
         # the query is collected so cached blocks don't accumulate
-        # across the 116-query session
-        spark.catalog.clearCache()
-        from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+        # across the 234-query session (ORACLE_NO_SWEEP simulates a
+        # driver that never does this)
+        if not os.environ.get("ORACLE_NO_SWEEP"):
+            spark.catalog.clearCache()
+            from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
 
-        sweep_checkpoints(spark.sparkContext)
+            sweep_checkpoints(spark.sparkContext)
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {timings[name]:.2f}s)")
             continue
