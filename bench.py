@@ -192,6 +192,16 @@ HEADLINE = [
 ]
 
 
+def pick_metric(is_full_run: bool) -> str:
+    """Subset/debug invocations must never label partial totals as
+    the headline metric — the driver parses the last JSON line it
+    captures."""
+    return (
+        "headline_queries_total_wall" if is_full_run
+        else "subset_queries_total_wall"
+    )
+
+
 def summary_line(times: dict[str, float], sf: float | None,
                  max_chars: int = 1900,
                  metric: str = "headline_queries_total_wall") -> str:
@@ -230,6 +240,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = mod.queries()
+    is_full_run = not sys.argv[1:]
     names = sys.argv[1:] or [n for n in HEADLINE if n in qs]
 
     # JVM/codegen + parquet-reader warmup on trivial jobs so the first
@@ -278,21 +289,14 @@ def main():
         "queries": times,
         "sf": sf,
     }
-    if not sys.argv[1:]:
+    if is_full_run:
         # full headline run only: a subset/debug invocation must not
         # overwrite the committed artifact with partial data labeled
         # as the headline metric
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
             json.dump(detail, f, indent=1)
-    # a subset/debug run must not label partial totals as the
-    # headline metric (the driver parses the last JSON line it sees)
-    metric = (
-        "headline_queries_total_wall"
-        if not sys.argv[1:]
-        else "subset_queries_total_wall"
-    )
-    print(summary_line(times, sf, metric=metric))
+    print(summary_line(times, sf, metric=pick_metric(is_full_run)))
 
 
 if __name__ == "__main__":

@@ -56,13 +56,16 @@ def test_summary_line_raises_loudly_when_budget_is_impossible():
         bench.summary_line({"q": 1.0}, 0.01, max_chars=10)
 
 
-def test_summary_line_metric_is_parameterized_for_subset_runs():
-    """Subset/debug invocations must not label partial totals as the
-    headline metric — main() switches the metric name when argv
-    carries query names."""
+def test_subset_runs_never_claim_the_headline_metric():
+    """pick_metric is the single routing point main() uses for the
+    stdout label: full runs publish headline_queries_total_wall,
+    subset runs subset_queries_total_wall, and summary_line carries
+    whichever through to the JSON line."""
     bench = _load_bench()
+    assert bench.pick_metric(True) == "headline_queries_total_wall"
+    assert bench.pick_metric(False) == "subset_queries_total_wall"
     d = json.loads(
-        bench.summary_line({"q": 1.0}, 0.01, metric="subset_queries_total_wall")
+        bench.summary_line({"q": 1.0}, 0.01, metric=bench.pick_metric(False))
     )
     assert d["metric"] == "subset_queries_total_wall"
 

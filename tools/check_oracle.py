@@ -88,15 +88,24 @@ def normalize(rows, colnames):
     return out
 
 
+def _env_flag(name: str) -> bool:
+    """Env toggle honoring the =1/on vs =0/off convention (bare
+    truthiness would read ORACLE_NO_SWEEP=0 as ON)."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    no_sweep = _env_flag("ORACLE_NO_SWEEP")
 
     import __spark_entry__ as mod
     from bht_etl_app_spark import get_spark
 
     hostile_tz = os.environ.get("ORACLE_TZ")
-    if os.environ.get("ORACLE_VANILLA"):
+    if no_sweep:
+        print("no-sweep mode: between-query clearCache/checkpoint sweep OFF")
+    if _env_flag("ORACLE_VANILLA"):
         from pyspark.sql import SparkSession
 
         cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
@@ -149,7 +158,7 @@ def main():
         # the query is collected so cached blocks don't accumulate
         # across the 234-query session (ORACLE_NO_SWEEP simulates a
         # driver that never does this)
-        if not os.environ.get("ORACLE_NO_SWEEP"):
+        if not no_sweep:
             spark.catalog.clearCache()
             from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
 

@@ -122,8 +122,8 @@ def run_chain(spark, sf_dir: str, tag: str) -> dict[str, float]:
         shutil.rmtree(idx_path, ignore_errors=True)
         try:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        except Exception:
-            pass
+        except Exception as e:  # never mask the original error, but
+            print(f"WARNING: could not drop {tbl}: {e}")  # never hide the leak
     return walls
 
 
