@@ -146,6 +146,11 @@ def kn_model_tables(
 
     from bht_etl_app_spark.functions.lifecycle import track_persisted
 
+    if not 0.0 < d < 1.0:
+        # d=0 zeroes the OOV floor (log(0) -> NULL scores), d>=1
+        # drives attested mass negative
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+
     c3 = (
         corpus_trigrams(df, text_col)
         .groupBy("u", "v", "w")
@@ -205,13 +210,19 @@ def kn_model_tables(
         )
     )
     p3 = track_persisted(p3, c3, nvw)
+    # every returned table's plan reads the persisted c3/nvw caches,
+    # so each must keep the tracked handle alive — otherwise dropping
+    # the dict's "p3" entry alone would GC-unpersist caches the other
+    # tables still need (the attribute-dropping hazard class)
+    from bht_etl_app_spark.functions.lifecycle import carry
+
     return {
         "p3": p3,
-        "ctx3": ctx3.select("u", "v", "lam3"),
-        "p2": p2,
-        "ctx2": ctx2.select("v", "lam2"),
-        "p1": p1,
-        "tot": tot,
+        "ctx3": carry(ctx3.select("u", "v", "lam3"), p3),
+        "p2": carry(p2, p3),
+        "ctx2": carry(ctx2.select("v", "lam2"), p3),
+        "p1": carry(p1, p3),
+        "tot": carry(tot, p3),
     }
 
 
@@ -239,42 +250,74 @@ def kn_doc_logprob(
     id_col: str = "doc_id",
     d: float = 0.75,
     train_df: DataFrame | None = None,
+    model_tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document KN log-probability: ``(doc_id, n_tokens,
     logprob, avg_logprob)`` — ``avg_logprob`` is the
     length-normalized quantity perplexity filters threshold on
-    (ppl = exp(-avg_logprob)). Trains on ``train_df`` when given
-    (the CCNet mode: reference corpus trains, crawl is scored; OOV
-    and unseen contexts route through the backoff cascade) and on
-    ``df`` itself otherwise. EVERY real token is scored — n_tokens
-    is the doc's token count in both modes. Empty docs report 0
-    tokens and NULL scores. The per-doc sum is a position-ordered
-    fold, deterministic under any partitioning."""
+    (ppl = exp(-avg_logprob)).
+
+    Three modes:
+    - self-scoring (default): trains on ``df`` itself; every gram is
+      attested by construction, so the plan is the single p3 join —
+      the backoff joins are skipped entirely;
+    - ``train_df=...``: the CCNet mode (reference corpus trains, the
+      crawl is scored); OOV and unseen contexts route through the
+      full backoff cascade;
+    - ``model_tables=...``: prebuilt :func:`kn_model_tables` output,
+      the train-once / score-many-shards form (training cost paid
+      once, not per scored shard). Pass ``d`` matching the training
+      call.
+
+    EVERY real token is scored — n_tokens is the doc's token count
+    in all modes. Empty docs report 0 tokens and NULL scores. A
+    model trained on an EMPTY corpus raises at scoring time
+    (assert_true on the type total) rather than silently scoring
+    everything NULL. The per-doc sum is a position-ordered fold,
+    deterministic under any partitioning."""
     from bht_etl_app_spark.functions.lifecycle import carry
 
-    t = kn_model_tables(train_df if train_df is not None else df, text_col, d)
+    self_scoring = train_df is None and model_tables is None
+    t = model_tables or kn_model_tables(
+        train_df if train_df is not None else df, text_col, d
+    )
     tri = doc_trigrams(df, text_col, id_col)
     dd = F.lit(float(d))
-    scored = (
-        tri.join(t["p3"], ["u", "v", "w"], "left")
-        .join(t["ctx3"], ["u", "v"], "left")
-        .join(t["p2"], ["v", "w"], "left")
-        .join(t["ctx2"], ["v"], "left")
-        .join(t["p1"], ["w"], "left")
-        .crossJoin(F.broadcast(t["tot"]))
-    )
-    pw = F.coalesce(F.col("p1"), dd / F.col("n1p___"))  # OOV floor
-    pwv = (
-        F.when(F.col("p2").isNotNull(), F.col("p2"))
-        .when(F.col("lam2").isNotNull(), F.col("lam2") * pw)
-        .otherwise(pw)
-    )
-    p = (
-        F.when(F.col("p3").isNotNull(), F.col("p3"))
-        .when(F.col("lam3").isNotNull(), F.col("lam3") * pwv)
-        .otherwise(pwv)
-    )
-    per_tok = scored.select(id_col, "pos", F.log(p).alias("lp"))
+    if self_scoring:
+        # every gram attested -> pure table lookup, no backoff joins
+        per_tok = tri.join(t["p3"], ["u", "v", "w"]).select(
+            id_col, "pos", F.log("p3").alias("lp")
+        )
+    else:
+        scored = (
+            tri.join(t["p3"], ["u", "v", "w"], "left")
+            .join(t["ctx3"], ["u", "v"], "left")
+            .join(t["p2"], ["v", "w"], "left")
+            .join(t["ctx2"], ["v"], "left")
+            .join(t["p1"], ["w"], "left")
+            .crossJoin(F.broadcast(t["tot"]))
+        )
+        # empty-training-corpus guard: tot's sum over zero rows is
+        # NULL; fail loudly instead of emitting all-NULL scores that
+        # a perplexity threshold would silently mis-handle
+        checked_tot = F.when(
+            F.col("n1p___").isNull(),
+            F.assert_true(
+                F.lit(False), F.lit("KN model was trained on an empty corpus")
+            ).cast("bigint"),
+        ).otherwise(F.col("n1p___"))
+        pw = F.coalesce(F.col("p1"), dd / checked_tot)  # OOV floor
+        pwv = (
+            F.when(F.col("p2").isNotNull(), F.col("p2"))
+            .when(F.col("lam2").isNotNull(), F.col("lam2") * pw)
+            .otherwise(pw)
+        )
+        p = (
+            F.when(F.col("p3").isNotNull(), F.col("p3"))
+            .when(F.col("lam3").isNotNull(), F.col("lam3") * pwv)
+            .otherwise(pwv)
+        )
+        per_tok = scored.select(id_col, "pos", F.log(p).alias("lp"))
     folded = F.aggregate(
         F.array_sort(F.collect_list(F.struct("pos", "lp"))),
         F.lit(0.0),

@@ -199,6 +199,12 @@ def test_control_byte_tokens_are_dropped(spark):
     assert {r["w"] for r in rows} == {"good", "fine"}
 
 
+def _n_persistent(spark) -> int:
+    # the repo-standard counter (tests/test_lifecycle.py): the
+    # driver-side registry, updated synchronously on unpersist
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
 def test_training_pass_reads_corpus_once_and_release_frees_caches(docs, spark):
     """Scale pin: the trigram count table and its (v,w) rollup are
     persisted (multiple consumers each), so the corpus source appears
@@ -206,27 +212,100 @@ def test_training_pass_reads_corpus_once_and_release_frees_caches(docs, spark):
     the tracked caches through the carry chain (the rename in
     kn_trigram_model derives a new frame, so without carry the
     finalizer would fire on the temporary and unpersist mid-use)."""
+    import gc
+
     from bht_etl_app_spark.functions.lifecycle import release
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-
-    before = n_cached()
+    gc.collect()  # settle earlier tests' tracked frames
+    before = _n_persistent(spark)
     model = kn_trigram_model(docs)
     plan = model._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") <= 1
     assert "InMemoryRelation" in plan
-    import gc
-
     gc.collect()  # would fire the finalizer if carry were missing
     model.count()
-    assert n_cached() > before  # count tables materialized
+    # registry fills at materialization: c3 + nvw
+    assert _n_persistent(spark) == before + 2
     release(model)
-    assert n_cached() <= before  # carry chain freed them
+    assert _n_persistent(spark) == before  # carry chain freed them
 
     # the scoring result owns its model's caches the same way
     out = kn_doc_logprob(docs)
     assert getattr(out, "_bht_keepalive", None)
     out.count()
     release(out)
-    assert n_cached() <= before
+    assert _n_persistent(spark) == before
+
+
+def test_every_model_table_keeps_the_caches_alive(docs, spark):
+    """Dropping the dict's p3 entry must NOT unpersist caches the
+    other tables' plans still read — each returned table carries the
+    tracked handle."""
+    import gc
+
+    from bht_etl_app_spark.functions.lifecycle import release
+
+    from bht_etl_app_spark.operators.ngram_lm import kn_model_tables
+
+    gc.collect()
+    before = _n_persistent(spark)
+    t = kn_model_tables(docs)
+    p2 = t["p2"]
+    del t
+    gc.collect()  # would fire the finalizer if the carry were missing
+    assert p2.count() > 0  # materializes via the still-live caches
+    assert _n_persistent(spark) == before + 2  # still alive via p2
+    release(p2)
+    assert _n_persistent(spark) == before
+
+
+def test_self_scoring_plan_skips_backoff_joins(spark, docs):
+    """Self-scoring joins the p3 table only — the four backoff LEFT
+    joins never enter the plan (the docstring's 'pure table lookup';
+    lam/continuation names still appear inside p3's own training
+    lineage, so the discriminator is the join type)."""
+    plan = (
+        kn_doc_logprob(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    held_plan = (
+        kn_doc_logprob(
+            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+            train_df=docs,
+        )
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the only LeftOuter in self-scoring is the final all_docs join
+    assert plan.count("LeftOuter") == 1
+    assert held_plan.count("LeftOuter") == 1 + 5  # + the backoff cascade
+
+
+def test_prebuilt_model_tables_score_identically(spark, docs):
+    """Train-once/score-many: passing kn_model_tables output scores
+    bit-identically to the train_df form (training cost paid once)."""
+    from bht_etl_app_spark.operators.ngram_lm import kn_model_tables
+
+    held = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(HELD_OUT)], "doc_id long, text string"
+    )
+    t = kn_model_tables(docs)
+    a = sorted(map(tuple, kn_doc_logprob(held, model_tables=t).collect()))
+    b = sorted(map(tuple, kn_doc_logprob(held, train_df=docs).collect()))
+    assert a == b
+
+
+def test_degenerate_inputs_fail_loudly(spark, docs):
+    """d outside (0,1) raises at train time; a model trained on an
+    empty corpus raises at scoring time instead of emitting all-NULL
+    scores a perplexity threshold would silently mis-handle."""
+    with pytest.raises(ValueError, match="discount"):
+        kn_trigram_model(docs, d=0.0)
+    with pytest.raises(ValueError, match="discount"):
+        kn_trigram_model(docs, d=1.0)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    held = spark.createDataFrame([(0, "zebra ran")], "doc_id long, text string")
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="empty corpus"):
+        kn_doc_logprob(held, train_df=empty).collect()
