@@ -66,6 +66,7 @@ __all__ = [
     "kn_model_tables",
     "kn_trigram_model",
     "kn_doc_logprob",
+    "kn_oracle_sql",
 ]
 
 BOS = "\x02s\x03"  # control-byte-bracketed so no corpus token collides
@@ -251,6 +252,7 @@ def kn_doc_logprob(
     d: float = 0.75,
     train_df: DataFrame | None = None,
     model_tables: dict[str, DataFrame] | None = None,
+    final_round: int | None = None,
 ) -> DataFrame:
     """Per-document KN log-probability: ``(doc_id, n_tokens,
     logprob, avg_logprob)`` — ``avg_logprob`` is the
@@ -274,7 +276,21 @@ def kn_doc_logprob(
     model trained on an EMPTY corpus raises at scoring time
     (assert_true on the type total) rather than silently scoring
     everything NULL. The per-doc sum is a position-ordered fold,
-    deterministic under any partitioning."""
+    deterministic under any partitioning.
+
+    ``final_round``: bround the FINAL logprob and avg_logprob to
+    this many decimals (the oracle-checked contract form uses 6).
+    The probabilities are bit-identical cross-engine (integer counts
+    through correctly-rounded +,*,/ with matched association), but
+    ``ln`` differs by ~1 ulp between Java and DuckDB, so per-doc
+    sums carry ~1e-12 accumulated jitter. Quantizing EACH per-token
+    lp would expose thousands of independent rounding boundaries to
+    that jitter (observed live: two same-value runs differing in a
+    handful of 12dp-rounded tokens); rounding only the two final
+    per-doc scalars at 6dp leaves five orders of magnitude between
+    jitter (~1e-12) and half-quantum (5e-7) — the token_zipf_fit
+    precedent (one coarsely-rounded output over a 1000-term ln
+    fold, driver-green)."""
     from bht_etl_app_spark.functions.lifecycle import carry
 
     self_scoring = train_df is None and model_tables is None
@@ -328,13 +344,18 @@ def kn_doc_logprob(
         folded.alias("logprob"),
     )
     all_docs = ensure_min_parallelism(df).select(id_col)
+    lp_out = F.col("logprob")
+    avg_out = F.col("logprob") / F.col("n_tokens")
+    if final_round is not None:
+        lp_out = F.bround(lp_out, final_round)
+        avg_out = F.bround(avg_out, final_round)
     out = (
         all_docs.join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            "logprob",
-            (F.col("logprob") / F.col("n_tokens")).alias("avg_logprob"),
+            lp_out.alias("logprob"),
+            avg_out.alias("avg_logprob"),
         )
     )
     # release(out) must free the model's persisted count tables, and
@@ -342,3 +363,85 @@ def kn_doc_logprob(
     # composed-lifecycle contract (lifecycle.carry), not an ad-hoc
     # attribute
     return carry(out, t["p3"])
+
+
+def kn_oracle_sql(
+    d: float = 0.75, table: str = "documents", final_round: int = 6
+) -> str:
+    """DuckDB replay of the SELF-SCORING ``kn_doc_logprob`` contract
+    form (``final_round`` decimals on the two per-doc output scalars;
+    everything upstream of the ln is integer counts through
+    correctly-rounded +,*,/ with the SAME parenthesization as the
+    Spark expressions, hence bit-identical, and the ~1e-12 per-doc
+    ln-jitter is absorbed by the coarse final rounding — see the
+    kn_doc_logprob docstring). Per-doc sum is the proven pairing:
+    Spark ``aggregate(array_sort(collect_list(struct(pos,lp))))`` ↔
+    DuckDB ``list_sum(list(lp ORDER BY pos))``. Built for the r7
+    contract registration; exercised bit-for-bit against Spark by
+    tests/test_ngram_lm.py on the sf0.001 fixture today."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+    dd = f"CAST({d} AS DOUBLE)"
+    bos = "chr(2) || 's' || chr(3)"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> ''
+                          AND x NOT LIKE '%' || chr(2) || '%'
+                          AND x NOT LIKE '%' || chr(3) || '%') AS t
+  FROM {table}
+),
+tri AS MATERIALIZED (
+  SELECT doc_id, i - 2 AS pos,
+         padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
+  FROM (
+    SELECT doc_id, list_concat([{bos}, {bos}], t) AS padded
+    FROM toks WHERE len(t) > 0
+  ), unnest(range(3, len(padded) + 1)) AS r(i)
+),
+c3 AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+),
+c2 AS MATERIALIZED (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p_uv_
+  FROM c3 GROUP BY 1, 2
+),
+nvw AS MATERIALIZED (
+  SELECT v, w, count(*) AS n1p__vw FROM c3 GROUP BY 1, 2
+),
+nv AS MATERIALIZED (
+  SELECT v, CAST(sum(n1p__vw) AS BIGINT) AS n1p__v_, count(*) AS n1p_v_
+  FROM nvw GROUP BY 1
+),
+nw AS (SELECT w, count(*) AS n1p__w FROM nvw GROUP BY 1),
+tot AS (SELECT CAST(sum(n1p__vw) AS BIGINT) AS n1p___ FROM nvw),
+p1 AS (SELECT w, n1p__w / n1p___ AS p1 FROM nw, tot),
+p2 AS MATERIALIZED (
+  SELECT nvw.v, nvw.w,
+         (greatest(nvw.n1p__vw - {dd}, CAST(0 AS DOUBLE)) / nv.n1p__v_)
+         + ((({dd} * nv.n1p_v_) / nv.n1p__v_) * p1.p1) AS p2
+  FROM nvw JOIN nv ON nvw.v = nv.v JOIN p1 ON nvw.w = p1.w
+),
+p3 AS MATERIALIZED (
+  SELECT c3.u, c3.v, c3.w,
+         (greatest(c3.c3 - {dd}, CAST(0 AS DOUBLE)) / c2.c2)
+         + ((({dd} * c2.n1p_uv_) / c2.c2) * p2.p2) AS p3
+  FROM c3 JOIN c2 ON c3.u = c2.u AND c3.v = c2.v
+          JOIN p2 ON c3.v = p2.v AND c3.w = p2.w
+),
+per_tok AS (
+  SELECT tri.doc_id, tri.pos, ln(p3.p3) AS lp
+  FROM tri JOIN p3 ON tri.u = p3.u AND tri.v = p3.v AND tri.w = p3.w
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_sum(list(lp ORDER BY pos)) AS logprob
+  FROM per_tok GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round_even(pd.logprob, {final_round}) AS logprob,
+       round_even(pd.logprob / pd.n_tokens, {final_round}) AS avg_logprob
+FROM toks t LEFT JOIN per_doc pd USING (doc_id)
+"""

@@ -309,3 +309,45 @@ def test_degenerate_inputs_fail_loudly(spark, docs):
 
     with pytest.raises(SparkRuntimeException, match="empty corpus"):
         kn_doc_logprob(held, train_df=empty).collect()
+
+
+def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
+    """The r7 registration rehearsal: the DuckDB oracle replay of the
+    self-scoring contract form (final_round=6 on the two per-doc
+    scalars) matches
+    Spark BIT FOR BIT on the real sf0.001 documents fixture — the
+    same exact-value comparison the driver's gate performs (floats by
+    repr, order-insensitive)."""
+    import duckdb
+
+    from bht_etl_app_spark.operators.ngram_lm import kn_oracle_sql
+    from bht_etl_app_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = kn_doc_logprob(docs, final_round=6)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    cur = con.execute(kn_oracle_sql())
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            out.append(tuple(
+                repr(float(r[i])) if isinstance(r[i], float) else r[i]
+                for i in order
+            ))
+        return sorted(out)
+
+    srows = [tuple(r) for r in got.collect()]
+    assert sorted(got.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    a, b = norm(srows, got.columns), norm(orows, ocols)
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not diffs, diffs[:3]
