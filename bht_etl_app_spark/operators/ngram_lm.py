@@ -67,6 +67,7 @@ __all__ = [
     "kn_trigram_model",
     "kn_doc_logprob",
     "kn_oracle_sql",
+    "kn_heldout_oracle_sql",
 ]
 
 BOS = "\x02s\x03"  # control-byte-bracketed so no corpus token collides
@@ -444,4 +445,117 @@ SELECT t.doc_id,
        round_even(pd.logprob, {final_round}) AS logprob,
        round_even(pd.logprob / pd.n_tokens, {final_round}) AS avg_logprob
 FROM toks t LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+
+def kn_heldout_oracle_sql(
+    d: float = 0.75,
+    table: str = "documents",
+    train_pred: str = "source <> 'src0'",
+    score_pred: str = "source = 'src0'",
+    final_round: int = 6,
+) -> str:
+    """DuckDB replay of the HELD-OUT ``kn_doc_logprob`` contract form
+    (the CCNet mode: train on ``train_pred`` rows, score
+    ``score_pred`` rows): the full backoff cascade — attested p3,
+    else lam3*P(w|v), else P(w|v); attested p2, else lam2*P(w), else
+    P(w); attested p1, else the D/N1p(..) OOV floor — as LEFT joins +
+    CASE with every multiplication associated exactly as the Spark
+    column expressions. Same final-round discipline as
+    :func:`kn_oracle_sql`."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+    dd = f"CAST({d} AS DOUBLE)"
+    bos = "chr(2) || 's' || chr(3)"
+    tok_expr = """list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> ''
+                          AND x NOT LIKE '%' || chr(2) || '%'
+                          AND x NOT LIKE '%' || chr(3) || '%')"""
+    return f"""
+WITH train_toks AS MATERIALIZED (
+  SELECT doc_id, {tok_expr} AS t FROM {table} WHERE {train_pred}
+),
+score_toks AS MATERIALIZED (
+  SELECT doc_id, {tok_expr} AS t FROM {table} WHERE {score_pred}
+),
+train_tri AS MATERIALIZED (
+  SELECT padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
+  FROM (
+    SELECT list_concat([{bos}, {bos}], t) AS padded
+    FROM train_toks WHERE len(t) > 0
+  ), unnest(range(3, len(padded) + 1)) AS r(i)
+),
+score_tri AS MATERIALIZED (
+  SELECT doc_id, i - 2 AS pos,
+         padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
+  FROM (
+    SELECT doc_id, list_concat([{bos}, {bos}], t) AS padded
+    FROM score_toks WHERE len(t) > 0
+  ), unnest(range(3, len(padded) + 1)) AS r(i)
+),
+c3 AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS c3 FROM train_tri GROUP BY 1, 2, 3
+),
+c2 AS MATERIALIZED (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p_uv_
+  FROM c3 GROUP BY 1, 2
+),
+nvw AS MATERIALIZED (
+  SELECT v, w, count(*) AS n1p__vw FROM c3 GROUP BY 1, 2
+),
+nv AS MATERIALIZED (
+  SELECT v, CAST(sum(n1p__vw) AS BIGINT) AS n1p__v_, count(*) AS n1p_v_
+  FROM nvw GROUP BY 1
+),
+nw AS (SELECT w, count(*) AS n1p__w FROM nvw GROUP BY 1),
+tot AS (SELECT CAST(sum(n1p__vw) AS BIGINT) AS n1p___ FROM nvw),
+p1 AS (SELECT w, n1p__w / n1p___ AS p1 FROM nw, tot),
+ctx2 AS (SELECT v, ({dd} * n1p_v_) / n1p__v_ AS lam2, n1p__v_ FROM nv),
+p2 AS MATERIALIZED (
+  SELECT nvw.v, nvw.w,
+         (greatest(nvw.n1p__vw - {dd}, CAST(0 AS DOUBLE)) / ctx2.n1p__v_)
+         + (ctx2.lam2 * p1.p1) AS p2
+  FROM nvw JOIN ctx2 ON nvw.v = ctx2.v JOIN p1 ON nvw.w = p1.w
+),
+ctx3 AS (SELECT u, v, ({dd} * n1p_uv_) / c2 AS lam3, c2 FROM c2),
+p3 AS MATERIALIZED (
+  SELECT c3.u, c3.v, c3.w,
+         (greatest(c3.c3 - {dd}, CAST(0 AS DOUBLE)) / ctx3.c2)
+         + (ctx3.lam3 * p2.p2) AS p3
+  FROM c3 JOIN ctx3 ON c3.u = ctx3.u AND c3.v = ctx3.v
+          JOIN p2 ON c3.v = p2.v AND c3.w = p2.w
+),
+per_tok AS (
+  SELECT s.doc_id, s.pos,
+         ln(
+           CASE WHEN p3.p3 IS NOT NULL THEN p3.p3
+                WHEN ctx3.lam3 IS NOT NULL THEN ctx3.lam3 * (
+                  CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
+                       WHEN ctx2.lam2 IS NOT NULL
+                         THEN ctx2.lam2 * (coalesce(p1.p1, {dd} / tot.n1p___))
+                       ELSE coalesce(p1.p1, {dd} / tot.n1p___) END)
+                ELSE (
+                  CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
+                       WHEN ctx2.lam2 IS NOT NULL
+                         THEN ctx2.lam2 * (coalesce(p1.p1, {dd} / tot.n1p___))
+                       ELSE coalesce(p1.p1, {dd} / tot.n1p___) END) END
+         ) AS lp
+  FROM score_tri s
+  LEFT JOIN p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
+  LEFT JOIN ctx3 ON s.u = ctx3.u AND s.v = ctx3.v
+  LEFT JOIN p2 ON s.v = p2.v AND s.w = p2.w
+  LEFT JOIN ctx2 ON s.v = ctx2.v
+  LEFT JOIN p1 ON s.w = p1.w
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_sum(list(lp ORDER BY pos)) AS logprob
+  FROM per_tok GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round_even(pd.logprob, {final_round}) AS logprob,
+       round_even(pd.logprob / pd.n_tokens, {final_round}) AS avg_logprob
+FROM score_toks t LEFT JOIN per_doc pd USING (doc_id)
 """

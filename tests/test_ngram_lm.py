@@ -351,3 +351,48 @@ def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
     a, b = norm(srows, got.columns), norm(orows, ocols)
     diffs = [(x, y) for x, y in zip(a, b) if x != y]
     assert not diffs, diffs[:3]
+
+
+def test_kn_heldout_oracle_sql_hash_matches_spark_on_fixture(spark):
+    """Held-out r7 carrier rehearsal: train on source<>'src0', score
+    source='src0' — the full backoff cascade (unseen trigrams,
+    bigrams, OOV words) replayed in DuckDB matches Spark exactly
+    (floats by repr) on the sf0.001 documents fixture."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.ngram_lm import kn_heldout_oracle_sql
+    from bht_etl_app_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = kn_doc_logprob(
+        docs.where(F.col("source") == "src0"),
+        train_df=docs.where(F.col("source") != "src0"),
+        final_round=6,
+    )
+    srows = sorted(
+        (
+            r["doc_id"], r["n_tokens"],
+            repr(r["logprob"]) if r["logprob"] is not None else None,
+            repr(r["avg_logprob"]) if r["avg_logprob"] is not None else None,
+        )
+        for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    orows = sorted(
+        (
+            r[0], r[1],
+            repr(float(r[2])) if r[2] is not None else None,
+            repr(float(r[3])) if r[3] is not None else None,
+        )
+        for r in con.execute(kn_heldout_oracle_sql()).fetchall()
+    )
+    assert len(srows) == len(orows) > 0
+    diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not diffs, diffs[:3]
