@@ -366,135 +366,31 @@ def kn_doc_logprob(
     return carry(out, t["p3"])
 
 
-def kn_oracle_sql(
-    d: float = 0.75, table: str = "documents", final_round: int = 6
-) -> str:
-    """DuckDB replay of the SELF-SCORING ``kn_doc_logprob`` contract
-    form (``final_round`` decimals on the two per-doc output scalars;
-    everything upstream of the ln is integer counts through
-    correctly-rounded +,*,/ with the SAME parenthesization as the
-    Spark expressions, hence bit-identical, and the ~1e-12 per-doc
-    ln-jitter is absorbed by the coarse final rounding — see the
-    kn_doc_logprob docstring). Per-doc sum is the proven pairing:
-    Spark ``aggregate(array_sort(collect_list(struct(pos,lp))))`` ↔
-    DuckDB ``list_sum(list(lp ORDER BY pos))``. Built for the r7
-    contract registration; exercised bit-for-bit against Spark by
-    tests/test_ngram_lm.py on the sf0.001 fixture today."""
-    if not 0.0 < d < 1.0:
-        raise ValueError(f"KN discount must be in (0, 1), got {d}")
-    dd = f"CAST({d} AS DOUBLE)"
-    bos = "chr(2) || 's' || chr(3)"
-    return f"""
-WITH toks AS MATERIALIZED (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                     x -> x <> ''
-                          AND x NOT LIKE '%' || chr(2) || '%'
-                          AND x NOT LIKE '%' || chr(3) || '%') AS t
-  FROM {table}
-),
-tri AS MATERIALIZED (
-  SELECT doc_id, i - 2 AS pos,
-         padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
-  FROM (
-    SELECT doc_id, list_concat([{bos}, {bos}], t) AS padded
-    FROM toks WHERE len(t) > 0
-  ), unnest(range(3, len(padded) + 1)) AS r(i)
-),
-c3 AS MATERIALIZED (
-  SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
-),
-c2 AS MATERIALIZED (
-  SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p_uv_
-  FROM c3 GROUP BY 1, 2
-),
-nvw AS MATERIALIZED (
-  SELECT v, w, count(*) AS n1p__vw FROM c3 GROUP BY 1, 2
-),
-nv AS MATERIALIZED (
-  SELECT v, CAST(sum(n1p__vw) AS BIGINT) AS n1p__v_, count(*) AS n1p_v_
-  FROM nvw GROUP BY 1
-),
-nw AS (SELECT w, count(*) AS n1p__w FROM nvw GROUP BY 1),
-tot AS (SELECT CAST(sum(n1p__vw) AS BIGINT) AS n1p___ FROM nvw),
-p1 AS (SELECT w, n1p__w / n1p___ AS p1 FROM nw, tot),
-p2 AS MATERIALIZED (
-  SELECT nvw.v, nvw.w,
-         (greatest(nvw.n1p__vw - {dd}, CAST(0 AS DOUBLE)) / nv.n1p__v_)
-         + ((({dd} * nv.n1p_v_) / nv.n1p__v_) * p1.p1) AS p2
-  FROM nvw JOIN nv ON nvw.v = nv.v JOIN p1 ON nvw.w = p1.w
-),
-p3 AS MATERIALIZED (
-  SELECT c3.u, c3.v, c3.w,
-         (greatest(c3.c3 - {dd}, CAST(0 AS DOUBLE)) / c2.c2)
-         + ((({dd} * c2.n1p_uv_) / c2.c2) * p2.p2) AS p3
-  FROM c3 JOIN c2 ON c3.u = c2.u AND c3.v = c2.v
-          JOIN p2 ON c3.v = p2.v AND c3.w = p2.w
-),
-per_tok AS (
-  SELECT tri.doc_id, tri.pos, ln(p3.p3) AS lp
-  FROM tri JOIN p3 ON tri.u = p3.u AND tri.v = p3.v AND tri.w = p3.w
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_tokens,
-         list_sum(list(lp ORDER BY pos)) AS logprob
-  FROM per_tok GROUP BY 1
-)
-SELECT t.doc_id,
-       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
-       round_even(pd.logprob, {final_round}) AS logprob,
-       round_even(pd.logprob / pd.n_tokens, {final_round}) AS avg_logprob
-FROM toks t LEFT JOIN per_doc pd USING (doc_id)
-"""
+# --- DuckDB oracle builders (r7 contract registration) --------------
+#
+# One shared model-table fragment serves both oracles — a one-sided
+# edit to the ~70 CTE lines cannot desynchronize them (the repo's
+# one-template-per-family rule). The token regex spells out Java's
+# non-unicode \\s class `[ \\t\\n\\x0B\\f\\r ]` explicitly because
+# RE2's \\s EXCLUDES vertical tab: a crawl doc containing "a\\x0Bb"
+# would tokenize differently per engine under '\\s+'.
 
-
-def kn_heldout_oracle_sql(
-    d: float = 0.75,
-    table: str = "documents",
-    train_pred: str = "source <> 'src0'",
-    score_pred: str = "source = 'src0'",
-    final_round: int = 6,
-) -> str:
-    """DuckDB replay of the HELD-OUT ``kn_doc_logprob`` contract form
-    (the CCNet mode: train on ``train_pred`` rows, score
-    ``score_pred`` rows): the full backoff cascade — attested p3,
-    else lam3*P(w|v), else P(w|v); attested p2, else lam2*P(w), else
-    P(w); attested p1, else the D/N1p(..) OOV floor — as LEFT joins +
-    CASE with every multiplication associated exactly as the Spark
-    column expressions. Same final-round discipline as
-    :func:`kn_oracle_sql`."""
-    if not 0.0 < d < 1.0:
-        raise ValueError(f"KN discount must be in (0, 1), got {d}")
-    dd = f"CAST({d} AS DOUBLE)"
-    bos = "chr(2) || 's' || chr(3)"
-    tok_expr = """list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+_TOK_EXPR = """list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
                      x -> x <> ''
                           AND x NOT LIKE '%' || chr(2) || '%'
                           AND x NOT LIKE '%' || chr(3) || '%')"""
-    return f"""
-WITH train_toks AS MATERIALIZED (
-  SELECT doc_id, {tok_expr} AS t FROM {table} WHERE {train_pred}
-),
-score_toks AS MATERIALIZED (
-  SELECT doc_id, {tok_expr} AS t FROM {table} WHERE {score_pred}
-),
-train_tri AS MATERIALIZED (
-  SELECT padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
-  FROM (
-    SELECT list_concat([{bos}, {bos}], t) AS padded
-    FROM train_toks WHERE len(t) > 0
-  ), unnest(range(3, len(padded) + 1)) AS r(i)
-),
-score_tri AS MATERIALIZED (
-  SELECT doc_id, i - 2 AS pos,
-         padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
-  FROM (
-    SELECT doc_id, list_concat([{bos}, {bos}], t) AS padded
-    FROM score_toks WHERE len(t) > 0
-  ), unnest(range(3, len(padded) + 1)) AS r(i)
-),
-c3 AS MATERIALIZED (
-  SELECT u, v, w, count(*) AS c3 FROM train_tri GROUP BY 1, 2, 3
+
+_BOS_SQL = "chr(2) || 's' || chr(3)"
+
+
+def _kn_model_ctes(d: float, train_tri: str) -> str:
+    """The model-table CTE chain over a (u, v, w) trigram CTE named
+    ``train_tri`` — every multiplication associated exactly as the
+    Spark column expressions in :func:`kn_model_tables` (lam2/lam3
+    computed in their ctx CTEs, THEN multiplied)."""
+    dd = f"CAST({d} AS DOUBLE)"
+    return f"""c3 AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS c3 FROM {train_tri} GROUP BY 1, 2, 3
 ),
 c2 AS MATERIALIZED (
   SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p_uv_
@@ -524,21 +420,107 @@ p3 AS MATERIALIZED (
          + (ctx3.lam3 * p2.p2) AS p3
   FROM c3 JOIN ctx3 ON c3.u = ctx3.u AND c3.v = ctx3.v
           JOIN p2 ON c3.v = p2.v AND c3.w = p2.w
+)"""
+
+
+def _tri_cte(name: str, toks_cte: str, with_doc: bool) -> str:
+    cols = "doc_id, i - 2 AS pos,\n         " if with_doc else ""
+    sel = "doc_id, " if with_doc else ""
+    return f"""{name} AS MATERIALIZED (
+  SELECT {cols}padded[i - 2] AS u, padded[i - 1] AS v, padded[i] AS w
+  FROM (
+    SELECT {sel}list_concat([{_BOS_SQL}, {_BOS_SQL}], t) AS padded
+    FROM {toks_cte} WHERE len(t) > 0
+  ), unnest(range(3, len(padded) + 1)) AS r(i)
+)"""
+
+
+_FINAL_SELECT = """SELECT t.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round_even(pd.logprob, {fr}) AS logprob,
+       round_even(pd.logprob / pd.n_tokens, {fr}) AS avg_logprob
+FROM {toks} t LEFT JOIN per_doc pd USING (doc_id)"""
+
+
+def kn_oracle_sql(
+    d: float = 0.75, table: str = "documents", final_round: int = 6
+) -> str:
+    """DuckDB replay of the SELF-SCORING ``kn_doc_logprob`` contract
+    form (``final_round`` decimals on the two per-doc output scalars;
+    everything upstream of the ln is integer counts through
+    correctly-rounded +,*,/ with the SAME parenthesization as the
+    Spark expressions, hence bit-identical, and the ~1e-12 per-doc
+    ln-jitter is absorbed by the coarse final rounding — see the
+    kn_doc_logprob docstring). Per-doc sum is the proven pairing:
+    Spark ``aggregate(array_sort(collect_list(struct(pos,lp))))`` ↔
+    DuckDB ``list_sum(list(lp ORDER BY pos))``. Exercised bit-for-bit
+    against Spark by tests/test_ngram_lm.py on the parquet fixtures."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table}
 ),
+{_tri_cte("tri", "toks", with_doc=True)},
+{_kn_model_ctes(d, "tri")},
+per_tok AS (
+  SELECT tri.doc_id, tri.pos, ln(p3.p3) AS lp
+  FROM tri JOIN p3 ON tri.u = p3.u AND tri.v = p3.v AND tri.w = p3.w
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_sum(list(lp ORDER BY pos)) AS logprob
+  FROM per_tok GROUP BY 1
+)
+{_FINAL_SELECT.format(fr=final_round, toks="toks")}
+"""
+
+
+def kn_heldout_oracle_sql(
+    d: float = 0.75,
+    table: str = "documents",
+    train_pred: str = "source <> 'src0'",
+    score_pred: str = "source = 'src0'",
+    final_round: int = 6,
+) -> str:
+    """DuckDB replay of the HELD-OUT ``kn_doc_logprob`` contract form
+    (the CCNet mode: train on ``train_pred`` rows, score
+    ``score_pred`` rows): the full backoff cascade — attested p3,
+    else lam3*P(w|v), else P(w|v); attested p2, else lam2*P(w), else
+    P(w); attested p1, else the D/N1p(..) OOV floor — as LEFT joins +
+    CASE with every multiplication associated exactly as the Spark
+    column expressions, and the SAME structural empty-training-corpus
+    failure as Spark's assert_true (DuckDB ``error()`` in the floor's
+    NULL-total branch). Same final-round discipline as
+    :func:`kn_oracle_sql`."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+    dd = f"CAST({d} AS DOUBLE)"
+    floor = (
+        "CASE WHEN tot.n1p___ IS NULL THEN "
+        "CAST(error('KN model was trained on an empty corpus') AS DOUBLE) "
+        f"ELSE {dd} / tot.n1p___ END"
+    )
+    pwv = f"""CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
+                       WHEN ctx2.lam2 IS NOT NULL
+                         THEN ctx2.lam2 * (coalesce(p1.p1, {floor}))
+                       ELSE coalesce(p1.p1, {floor}) END"""
+    return f"""
+WITH train_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {train_pred}
+),
+score_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {score_pred}
+),
+{_tri_cte("train_tri", "train_toks", with_doc=False)},
+{_tri_cte("score_tri", "score_toks", with_doc=True)},
+{_kn_model_ctes(d, "train_tri")},
 per_tok AS (
   SELECT s.doc_id, s.pos,
          ln(
            CASE WHEN p3.p3 IS NOT NULL THEN p3.p3
-                WHEN ctx3.lam3 IS NOT NULL THEN ctx3.lam3 * (
-                  CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
-                       WHEN ctx2.lam2 IS NOT NULL
-                         THEN ctx2.lam2 * (coalesce(p1.p1, {dd} / tot.n1p___))
-                       ELSE coalesce(p1.p1, {dd} / tot.n1p___) END)
-                ELSE (
-                  CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
-                       WHEN ctx2.lam2 IS NOT NULL
-                         THEN ctx2.lam2 * (coalesce(p1.p1, {dd} / tot.n1p___))
-                       ELSE coalesce(p1.p1, {dd} / tot.n1p___) END) END
+                WHEN ctx3.lam3 IS NOT NULL THEN ctx3.lam3 * ({pwv})
+                ELSE ({pwv}) END
          ) AS lp
   FROM score_tri s
   LEFT JOIN p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
@@ -553,9 +535,5 @@ per_doc AS (
          list_sum(list(lp ORDER BY pos)) AS logprob
   FROM per_tok GROUP BY 1
 )
-SELECT t.doc_id,
-       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
-       round_even(pd.logprob, {final_round}) AS logprob,
-       round_even(pd.logprob / pd.n_tokens, {final_round}) AS avg_logprob
-FROM score_toks t LEFT JOIN per_doc pd USING (doc_id)
+{_FINAL_SELECT.format(fr=final_round, toks="score_toks")}
 """
