@@ -212,6 +212,11 @@ def summary_line(times: dict[str, float], sf: float | None,
     would scroll the JSON out of the capture window."""
     total = round(sum(times.values()), 3)
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    # BENCH_DETAILS.json is rewritten only on full headline runs, so a
+    # subset/debug line must not point at it — the file on disk would
+    # be a stale artifact from an earlier run with a different query
+    # set (ADVICE r6)
+    is_full = metric == "headline_queries_total_wall"
     for top in range(20, -1, -1):
         line = json.dumps({
             "metric": metric,
@@ -219,7 +224,7 @@ def summary_line(times: dict[str, float], sf: float | None,
             "unit": "sec",
             "n_queries": len(times),
             "queries": dict(ranked[:top]),
-            "queries_file": "BENCH_DETAILS.json",
+            "queries_file": "BENCH_DETAILS.json" if is_full else None,
             "sf": sf,
         })
         if len(line) < max_chars:

@@ -140,7 +140,10 @@ def kn_model_tables(
 ) -> dict[str, DataFrame]:
     """Train and return every table the backoff cascade needs:
     ``p3 (u,v,w,p3)``, ``ctx3 (u,v,lam3)``, ``p2 (v,w,p2)``,
-    ``ctx2 (v,lam2)``, ``p1 (w,p1)``, ``tot (n1p___)`` (1 row).
+    ``ctx2 (v,lam2)``, ``p1 (w,p1)``, ``tot (n1p___)`` (1 row),
+    plus ``"d"`` (the float discount the tables were built with, so
+    :func:`kn_doc_logprob` can verify the OOV floor uses MATCHING
+    discounts instead of silently mixing two d values).
     The trigram count table and its (v,w) rollup each have multiple
     consumers, so both persist (vocabulary-bounded) with lifetimes
     tied to the returned ``p3`` table via the lifecycle registry."""
@@ -225,6 +228,7 @@ def kn_model_tables(
         "ctx2": carry(ctx2.select("v", "lam2"), p3),
         "p1": carry(p1, p3),
         "tot": carry(tot, p3),
+        "d": float(d),
     }
 
 
@@ -250,7 +254,7 @@ def kn_doc_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    d: float = 0.75,
+    d: float | None = None,
     train_df: DataFrame | None = None,
     model_tables: dict[str, DataFrame] | None = None,
     final_round: int | None = None,
@@ -269,8 +273,10 @@ def kn_doc_logprob(
       full backoff cascade;
     - ``model_tables=...``: prebuilt :func:`kn_model_tables` output,
       the train-once / score-many-shards form (training cost paid
-      once, not per scored shard). Pass ``d`` matching the training
-      call.
+      once, not per scored shard). The tables carry the discount they
+      were trained with (the ``"d"`` entry); passing a conflicting
+      ``d`` here raises instead of silently computing the OOV floor
+      with a discount the attested tables never used.
 
     EVERY real token is scored — n_tokens is the doc's token count
     in all modes. Empty docs report 0 tokens and NULL scores. A
@@ -295,8 +301,31 @@ def kn_doc_logprob(
     from bht_etl_app_spark.functions.lifecycle import carry
 
     self_scoring = train_df is None and model_tables is None
-    t = model_tables or kn_model_tables(
-        train_df if train_df is not None else df, text_col, d
+    if model_tables is not None:
+        # `is not None`, NOT truthiness: an (invalid) empty dict must
+        # fail loudly here, never silently fall through to retraining
+        # on the scored df (ADVICE r6)
+        missing = {"p3", "ctx3", "p2", "ctx2", "p1", "tot"} - set(model_tables)
+        if missing:
+            raise ValueError(
+                f"model_tables is missing {sorted(missing)} — pass the "
+                "dict returned by kn_model_tables unchanged"
+            )
+        stashed = model_tables.get("d")
+        if d is not None and stashed is not None and float(d) != float(stashed):
+            raise ValueError(
+                f"model_tables were trained with d={stashed} but scoring "
+                f"was asked for d={d}: the OOV floor would mix discounts "
+                "the attested tables never used. Omit d (it is taken "
+                "from the tables) or pass the training value."
+            )
+        d = stashed if d is None else d
+    if d is None:
+        d = 0.75
+    t = (
+        model_tables
+        if model_tables is not None
+        else kn_model_tables(train_df if train_df is not None else df, text_col, d)
     )
     tri = doc_trigrams(df, text_col, id_col)
     dd = F.lit(float(d))

@@ -70,6 +70,22 @@ def test_subset_runs_never_claim_the_headline_metric():
     assert d["metric"] == "subset_queries_total_wall"
 
 
+def test_subset_lines_do_not_point_at_the_details_artifact():
+    """main() rewrites BENCH_DETAILS.json only on full runs, so a
+    subset line carrying the filename would reference a stale
+    artifact from an earlier full run with a different query set
+    (ADVICE r6) — subset lines carry null, full lines the filename."""
+    bench = _load_bench()
+    sub = json.loads(
+        bench.summary_line({"q": 1.0}, 0.01, metric=bench.pick_metric(False))
+    )
+    assert sub["queries_file"] is None
+    full = json.loads(
+        bench.summary_line({"q": 1.0}, 0.01, metric=bench.pick_metric(True))
+    )
+    assert full["queries_file"] == "BENCH_DETAILS.json"
+
+
 def test_headline_names_resolve_to_contract_queries():
     """Every HEADLINE name must exist in queries() — a renamed
     contract key would silently drop out of the bench (bench.py

@@ -321,7 +321,7 @@ def test_lint_type_class_rules():
 
     tc = lint.type_class
     assert tc("bigint") == tc("INTEGER")       # width canonicalized
-    assert tc("double") == tc("FLOAT")
+    assert tc("double") == tc("DOUBLE")
     assert tc("string") == tc("VARCHAR")
     assert tc("timestamp") == tc("TIMESTAMP")  # plain ts: green precedent
     assert tc("binary") == tc("BLOB")          # same class, no false flag
@@ -332,3 +332,9 @@ def test_lint_type_class_rules():
     # datetime64, Spark timestamps arrive naive — no green precedent
     assert tc("timestamp") != tc("TIMESTAMP WITH TIME ZONE")
     assert tc("timestamp") != tc("TIMESTAMPTZ")
+    # 32-bit float is NOT double's class: pandas canonicalizes a Spark
+    # FloatType column to float32 vs the oracle DOUBLE's float64 and
+    # the driver hash diverges on equal values (ADVICE r6)
+    assert tc("float") != tc("DOUBLE")
+    assert tc("real") != tc("double")
+    assert tc("float") == tc("REAL")  # but the 32-bit pair is one class

@@ -311,6 +311,31 @@ def test_degenerate_inputs_fail_loudly(spark, docs):
         kn_doc_logprob(held, train_df=empty).collect()
 
 
+def test_model_tables_guards(spark, docs):
+    """ADVICE r6: an empty model_tables dict must raise, not silently
+    retrain on the scored df; a d conflicting with the discount the
+    tables were trained with must raise, not silently mix discounts
+    in the OOV floor; omitting d adopts the stashed training value."""
+    from bht_etl_app_spark.functions.lifecycle import release
+    from bht_etl_app_spark.operators.ngram_lm import kn_model_tables
+
+    held = spark.createDataFrame(
+        [(0, "alpha beta zebra")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="missing"):
+        kn_doc_logprob(held, model_tables={})
+
+    t = kn_model_tables(docs, d=0.6)
+    assert t["d"] == 0.6
+    with pytest.raises(ValueError, match="trained with d=0.6"):
+        kn_doc_logprob(held, model_tables=t, d=0.75)
+    # omitted d adopts the training discount: identical to train_df mode
+    a = sorted(map(tuple, kn_doc_logprob(held, model_tables=t).collect()))
+    b = sorted(map(tuple, kn_doc_logprob(held, train_df=docs, d=0.6).collect()))
+    assert a == b
+    release(t["p3"])
+
+
 def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
     """The r7 registration rehearsal: the DuckDB oracle replay of the
     self-scoring contract form (final_round=6 on the two per-doc

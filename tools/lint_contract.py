@@ -49,8 +49,14 @@ def type_class(t: str) -> str:
     if t in ("bigint", "int", "integer", "smallint", "tinyint", "long",
              "short", "byte", "ubigint", "uinteger", "usmallint", "utinyint"):
         return "int"
-    if t in ("double", "float", "real"):
+    if t == "double":
         return "float"
+    if t in ("float", "real"):
+        # 32-bit floats are NOT the driver-canonicalized same class as
+        # double: pandas lands them as float32 vs float64, which
+        # hash-diverges on equal values (ADVICE r6) — the exact bug
+        # class this lint exists to catch, so they get their own class
+        return "float32"
     if t in ("string", "varchar"):
         return "str"
     if t == "date":
