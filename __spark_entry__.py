@@ -69,6 +69,7 @@ from bht_etl_app_spark.operators import (
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
+from bht_etl_app_spark.operators import ngram_lm as _kn_mod
 from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import clustering as _cluster_mod
 from bht_etl_app_spark.operators import profiling as _skew_mod
@@ -3561,6 +3562,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["event_type", "hour_of_day"],
         ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
+        # interpolated Kneser-Ney trigram LM (the CCNet perplexity
+        # filter). Self-scoring QA mode: train on the documents table
+        # and score it — every gram attested, pure p3-table lookups.
+        # final_round=6 is the contract quantization (round only the
+        # two per-doc output scalars; per-token ln values fold raw in
+        # position order — the token_zipf_fit discipline)
+        "kn_doc_logprob": lambda s, d: _kn_mod.kn_doc_logprob(
+            load_table(s, d, "documents"), final_round=6
+        ),
+        # the CCNet deployment shape: the reference corpus (non-src0
+        # sources) trains, the held-out src0 shard is scored through
+        # the FULL backoff cascade (unseen trigram -> lam3*P(w|v) ->
+        # lam2*P(w) -> D/N1p(..) OOV floor)
+        "kn_heldout_logprob": lambda s, d: _kn_mod.kn_doc_logprob(
+            load_table(s, d, "documents").where(F.col("source") == "src0"),
+            train_df=load_table(s, d, "documents").where(
+                F.col("source") != "src0"
+            ),
+            final_round=6,
+        ),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
             _emb_lsh_planes(_EVAL_LSH_PLANES), k=5, n_queries=32,
@@ -4145,6 +4166,11 @@ LATERAL (
 """,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
+        # KN LM oracles: the staged builders from operators/ngram_lm
+        # (model-table CTE chain shared between both so a one-sided
+        # edit cannot desynchronize them)
+        "kn_doc_logprob": _kn_mod.kn_oracle_sql(),
+        "kn_heldout_logprob": _kn_mod.kn_heldout_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],

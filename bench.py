@@ -189,6 +189,10 @@ HEADLINE = [
     # data QA
     "profile_orders",
     "orders_constraint_audit",
+    # r7: Kneser-Ney trigram LM (CCNet perplexity filter) — self-
+    # scoring QA mode + the held-out backoff-cascade deployment shape
+    "kn_doc_logprob",
+    "kn_heldout_logprob",
 ]
 
 

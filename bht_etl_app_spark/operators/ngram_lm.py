@@ -39,13 +39,14 @@ aggregate) — the float-determinism rule every cross-engine value
 path in this repo follows. (For the r7 oracle: ln() needs the usual
 1-ulp quantization treatment; see the token_pmi_pairs precedent.)
 
-Contract status: STAGED FOR r7. VERDICT r5 items #3/#8 direct r6 to
-add no new contract keys while the 51-key never-checked tail clears
-the driver window, so this operator ships with its pure-Python
-differential pytest (tests/test_ngram_lm.py — self-scoring AND
-held-out-with-OOV modes) now and gets its queries()/oracle_sql()
-registration — unrolled count-table CTEs, the bpe_oracle_sql
-pattern — when window budget exists.
+Contract status: REGISTERED (r7) as ``kn_doc_logprob``
+(self-scoring QA mode) and ``kn_heldout_logprob`` (the CCNet
+deployment shape: reference corpus trains, held-out shard scored
+through the full backoff cascade), oracles :func:`kn_oracle_sql` /
+:func:`kn_heldout_oracle_sql`; staged in r6 per VERDICT r5 items
+#3/#8 while the never-checked tail cleared the driver window. The
+pure-Python Chen-Goodman differential lives in
+tests/test_ngram_lm.py (self-scoring AND held-out-with-OOV modes).
 
 No reference-parity citation: the reference app has no language
 model; this extends the training-data-pipeline surface

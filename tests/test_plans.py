@@ -95,6 +95,14 @@ NESTED_LOOP_OK = {
                              # broadcast-query scoring pass — the
                              # documented fixed-Q eval-scale brute
                              # force the ANN path is measured against
+    "kn_doc_logprob",        # crossJoin(broadcast(1-row N1p(..) type
+                             # total)) in p1's denominator — verified:
+                             # the plan's single nested loop is that
+                             # BuildRight 1-row broadcast
+    "kn_heldout_logprob",    # the same 1-row N1p(..) broadcast, seen
+                             # 4x (p1's denominator through the p2/p3
+                             # lineage + the scoring OOV floor) — all
+                             # BuildRight over the 1-row tot aggregate
 }
 
 
