@@ -1881,30 +1881,41 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
-def _q_curated_verdicts(spark, sf_dir):
+def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
-    near-dup keep-min -> benchmark decontamination, one verdict per
-    train doc. hash_fn="md5" selects the portable family so the whole
-    pipeline is oracle-replayable (the dedup_corpus promotion rule)."""
+    near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
+    benchmark decontamination, one verdict per train doc.
+    hash_fn="md5" selects the portable family so the whole pipeline
+    is oracle-replayable (the dedup_corpus promotion rule). The LM
+    variant trains the KN model on the SAME reference corpus that
+    drives decontamination (CCNet's clean-reference discipline) and
+    drops dedup survivors with avg_logprob < -4.2 (ppl > e^4.2)."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
     return curate_corpus(
         docs.where(F.col("source") != "src0"),
-        docs.where(F.col("source") == "src0"),
+        ref,
         hash_fn="md5",
+        lm_ref=ref if lm else None,
+        lm_min_avg_logprob=-4.2,
     )
 
 
-def _curated_verdicts_oracle_sql() -> str:
+def _curated_verdicts_oracle_sql(lm: bool = False) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
-    portable-MinHash near-dup components keep-min → benchmark 5-gram
-    decontamination, each stage consuming only the previous stage's
-    survivors, with the first-dropping stage as the per-doc verdict.
-    Assembled from the proven stage oracles (doc_filter_decisions,
-    dedup_corpus_survivors, doc_decontaminate); MATERIALIZED so the
-    chained stages evaluate once each."""
+    portable-MinHash near-dup components keep-min → [lm=True: CCNet
+    KN perplexity filter →] benchmark 5-gram decontamination, each
+    stage consuming only the previous stage's survivors, with the
+    first-dropping stage as the per-doc verdict. Assembled from the
+    proven stage oracles (doc_filter_decisions,
+    dedup_corpus_survivors, doc_decontaminate, and for the LM stage
+    the VERBATIM kn_heldout fragments: ngram_lm._kn_model_ctes +
+    kn_backoff_per_tok_cte + _PER_DOC_CTE, so one hash-match
+    re-proves both the filter and the composition); MATERIALIZED so
+    the chained stages evaluate once each."""
     from bht_etl_app_spark.operators.dedup import minhash_mix_params
 
     def mix(k: int) -> str:
@@ -1928,6 +1939,43 @@ def _curated_verdicts_oracle_sql() -> str:
         " FROM sig"
         for b in range(4)
     )
+    # LM stage (lm=True): the kn_heldout oracle fragments VERBATIM,
+    # trained on the src0 reference, scoring the near-dup survivors;
+    # keep = 6dp-rounded avg_logprob >= -4.2 (unscorable docs drop),
+    # exactly kn_doc_logprob(final_round=6)'s contract quantization
+    lm_ctes, surv, lm_leg = "", "ns", ""
+    if lm:
+        from bht_etl_app_spark.operators.ngram_lm import (
+            _PER_DOC_CTE,
+            _TOK_EXPR,
+            _kn_model_ctes,
+            _tri_cte,
+            kn_backoff_per_tok_cte,
+        )
+
+        lm_ctes = f"""
+lm_train_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM documents WHERE source = 'src0'
+),
+lm_score_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM train
+  WHERE doc_id IN (SELECT doc_id FROM ns)
+),
+{_tri_cte("lm_train_tri", "lm_train_toks", with_doc=False)},
+{_tri_cte("lm_score_tri", "lm_score_toks", with_doc=True)},
+{_kn_model_ctes(0.75, "lm_train_tri")},
+{kn_backoff_per_tok_cte(0.75, "lm_score_tri")},
+{_PER_DOC_CTE},
+lms AS MATERIALIZED (
+  SELECT ns.doc_id FROM ns JOIN per_doc USING (doc_id)
+  WHERE round_even(per_doc.logprob / per_doc.n_tokens, 6)
+        >= CAST(-4.2 AS DOUBLE)
+),"""
+        surv = "lms"
+        lm_leg = """SELECT ns.doc_id, 'lm_ppl' FROM ns
+  WHERE ns.doc_id NOT IN (SELECT doc_id FROM lms)
+UNION ALL
+"""
     return f"""
 WITH RECURSIVE train AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE source <> 'src0'
@@ -2032,7 +2080,7 @@ ndrop AS MATERIALIZED (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
 ns AS MATERIALIZED (
   SELECT doc_id FROM keepers
   WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
-),
+),{lm_ctes}
 ev AS MATERIALIZED (
   SELECT DISTINCT g FROM (
     SELECT unnest(list_distinct(list_transform(range(1, len(t) - 5 + 2),
@@ -2048,7 +2096,7 @@ hit AS MATERIALIZED (
     SELECT t.doc_id,
            unnest(list_distinct(list_transform(range(1, len(tk) - 5 + 2),
                   i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS g
-    FROM t JOIN ns USING (doc_id)
+    FROM t JOIN {surv} USING (doc_id)
     WHERE len(tk) >= 5
   ) WHERE g IN (SELECT g FROM ev)
 )
@@ -2060,10 +2108,10 @@ SELECT qk.doc_id, 'exact_dup' FROM qkeep qk
 UNION ALL
 SELECT doc_id, 'near_dup' FROM ndrop
 UNION ALL
-SELECT doc_id, 'contaminated' FROM hit
+{lm_leg}SELECT doc_id, 'contaminated' FROM hit
 UNION ALL
-SELECT ns.doc_id, 'kept' FROM ns
-  WHERE ns.doc_id NOT IN (SELECT doc_id FROM hit)
+SELECT {surv}.doc_id, 'kept' FROM {surv}
+  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit)
 """
 
 
@@ -3562,6 +3610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["event_type", "hour_of_day"],
         ),
         "curated_verdicts": lambda s, d: _q_curated_verdicts(s, d),
+        # the curation chain WITH the CCNet perplexity filter composed
+        # in position (after dedup, before decontamination): the KN LM
+        # trains on the same clean reference corpus that drives
+        # decontamination and the high-perplexity tail of the dedup
+        # survivors drops as verdict 'lm_ppl'
+        "curated_verdicts_lm": lambda s, d: _q_curated_verdicts(s, d, lm=True),
         # interpolated Kneser-Ney trigram LM (the CCNet perplexity
         # filter). Self-scoring QA mode: train on the documents table
         # and score it — every gram attested, pure p3-table lookups.
@@ -4166,6 +4220,7 @@ LATERAL (
 """,
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
+        "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
         # KN LM oracles: the staged builders from operators/ngram_lm
         # (model-table CTE chain shared between both so a one-sided
         # edit cannot desynchronize them)

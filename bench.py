@@ -190,9 +190,11 @@ HEADLINE = [
     "profile_orders",
     "orders_constraint_audit",
     # r7: Kneser-Ney trigram LM (CCNet perplexity filter) — self-
-    # scoring QA mode + the held-out backoff-cascade deployment shape
+    # scoring QA mode, the held-out backoff-cascade deployment shape,
+    # and the curation chain with the filter composed in position
     "kn_doc_logprob",
     "kn_heldout_logprob",
+    "curated_verdicts_lm",
 ]
 
 

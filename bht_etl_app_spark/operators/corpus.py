@@ -954,6 +954,9 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     min_tokens: int = 20,
     hash_fn: str = "xxhash64",
+    lm_ref: DataFrame | None = None,
+    lm_min_avg_logprob: float = -4.2,
+    lm_d: float = 0.75,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
@@ -962,6 +965,7 @@ def curate_corpus(
     1. quality gate (Gopher/C4 composite rules)  → ``quality``
     2. exact dedup (md5 keep-min)                → ``exact_dup``
     3. MinHash+LSH near-dup, components, keep-min → ``near_dup``
+    3b. (``lm_ref`` given) KN perplexity filter  → ``lm_ppl``
     4. benchmark n-gram decontamination          → ``contaminated``
     5. survivors                                 → ``kept``
 
@@ -974,6 +978,22 @@ def curate_corpus(
 
     ``hash_fn="md5"`` selects the engine-portable MinHash family so
     the whole pipeline is oracle-replayable end to end.
+
+    ``lm_ref`` enables the CCNet stage (Wenzek et al., LREC 2020) in
+    CCNet's own position — after dedup, with the quality gates: a
+    Kneser-Ney trigram LM trains on the clean reference corpus
+    (CCNet uses Wikipedia; here the same reference corpus that drives
+    decontamination) and the high-perplexity tail of the dedup
+    survivors is dropped. The cut is on the 6dp-rounded
+    length-normalized score (``avg_logprob < lm_min_avg_logprob`` ⇔
+    ppl > exp(-lm_min_avg_logprob)) — an absolute threshold, exactly
+    as CCNet deploys it (their per-language cuts are precomputed
+    percentiles, constants at filter time). Docs the LM cannot score
+    (no tokens after scrubbing control chars) fail the keep predicate
+    and drop as ``lm_ppl``. Scale posture: training is one pass over
+    the (small) reference corpus, scoring is keyed joins against
+    vocabulary-bounded model tables plus a per-row threshold — no new
+    corpus-scale shuffle enters the chain.
     """
     from pyspark import StorageLevel
 
@@ -1022,6 +1042,34 @@ def curate_corpus(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     drop_near = drop_near_ids.select(ids, F.lit("near_dup").alias("verdict"))
     ns = es.join(drop_near_ids, id_col, "left_anti")
+    # 3b. CCNet perplexity filter (optional): score the dedup
+    # survivors against the reference-trained KN model, drop the
+    # high-perplexity tail. The keep list persists like every other
+    # stage boundary; the scores frame carries the model's persisted
+    # count tables, so it is carried onto the output below — deriving
+    # the keep list alone would GC-unpersist them mid-use (the
+    # attribute-dropping hazard documented in ngram_lm).
+    lm_scores = None
+    extra_cached: list[DataFrame] = []
+    if lm_ref is not None:
+        from bht_etl_app_spark.operators.ngram_lm import kn_doc_logprob
+
+        lm_scores = kn_doc_logprob(
+            ns, text_col, id_col, d=lm_d, train_df=lm_ref, final_round=6
+        )
+        lm_keep_ids = (
+            lm_scores.where(
+                F.col("avg_logprob").isNotNull()
+                & (F.col("avg_logprob") >= F.lit(float(lm_min_avg_logprob)))
+            )
+            .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        extra_cached.append(lm_keep_ids)
+        drop_lm = ns.select(id_col).join(
+            lm_keep_ids, id_col, "left_anti"
+        ).select(ids, F.lit("lm_ppl").alias("verdict"))
+        ns = ns.join(lm_keep_ids, id_col, "left_semi")
     # 4. decontamination
     dec = decontaminate(
         ns, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
@@ -1032,9 +1080,14 @@ def curate_corpus(
     kept = dec.where(~F.col("contaminated")).select(
         ids, F.lit("kept").alias("verdict")
     )
-    out = drop_quality.unionByName(drop_exact).unionByName(drop_near).unionByName(
-        drop_cont
-    ).unionByName(kept)
-    return carry(
-        track_persisted(out, qdec, exact_keep, drop_near_ids, dec), comp
+    out = drop_quality.unionByName(drop_exact).unionByName(drop_near)
+    if lm_scores is not None:
+        out = out.unionByName(drop_lm)
+    out = out.unionByName(drop_cont).unionByName(kept)
+    out = carry(
+        track_persisted(out, qdec, exact_keep, drop_near_ids, dec, *extra_cached),
+        comp,
     )
+    if lm_scores is not None:
+        out = carry(out, lm_scores)
+    return out

@@ -69,6 +69,7 @@ __all__ = [
     "kn_doc_logprob",
     "kn_oracle_sql",
     "kn_heldout_oracle_sql",
+    "kn_backoff_per_tok_cte",
 ]
 
 BOS = "\x02s\x03"  # control-byte-bracketed so no corpus token collides
@@ -471,6 +472,51 @@ _FINAL_SELECT = """SELECT t.doc_id,
        round_even(pd.logprob / pd.n_tokens, {fr}) AS avg_logprob
 FROM {toks} t LEFT JOIN per_doc pd USING (doc_id)"""
 
+_PER_DOC_CTE = """per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_sum(list(lp ORDER BY pos)) AS logprob
+  FROM per_tok GROUP BY 1
+)"""
+
+
+def kn_backoff_per_tok_cte(d: float, score_tri: str) -> str:
+    """The held-out scoring CTE: ``score_tri`` (doc_id, pos, u, v, w)
+    LEFT-joined through the model tables with the FULL backoff
+    cascade — attested p3, else lam3*P(w|v), else P(w|v); attested
+    p2, else lam2*P(w), else P(w); attested p1, else the D/N1p(..)
+    OOV floor — every multiplication associated exactly as the Spark
+    column expressions, and the SAME structural
+    empty-training-corpus failure as Spark's assert_true (DuckDB
+    ``error()`` in the floor's NULL-total branch). Shared verbatim by
+    :func:`kn_heldout_oracle_sql` and the composed curation oracle
+    (__spark_entry__ curated_verdicts_lm), so a one-sided edit cannot
+    desynchronize the standalone key from the composition."""
+    dd = f"CAST({d} AS DOUBLE)"
+    floor = (
+        "CASE WHEN tot.n1p___ IS NULL THEN "
+        "CAST(error('KN model was trained on an empty corpus') AS DOUBLE) "
+        f"ELSE {dd} / tot.n1p___ END"
+    )
+    pwv = f"""CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
+                       WHEN ctx2.lam2 IS NOT NULL
+                         THEN ctx2.lam2 * (coalesce(p1.p1, {floor}))
+                       ELSE coalesce(p1.p1, {floor}) END"""
+    return f"""per_tok AS (
+  SELECT s.doc_id, s.pos,
+         ln(
+           CASE WHEN p3.p3 IS NOT NULL THEN p3.p3
+                WHEN ctx3.lam3 IS NOT NULL THEN ctx3.lam3 * ({pwv})
+                ELSE ({pwv}) END
+         ) AS lp
+  FROM {score_tri} s
+  LEFT JOIN p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
+  LEFT JOIN ctx3 ON s.u = ctx3.u AND s.v = ctx3.v
+  LEFT JOIN p2 ON s.v = p2.v AND s.w = p2.w
+  LEFT JOIN ctx2 ON s.v = ctx2.v
+  LEFT JOIN p1 ON s.w = p1.w
+  CROSS JOIN tot
+)"""
+
 
 def kn_oracle_sql(
     d: float = 0.75, table: str = "documents", final_round: int = 6
@@ -525,16 +571,6 @@ def kn_heldout_oracle_sql(
     :func:`kn_oracle_sql`."""
     if not 0.0 < d < 1.0:
         raise ValueError(f"KN discount must be in (0, 1), got {d}")
-    dd = f"CAST({d} AS DOUBLE)"
-    floor = (
-        "CASE WHEN tot.n1p___ IS NULL THEN "
-        "CAST(error('KN model was trained on an empty corpus') AS DOUBLE) "
-        f"ELSE {dd} / tot.n1p___ END"
-    )
-    pwv = f"""CASE WHEN p2.p2 IS NOT NULL THEN p2.p2
-                       WHEN ctx2.lam2 IS NOT NULL
-                         THEN ctx2.lam2 * (coalesce(p1.p1, {floor}))
-                       ELSE coalesce(p1.p1, {floor}) END"""
     return f"""
 WITH train_toks AS MATERIALIZED (
   SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {train_pred}
@@ -545,25 +581,7 @@ score_toks AS MATERIALIZED (
 {_tri_cte("train_tri", "train_toks", with_doc=False)},
 {_tri_cte("score_tri", "score_toks", with_doc=True)},
 {_kn_model_ctes(d, "train_tri")},
-per_tok AS (
-  SELECT s.doc_id, s.pos,
-         ln(
-           CASE WHEN p3.p3 IS NOT NULL THEN p3.p3
-                WHEN ctx3.lam3 IS NOT NULL THEN ctx3.lam3 * ({pwv})
-                ELSE ({pwv}) END
-         ) AS lp
-  FROM score_tri s
-  LEFT JOIN p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
-  LEFT JOIN ctx3 ON s.u = ctx3.u AND s.v = ctx3.v
-  LEFT JOIN p2 ON s.v = p2.v AND s.w = p2.w
-  LEFT JOIN ctx2 ON s.v = ctx2.v
-  LEFT JOIN p1 ON s.w = p1.w
-  CROSS JOIN tot
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_tokens,
-         list_sum(list(lp ORDER BY pos)) AS logprob
-  FROM per_tok GROUP BY 1
-)
+{kn_backoff_per_tok_cte(d, "score_tri")},
+{_PER_DOC_CTE}
 {_FINAL_SELECT.format(fr=final_round, toks="score_toks")}
 """

@@ -413,6 +413,53 @@ def test_curate_corpus_assigns_first_dropping_stage(spark):
     assert len(got) == 5
 
 
+def test_curate_corpus_lm_stage_drops_high_perplexity_tail(spark):
+    """lm_ref enables the CCNet stage in position: a dedup survivor
+    whose reference-model avg_logprob falls below the cut drops as
+    lm_ppl (AFTER quality/dedup verdicts, BEFORE decontamination), a
+    low-perplexity survivor passes through to the later stages, and
+    the lm_ref=None path is byte-identical to the 5-verdict chain."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+    from bht_etl_app_spark.operators.ngram_lm import kn_doc_logprob
+
+    ref_text = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the green hills with great speed and joy today"
+    )
+    # in-distribution doc: reference trigrams verbatim (low ppl);
+    # OOV doc: 20+ tokens the reference never saw (every token routes
+    # through the OOV floor -> strongly negative avg_logprob)
+    in_dist = ref_text
+    oov = " ".join(f"zq{i}" for i in range(22))
+    rows = [(1, in_dist), (2, oov), (3, "too short")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_doc_logprob(
+            train.where("doc_id <= 2"), train_df=ref, final_round=6
+        ).collect()
+    }
+    cut = (scores[1] + scores[2]) / 2  # separates the two by construction
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, ref, hash_fn="md5", lm_ref=ref, lm_min_avg_logprob=cut
+        ).collect()
+    }
+    # doc 1 shares every 5-gram with the reference -> the LM survivor
+    # hits decontamination, proving the stage ORDER (lm before decon)
+    assert got == {1: "contaminated", 2: "lm_ppl", 3: "quality"}
+
+    # lm_ref=None keeps the original 5-verdict chain (no lm_ppl leg)
+    base = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, ref, hash_fn="md5").collect()
+    }
+    assert base == {1: "contaminated", 2: "kept", 3: "quality"}
+
+
 def test_curate_corpus_mid_band_pair_is_kept(spark):
     """Regression (r5 session-2 review #1): a doc pair with Jaccard in
     [0.5, 0.8) must be KEPT — minhash_lsh_pairs' default 0.5 threshold

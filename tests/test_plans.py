@@ -103,6 +103,11 @@ NESTED_LOOP_OK = {
                              # 4x (p1's denominator through the p2/p3
                              # lineage + the scoring OOV floor) — all
                              # BuildRight over the 1-row tot aggregate
+    "curated_verdicts_lm",   # inherits kn_heldout_logprob's 1-row
+                             # N1p(..) broadcasts; the repeats in the
+                             # printed plan are the persisted LM keep
+                             # list's lineage shown once per verdict
+                             # leg (cache materializes it once)
 }
 
 
