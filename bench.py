@@ -197,6 +197,71 @@ HEADLINE = [
     "curated_verdicts_lm",
 ]
 
+# HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):
+# one bench entry per distinct kernel / plan shape. A contract key is
+# EXCLUDED only when it falls in one of these four classes, and the
+# partition is TOTAL — tests/test_bench_contract.py asserts
+# HEADLINE ∪ EXCLUDED == queries() with no overlap, so every new
+# contract key must be placed on one side explicitly or the test
+# fails:
+#  - tpch_variant: 7 representative TPC-H shapes are headline
+#    (q1/q3/q5/q6/q12/q14/q18 — scan-agg, join-topk, 5-way join,
+#    selective scan, join-casewhen-pivot, broadcast ratio, having);
+#    the other 15 re-exercise the same join/agg patterns.
+#  - twin: a fast/approx/arrow/parameter twin whose exact counterpart
+#    is already in the contract — the twin exists for parity evidence
+#    and its wall is the same kernel minus work, so benching both
+#    prices one kernel twice.
+#  - demo: decode-seam demos over a handful of synthesized binaries
+#    (they price the Python codec seam, not the engine; one decode
+#    seam — video_frames_demo — stays headline as the family canary).
+#  - cheap_sibling: same kernel family as a headline carrier (pct
+#    variant, window-frame variant, single-scan per-row expression
+#    over the same table) or a trivial single-scan lookup whose sf0.1
+#    wall is dominated by job overhead, not plan work.
+EXCLUDED = {
+    "tpch_variant": [
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q9_product_type_profit",
+        "q10_returned_top_customers", "q11_important_part_values",
+        "q13_order_count_distribution", "q15_top_supplier",
+        "q16_supplier_counts", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue", "q20_dominant_part_suppliers",
+        "q21_sole_late_supplier", "q22_above_avg_suppliers",
+    ],
+    "twin": [
+        "simhash_near_dup_fast", "simhash_near_dup_retuned",
+        "simhash_near_dup_wide", "knn_vec0_arrow", "knn_vec0_quantized",
+        "domain_quantile_keep_approx", "order_price_percentiles_approx",
+        "profile_orders_approx", "approx_distinct_parts",
+    ],
+    "demo": ["image_features_demo", "audio_features_demo"],
+    "cheap_sibling": [
+        "active_order_customers", "ann_ivf_topk", "ann_lsh_topk",
+        "bpe_merges", "brand_dictionary", "codebook_recode_counts",
+        "corpus_snapshot_diff", "crosstab_col_pct", "crosstab_total_pct",
+        "cube_order_stats", "customer_order_gaps",
+        "customer_trailing_30d_spend", "customers_without_orders",
+        "distinct_parts_per_supplier", "doc_bigram_surprise",
+        "doc_char_entropy", "doc_fingerprint", "doc_lang_id",
+        "doc_pagerank", "doc_quality_scores", "doc_scrubbed",
+        "domain_quantile_keep", "embedding_norms",
+        "error_recent_click_counts", "ewma_user_values",
+        "freq_orderpriority", "grouping_sets_order_stats",
+        "high_value_customers", "kmeans_cluster_sizes",
+        "latest_event_per_user", "monthly_order_stats",
+        "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",
+        "near_dup_jaccard", "order_price_deciles",
+        "order_price_percentiles", "orders_unpivot_metrics",
+        "price_histogram", "props_key_counts", "purchase_and_click_users",
+        "purchase_asof_click", "qty_price_correlation", "quantity_moments",
+        "running_monthly_revenue", "session_window_stats",
+        "sql_orders_by_status", "statuses_per_priority",
+        "token_frequencies", "training_order_docs",
+        "value_counts_orderstatus", "view_not_purchase_user_days",
+    ],
+}
+
 
 def pick_metric(is_full_run: bool) -> str:
     """Subset/debug invocations must never label partial totals as

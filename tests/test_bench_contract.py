@@ -86,6 +86,31 @@ def test_subset_lines_do_not_point_at_the_details_artifact():
     assert full["queries_file"] == "BENCH_DETAILS.json"
 
 
+def test_headline_exclusion_partition_is_total():
+    """The HEADLINE inclusion rule is auditable, not implicit
+    (VERDICT r6 item #6): every contract key is either headline or
+    explicitly EXCLUDED under a declared class, with no overlap and
+    no stragglers — a new contract key that lands on neither side
+    fails here until it is placed."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entry
+
+    bench = _load_bench()
+    headline = set(bench.HEADLINE)
+    excluded = {k for ks in bench.EXCLUDED.values() for k in ks}
+    keys = set(entry.queries())
+    assert not headline & excluded, sorted(headline & excluded)
+    assert headline | excluded == keys, {
+        "unplaced": sorted(keys - headline - excluded),
+        "stale": sorted((headline | excluded) - keys),
+    }
+    # no duplicate placements inside EXCLUDED either
+    n = sum(len(ks) for ks in bench.EXCLUDED.values())
+    assert n == len(excluded)
+
+
 def test_headline_names_resolve_to_contract_queries():
     """Every HEADLINE name must exist in queries() — a renamed
     contract key would silently drop out of the bench (bench.py
