@@ -3855,6 +3855,10 @@ _REVERIFY = {
     "running_monthly_revenue": 4,
     "moving_avg_revenue": 4,
     "salted_user_event_totals": 4,
+    # r7: curate_corpus gained the optional LM stage (lm_ref=None path
+    # value-identical — pytest + oracle re-verified locally — but the
+    # function changed, so the pre-r7 green rows are stale by rule)
+    "curated_verdicts": 6,
 }
 
 

@@ -53,7 +53,12 @@ def run(spark, sf_dir: str, tag: str) -> dict[str, float]:
 
     t0 = time.perf_counter()
     scored = kn_doc_logprob(crawl, train_df=ref, final_round=6)
-    n_scored = scored.count()
+    # force the VALUES, not just the row count — a bare count() lets
+    # Catalyst prune the per-token fold and under-measures scoring
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("logprob").alias("s")
+    ).collect()[0]
+    n_scored = agg["n"]
     walls["kn_score"] = time.perf_counter() - t0
     release(scored)
     spark.catalog.clearCache()
