@@ -1881,6 +1881,13 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+# the CCNet-stage contract parameters, shared by the Spark query AND
+# the replaying oracle so a one-sided tune cannot desynchronize them
+# (the parameterized-operator/hardcoded-oracle-literal bug class)
+_LM_MIN_AVG_LOGPROB = -4.2  # keep avg_logprob >= this (ppl <= e^4.2)
+_LM_D = 0.75                # KN discount
+
+
 def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
@@ -1889,7 +1896,7 @@ def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
     is oracle-replayable (the dedup_corpus promotion rule). The LM
     variant trains the KN model on the SAME reference corpus that
     drives decontamination (CCNet's clean-reference discipline) and
-    drops dedup survivors with avg_logprob < -4.2 (ppl > e^4.2)."""
+    drops dedup survivors below the shared _LM_MIN_AVG_LOGPROB cut."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1899,7 +1906,8 @@ def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
         ref,
         hash_fn="md5",
         lm_ref=ref if lm else None,
-        lm_min_avg_logprob=-4.2,
+        lm_min_avg_logprob=_LM_MIN_AVG_LOGPROB,
+        lm_d=_LM_D,
     )
 
 
@@ -1941,8 +1949,9 @@ def _curated_verdicts_oracle_sql(lm: bool = False) -> str:
     )
     # LM stage (lm=True): the kn_heldout oracle fragments VERBATIM,
     # trained on the src0 reference, scoring the near-dup survivors;
-    # keep = 6dp-rounded avg_logprob >= -4.2 (unscorable docs drop),
-    # exactly kn_doc_logprob(final_round=6)'s contract quantization
+    # keep = 6dp-rounded avg_logprob >= the SHARED _LM_MIN_AVG_LOGPROB
+    # (unscorable docs drop), exactly kn_doc_logprob(final_round=6)'s
+    # contract quantization
     lm_ctes, surv, lm_leg = "", "ns", ""
     if lm:
         from bht_etl_app_spark.operators.ngram_lm import (
@@ -1963,13 +1972,13 @@ lm_score_toks AS MATERIALIZED (
 ),
 {_tri_cte("lm_train_tri", "lm_train_toks", with_doc=False)},
 {_tri_cte("lm_score_tri", "lm_score_toks", with_doc=True)},
-{_kn_model_ctes(0.75, "lm_train_tri")},
-{kn_backoff_per_tok_cte(0.75, "lm_score_tri")},
+{_kn_model_ctes(_LM_D, "lm_train_tri")},
+{kn_backoff_per_tok_cte(_LM_D, "lm_score_tri")},
 {_PER_DOC_CTE},
 lms AS MATERIALIZED (
   SELECT ns.doc_id FROM ns JOIN per_doc USING (doc_id)
   WHERE round_even(per_doc.logprob / per_doc.n_tokens, 6)
-        >= CAST(-4.2 AS DOUBLE)
+        >= CAST({_LM_MIN_AVG_LOGPROB} AS DOUBLE)
 ),"""
         surv = "lms"
         lm_leg = """SELECT ns.doc_id, 'lm_ppl' FROM ns

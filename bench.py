@@ -263,19 +263,23 @@ EXCLUDED = {
 }
 
 
+# the one place the metric labels are spelled — pick_metric and
+# summary_line both key off these, so renaming can't desynchronize
+# the full-run detection from the label
+FULL_METRIC = "headline_queries_total_wall"
+SUBSET_METRIC = "subset_queries_total_wall"
+
+
 def pick_metric(is_full_run: bool) -> str:
     """Subset/debug invocations must never label partial totals as
     the headline metric — the driver parses the last JSON line it
     captures."""
-    return (
-        "headline_queries_total_wall" if is_full_run
-        else "subset_queries_total_wall"
-    )
+    return FULL_METRIC if is_full_run else SUBSET_METRIC
 
 
 def summary_line(times: dict[str, float], sf: float | None,
                  max_chars: int = 1900,
-                 metric: str = "headline_queries_total_wall") -> str:
+                 metric: str = FULL_METRIC) -> str:
     """The ONE stdout JSON line: total + slowest-N queries, with N
     shrunk until the line fits the driver's ~2000-char stdout capture
     (full per-query detail lives in BENCH_DETAILS.json). Raises when
@@ -287,7 +291,7 @@ def summary_line(times: dict[str, float], sf: float | None,
     # subset/debug line must not point at it — the file on disk would
     # be a stale artifact from an earlier run with a different query
     # set (ADVICE r6)
-    is_full = metric == "headline_queries_total_wall"
+    is_full = metric == FULL_METRIC
     for top in range(20, -1, -1):
         line = json.dumps({
             "metric": metric,
@@ -359,7 +363,7 @@ def main():
     # there), and stdout carries ONE compact line — total + the
     # slowest 20 queries — sized to always fit the capture window.
     detail = {
-        "metric": "headline_queries_total_wall",
+        "metric": FULL_METRIC,
         "value": total,
         "unit": "sec",
         "queries": times,

@@ -139,7 +139,7 @@ def corpus_trigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def kn_model_tables(
     df: DataFrame, text_col: str = "text", d: float = 0.75
-) -> dict[str, DataFrame]:
+) -> dict[str, DataFrame | float]:
     """Train and return every table the backoff cascade needs:
     ``p3 (u,v,w,p3)``, ``ctx3 (u,v,lam3)``, ``p2 (v,w,p2)``,
     ``ctx2 (v,lam2)``, ``p1 (w,p1)``, ``tot (n1p___)`` (1 row),
@@ -258,7 +258,7 @@ def kn_doc_logprob(
     id_col: str = "doc_id",
     d: float | None = None,
     train_df: DataFrame | None = None,
-    model_tables: dict[str, DataFrame] | None = None,
+    model_tables: dict[str, DataFrame | float] | None = None,
     final_round: int | None = None,
 ) -> DataFrame:
     """Per-document KN log-probability: ``(doc_id, n_tokens,
