@@ -70,6 +70,9 @@ __all__ = [
     "kn_oracle_sql",
     "kn_heldout_oracle_sql",
     "kn_backoff_per_tok_cte",
+    "kn_per_doc_cte",
+    "moore_lewis_scores",
+    "moore_lewis_oracle_sql",
 ]
 
 BOS = "\x02s\x03"  # control-byte-bracketed so no corpus token collides
@@ -414,43 +417,49 @@ _TOK_EXPR = """list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\v
 _BOS_SQL = "chr(2) || 's' || chr(3)"
 
 
-def _kn_model_ctes(d: float, train_tri: str) -> str:
+def _kn_model_ctes(d: float, train_tri: str, prefix: str = "") -> str:
     """The model-table CTE chain over a (u, v, w) trigram CTE named
     ``train_tri`` — every multiplication associated exactly as the
     Spark column expressions in :func:`kn_model_tables` (lam2/lam3
-    computed in their ctx CTEs, THEN multiplied)."""
+    computed in their ctx CTEs, THEN multiplied). ``prefix``
+    namespaces every CTE it defines (``{prefix}c3`` ... ``{prefix}p3``)
+    so TWO model chains can coexist in one composed oracle (the
+    Moore-Lewis contrast); ``prefix=""`` keeps the original CTE names
+    (the table aliases are inert), so the kn/curated oracles keep
+    their verified semantics — re-verified green after this refactor."""
     dd = f"CAST({d} AS DOUBLE)"
-    return f"""c3 AS MATERIALIZED (
+    p = prefix
+    return f"""{p}c3 AS MATERIALIZED (
   SELECT u, v, w, count(*) AS c3 FROM {train_tri} GROUP BY 1, 2, 3
 ),
-c2 AS MATERIALIZED (
+{p}c2 AS MATERIALIZED (
   SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS n1p_uv_
-  FROM c3 GROUP BY 1, 2
+  FROM {p}c3 GROUP BY 1, 2
 ),
-nvw AS MATERIALIZED (
-  SELECT v, w, count(*) AS n1p__vw FROM c3 GROUP BY 1, 2
+{p}nvw AS MATERIALIZED (
+  SELECT v, w, count(*) AS n1p__vw FROM {p}c3 GROUP BY 1, 2
 ),
-nv AS MATERIALIZED (
+{p}nv AS MATERIALIZED (
   SELECT v, CAST(sum(n1p__vw) AS BIGINT) AS n1p__v_, count(*) AS n1p_v_
-  FROM nvw GROUP BY 1
+  FROM {p}nvw GROUP BY 1
 ),
-nw AS (SELECT w, count(*) AS n1p__w FROM nvw GROUP BY 1),
-tot AS (SELECT CAST(sum(n1p__vw) AS BIGINT) AS n1p___ FROM nvw),
-p1 AS (SELECT w, n1p__w / n1p___ AS p1 FROM nw, tot),
-ctx2 AS (SELECT v, ({dd} * n1p_v_) / n1p__v_ AS lam2, n1p__v_ FROM nv),
-p2 AS MATERIALIZED (
+{p}nw AS (SELECT w, count(*) AS n1p__w FROM {p}nvw GROUP BY 1),
+{p}tot AS (SELECT CAST(sum(n1p__vw) AS BIGINT) AS n1p___ FROM {p}nvw),
+{p}p1 AS (SELECT w, n1p__w / n1p___ AS p1 FROM {p}nw, {p}tot),
+{p}ctx2 AS (SELECT v, ({dd} * n1p_v_) / n1p__v_ AS lam2, n1p__v_ FROM {p}nv),
+{p}p2 AS MATERIALIZED (
   SELECT nvw.v, nvw.w,
          (greatest(nvw.n1p__vw - {dd}, CAST(0 AS DOUBLE)) / ctx2.n1p__v_)
          + (ctx2.lam2 * p1.p1) AS p2
-  FROM nvw JOIN ctx2 ON nvw.v = ctx2.v JOIN p1 ON nvw.w = p1.w
+  FROM {p}nvw nvw JOIN {p}ctx2 ctx2 ON nvw.v = ctx2.v JOIN {p}p1 p1 ON nvw.w = p1.w
 ),
-ctx3 AS (SELECT u, v, ({dd} * n1p_uv_) / c2 AS lam3, c2 FROM c2),
-p3 AS MATERIALIZED (
+{p}ctx3 AS (SELECT u, v, ({dd} * n1p_uv_) / c2 AS lam3, c2 FROM {p}c2),
+{p}p3 AS MATERIALIZED (
   SELECT c3.u, c3.v, c3.w,
          (greatest(c3.c3 - {dd}, CAST(0 AS DOUBLE)) / ctx3.c2)
          + (ctx3.lam3 * p2.p2) AS p3
-  FROM c3 JOIN ctx3 ON c3.u = ctx3.u AND c3.v = ctx3.v
-          JOIN p2 ON c3.v = p2.v AND c3.w = p2.w
+  FROM {p}c3 c3 JOIN {p}ctx3 ctx3 ON c3.u = ctx3.u AND c3.v = ctx3.v
+          JOIN {p}p2 p2 ON c3.v = p2.v AND c3.w = p2.w
 )"""
 
 
@@ -479,7 +488,16 @@ _PER_DOC_CTE = """per_doc AS (
 )"""
 
 
-def kn_backoff_per_tok_cte(d: float, score_tri: str) -> str:
+def kn_per_doc_cte(prefix: str = "") -> str:
+    """``{prefix}per_doc`` over ``{prefix}per_tok`` — the
+    position-ordered per-doc fold (prefix-parameterized twin of
+    ``_PER_DOC_CTE`` for composed oracles with two scoring chains)."""
+    return _PER_DOC_CTE.replace("per_doc", f"{prefix}per_doc").replace(
+        "per_tok", f"{prefix}per_tok"
+    )
+
+
+def kn_backoff_per_tok_cte(d: float, score_tri: str, prefix: str = "") -> str:
     """The held-out scoring CTE: ``score_tri`` (doc_id, pos, u, v, w)
     LEFT-joined through the model tables with the FULL backoff
     cascade — attested p3, else lam3*P(w|v), else P(w|v); attested
@@ -490,8 +508,13 @@ def kn_backoff_per_tok_cte(d: float, score_tri: str) -> str:
     ``error()`` in the floor's NULL-total branch). Shared verbatim by
     :func:`kn_heldout_oracle_sql` and the composed curation oracle
     (__spark_entry__ curated_verdicts_lm), so a one-sided edit cannot
-    desynchronize the standalone key from the composition."""
+    desynchronize the standalone key from the composition. ``prefix``
+    namespaces the output CTE (``{prefix}per_tok``) and the model
+    tables it joins (``{prefix}p3`` ...), pairing with
+    ``_kn_model_ctes(prefix=...)`` for two-chain compositions (the
+    Moore-Lewis contrast)."""
     dd = f"CAST({d} AS DOUBLE)"
+    p = prefix
     floor = (
         "CASE WHEN tot.n1p___ IS NULL THEN "
         "CAST(error('KN model was trained on an empty corpus') AS DOUBLE) "
@@ -501,7 +524,7 @@ def kn_backoff_per_tok_cte(d: float, score_tri: str) -> str:
                        WHEN ctx2.lam2 IS NOT NULL
                          THEN ctx2.lam2 * (coalesce(p1.p1, {floor}))
                        ELSE coalesce(p1.p1, {floor}) END"""
-    return f"""per_tok AS (
+    return f"""{p}per_tok AS (
   SELECT s.doc_id, s.pos,
          ln(
            CASE WHEN p3.p3 IS NOT NULL THEN p3.p3
@@ -509,12 +532,12 @@ def kn_backoff_per_tok_cte(d: float, score_tri: str) -> str:
                 ELSE ({pwv}) END
          ) AS lp
   FROM {score_tri} s
-  LEFT JOIN p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
-  LEFT JOIN ctx3 ON s.u = ctx3.u AND s.v = ctx3.v
-  LEFT JOIN p2 ON s.v = p2.v AND s.w = p2.w
-  LEFT JOIN ctx2 ON s.v = ctx2.v
-  LEFT JOIN p1 ON s.w = p1.w
-  CROSS JOIN tot
+  LEFT JOIN {p}p3 p3 ON s.u = p3.u AND s.v = p3.v AND s.w = p3.w
+  LEFT JOIN {p}ctx3 ctx3 ON s.u = ctx3.u AND s.v = ctx3.v
+  LEFT JOIN {p}p2 p2 ON s.v = p2.v AND s.w = p2.w
+  LEFT JOIN {p}ctx2 ctx2 ON s.v = ctx2.v
+  LEFT JOIN {p}p1 p1 ON s.w = p1.w
+  CROSS JOIN {p}tot tot
 )"""
 
 
@@ -584,4 +607,122 @@ score_toks AS MATERIALIZED (
 {kn_backoff_per_tok_cte(d, "score_tri")},
 {_PER_DOC_CTE}
 {_FINAL_SELECT.format(fr=final_round, toks="score_toks")}
+"""
+
+
+# --- Moore-Lewis cross-entropy-difference selection (STAGED r7) ------
+#
+# Moore & Lewis, "Intelligent Selection of Language Model Training
+# Data" (ACL 2010): score every candidate document by
+# H_in(doc) - H_out(doc) — per-token cross-entropy under an IN-DOMAIN
+# LM minus the same under a GENERAL/OUT-domain LM — and keep the
+# low-score tail (text the in-domain model likes MORE than the
+# general model does; thresholding on raw in-domain perplexity alone
+# over-selects generically-frequent text). The distributed shape is
+# two kn_doc_logprob passes over the same candidate corpus (each one
+# corpus scan + vocabulary-bounded model joins) and an id-keyed join
+# of the two score frames — nothing new shuffles at corpus scale.
+#
+# Contract status: STAGED FOR r8 (the r7 driver window is at its
+# 50-key budget: 3 new keys + the 45-key stale backlog + the
+# curated_verdicts restamp). Ships now with the pure-Python
+# differential pytest and the oracle builder exact-value-verified on
+# the fixtures (tests/test_ngram_lm.py); r8 registration is
+# queries()/oracle_sql()/bench/SURVEY wiring only.
+
+
+def moore_lewis_scores(
+    df: DataFrame,
+    in_ref: DataFrame,
+    out_ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: float = 0.75,
+    final_round: int | None = None,
+) -> DataFrame:
+    """Per-document Moore-Lewis contrast: ``(doc_id, n_tokens,
+    ce_in, ce_out, ml_score)`` where ``ce_* = -avg_logprob`` under
+    the respective KN model (nats/token) and
+    ``ml_score = ce_in - ce_out`` — SELECT docs with LOW ml_score.
+
+    Both cross-entropies come from the full backoff cascade
+    (:func:`kn_doc_logprob` held-out mode), so OOV tokens price in
+    through each model's own OOV floor rather than being skipped —
+    skipping would bias ml_score toward docs whose OOV mass differs
+    between the references. Docs the models cannot score (no tokens)
+    carry NULL scores. ``final_round`` rounds the three output
+    scalars only (the summed-ln discipline documented on
+    kn_doc_logprob); all three derive from the RAW per-doc folds,
+    never from each other's rounded forms."""
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    a = kn_doc_logprob(df, text_col, id_col, d=d, train_df=in_ref)
+    b = kn_doc_logprob(df, text_col, id_col, d=d, train_df=out_ref)
+    joined = a.select(
+        id_col, "n_tokens", F.col("avg_logprob").alias("__in__")
+    ).join(
+        b.select(id_col, F.col("avg_logprob").alias("__out__")), id_col
+    )
+    ce_in = -F.col("__in__")
+    ce_out = -F.col("__out__")
+    ml = F.col("__out__") - F.col("__in__")  # = ce_in - ce_out
+    if final_round is not None:
+        ce_in = F.bround(ce_in, final_round)
+        ce_out = F.bround(ce_out, final_round)
+        ml = F.bround(ml, final_round)
+    out = joined.select(
+        id_col,
+        "n_tokens",
+        ce_in.alias("ce_in"),
+        ce_out.alias("ce_out"),
+        ml.alias("ml_score"),
+    )
+    return carry(out, a, b)
+
+
+def moore_lewis_oracle_sql(
+    d: float = 0.75,
+    table: str = "documents",
+    in_pred: str = "source = 'src0'",
+    out_pred: str = "source = 'src1'",
+    score_pred: str = "source NOT IN ('src0', 'src1')",
+    final_round: int = 6,
+) -> str:
+    """DuckDB replay of the Moore-Lewis contrast: TWO full KN model
+    chains (prefixes ``ind_``/``ood_`` via the prefix-parameterized
+    shared builders — the same fragments every verified KN oracle
+    uses) scoring the same candidate set, joined per doc.
+    ``ml_score = (out_avg) - (in_avg)`` associated exactly as the
+    Spark column expression; the three output scalars round at
+    ``final_round`` from the raw folds."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"KN discount must be in (0, 1), got {d}")
+    fr = final_round
+    return f"""
+WITH ind_train_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {in_pred}
+),
+ood_train_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {out_pred}
+),
+score_toks AS MATERIALIZED (
+  SELECT doc_id, {_TOK_EXPR} AS t FROM {table} WHERE {score_pred}
+),
+{_tri_cte("ind_train_tri", "ind_train_toks", with_doc=False)},
+{_tri_cte("ood_train_tri", "ood_train_toks", with_doc=False)},
+{_tri_cte("score_tri", "score_toks", with_doc=True)},
+{_kn_model_ctes(d, "ind_train_tri", prefix="ind_")},
+{_kn_model_ctes(d, "ood_train_tri", prefix="ood_")},
+{kn_backoff_per_tok_cte(d, "score_tri", prefix="ind_")},
+{kn_backoff_per_tok_cte(d, "score_tri", prefix="ood_")},
+{kn_per_doc_cte("ind_")},
+{kn_per_doc_cte("ood_")}
+SELECT t.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round_even(-(a.logprob / a.n_tokens), {fr}) AS ce_in,
+       round_even(-(b.logprob / b.n_tokens), {fr}) AS ce_out,
+       round_even((b.logprob / b.n_tokens) - (a.logprob / a.n_tokens), {fr}) AS ml_score
+FROM score_toks t
+LEFT JOIN ind_per_doc a USING (doc_id)
+LEFT JOIN ood_per_doc b USING (doc_id)
 """

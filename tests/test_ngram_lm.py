@@ -336,6 +336,101 @@ def test_model_tables_guards(spark, docs):
     release(t["p3"])
 
 
+def test_moore_lewis_matches_two_reference_models(spark, docs):
+    """Moore-Lewis contrast (STAGED r8): ce_in/ce_out/ml_score equal
+    the two pure-Python KN references' held-out cross-entropies and
+    their difference; unscorable docs carry NULL scores."""
+    from bht_etl_app_spark.operators.ngram_lm import moore_lewis_scores
+
+    out_texts = [
+        "engines pipelines shuffle partitions broadcast join exchange",
+        "the engine runs the pipeline and the shuffle runs the join",
+        "partitions and exchanges and broadcasts",
+    ]
+    cand_texts = [
+        "the cat sat on the mat",          # in-domain-ish
+        "the engine runs the shuffle",     # out-domain-ish
+        "zebra quagga okapi",              # OOV to both
+        "",                                # unscorable
+    ]
+    out_ref = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(out_texts)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(200 + i, t) for i, t in enumerate(cand_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ce_in"], r["ce_out"], r["ml_score"])
+        for r in moore_lewis_scores(cand, docs, out_ref).collect()
+    }
+    ref_in, ref_out = _PyKN(TEXTS), _PyKN(out_texts)
+    assert set(got) == {200, 201, 202, 203}
+    for i, t in enumerate(cand_texts):
+        n_in, lp_in = ref_in.doc_score(t)
+        n_out, lp_out = ref_out.doc_score(t)
+        gn, g_ci, g_co, g_ml = got[200 + i]
+        assert gn == n_in == n_out
+        if lp_in is None:
+            assert g_ci is None and g_co is None and g_ml is None
+            continue
+        assert g_ci == pytest.approx(-lp_in / n_in, abs=1e-9)
+        assert g_co == pytest.approx(-lp_out / n_out, abs=1e-9)
+        assert g_ml == pytest.approx((-lp_in / n_in) - (-lp_out / n_out), abs=1e-9)
+    # the contrast ranks the in-domain candidate below the out-domain
+    # one (the selection property the operator exists for)
+    assert got[200][3] < got[201][3]
+
+
+def test_moore_lewis_oracle_matches_spark_on_fixture(spark):
+    """STAGED r8 registration rehearsal: the two-model-chain DuckDB
+    oracle (prefix-parameterized shared KN fragments) matches Spark
+    bit for bit on the sf0.001 documents fixture, the same comparison
+    the driver gate performs."""
+    import duckdb
+
+    from bht_etl_app_spark.operators.ngram_lm import (
+        moore_lewis_oracle_sql,
+        moore_lewis_scores,
+    )
+    from bht_etl_app_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = moore_lewis_scores(
+        docs.where("source NOT IN ('src0', 'src1')"),
+        docs.where("source = 'src0'"),
+        docs.where("source = 'src1'"),
+        final_round=6,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    cur = con.execute(moore_lewis_oracle_sql())
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple(
+                repr(float(r[i])) if isinstance(r[i], float) else r[i]
+                for i in order
+            )
+            for r in rows
+        )
+
+    srows = [tuple(r) for r in got.collect()]
+    assert sorted(got.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    a, b = norm(srows, got.columns), norm(orows, ocols)
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not diffs, diffs[:3]
+
+
 def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
     """The r7 registration rehearsal: the DuckDB oracle replay of the
     self-scoring contract form (final_round=6 on the two per-doc
