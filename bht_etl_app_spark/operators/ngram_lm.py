@@ -255,6 +255,65 @@ def kn_trigram_model(
     return carry(p3.withColumnRenamed("p3", "p"), p3)
 
 
+def _kn_per_doc(
+    tri: DataFrame,
+    t: dict[str, DataFrame | float],
+    d: float,
+    self_scoring: bool,
+    id_col: str,
+) -> DataFrame:
+    """ONE row per DISTINCT doc id in ``tri``: ``(id, n_tokens,
+    logprob)`` — the scoring core shared by :func:`kn_doc_logprob`
+    and :func:`moore_lewis_scores` (which scores one shared trigram
+    frame through two model-table sets, so tokenization is paid
+    once and the per-doc frames join safely on their unique key)."""
+    dd = F.lit(float(d))
+    if self_scoring:
+        # every gram attested -> pure table lookup, no backoff joins
+        per_tok = tri.join(t["p3"], ["u", "v", "w"]).select(
+            id_col, "pos", F.log("p3").alias("lp")
+        )
+    else:
+        scored = (
+            tri.join(t["p3"], ["u", "v", "w"], "left")
+            .join(t["ctx3"], ["u", "v"], "left")
+            .join(t["p2"], ["v", "w"], "left")
+            .join(t["ctx2"], ["v"], "left")
+            .join(t["p1"], ["w"], "left")
+            .crossJoin(F.broadcast(t["tot"]))
+        )
+        # empty-training-corpus guard: tot's sum over zero rows is
+        # NULL; fail loudly instead of emitting all-NULL scores that
+        # a perplexity threshold would silently mis-handle
+        checked_tot = F.when(
+            F.col("n1p___").isNull(),
+            F.assert_true(
+                F.lit(False), F.lit("KN model was trained on an empty corpus")
+            ).cast("bigint"),
+        ).otherwise(F.col("n1p___"))
+        pw = F.coalesce(F.col("p1"), dd / checked_tot)  # OOV floor
+        pwv = (
+            F.when(F.col("p2").isNotNull(), F.col("p2"))
+            .when(F.col("lam2").isNotNull(), F.col("lam2") * pw)
+            .otherwise(pw)
+        )
+        p = (
+            F.when(F.col("p3").isNotNull(), F.col("p3"))
+            .when(F.col("lam3").isNotNull(), F.col("lam3") * pwv)
+            .otherwise(pwv)
+        )
+        per_tok = scored.select(id_col, "pos", F.log(p).alias("lp"))
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["lp"],
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        folded.alias("logprob"),
+    )
+
+
 def kn_doc_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -333,51 +392,7 @@ def kn_doc_logprob(
         else kn_model_tables(train_df if train_df is not None else df, text_col, d)
     )
     tri = doc_trigrams(df, text_col, id_col)
-    dd = F.lit(float(d))
-    if self_scoring:
-        # every gram attested -> pure table lookup, no backoff joins
-        per_tok = tri.join(t["p3"], ["u", "v", "w"]).select(
-            id_col, "pos", F.log("p3").alias("lp")
-        )
-    else:
-        scored = (
-            tri.join(t["p3"], ["u", "v", "w"], "left")
-            .join(t["ctx3"], ["u", "v"], "left")
-            .join(t["p2"], ["v", "w"], "left")
-            .join(t["ctx2"], ["v"], "left")
-            .join(t["p1"], ["w"], "left")
-            .crossJoin(F.broadcast(t["tot"]))
-        )
-        # empty-training-corpus guard: tot's sum over zero rows is
-        # NULL; fail loudly instead of emitting all-NULL scores that
-        # a perplexity threshold would silently mis-handle
-        checked_tot = F.when(
-            F.col("n1p___").isNull(),
-            F.assert_true(
-                F.lit(False), F.lit("KN model was trained on an empty corpus")
-            ).cast("bigint"),
-        ).otherwise(F.col("n1p___"))
-        pw = F.coalesce(F.col("p1"), dd / checked_tot)  # OOV floor
-        pwv = (
-            F.when(F.col("p2").isNotNull(), F.col("p2"))
-            .when(F.col("lam2").isNotNull(), F.col("lam2") * pw)
-            .otherwise(pw)
-        )
-        p = (
-            F.when(F.col("p3").isNotNull(), F.col("p3"))
-            .when(F.col("lam3").isNotNull(), F.col("lam3") * pwv)
-            .otherwise(pwv)
-        )
-        per_tok = scored.select(id_col, "pos", F.log(p).alias("lp"))
-    folded = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("pos", "lp"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["lp"],
-    )
-    per_doc = per_tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        folded.alias("logprob"),
-    )
+    per_doc = _kn_per_doc(tri, t, d, self_scoring, id_col)
     all_docs = ensure_min_parallelism(df).select(id_col)
     lp_out = F.col("logprob")
     avg_out = F.col("logprob") / F.col("n_tokens")
@@ -645,39 +660,70 @@ def moore_lewis_scores(
     the respective KN model (nats/token) and
     ``ml_score = ce_in - ce_out`` — SELECT docs with LOW ml_score.
 
-    Both cross-entropies come from the full backoff cascade
-    (:func:`kn_doc_logprob` held-out mode), so OOV tokens price in
-    through each model's own OOV floor rather than being skipped —
-    skipping would bias ml_score toward docs whose OOV mass differs
-    between the references. Docs the models cannot score (no tokens)
-    carry NULL scores. ``final_round`` rounds the three output
+    Both cross-entropies come from the full backoff cascade (the
+    shared :func:`_kn_per_doc` core in held-out mode), so OOV tokens
+    price in through each model's own OOV floor rather than being
+    skipped — skipping would bias ml_score toward docs whose OOV
+    mass differs between the references. Docs the models cannot
+    score (no tokens) carry NULL scores. The candidate corpus is
+    tokenized and trigram-exploded ONCE (the shared frame persists
+    and feeds both scoring chains), and the per-doc score frames —
+    one row per DISTINCT id — join a one-row-per-input-row spine, so
+    duplicate ids yield duplicate identical output rows exactly like
+    :func:`kn_doc_logprob` (and the replaying oracle), never an
+    inner-join fan-out. ``final_round`` rounds the three output
     scalars only (the summed-ln discipline documented on
     kn_doc_logprob); all three derive from the RAW per-doc folds,
     never from each other's rounded forms."""
-    from bht_etl_app_spark.functions.lifecycle import carry
+    from pyspark import StorageLevel
 
-    a = kn_doc_logprob(df, text_col, id_col, d=d, train_df=in_ref)
-    b = kn_doc_logprob(df, text_col, id_col, d=d, train_df=out_ref)
-    joined = a.select(
-        id_col, "n_tokens", F.col("avg_logprob").alias("__in__")
-    ).join(
-        b.select(id_col, F.col("avg_logprob").alias("__out__")), id_col
+    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
+
+    t_in = kn_model_tables(in_ref, text_col, d)
+    t_out = kn_model_tables(out_ref, text_col, d)
+    tri = doc_trigrams(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    ce_in = -F.col("__in__")
-    ce_out = -F.col("__out__")
-    ml = F.col("__out__") - F.col("__in__")  # = ce_in - ce_out
+    a = _kn_per_doc(tri, t_in, d, self_scoring=False, id_col=id_col)
+    b = _kn_per_doc(tri, t_out, d, self_scoring=False, id_col=id_col)
+    spine = ensure_min_parallelism(df).select(id_col)
+    in_avg = F.col("__in_lp__") / F.col("__in_n__")
+    out_avg = F.col("__out_lp__") / F.col("__out_n__")
+    ce_in = -in_avg
+    ce_out = -out_avg
+    ml = out_avg - in_avg  # = ce_in - ce_out
     if final_round is not None:
         ce_in = F.bround(ce_in, final_round)
         ce_out = F.bround(ce_out, final_round)
         ml = F.bround(ml, final_round)
-    out = joined.select(
-        id_col,
-        "n_tokens",
-        ce_in.alias("ce_in"),
-        ce_out.alias("ce_out"),
-        ml.alias("ml_score"),
+    out = (
+        spine.join(
+            a.select(
+                id_col,
+                F.col("n_tokens").alias("__in_n__"),
+                F.col("logprob").alias("__in_lp__"),
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            b.select(
+                id_col,
+                F.col("n_tokens").alias("__out_n__"),
+                F.col("logprob").alias("__out_lp__"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("__in_n__", F.lit(0)).alias("n_tokens"),
+            ce_in.alias("ce_in"),
+            ce_out.alias("ce_out"),
+            ml.alias("ml_score"),
+        )
     )
-    return carry(out, a, b)
+    return carry(track_persisted(out, tri), t_in["p3"], t_out["p3"])
 
 
 def moore_lewis_oracle_sql(

@@ -415,12 +415,18 @@ def test_moore_lewis_oracle_matches_spark_on_fixture(spark):
 
     def norm(rows, cols):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
+        # sort key by repr so rows with NULL score cells stay totally
+        # ordered (None < str comparisons raise) — equality below is
+        # still on the raw normalized tuples
         return sorted(
-            tuple(
-                repr(float(r[i])) if isinstance(r[i], float) else r[i]
-                for i in order
-            )
-            for r in rows
+            (
+                tuple(
+                    repr(float(r[i])) if isinstance(r[i], float) else r[i]
+                    for i in order
+                )
+                for r in rows
+            ),
+            key=lambda t: tuple(map(repr, t)),
         )
 
     srows = [tuple(r) for r in got.collect()]
@@ -429,6 +435,34 @@ def test_moore_lewis_oracle_matches_spark_on_fixture(spark):
     a, b = norm(srows, got.columns), norm(orows, ocols)
     diffs = [(x, y) for x, y in zip(a, b) if x != y]
     assert not diffs, diffs[:3]
+
+
+def test_moore_lewis_duplicate_ids_no_fanout(spark, docs):
+    """Regression (r7 review): duplicate doc_ids must yield duplicate
+    IDENTICAL rows (one per input row — the oracle's LEFT-join spine
+    shape), never an inner-join n^2 fan-out; and the shared trigram
+    frame means both chains see the same tokenization."""
+    from bht_etl_app_spark.operators.ngram_lm import moore_lewis_scores
+
+    out_ref = spark.createDataFrame(
+        [(100, "engines pipelines shuffle partitions broadcast join")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(7, "the cat sat on the mat"), (7, "the cat sat on the mat"),
+         (8, "")],
+        "doc_id long, text string",
+    )
+    rows = moore_lewis_scores(cand, docs, out_ref).collect()
+    assert len(rows) == 3  # one per INPUT row, not 4+1
+    dup = [tuple(r) for r in rows if r["doc_id"] == 7]
+    assert len(dup) == 2 and dup[0] == dup[1]
+    # duplicate rows aggregate as one doc: n_tokens counts BOTH
+    # copies' tokens (both engines group trigrams by id), scores
+    # stay finite
+    assert dup[0][1] == 12 and dup[0][2] is not None
+    empty = [r for r in rows if r["doc_id"] == 8][0]
+    assert empty["n_tokens"] == 0 and empty["ml_score"] is None
 
 
 def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
@@ -463,7 +497,8 @@ def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
                 repr(float(r[i])) if isinstance(r[i], float) else r[i]
                 for i in order
             ))
-        return sorted(out)
+        # repr sort key: total order even with NULL score cells
+        return sorted(out, key=lambda t: tuple(map(repr, t)))
 
     srows = [tuple(r) for r in got.collect()]
     assert sorted(got.columns) == sorted(ocols)
