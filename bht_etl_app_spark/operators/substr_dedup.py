@@ -1,0 +1,268 @@
+"""ExactSubstr-style duplicated-span detection (STAGED r7 → r8).
+
+Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (ACL 2022) build a suffix array over the whole corpus and
+remove every substring of ≥ 50 tokens that appears more than once.
+A suffix array is a single-machine construction; the distributed
+re-expression here is the standard gram-cover equivalence:
+
+    a token span is part of a duplicated substring of length ≥ k
+    iff it is covered by some k-gram that occurs ≥ 2 times in the
+    corpus,
+
+so (1) slide a k-token window over every document (JVM-side from the
+token array — no shuffle to form grams), (2) count gram fingerprints
+corpus-wide (one map-side-combined groupBy on a 16-byte hash — the
+only corpus-scale shuffle; "appears twice" needs a count, never pair
+joins), (3) keep positions whose gram is duplicated, and (4) merge
+overlapping/adjacent covered intervals per document into MAXIMAL
+spans with the gaps-and-islands pattern (windows partitioned by
+doc_id, bounded by document length — never a global window).
+
+This differs from :func:`bht_etl_app_spark.operators.corpus.
+dedup_spans` (CCNet-style FIXED chunk dedup): fixed chunks miss
+duplicates at unaligned offsets; the sliding gram cover finds a
+duplicated run at ANY alignment, which is exactly why the suffix
+array method removes ~10x more text than paragraph dedup in the
+paper.
+
+Everything is integers and md5 strings — no floats anywhere in the
+span path, so the DuckDB oracle matches bit-for-bit with no rounding
+discipline needed (the per-doc ``dup_frac`` is a single int/int
+division: correctly rounded, engine-exact).
+
+Contract status: STAGED FOR r8 (the r7 driver window is at its
+50-key budget). Ships with pure-Python differential pytests and the
+oracle builders fixture-verified (tests/test_substr_dedup.py); r8
+registration is queries()/oracle_sql()/bench/SURVEY wiring only.
+
+No reference-parity citation: the reference app has no dedup surface;
+this extends the training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bht_etl_app_spark.operators.text import tokens_expr
+from bht_etl_app_spark.session import ensure_min_parallelism
+
+__all__ = [
+    "exact_substr_spans",
+    "exact_substr_stats",
+    "exact_substr_spans_oracle_sql",
+    "exact_substr_stats_oracle_sql",
+]
+
+# DuckDB twin of tokens_expr: the explicit Java-\s class (RE2's \s
+# EXCLUDES vertical tab — the ngram_lm._TOK_EXPR precedent)
+_TOK_SQL = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), "
+    "'[ \\t\\n\\v\\f\\r]+'), x -> x <> '')"
+)
+
+
+def _gram_fp_structs(text_col: str, k: int) -> Column:
+    """``array<struct<pos,fp>>`` — 1-based start position and the md5
+    of the space-joined k-token window (tokens cannot contain spaces,
+    so the join is collision-free); docs shorter than k emit none."""
+    toks = tokens_expr(text_col)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k) + 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:bigint,fp:string>>")
+    )
+
+
+def _dup_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(doc_id, pos)`` for every k-gram start whose fingerprint
+    occurs ≥ 2 times corpus-wide (including twice within one doc —
+    ExactSubstr counts ANY second occurrence)."""
+    grams = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(_gram_fp_structs(text_col, k)).alias("g"))
+        .select(id_col, "g.pos", "g.fp")
+    )
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") >= 2)
+        .select("fp")
+    )
+    return grams.join(dup_fps, "fp", "left_semi").select(id_col, "pos")
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans: ``(doc_id, span_start,
+    span_end, span_tokens)`` — 1-based inclusive token positions of
+    every maximal run covered by corpus-duplicated k-grams. A doc
+    with no duplicated k-gram emits no rows. ``k`` is the minimum
+    duplicated-substring length (the paper uses 50 BPE tokens; the
+    tiny-vocabulary fixtures exercise at 5)."""
+    if k < 2:
+        # k=1 degrades to "any token that appears twice" — that is a
+        # stopword detector, not substring dedup; fail loudly
+        raise ValueError(f"k must be >= 2, got {k}")
+    d = _dup_positions(df, k, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = d.select(
+        id_col,
+        "pos",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), 1
+        ).otherwise(0).alias("__new__"),
+    )
+    islands = flagged.select(
+        id_col, "pos", F.sum("__new__").over(w).alias("__island__")
+    )
+    return (
+        islands.groupBy(id_col, "__island__")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def exact_substr_stats(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication summary over the maximal spans:
+    ``(doc_id, n_tokens, dup_tokens, n_spans, dup_frac)`` — one row
+    per input row (the kn_doc_logprob spine discipline: per-doc
+    aggregates keyed by DISTINCT id LEFT-joined back, so duplicate
+    ids duplicate rows instead of fanning out). ``dup_frac`` is a
+    single int/int division (correctly rounded, engine-exact — no
+    quantization needed); empty docs carry NULL (the structural
+    empty-denominator rule)."""
+    spans = exact_substr_spans(df, k, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__dup__"),
+        F.count(F.lit(1)).alias("__spans__"),
+    )
+    spine = ensure_min_parallelism(df).select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__dup__", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("__spans__", F.lit(0)).cast("long").alias("n_spans"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("__dup__", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _spans_ctes(k: int, table: str) -> str:
+    """The shared CTE chain up to maximal spans (grams → duplicated
+    fingerprints → covered positions → gaps-and-islands merge)."""
+    return f"""t AS MATERIALIZED (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM {table}
+),
+g AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(tk, i, i + {k} - 1), ' ')) AS fp
+  FROM (
+    SELECT doc_id, tk, unnest(range(1, len(tk) - {k} + 2)) AS i
+    FROM t WHERE len(tk) >= {k}
+  )
+),
+dupfp AS MATERIALIZED (
+  SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2
+),
+d AS MATERIALIZED (
+  SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dupfp)
+),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + {k} - 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {k} - 1 AS span_end
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+def exact_substr_spans_oracle_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB replay of :func:`exact_substr_spans` — integer-only, so
+    the match is exact with no rounding discipline."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return f"""
+WITH {_spans_ctes(k, table)}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+"""
+
+
+def exact_substr_stats_oracle_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB replay of :func:`exact_substr_stats` (the one-row-per-
+    input-row spine; ``dup_frac`` as the same single int/int
+    division)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return f"""
+WITH {_spans_ctes(k, table)},
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       CASE WHEN len(t.tk) > 0
+            THEN CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(t.tk)
+       END AS dup_frac
+FROM t LEFT JOIN per_doc pd USING (doc_id)
+"""

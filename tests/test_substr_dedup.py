@@ -1,0 +1,155 @@
+"""ExactSubstr duplicated-span detection vs an independent pure-Python
+reference (gram-cover + interval merge — no Spark), plus the DuckDB
+oracle rehearsals on the real fixtures. Staged-for-r8 operator: these
+differentials ARE its verification until contract window budget
+exists (the r6 staging convention)."""
+
+from collections import Counter
+
+import pytest
+
+from bht_etl_app_spark.operators.substr_dedup import (
+    exact_substr_spans,
+    exact_substr_spans_oracle_sql,
+    exact_substr_stats,
+    exact_substr_stats_oracle_sql,
+)
+
+TEXTS = [
+    # docs 0/1 share an 8-token run at DIFFERENT offsets (1 vs 4) —
+    # the unaligned case fixed-chunk dedup structurally misses
+    (0, "one two three four five six seven eight tail0 tail1"),
+    (1, "pre1 pre2 pre3 one two three four five six seven eight"),
+    # doc 2 repeats a 5-gram WITHIN itself (any second occurrence
+    # counts) and shares nothing with other docs
+    (2, "aa bb cc dd ee zz aa bb cc dd ee"),
+    # doc 3: unique content, no duplicated grams
+    (3, "totally unique content with no repeats anywhere at all"),
+    # doc 4: shorter than k -> no grams at all
+    (4, "tiny doc"),
+    # doc 5: empty -> 0 tokens, NULL dup_frac
+    (5, ""),
+]
+K = 5
+
+
+def _py_spans(texts, k):
+    toks = {i: t.lower().split() for i, t in texts}
+    fps = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - k + 1):
+            fps[" ".join(tk[i:i + k])] += 1
+    out = {}
+    for i, tk in toks.items():
+        starts = [
+            p + 1  # 1-based
+            for p in range(len(tk) - k + 1)
+            if fps[" ".join(tk[p:p + k])] >= 2
+        ]
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                # the new cover OVERLAPS the running span -> extend;
+                # merely-adjacent covers stay separate spans (they are
+                # distinct duplicated substrings that happen to abut —
+                # a contiguous duplicated run always yields
+                # overlapping covers)
+                spans[-1][1] = max(spans[-1][1], s + k - 1)
+            else:
+                spans.append([s, s + k - 1])
+        out[i] = [tuple(sp) for sp in spans]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_spans_match_reference_and_semantics(docs):
+    got = {}
+    for r in exact_substr_spans(docs, k=K).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    ref = _py_spans(TEXTS, K)
+    for i in got:
+        got[i].sort()
+    # doc 0: the shared 8-token run starts at token 1 -> one maximal
+    # span [1, 8] (4 overlapping duplicated 5-grams merged)
+    assert got[0] == [(1, 8, 8)]
+    # doc 1: same run at offset 4 -> [4, 11] (the UNALIGNED catch)
+    assert got[1] == [(4, 11, 8)]
+    # doc 2: "aa bb cc dd ee" occurs at 1 and 7 -> two spans (gap at
+    # position 6 breaks the cover)
+    assert got[2] == [(1, 5, 5), (7, 11, 5)]
+    # docs 3-5: nothing duplicated / too short / empty
+    assert 3 not in got and 4 not in got and 5 not in got
+    # full differential against the reference merge
+    for i, spans in ref.items():
+        assert got.get(i, []) == [(s, e, e - s + 1) for s, e in spans]
+
+
+def test_stats_spine_and_empty_docs(docs):
+    rows = {r["doc_id"]: r for r in exact_substr_stats(docs, k=K).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    assert (rows[0]["dup_tokens"], rows[0]["n_spans"]) == (8, 1)
+    assert rows[0]["dup_frac"] == pytest.approx(8 / 10)
+    assert (rows[2]["dup_tokens"], rows[2]["n_spans"]) == (10, 2)
+    assert (rows[3]["dup_tokens"], rows[3]["n_spans"]) == (0, 0)
+    assert rows[3]["dup_frac"] == 0.0
+    # empty doc: structural NULL, never 0/0
+    assert rows[5]["n_tokens"] == 0 and rows[5]["dup_frac"] is None
+
+
+def test_k_guard():
+    with pytest.raises(ValueError, match="k must be"):
+        exact_substr_spans_oracle_sql(k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        exact_substr_stats_oracle_sql(k=0)
+
+
+def _oracle_rows(sql, sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    cur = con.execute(sql)
+    return [c[0] for c in cur.description], cur.fetchall()
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (
+            tuple(
+                repr(float(r[i])) if isinstance(r[i], float) else r[i]
+                for i in order
+            )
+            for r in rows
+        ),
+        key=lambda t: tuple(map(repr, t)),
+    )
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001"])
+def test_oracles_match_spark_on_fixture(spark, sf):
+    """r8 registration rehearsal: both oracles match Spark exactly on
+    the real fixture (the driver-gate comparison)."""
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    for fn, sql in (
+        (exact_substr_spans, exact_substr_spans_oracle_sql(k=K)),
+        (exact_substr_stats, exact_substr_stats_oracle_sql(k=K)),
+    ):
+        got = fn(docs, k=K)
+        ocols, orows = _oracle_rows(sql, sf)
+        srows = [tuple(r) for r in got.collect()]
+        assert sorted(got.columns) == sorted(ocols)
+        assert len(srows) == len(orows) > 0
+        a, b = _norm(srows, got.columns), _norm(orows, ocols)
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        assert not diffs, (fn.__name__, diffs[:3])
