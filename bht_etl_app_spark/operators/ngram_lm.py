@@ -424,10 +424,12 @@ def kn_doc_logprob(
 # RE2's \\s EXCLUDES vertical tab: a crawl doc containing "a\\x0Bb"
 # would tokenize differently per engine under '\\s+'.
 
-_TOK_EXPR = """list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
-                     x -> x <> ''
-                          AND x NOT LIKE '%' || chr(2) || '%'
-                          AND x NOT LIKE '%' || chr(3) || '%')"""
+from bht_etl_app_spark.operators.text import tokens_sql as _tokens_sql  # noqa: E402
+
+_TOK_EXPR = _tokens_sql(
+    "\n                          AND x NOT LIKE '%' || chr(2) || '%'"
+    "\n                          AND x NOT LIKE '%' || chr(3) || '%'"
+)
 
 _BOS_SQL = "chr(2) || 's' || chr(3)"
 

@@ -56,12 +56,11 @@ __all__ = [
     "exact_substr_stats_oracle_sql",
 ]
 
-# DuckDB twin of tokens_expr: the explicit Java-\s class (RE2's \s
-# EXCLUDES vertical tab — the ngram_lm._TOK_EXPR precedent)
-_TOK_SQL = (
-    "list_filter(regexp_split_to_array(trim(lower(text)), "
-    "'[ \\t\\n\\v\\f\\r]+'), x -> x <> '')"
-)
+from bht_etl_app_spark.operators.text import tokens_sql as _tokens_sql  # noqa: E402
+
+# the ONE shared DuckDB twin of tokens_expr (operators/text.py) — no
+# private copy to drift from ngram_lm's (r7 review)
+_TOK_SQL = _tokens_sql()
 
 
 def _gram_fp_structs(text_col: str, k: int) -> Column:
@@ -124,11 +123,15 @@ def exact_substr_spans(
     prev_end = F.max(F.col("pos") + k - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # a new maximal run starts only when the cover leaves a GAP
+    # (pos > prev_end + 1): overlapping AND abutting covers merge, so
+    # two distinct duplicated substrings that touch report as one
+    # covered run — the "maximal covered run" contract (r7 review)
     flagged = d.select(
         id_col,
         "pos",
         F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end), 1
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
         ).otherwise(0).alias("__new__"),
     )
     islands = flagged.select(
@@ -217,7 +220,7 @@ m AS (
 ),
 isl AS (
   SELECT doc_id, pos,
-         sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
                   THEN 1 ELSE 0 END)
          OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM m

@@ -45,6 +45,23 @@ def tokens_expr(col: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def tokens_sql(extra_filter: str = "") -> str:
+    """The ONE DuckDB twin of :func:`tokens_expr` (lowercase form),
+    shared by every oracle that must tokenize exactly like Spark
+    (ngram_lm, substr_dedup — the one-template-per-family rule). The
+    whitespace class spells out Java's non-unicode ``\\s``
+    ``[ \\t\\n\\x0B\\f\\r]`` explicitly because RE2's ``\\s`` EXCLUDES
+    vertical tab: a crawl doc containing ``a\\x0Bb`` would tokenize
+    differently per engine under ``'\\s+'``. ``extra_filter`` appends
+    further lambda conjuncts (e.g. ngram_lm's BOS-sentinel
+    control-char exclusion)."""
+    return (
+        "list_filter(regexp_split_to_array(trim(lower(text)), "
+        "'[ \\t\\n\\v\\f\\r]+'),\n"
+        f"                     x -> x <> ''{extra_filter})"
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish regex count
     (word chunks + single punctuation marks), the standard cheap proxy

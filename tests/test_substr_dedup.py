@@ -29,6 +29,13 @@ TEXTS = [
     (4, "tiny doc"),
     # doc 5: empty -> 0 tokens, NULL dup_frac
     (5, ""),
+    # docs 6/7/8: doc 6 carries TWO distinct duplicated substrings
+    # that ABUT (A=[1,5] dup'd with doc 7, B=[6,10] dup'd with doc 8,
+    # no duplicated gram spans the boundary) -> ONE maximal covered
+    # run [1,10] (r7 review: abutting covers merge)
+    (6, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+    (7, "a1 a2 a3 a4 a5 xx"),
+    (8, "yy b1 b2 b3 b4 b5"),
 ]
 K = 5
 
@@ -48,12 +55,11 @@ def _py_spans(texts, k):
         ]
         spans = []
         for s in starts:
-            if spans and s <= spans[-1][1]:
-                # the new cover OVERLAPS the running span -> extend;
-                # merely-adjacent covers stay separate spans (they are
-                # distinct duplicated substrings that happen to abut —
-                # a contiguous duplicated run always yields
-                # overlapping covers)
+            if spans and s <= spans[-1][1] + 1:
+                # overlapping OR abutting covers extend the running
+                # span — the "maximal covered run" contract: two
+                # distinct duplicated substrings that touch report as
+                # one covered run
                 spans[-1][1] = max(spans[-1][1], s + k - 1)
             else:
                 spans.append([s, s + k - 1])
@@ -85,6 +91,10 @@ def test_spans_match_reference_and_semantics(docs):
     assert got[2] == [(1, 5, 5), (7, 11, 5)]
     # docs 3-5: nothing duplicated / too short / empty
     assert 3 not in got and 4 not in got and 5 not in got
+    # doc 6: two distinct ABUTTING duplicated substrings merge into
+    # one maximal covered run (covers [1,5]+[6,10] -> [1,10])
+    assert got[6] == [(1, 10, 10)]
+    assert got[7] == [(1, 5, 5)] and got[8] == [(2, 6, 5)]
     # full differential against the reference merge
     for i, spans in ref.items():
         assert got.get(i, []) == [(s, e, e - s + 1) for s, e in spans]
@@ -92,7 +102,7 @@ def test_spans_match_reference_and_semantics(docs):
 
 def test_stats_spine_and_empty_docs(docs):
     rows = {r["doc_id"]: r for r in exact_substr_stats(docs, k=K).collect()}
-    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6, 7, 8}
     assert (rows[0]["dup_tokens"], rows[0]["n_spans"]) == (8, 1)
     assert rows[0]["dup_frac"] == pytest.approx(8 / 10)
     assert (rows[2]["dup_tokens"], rows[2]["n_spans"]) == (10, 2)
@@ -134,7 +144,9 @@ def _norm(rows, cols):
     )
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001"])
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
 def test_oracles_match_spark_on_fixture(spark, sf):
     """r8 registration rehearsal: both oracles match Spark exactly on
     the real fixture (the driver-gate comparison)."""
