@@ -52,8 +52,10 @@ from bht_etl_app_spark.session import ensure_min_parallelism
 __all__ = [
     "exact_substr_spans",
     "exact_substr_stats",
+    "exact_substr_scrub",
     "exact_substr_spans_oracle_sql",
     "exact_substr_stats_oracle_sql",
+    "exact_substr_scrub_oracle_sql",
 ]
 
 from bht_etl_app_spark.operators.text import tokens_sql as _tokens_sql  # noqa: E402
@@ -190,6 +192,57 @@ def exact_substr_stats(
     )
 
 
+def exact_substr_scrub(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVER — what the paper actually does with the spans:
+    drop every token inside a duplicated span and reassemble the
+    document from the survivors (space-joined, the tokenizer's
+    inverse). Output: ``(doc_id, scrubbed_text, n_kept, n_removed)``,
+    one row per input row. Docs with nothing duplicated pass through
+    re-joined (whitespace normalized); fully-duplicated docs scrub to
+    the empty string; empty docs stay empty. Token filtering is
+    array-native per document (no extra shuffle beyond the spans
+    computation itself)."""
+    spans = exact_substr_spans(df, k, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans__")
+    )
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+    )
+    indexed = F.transform(
+        F.col("__toks__"),
+        lambda t, i: F.struct((i + 1).cast("long").alias("pos"), t.alias("t")),
+    )
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            sp, lambda r: (x["pos"] >= r["s"]) & (x["pos"] <= r["e"])
+        ),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(kept, lambda x: x["t"])
+            ).alias("scrubbed_text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def _spans_ctes(k: int, table: str) -> str:
     """The shared CTE chain up to maximal spans (grams → duplicated
     fingerprints → covered positions → gaps-and-islands merge)."""
@@ -268,4 +321,40 @@ SELECT t.doc_id,
             THEN CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(t.tk)
        END AS dup_frac
 FROM t LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+
+def exact_substr_scrub_oracle_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB replay of :func:`exact_substr_scrub` — covered token
+    positions exploded from the spans, survivors reassembled in
+    position order (``list(t ORDER BY p)`` is the engine-exact string
+    twin of Spark's array-native filter, which never leaves document
+    order)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return f"""
+WITH {_spans_ctes(k, table)},
+cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS p
+  FROM spans
+),
+tokpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS t
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+),
+keptagg AS (
+  SELECT tp.doc_id,
+         array_to_string(list(tp.t ORDER BY tp.p), ' ') AS scrubbed_text,
+         count(*) AS n_kept
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p
+  )
+  GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       coalesce(ka.scrubbed_text, '') AS scrubbed_text,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.tk) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN keptagg ka USING (doc_id)
 """

@@ -9,6 +9,8 @@ from collections import Counter
 import pytest
 
 from bht_etl_app_spark.operators.substr_dedup import (
+    exact_substr_scrub,
+    exact_substr_scrub_oracle_sql,
     exact_substr_spans,
     exact_substr_spans_oracle_sql,
     exact_substr_stats,
@@ -112,11 +114,35 @@ def test_stats_spine_and_empty_docs(docs):
     assert rows[5]["n_tokens"] == 0 and rows[5]["dup_frac"] is None
 
 
+def test_scrub_removes_spans_and_reassembles(docs):
+    """The remover: tokens inside duplicated spans drop, survivors
+    rejoin in document order; clean docs pass through (whitespace
+    normalized), empty docs stay empty."""
+    rows = {r["doc_id"]: r for r in exact_substr_scrub(docs, k=K).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6, 7, 8}
+    # doc 0: span [1,8] removed -> only the two tail tokens survive
+    assert rows[0]["scrubbed_text"] == "tail0 tail1"
+    assert (rows[0]["n_kept"], rows[0]["n_removed"]) == (2, 8)
+    # doc 1: span [4,11] removed -> the three pre tokens survive
+    assert rows[1]["scrubbed_text"] == "pre1 pre2 pre3"
+    # doc 2: spans [1,5] and [7,11] removed -> the middle gap survives
+    assert rows[2]["scrubbed_text"] == "zz"
+    # doc 3: nothing duplicated -> full lowercased rejoin
+    assert rows[3]["scrubbed_text"] == TEXTS[3][1]
+    assert rows[3]["n_removed"] == 0
+    # doc 6: the merged abutting run [1,10] scrubs the WHOLE doc
+    assert rows[6]["scrubbed_text"] == "" and rows[6]["n_kept"] == 0
+    # empty doc stays empty
+    assert rows[5]["scrubbed_text"] == "" and rows[5]["n_removed"] == 0
+
+
 def test_k_guard():
     with pytest.raises(ValueError, match="k must be"):
         exact_substr_spans_oracle_sql(k=1)
     with pytest.raises(ValueError, match="k must be"):
         exact_substr_stats_oracle_sql(k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        exact_substr_scrub_oracle_sql(k=1)
 
 
 def _oracle_rows(sql, sf):
@@ -156,6 +182,7 @@ def test_oracles_match_spark_on_fixture(spark, sf):
     for fn, sql in (
         (exact_substr_spans, exact_substr_spans_oracle_sql(k=K)),
         (exact_substr_stats, exact_substr_stats_oracle_sql(k=K)),
+        (exact_substr_scrub, exact_substr_scrub_oracle_sql(k=K)),
     ):
         got = fn(docs, k=K)
         ocols, orows = _oracle_rows(sql, sf)
