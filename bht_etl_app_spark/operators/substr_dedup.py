@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bht_etl_app_spark.operators.text import tokens_expr
+from bht_etl_app_spark.operators.text import tokens_expr, tokens_sql
 from bht_etl_app_spark.session import ensure_min_parallelism
 
 __all__ = [
@@ -58,11 +58,9 @@ __all__ = [
     "exact_substr_scrub_oracle_sql",
 ]
 
-from bht_etl_app_spark.operators.text import tokens_sql as _tokens_sql  # noqa: E402
-
 # the ONE shared DuckDB twin of tokens_expr (operators/text.py) — no
 # private copy to drift from ngram_lm's (r7 review)
-_TOK_SQL = _tokens_sql()
+_TOK_SQL = tokens_sql()
 
 
 def _gram_fp_structs(text_col: str, k: int) -> Column:
@@ -213,8 +211,14 @@ def exact_substr_scrub(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
         ).alias("__spans__")
     )
+    # NULL text scrubs like the empty string ('' / 0 / 0) — without
+    # the coalesce, size(NULL array) is NULL and n_kept/n_removed
+    # diverge from the oracle's coalesced counts (r7 review)
     toks = ensure_min_parallelism(df).select(
-        F.col(id_col), tokens_expr(text_col).alias("__toks__")
+        F.col(id_col),
+        F.coalesce(
+            tokens_expr(text_col), F.array().cast("array<string>")
+        ).alias("__toks__"),
     )
     indexed = F.transform(
         F.col("__toks__"),
@@ -332,29 +336,39 @@ def exact_substr_scrub_oracle_sql(k: int = 5, table: str = "documents") -> str:
     order)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # trow keys every INPUT ROW with a synthetic rid: the scrub is
+    # per-row (each row's own token array filtered against the
+    # DOC-level covered positions, Spark's join shape), so duplicate
+    # doc_ids must not pool their tokens into one interleaved string
+    # (r7 review — observed negative n_removed before the rid);
+    # len() coalesces so NULL text scrubs like the empty string
     return f"""
 WITH {_spans_ctes(k, table)},
+trow AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER () AS rid, tk FROM t
+),
 cov AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS p
   FROM spans
 ),
 tokpos AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS t
-  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+  SELECT doc_id, rid, CAST(i AS BIGINT) AS p, tk[i] AS t
+  FROM (SELECT doc_id, rid, tk, unnest(range(1, len(tk) + 1)) AS i FROM trow)
 ),
 keptagg AS (
-  SELECT tp.doc_id,
+  SELECT tp.rid,
          array_to_string(list(tp.t ORDER BY tp.p), ' ') AS scrubbed_text,
          count(*) AS n_kept
   FROM tokpos tp
   WHERE NOT EXISTS (
     SELECT 1 FROM cov WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p
   )
-  GROUP BY tp.doc_id
+  GROUP BY tp.rid
 )
-SELECT t.doc_id,
+SELECT tr.doc_id,
        coalesce(ka.scrubbed_text, '') AS scrubbed_text,
        CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(len(t.tk) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
-FROM t LEFT JOIN keptagg ka USING (doc_id)
+       CAST(coalesce(len(tr.tk), 0) - coalesce(ka.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM trow tr LEFT JOIN keptagg ka USING (rid)
 """

@@ -69,3 +69,37 @@ def assert_frames_equal(spark_df, pdf_expected, sort_by=None, check_dtype=False)
     got = got.sort_values(sort_by).reset_index(drop=True)
     exp = exp.sort_values(sort_by).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=check_dtype, check_exact=False, rtol=1e-9)
+
+
+def duckdb_oracle_rows(sql, sf_dir, tables=("documents",)):
+    """Run an oracle SQL string against the parquet fixtures the way
+    the driver gate does (tables pre-registered as views). Returns
+    (column_names, rows)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    return [c[0] for c in cur.description], cur.fetchall()
+
+
+def norm_oracle_rows(rows, cols):
+    """Driver-style normalization for Spark-vs-oracle rehearsals:
+    columns sorted by name, floats by repr, rows sorted by a repr key
+    so NULL cells stay totally ordered (None < str comparisons raise).
+    Shared by every oracle-rehearsal test (one copy — a fix to the
+    normalization cannot drift per-file)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (
+            tuple(
+                repr(float(r[i])) if isinstance(r[i], float) else r[i]
+                for i in order
+            )
+            for r in rows
+        ),
+        key=lambda t: tuple(map(repr, t)),
+    )

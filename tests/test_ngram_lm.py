@@ -388,8 +388,6 @@ def test_moore_lewis_oracle_matches_spark_on_fixture(spark):
     oracle (prefix-parameterized shared KN fragments) matches Spark
     bit for bit on the sf0.001 documents fixture, the same comparison
     the driver gate performs."""
-    import duckdb
-
     from bht_etl_app_spark.operators.ngram_lm import (
         moore_lewis_oracle_sql,
         moore_lewis_scores,
@@ -405,30 +403,9 @@ def test_moore_lewis_oracle_matches_spark_on_fixture(spark):
         final_round=6,
     )
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
-    )
-    cur = con.execute(moore_lewis_oracle_sql())
-    ocols = [c[0] for c in cur.description]
-    orows = cur.fetchall()
+    from tests.conftest import duckdb_oracle_rows, norm_oracle_rows as norm
 
-    def norm(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        # sort key by repr so rows with NULL score cells stay totally
-        # ordered (None < str comparisons raise) — equality below is
-        # still on the raw normalized tuples
-        return sorted(
-            (
-                tuple(
-                    repr(float(r[i])) if isinstance(r[i], float) else r[i]
-                    for i in order
-                )
-                for r in rows
-            ),
-            key=lambda t: tuple(map(repr, t)),
-        )
-
+    ocols, orows = duckdb_oracle_rows(moore_lewis_oracle_sql(), sf)
     srows = [tuple(r) for r in got.collect()]
     assert sorted(got.columns) == sorted(ocols)
     assert len(srows) == len(orows) > 0
@@ -472,34 +449,15 @@ def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
     Spark BIT FOR BIT on the real sf0.001 documents fixture — the
     same exact-value comparison the driver's gate performs (floats by
     repr, order-insensitive)."""
-    import duckdb
-
     from bht_etl_app_spark.operators.ngram_lm import kn_oracle_sql
     from bht_etl_app_spark.session import load_table
+    from tests.conftest import duckdb_oracle_rows, norm_oracle_rows as norm
 
     sf = "/root/testdata/sf0.001"
     docs = load_table(spark, sf, "documents")
     got = kn_doc_logprob(docs, final_round=6)
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
-    )
-    cur = con.execute(kn_oracle_sql())
-    ocols = [c[0] for c in cur.description]
-    orows = cur.fetchall()
-
-    def norm(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        out = []
-        for r in rows:
-            out.append(tuple(
-                repr(float(r[i])) if isinstance(r[i], float) else r[i]
-                for i in order
-            ))
-        # repr sort key: total order even with NULL score cells
-        return sorted(out, key=lambda t: tuple(map(repr, t)))
-
+    ocols, orows = duckdb_oracle_rows(kn_oracle_sql(), sf)
     srows = [tuple(r) for r in got.collect()]
     assert sorted(got.columns) == sorted(ocols)
     assert len(srows) == len(orows) > 0

@@ -136,6 +136,48 @@ def test_scrub_removes_spans_and_reassembles(docs):
     assert rows[5]["scrubbed_text"] == "" and rows[5]["n_removed"] == 0
 
 
+def test_scrub_duplicate_ids_and_null_text_match_oracle(spark):
+    """Regression (r7 review, observed live as interleaved text and
+    NEGATIVE n_removed): duplicate doc_ids scrub PER ROW (each row's
+    own array against the doc-level spans — never pooled into one
+    interleaved string), and NULL text scrubs like the empty string,
+    in Spark AND the oracle alike."""
+    import duckdb
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (1, "red orange yellow green blue indigo violet"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (tuple(r) for r in exact_substr_scrub(df, k=K).collect()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    assert got == sorted(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", 6, 0),
+            (1, "red orange yellow green blue indigo violet", 7, 0),
+            (9, "", 0, 0),
+        ],
+        key=lambda t: tuple(map(repr, t)),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta gamma delta epsilon zeta'), "
+        "(1, 'red orange yellow green blue indigo violet'), "
+        "(9, CAST(NULL AS VARCHAR))) t(doc_id, text)"
+    )
+    orows = sorted(
+        (tuple(r) for r in con.execute(
+            exact_substr_scrub_oracle_sql(k=K)
+        ).fetchall()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    assert got == orows
+
+
 def test_k_guard():
     with pytest.raises(ValueError, match="k must be"):
         exact_substr_spans_oracle_sql(k=1)
@@ -145,29 +187,8 @@ def test_k_guard():
         exact_substr_scrub_oracle_sql(k=1)
 
 
-def _oracle_rows(sql, sf):
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
-    )
-    cur = con.execute(sql)
-    return [c[0] for c in cur.description], cur.fetchall()
-
-
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (
-            tuple(
-                repr(float(r[i])) if isinstance(r[i], float) else r[i]
-                for i in order
-            )
-            for r in rows
-        ),
-        key=lambda t: tuple(map(repr, t)),
-    )
+from tests.conftest import duckdb_oracle_rows as _oracle_rows  # noqa: E402
+from tests.conftest import norm_oracle_rows as _norm  # noqa: E402
 
 
 @pytest.mark.parametrize(
