@@ -466,6 +466,62 @@ def test_kn_oracle_sql_hash_matches_spark_on_fixture(spark):
     assert not diffs, diffs[:3]
 
 
+def test_kn_heldout_oracle_matches_reference_on_random_corpora():
+    """Property sweep WITHOUT Spark in the loop (fast): the held-out
+    DuckDB oracle replays the full backoff cascade + OOV floor to
+    within the 6dp contract quantum of the pure-Python Chen-Goodman
+    reference on random tiny-vocabulary corpora (heavy gram sharing,
+    unseen contexts, fully-OOV docs). Spark==DuckDB is pinned on the
+    fixtures, so this transitively hardens the Spark cascade too."""
+    import duckdb
+    from hypothesis import assume, given, settings, strategies as st
+
+    from bht_etl_app_spark.operators.ngram_lm import kn_heldout_oracle_sql
+
+    word = st.sampled_from(["w0", "w1", "w2", "oov1"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @given(st.lists(doc, min_size=2, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def check(texts):
+        train = [(i, t) for i, t in enumerate(texts) if i % 2 == 0]
+        score = [(i, t) for i, t in enumerate(texts) if i % 2 == 1]
+        # the empty-training-corpus structural failure is pinned by
+        # test_degenerate_inputs_fail_loudly — skip it here
+        assume(any(t.split() for _, t in train))
+        assume(score)
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, '{t}')" for i, t in train + score)
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"(VALUES {vals}) t(doc_id, text)"
+        )
+        got = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                kn_heldout_oracle_sql(
+                    train_pred="doc_id % 2 = 0",
+                    score_pred="doc_id % 2 = 1",
+                )
+            ).fetchall()
+        }
+        ref = _PyKN([t for _, t in train])
+        assert set(got) == {i for i, _ in score}
+        for i, t in score:
+            n, lp = ref.doc_score(t)
+            gn, glp, gavg = got[i]
+            assert gn == n, (i, texts)
+            if lp is None:
+                assert glp is None and gavg is None
+            else:
+                # 6dp contract rounding both sides; allow one quantum
+                # of slack for values landing at a rounding boundary
+                assert glp == pytest.approx(lp, abs=2e-6), (i, texts)
+                assert gavg == pytest.approx(lp / n, abs=2e-6), (i, texts)
+
+    check()
+
+
 def test_kn_heldout_oracle_sql_hash_matches_spark_on_fixture(spark):
     """Held-out r7 carrier rehearsal: train on source<>'src0', score
     source='src0' — the full backoff cascade (unseen trigrams,

@@ -191,6 +191,87 @@ from tests.conftest import duckdb_oracle_rows as _oracle_rows  # noqa: E402
 from tests.conftest import norm_oracle_rows as _norm  # noqa: E402
 
 
+def _duck_view(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, " + ("CAST(NULL AS VARCHAR)" if t is None else
+                     "'" + t.replace("'", "''") + "'") + ")"
+        for i, t in rows
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text)"
+    )
+    return con
+
+
+def test_spans_oracle_matches_reference_on_random_corpora():
+    """Property sweep WITHOUT Spark in the loop (fast): the DuckDB
+    oracle equals the pure-Python gram-cover reference on random
+    small-vocabulary corpora (small vocab forces heavy duplication,
+    exercising merge/edge paths); Spark==DuckDB is already pinned on
+    the fixtures, so this transitively hardens the Spark logic too."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["w0", "w1", "w2"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def check(texts):
+        rows = list(enumerate(texts))
+        con = _duck_view(rows)
+        got = {}
+        for d_id, s, e, n in con.execute(
+            exact_substr_spans_oracle_sql(k=3)
+        ).fetchall():
+            got.setdefault(d_id, []).append((s, e))
+            assert n == e - s + 1
+        for spans in got.values():
+            spans.sort()
+        ref = _py_spans(rows, 3)
+        for i, spans in ref.items():
+            assert got.get(i, []) == [tuple(sp) for sp in spans], (
+                i, texts
+            )
+
+    check()
+
+
+def test_scrub_oracle_matches_reference_on_random_corpora():
+    """Same no-Spark property sweep for the remover: scrubbed text ==
+    the reference's survivors rejoined, n_kept+n_removed == the doc's
+    token count, per input row."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["w0", "w1", "w2"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def check(texts):
+        rows = list(enumerate(texts))
+        con = _duck_view(rows)
+        ref = _py_spans(rows, 3)
+        got = con.execute(exact_substr_scrub_oracle_sql(k=3)).fetchall()
+        assert len(got) == len(rows)
+        by_id = {r[0]: r for r in got}
+        for i, t in rows:
+            toks = t.lower().split()
+            covered = set()
+            for s, e in ref.get(i, []):
+                covered.update(range(s, e + 1))
+            kept = [tk for p, tk in enumerate(toks, 1) if p not in covered]
+            d_id, text, n_kept, n_removed = by_id[i]
+            assert text == " ".join(kept), (i, texts)
+            assert n_kept == len(kept)
+            assert n_kept + n_removed == len(toks)
+
+    check()
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
