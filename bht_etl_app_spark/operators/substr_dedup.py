@@ -12,9 +12,13 @@ re-expression here is the standard gram-cover equivalence:
 
 so (1) slide a k-token window over every document (JVM-side from the
 token array — no shuffle to form grams), (2) count gram fingerprints
-corpus-wide (one map-side-combined groupBy on a 16-byte hash — the
-only corpus-scale shuffle; "appears twice" needs a count, never pair
-joins), (3) keep positions whose gram is duplicated, and (4) merge
+corpus-wide (a map-side-combined groupBy on a 16-byte hash —
+"appears twice" needs a count, never pair joins), (3) keep positions
+whose gram is duplicated via an fp-keyed left-semi probe — TWO
+corpus-scale exchanges of the ``(id,pos,fp)`` frame total (count side
++ probe side; the probe is AQE-skew-splittable, which a window over
+``fp`` would not be), with the tokenize+explode computed ONCE (the
+grams frame persists; r7 ADVICE) — and (4) merge
 overlapping/adjacent covered intervals per document into MAXIMAL
 spans with the gaps-and-islands pattern (windows partitioned by
 doc_id, bounded by document length — never a global window).
@@ -46,6 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
 from bht_etl_app_spark.operators.text import tokens_expr, tokens_sql
 from bht_etl_app_spark.session import ensure_min_parallelism
 
@@ -84,14 +89,22 @@ def _gram_fp_structs(text_col: str, k: int) -> Column:
 
 def _dup_positions(
     df: DataFrame, k: int, text_col: str, id_col: str
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """``(doc_id, pos)`` for every k-gram start whose fingerprint
     occurs ≥ 2 times corpus-wide (including twice within one doc —
-    ExactSubstr counts ANY second occurrence)."""
+    ExactSubstr counts ANY second occurrence). Returns ``(positions,
+    grams)``: the grams frame persists (MEMORY_AND_DISK) because both
+    the fingerprint count and the probe side read it — without the
+    cache the scan+tokenize+explode runs twice (ReusedExchange dedups
+    only the post-shuffle exchange, not the work feeding each side);
+    the caller ties its lifetime to the result frame (r7 ADVICE)."""
+    from pyspark import StorageLevel
+
     grams = (
         ensure_min_parallelism(df)
         .select(F.col(id_col), F.explode(_gram_fp_structs(text_col, k)).alias("g"))
         .select(id_col, "g.pos", "g.fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_fps = (
         grams.groupBy("fp")
@@ -99,7 +112,7 @@ def _dup_positions(
         .where(F.col("__n__") >= 2)
         .select("fp")
     )
-    return grams.join(dup_fps, "fp", "left_semi").select(id_col, "pos")
+    return grams.join(dup_fps, "fp", "left_semi").select(id_col, "pos"), grams
 
 
 def exact_substr_spans(
@@ -118,7 +131,7 @@ def exact_substr_spans(
         # k=1 degrades to "any token that appears twice" — that is a
         # stopword detector, not substring dedup; fail loudly
         raise ValueError(f"k must be >= 2, got {k}")
-    d = _dup_positions(df, k, text_col, id_col)
+    d, grams = _dup_positions(df, k, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -137,7 +150,7 @@ def exact_substr_spans(
     islands = flagged.select(
         id_col, "pos", F.sum("__new__").over(w).alias("__island__")
     )
-    return (
+    out = (
         islands.groupBy(id_col, "__island__")
         .agg(
             F.min("pos").alias("span_start"),
@@ -150,6 +163,7 @@ def exact_substr_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+    return track_persisted(out, grams)
 
 
 def exact_substr_stats(
@@ -158,36 +172,62 @@ def exact_substr_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document duplication summary over the maximal spans:
-    ``(doc_id, n_tokens, dup_tokens, n_spans, dup_frac)`` — one row
-    per input row (the kn_doc_logprob spine discipline: per-doc
-    aggregates keyed by DISTINCT id LEFT-joined back, so duplicate
-    ids duplicate rows instead of fanning out). ``dup_frac`` is a
-    single int/int division (correctly rounded, engine-exact — no
-    quantization needed); empty docs carry NULL (the structural
-    empty-denominator rule)."""
+    """Per-ROW duplication summary against the DOC-level maximal
+    spans: ``(doc_id, n_tokens, dup_tokens, n_spans, dup_frac)`` — one
+    row per input row. ``dup_tokens`` counts THIS ROW's token
+    positions covered by the doc's spans (each span clamped to the
+    row's own length), so it equals :func:`exact_substr_scrub`'s
+    ``n_removed`` by construction and ``dup_frac`` can never exceed 1
+    — under duplicate doc_ids the gram cover pools across the id (it
+    is corpus-level by construction) but each row is measured against
+    its own token range, the scrub's per-row discipline (r7 ADVICE:
+    the previous doc-level-sum-onto-per-row-length join could report
+    dup_frac > 1 on duplicate-id input). ``n_spans`` counts the doc
+    spans intersecting this row. NULL text measures like the empty
+    string (n_tokens 0, dup_frac NULL via the >0 guard — the
+    structural empty-denominator rule), matching the scrub's coalesce
+    convention. Everything stays int/int (``dup_frac`` is one
+    correctly-rounded division — no quantization needed)."""
     spans = exact_substr_spans(df, k, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
-        F.sum("span_tokens").alias("__dup__"),
-        F.count(F.lit(1)).alias("__spans__"),
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans__")
     )
     spine = ensure_min_parallelism(df).select(
-        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+        F.col(id_col),
+        F.size(
+            F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
+        ).cast("long").alias("n_tokens"),
     )
-    return (
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    # spans are disjoint and non-abutting per doc (maximal runs), so
+    # clamped overlap lengths sum without double-count
+    hit = F.filter(sp, lambda r: r["s"] <= F.col("n_tokens"))
+    dup = F.aggregate(
+        hit,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.least(r["e"], F.col("n_tokens"))
+        - r["s"]
+        + F.lit(1).cast("long"),
+    )
+    out = (
         spine.join(per_doc, id_col, "left")
         .select(
             id_col,
             "n_tokens",
-            F.coalesce("__dup__", F.lit(0)).cast("long").alias("dup_tokens"),
-            F.coalesce("__spans__", F.lit(0)).cast("long").alias("n_spans"),
+            dup.alias("dup_tokens"),
+            F.size(hit).cast("long").alias("n_spans"),
             F.when(
-                F.col("n_tokens") > 0,
-                F.coalesce("__dup__", F.lit(0)).cast("double")
-                / F.col("n_tokens"),
+                F.col("n_tokens") > 0, dup.cast("double") / F.col("n_tokens")
             ).alias("dup_frac"),
         )
     )
+    return carry(out, spans)
 
 
 def exact_substr_scrub(
@@ -234,7 +274,7 @@ def exact_substr_scrub(
             sp, lambda r: (x["pos"] >= r["s"]) & (x["pos"] <= r["e"])
         ),
     )
-    return (
+    out = (
         toks.join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -245,6 +285,7 @@ def exact_substr_scrub(
             (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+    return carry(out, spans)
 
 
 def _spans_ctes(k: int, table: str) -> str:
@@ -304,27 +345,38 @@ FROM spans
 
 
 def exact_substr_stats_oracle_sql(k: int = 5, table: str = "documents") -> str:
-    """DuckDB replay of :func:`exact_substr_stats` (the one-row-per-
-    input-row spine; ``dup_frac`` as the same single int/int
-    division)."""
+    """DuckDB replay of :func:`exact_substr_stats` — per ROW against
+    the doc-level spans (the scrub oracle's synthetic-rid discipline:
+    duplicate doc_ids each measure their own token range, spans
+    clamped to the row's length), NULL text coalesced to 0 tokens,
+    ``dup_frac`` the same single int/int division."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     return f"""
 WITH {_spans_ctes(k, table)},
-per_doc AS (
-  SELECT doc_id,
-         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
-         count(*) AS n_spans
-  FROM spans GROUP BY doc_id
+trow AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER () AS rid,
+         CAST(coalesce(len(tk), 0) AS BIGINT) AS n
+  FROM t
+),
+per_row AS (
+  SELECT tr.rid,
+         CAST(coalesce(sum(CASE WHEN sp.span_start <= tr.n
+                  THEN least(sp.span_end, tr.n) - sp.span_start + 1
+             END), 0) AS BIGINT) AS dup_tokens,
+         CAST(count(CASE WHEN sp.span_start <= tr.n THEN 1 END)
+              AS BIGINT) AS n_spans
+  FROM trow tr LEFT JOIN spans sp USING (doc_id)
+  GROUP BY tr.rid
 )
-SELECT t.doc_id,
-       CAST(len(t.tk) AS BIGINT) AS n_tokens,
-       coalesce(pd.dup_tokens, 0) AS dup_tokens,
-       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
-       CASE WHEN len(t.tk) > 0
-            THEN CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(t.tk)
+SELECT tr.doc_id,
+       tr.n AS n_tokens,
+       pr.dup_tokens,
+       pr.n_spans,
+       CASE WHEN tr.n > 0
+            THEN CAST(pr.dup_tokens AS DOUBLE) / tr.n
        END AS dup_frac
-FROM t LEFT JOIN per_doc pd USING (doc_id)
+FROM trow tr JOIN per_row pr USING (rid)
 """
 
 

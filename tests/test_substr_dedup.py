@@ -114,6 +114,60 @@ def test_stats_spine_and_empty_docs(docs):
     assert rows[5]["n_tokens"] == 0 and rows[5]["dup_frac"] is None
 
 
+def test_stats_duplicate_ids_clamp_and_match_scrub(spark):
+    """r7 ADVICE (all three items on this operator): stats are per-ROW
+    against the doc-level spans — ``dup_tokens`` equals the scrub's
+    ``n_removed`` by construction (each span clamped to the row's own
+    length, so ``dup_frac`` can never exceed 1, where the old
+    doc-level-sum join reported 3.0 on the 2-token row here), NULL
+    text measures like the empty string, and the oracle replays the
+    same per-row shape."""
+    import duckdb
+
+    rows = [
+        # "p q r s t" duplicates between the first two rows -> the
+        # pooled doc-1 cover merges to ONE span [1, 6]
+        (1, "p q r s t u v w"),
+        (1, "x p q r s t"),
+        (1, "p q"),  # the doc-level span overflows this 2-token row
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = sorted(
+        (tuple(r) for r in exact_substr_stats(df, k=K).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert stats == [
+        (1, 2, 2, 1, 1.0),       # clamped: min(6, 2) - 1 + 1 = 2
+        (1, 6, 6, 1, 1.0),
+        (1, 8, 6, 1, 0.75),
+        (9, 0, 0, 0, None),      # NULL text == empty string
+    ]
+    assert all(r[4] is None or r[4] <= 1.0 for r in stats)
+    # the defining invariant: stats.dup_tokens == scrub.n_removed,
+    # row for row (pair rows by doc_id + row token count)
+    scrub = sorted(
+        ((r["doc_id"], r["n_kept"] + r["n_removed"], r["n_removed"])
+         for r in exact_substr_scrub(df, k=K).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert [(d, n, dup) for d, n, dup, _, _ in stats] == scrub
+    # and the oracle replays it
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'p q r s t u v w'), (1, 'x p q r s t'), (1, 'p q'), "
+        "(9, CAST(NULL AS VARCHAR))) t(doc_id, text)"
+    )
+    orows = sorted(
+        (tuple(r) for r in con.execute(
+            exact_substr_stats_oracle_sql(k=K)
+        ).fetchall()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert stats == orows
+
+
 def test_scrub_removes_spans_and_reassembles(docs):
     """The remover: tokens inside duplicated spans drop, survivors
     rejoin in document order; clean docs pass through (whitespace
@@ -258,6 +312,10 @@ def test_scrub_oracle_matches_reference_on_random_corpora():
         got = con.execute(exact_substr_scrub_oracle_sql(k=3)).fetchall()
         assert len(got) == len(rows)
         by_id = {r[0]: r for r in got}
+        # stats replay the same per-row shape: dup_tokens == n_removed
+        st = {r[0]: r for r in con.execute(
+            exact_substr_stats_oracle_sql(k=3)
+        ).fetchall()}
         for i, t in rows:
             toks = t.lower().split()
             covered = set()
@@ -268,6 +326,10 @@ def test_scrub_oracle_matches_reference_on_random_corpora():
             assert text == " ".join(kept), (i, texts)
             assert n_kept == len(kept)
             assert n_kept + n_removed == len(toks)
+            _, n, dup, n_spans, frac = st[i]
+            assert (n, dup) == (len(toks), n_removed), (i, texts)
+            assert n_spans == len(ref.get(i, []))
+            assert frac is None or frac <= 1.0
 
     check()
 
