@@ -70,6 +70,7 @@ from bht_etl_app_spark.operators import (
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
+from bht_etl_app_spark.operators import substr_dedup as _substr_mod
 from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import clustering as _cluster_mod
 from bht_etl_app_spark.operators import profiling as _skew_mod
@@ -3645,6 +3646,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             final_round=6,
         ),
+        # ExactSubstr (Lee et al. ACL'22) duplicated-span dedup,
+        # re-expressed as a distributed gram-cover: maximal
+        # corpus-duplicated token runs, the per-row duplication
+        # summary, and the remover (the paper's actual deployment).
+        # k=5 exercises the tiny-vocabulary fixtures (the paper's 50
+        # BPE tokens is a parameter, not a structural change);
+        # integers/strings only — no rounding discipline anywhere.
+        "exact_substr_spans": lambda s, d: _substr_mod.exact_substr_spans(
+            load_table(s, d, "documents"), k=5
+        ),
+        "exact_substr_stats": lambda s, d: _substr_mod.exact_substr_stats(
+            load_table(s, d, "documents"), k=5
+        ),
+        "exact_substr_scrub": lambda s, d: _substr_mod.exact_substr_scrub(
+            load_table(s, d, "documents"), k=5
+        ),
+        # Moore & Lewis (ACL 2010) cross-entropy-difference data
+        # selection: score candidate docs by ce_in - ce_out under two
+        # KN trigram LMs (in-domain = src0, out-domain = src1,
+        # candidates = everything else); SELECT low ml_score. Both
+        # models run the full backoff cascade so OOV mass prices in
+        # through each model's own floor.
+        "moore_lewis_scores": lambda s, d: _kn_mod.moore_lewis_scores(
+            load_table(s, d, "documents").where(
+                ~F.col("source").isin("src0", "src1")
+            ),
+            in_ref=load_table(s, d, "documents").where(
+                F.col("source") == "src0"
+            ),
+            out_ref=load_table(s, d, "documents").where(
+                F.col("source") == "src1"
+            ),
+            final_round=6,
+        ),
         "hard_negatives": lambda s, d: _sim_mod.hard_negatives(
             load_table(s, d, "embeddings"),
             _emb_lsh_planes(_EVAL_LSH_PLANES), k=5, n_queries=32,
@@ -4239,6 +4274,14 @@ LATERAL (
         # edit cannot desynchronize them)
         "kn_doc_logprob": _kn_mod.kn_oracle_sql(),
         "kn_heldout_logprob": _kn_mod.kn_heldout_oracle_sql(),
+        # ExactSubstr family: integer/string-only replays (no rounding
+        # discipline), k matching the queries() entries exactly
+        "exact_substr_spans": _substr_mod.exact_substr_spans_oracle_sql(k=5),
+        "exact_substr_stats": _substr_mod.exact_substr_stats_oracle_sql(k=5),
+        "exact_substr_scrub": _substr_mod.exact_substr_scrub_oracle_sql(k=5),
+        # Moore-Lewis: TWO prefix-parameterized KN model chains (the
+        # same verbatim fragments every verified KN oracle uses)
+        "moore_lewis_scores": _kn_mod.moore_lewis_oracle_sql(final_round=6),
         "hard_negatives": _hard_negatives_oracle_sql(k=5, n_queries=32),
         "doc_pagerank": _graph_oracles["pagerank"],
         "dedup_rep_docs": _graph_oracles["representatives"],

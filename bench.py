@@ -195,6 +195,13 @@ HEADLINE = [
     "kn_doc_logprob",
     "kn_heldout_logprob",
     "curated_verdicts_lm",
+    # r8: ExactSubstr (Lee et al. ACL'22) gram-cover dedup — the
+    # detection kernel and the remover (stats is the same kernel
+    # minus reassembly -> cheap_sibling); Moore-Lewis two-model
+    # cross-entropy-difference selection
+    "exact_substr_spans",
+    "exact_substr_scrub",
+    "moore_lewis_scores",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):
@@ -245,7 +252,7 @@ EXCLUDED = {
         "distinct_parts_per_supplier", "doc_bigram_surprise",
         "doc_char_entropy", "doc_fingerprint", "doc_lang_id",
         "doc_pagerank", "doc_quality_scores", "doc_scrubbed",
-        "domain_quantile_keep", "embedding_norms",
+        "domain_quantile_keep", "embedding_norms", "exact_substr_stats",
         "error_recent_click_counts", "ewma_user_values",
         "freq_orderpriority", "grouping_sets_order_stats",
         "high_value_customers", "kmeans_cluster_sizes",

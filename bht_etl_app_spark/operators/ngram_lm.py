@@ -640,12 +640,11 @@ score_toks AS MATERIALIZED (
 # corpus scan + vocabulary-bounded model joins) and an id-keyed join
 # of the two score frames — nothing new shuffles at corpus scale.
 #
-# Contract status: STAGED FOR r8 (the r7 driver window is at its
-# 50-key budget: 3 new keys + the 45-key stale backlog + the
-# curated_verdicts restamp). Ships now with the pure-Python
-# differential pytest and the oracle builder exact-value-verified on
-# the fixtures (tests/test_ngram_lm.py); r8 registration is
-# queries()/oracle_sql()/bench/SURVEY wiring only.
+# Contract status: REGISTERED r8 (`moore_lewis_scores`,
+# oracle-checked; in=src0, out=src1, candidates=the rest,
+# final_round=6). Staged r7 with the pure-Python differential pytest
+# and the oracle builder exact-value-verified on the fixtures
+# (tests/test_ngram_lm.py).
 
 
 def moore_lewis_scores(

@@ -35,10 +35,10 @@ span path, so the DuckDB oracle matches bit-for-bit with no rounding
 discipline needed (the per-doc ``dup_frac`` is a single int/int
 division: correctly rounded, engine-exact).
 
-Contract status: STAGED FOR r8 (the r7 driver window is at its
-50-key budget). Ships with pure-Python differential pytests and the
-oracle builders fixture-verified (tests/test_substr_dedup.py); r8
-registration is queries()/oracle_sql()/bench/SURVEY wiring only.
+Contract status: REGISTERED r8 (`exact_substr_spans` /
+`exact_substr_stats` / `exact_substr_scrub`, all oracle-checked);
+staged r7 with pure-Python differential pytests and the oracle
+builders fixture-verified (tests/test_substr_dedup.py).
 
 No reference-parity citation: the reference app has no dedup surface;
 this extends the training-data-pipeline north star.
@@ -288,46 +288,52 @@ def exact_substr_scrub(
     return carry(out, spans)
 
 
-def _spans_ctes(k: int, table: str) -> str:
+def _spans_ctes(k: int, table: str, prefix: str = "") -> str:
     """The shared CTE chain up to maximal spans (grams → duplicated
-    fingerprints → covered positions → gaps-and-islands merge)."""
-    return f"""t AS MATERIALIZED (
+    fingerprints → covered positions → gaps-and-islands merge).
+    ``prefix`` namespaces every CTE so the chain can embed VERBATIM
+    into a composed oracle (curate_corpus' substr stage) without
+    colliding with the host's CTEs — the prefix-parameterized-builder
+    pattern every verified KN oracle uses; the default ``""`` keeps
+    the standalone oracles byte-identical."""
+    p = prefix
+    return f"""{p}t AS MATERIALIZED (
   SELECT doc_id, {_TOK_SQL} AS tk FROM {table}
 ),
-g AS MATERIALIZED (
+{p}g AS MATERIALIZED (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          md5(array_to_string(list_slice(tk, i, i + {k} - 1), ' ')) AS fp
   FROM (
     SELECT doc_id, tk, unnest(range(1, len(tk) - {k} + 2)) AS i
-    FROM t WHERE len(tk) >= {k}
+    FROM {p}t WHERE len(tk) >= {k}
   )
 ),
-dupfp AS MATERIALIZED (
-  SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2
+{p}dupfp AS MATERIALIZED (
+  SELECT fp FROM {p}g GROUP BY fp HAVING count(*) >= 2
 ),
-d AS MATERIALIZED (
-  SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dupfp)
+{p}d AS MATERIALIZED (
+  SELECT doc_id, pos FROM {p}g WHERE fp IN (SELECT fp FROM {p}dupfp)
 ),
-m AS (
+{p}m AS (
   SELECT doc_id, pos,
          max(pos + {k} - 1) OVER (
            PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) AS prev_end
-  FROM d
+  FROM {p}d
 ),
-isl AS (
+{p}isl AS (
   SELECT doc_id, pos,
          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
                   THEN 1 ELSE 0 END)
          OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM m
+  FROM {p}m
 ),
-spans AS MATERIALIZED (
+{p}spans AS MATERIALIZED (
   SELECT doc_id,
          min(pos) AS span_start,
          max(pos) + {k} - 1 AS span_end
-  FROM isl GROUP BY doc_id, island
+  FROM {p}isl GROUP BY doc_id, island
 )"""
 
 
@@ -380,43 +386,52 @@ FROM trow tr JOIN per_row pr USING (rid)
 """
 
 
+def _scrub_ctes(k: int, prefix: str = "") -> str:
+    """The remover tail over the ``{prefix}spans`` chain — trow / cov
+    / tokpos / keptagg; the final per-row SELECT stays with the
+    caller. trow keys every INPUT ROW with a synthetic rid: the scrub
+    is per-row (each row's own token array filtered against the
+    DOC-level covered positions, Spark's join shape), so duplicate
+    doc_ids must not pool their tokens into one interleaved string
+    (r7 review — observed negative n_removed before the rid).
+    ``prefix`` namespaces the CTEs for composed-oracle embedding,
+    exactly like :func:`_spans_ctes`."""
+    p = prefix
+    return f"""{p}trow AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER () AS rid, tk FROM {p}t
+),
+{p}cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS p
+  FROM {p}spans
+),
+{p}tokpos AS (
+  SELECT doc_id, rid, CAST(i AS BIGINT) AS p, tk[i] AS t
+  FROM (SELECT doc_id, rid, tk, unnest(range(1, len(tk) + 1)) AS i FROM {p}trow)
+),
+{p}keptagg AS (
+  SELECT tp.rid,
+         array_to_string(list(tp.t ORDER BY tp.p), ' ') AS scrubbed_text,
+         count(*) AS n_kept
+  FROM {p}tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {p}cov WHERE {p}cov.doc_id = tp.doc_id AND {p}cov.p = tp.p
+  )
+  GROUP BY tp.rid
+)"""
+
+
 def exact_substr_scrub_oracle_sql(k: int = 5, table: str = "documents") -> str:
     """DuckDB replay of :func:`exact_substr_scrub` — covered token
     positions exploded from the spans, survivors reassembled in
     position order (``list(t ORDER BY p)`` is the engine-exact string
     twin of Spark's array-native filter, which never leaves document
-    order)."""
+    order); ``len()`` coalesces so NULL text scrubs like the empty
+    string."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # trow keys every INPUT ROW with a synthetic rid: the scrub is
-    # per-row (each row's own token array filtered against the
-    # DOC-level covered positions, Spark's join shape), so duplicate
-    # doc_ids must not pool their tokens into one interleaved string
-    # (r7 review — observed negative n_removed before the rid);
-    # len() coalesces so NULL text scrubs like the empty string
     return f"""
 WITH {_spans_ctes(k, table)},
-trow AS MATERIALIZED (
-  SELECT doc_id, row_number() OVER () AS rid, tk FROM t
-),
-cov AS MATERIALIZED (
-  SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS p
-  FROM spans
-),
-tokpos AS (
-  SELECT doc_id, rid, CAST(i AS BIGINT) AS p, tk[i] AS t
-  FROM (SELECT doc_id, rid, tk, unnest(range(1, len(tk) + 1)) AS i FROM trow)
-),
-keptagg AS (
-  SELECT tp.rid,
-         array_to_string(list(tp.t ORDER BY tp.p), ' ') AS scrubbed_text,
-         count(*) AS n_kept
-  FROM tokpos tp
-  WHERE NOT EXISTS (
-    SELECT 1 FROM cov WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p
-  )
-  GROUP BY tp.rid
-)
+{_scrub_ctes(k)}
 SELECT tr.doc_id,
        coalesce(ka.scrubbed_text, '') AS scrubbed_text,
        CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
