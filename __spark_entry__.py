@@ -1887,17 +1887,22 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 # (the parameterized-operator/hardcoded-oracle-literal bug class)
 _LM_MIN_AVG_LOGPROB = -4.2  # keep avg_logprob >= this (ppl <= e^4.2)
 _LM_D = 0.75                # KN discount
+_SUBSTR_K = 5               # ExactSubstr minimum duplicated-run length
 
 
-def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
+def _q_curated_verdicts(spark, sf_dir, lm: bool = False, substr: bool = False):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
-    benchmark decontamination, one verdict per train doc.
-    hash_fn="md5" selects the portable family so the whole pipeline
-    is oracle-replayable (the dedup_corpus promotion rule). The LM
-    variant trains the KN model on the SAME reference corpus that
-    drives decontamination (CCNet's clean-reference discipline) and
-    drops dedup survivors below the shared _LM_MIN_AVG_LOGPROB cut."""
+    [substr=True: ExactSubstr scrub ->] benchmark decontamination,
+    one verdict per train doc. hash_fn="md5" selects the portable
+    family so the whole pipeline is oracle-replayable (the
+    dedup_corpus promotion rule). The LM variant trains the KN model
+    on the SAME reference corpus that drives decontamination (CCNet's
+    clean-reference discipline) and drops dedup survivors below the
+    shared _LM_MIN_AVG_LOGPROB cut. The substr variant removes
+    corpus-duplicated >= _SUBSTR_K-token runs from the survivors
+    (Lee et al. ACL'22 scrub-then-train), drops fully-scrubbed docs
+    as substr_dup, and decontaminates the SCRUBBED text."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1909,22 +1914,27 @@ def _q_curated_verdicts(spark, sf_dir, lm: bool = False):
         lm_ref=ref if lm else None,
         lm_min_avg_logprob=_LM_MIN_AVG_LOGPROB,
         lm_d=_LM_D,
+        substr_k=_SUBSTR_K if substr else None,
     )
 
 
-def _curated_verdicts_oracle_sql(lm: bool = False) -> str:
+def _curated_verdicts_oracle_sql(lm: bool = False, substr: bool = False) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
     portable-MinHash near-dup components keep-min → [lm=True: CCNet
-    KN perplexity filter →] benchmark 5-gram decontamination, each
-    stage consuming only the previous stage's survivors, with the
-    first-dropping stage as the per-doc verdict. Assembled from the
-    proven stage oracles (doc_filter_decisions,
-    dedup_corpus_survivors, doc_decontaminate, and for the LM stage
-    the VERBATIM kn_heldout fragments: ngram_lm._kn_model_ctes +
-    kn_backoff_per_tok_cte + _PER_DOC_CTE, so one hash-match
-    re-proves both the filter and the composition); MATERIALIZED so
-    the chained stages evaluate once each."""
+    KN perplexity filter →] [substr=True: ExactSubstr scrub →]
+    benchmark 5-gram decontamination, each stage consuming only the
+    previous stage's survivors, with the first-dropping stage as the
+    per-doc verdict. Assembled from the proven stage oracles
+    (doc_filter_decisions, dedup_corpus_survivors, doc_decontaminate;
+    for the LM stage the VERBATIM kn_heldout fragments:
+    ngram_lm._kn_model_ctes + kn_backoff_per_tok_cte + _PER_DOC_CTE;
+    for the substr stage the VERBATIM exact_substr fragments:
+    substr_dedup._spans_ctes + _scrub_ctes under the ``ss_`` prefix —
+    so one hash-match re-proves the stage oracles and the
+    composition); MATERIALIZED so the chained stages evaluate once
+    each. With substr, fully-scrubbed survivors drop as substr_dup
+    and the decontamination tokens come from the SCRUBBED text."""
     from bht_etl_app_spark.operators.dedup import minhash_mix_params
 
     def mix(k: int) -> str:
@@ -1986,6 +1996,44 @@ lms AS MATERIALIZED (
   WHERE ns.doc_id NOT IN (SELECT doc_id FROM lms)
 UNION ALL
 """
+    # substr stage: the exact_substr fragments VERBATIM under the
+    # ss_ prefix, scrubbing the current survivors' ORIGINAL text;
+    # survivors' kept-token reassembly (dct) feeds decontamination
+    ss_ctes, substr_leg = "", ""
+    hit_doc, hit_from = "t.doc_id", None  # set below once surv is final
+    if substr:
+        from bht_etl_app_spark.operators.substr_dedup import (
+            _scrub_ctes,
+            _spans_ctes,
+        )
+
+        pre = surv
+        ss_ctes = f"""
+ss_in AS MATERIALIZED (
+  SELECT tr.doc_id, tr.text FROM train tr JOIN {pre} USING (doc_id)
+),
+{_spans_ctes(_SUBSTR_K, "ss_in", prefix="ss_")},
+{_scrub_ctes(_SUBSTR_K, prefix="ss_")},
+ss_keep AS MATERIALIZED (
+  SELECT DISTINCT tr.doc_id FROM ss_trow tr JOIN ss_keptagg ka USING (rid)
+),
+dct AS MATERIALIZED (
+  SELECT tr.doc_id,
+         list_filter(regexp_split_to_array(trim(lower(
+             coalesce(ka.scrubbed_text, ''))), '\\s+'),
+           x -> x <> '') AS tk
+  FROM ss_trow tr LEFT JOIN ss_keptagg ka USING (rid)
+  WHERE tr.doc_id IN (SELECT doc_id FROM ss_keep)
+),"""
+        substr_leg = f"""SELECT {pre}.doc_id, 'substr_dup' FROM {pre}
+  WHERE {pre}.doc_id NOT IN (SELECT doc_id FROM ss_keep)
+UNION ALL
+"""
+        surv = "ss_keep"
+        hit_doc = "dct.doc_id"
+        hit_from = "dct"
+    if hit_from is None:
+        hit_from = f"t JOIN {surv} USING (doc_id)"
     return f"""
 WITH RECURSIVE train AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE source <> 'src0'
@@ -2090,7 +2138,7 @@ ndrop AS MATERIALIZED (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
 ns AS MATERIALIZED (
   SELECT doc_id FROM keepers
   WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)
-),{lm_ctes}
+),{lm_ctes}{ss_ctes}
 ev AS MATERIALIZED (
   SELECT DISTINCT g FROM (
     SELECT unnest(list_distinct(list_transform(range(1, len(t) - 5 + 2),
@@ -2103,10 +2151,10 @@ ev AS MATERIALIZED (
 ),
 hit AS MATERIALIZED (
   SELECT DISTINCT doc_id FROM (
-    SELECT t.doc_id,
+    SELECT {hit_doc},
            unnest(list_distinct(list_transform(range(1, len(tk) - 5 + 2),
                   i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS g
-    FROM t JOIN {surv} USING (doc_id)
+    FROM {hit_from}
     WHERE len(tk) >= 5
   ) WHERE g IN (SELECT g FROM ev)
 )
@@ -2118,7 +2166,7 @@ SELECT qk.doc_id, 'exact_dup' FROM qkeep qk
 UNION ALL
 SELECT doc_id, 'near_dup' FROM ndrop
 UNION ALL
-{lm_leg}SELECT doc_id, 'contaminated' FROM hit
+{lm_leg}{substr_leg}SELECT doc_id, 'contaminated' FROM hit
 UNION ALL
 SELECT {surv}.doc_id, 'kept' FROM {surv}
   WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit)
@@ -3626,6 +3674,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination and the high-perplexity tail of the dedup
         # survivors drops as verdict 'lm_ppl'
         "curated_verdicts_lm": lambda s, d: _q_curated_verdicts(s, d, lm=True),
+        # the curation chain WITH the ExactSubstr scrub composed in
+        # (after dedup, before decontamination — the paper's
+        # scrub-then-train deployment): corpus-duplicated runs are
+        # REMOVED from survivor text, fully-scrubbed docs drop as
+        # substr_dup, decontamination sees the scrubbed text
+        "curated_verdicts_substr": lambda s, d: _q_curated_verdicts(
+            s, d, substr=True
+        ),
         # interpolated Kneser-Ney trigram LM (the CCNet perplexity
         # filter). Self-scoring QA mode: train on the documents table
         # and score it — every gram attested, pure p3-table lookups.
@@ -3903,6 +3959,15 @@ _REVERIFY = {
     # value-identical — pytest + oracle re-verified locally — but the
     # function changed, so the pre-r7 green rows are stale by rule)
     "curated_verdicts": 6,
+    # r8: curate_corpus gained the optional ExactSubstr stage
+    # (substr_k=None paths value-identical, but the function changed
+    # — restamp both existing curated keys); ngram_lm.py file churn
+    # (moore_lewis registration comment) — restamp its r7-green keys
+    # with free window budget, the established file-churn discipline
+    "curated_verdicts": 7,
+    "curated_verdicts_lm": 7,
+    "kn_doc_logprob": 7,
+    "kn_heldout_logprob": 7,
 }
 
 
@@ -4269,6 +4334,7 @@ LATERAL (
         "ann_recall_report": _ann_recall_oracle_sql(k=5, n_queries=32),
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
+        "curated_verdicts_substr": _curated_verdicts_oracle_sql(substr=True),
         # KN LM oracles: the staged builders from operators/ngram_lm
         # (model-table CTE chain shared between both so a one-sided
         # edit cannot desynchronize them)

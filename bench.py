@@ -202,6 +202,8 @@ HEADLINE = [
     "exact_substr_spans",
     "exact_substr_scrub",
     "moore_lewis_scores",
+    # r8: the curation chain with the ExactSubstr scrub composed in
+    "curated_verdicts_substr",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

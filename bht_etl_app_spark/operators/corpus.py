@@ -957,6 +957,7 @@ def curate_corpus(
     lm_ref: DataFrame | None = None,
     lm_min_avg_logprob: float = -4.2,
     lm_d: float = 0.75,
+    substr_k: int | None = None,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
@@ -966,6 +967,7 @@ def curate_corpus(
     2. exact dedup (md5 keep-min)                → ``exact_dup``
     3. MinHash+LSH near-dup, components, keep-min → ``near_dup``
     3b. (``lm_ref`` given) KN perplexity filter  → ``lm_ppl``
+    3c. (``substr_k`` given) ExactSubstr scrub   → ``substr_dup``
     4. benchmark n-gram decontamination          → ``contaminated``
     5. survivors                                 → ``kept``
 
@@ -978,6 +980,17 @@ def curate_corpus(
 
     ``hash_fn="md5"`` selects the engine-portable MinHash family so
     the whole pipeline is oracle-replayable end to end.
+
+    ``substr_k`` enables the ExactSubstr stage (Lee et al., ACL 2022
+    — the paper's scrub-then-train deployment) on the survivors of
+    every earlier stage: maximal corpus-duplicated ≥``substr_k``-token
+    runs are REMOVED from each document (substring-level dedup at any
+    alignment — what doc-level MinHash structurally cannot do), docs
+    scrubbed to nothing drop as ``substr_dup``, and decontamination
+    runs on the SCRUBBED text (later stages only ever see what
+    earlier stages emit). Scale posture: the scrub adds two
+    fp-keyed corpus-scale exchanges over the survivor set (documented
+    on the operator) — no pair joins, nothing quadratic.
 
     ``lm_ref`` enables the CCNet stage (Wenzek et al., LREC 2020) in
     CCNet's own position — after dedup, with the quality gates: a
@@ -1070,6 +1083,31 @@ def curate_corpus(
             lm_keep_ids, id_col, "left_anti"
         ).select(ids, F.lit("lm_ppl").alias("verdict"))
         ns = ns.join(lm_keep_ids, id_col, "left_semi")
+    # 3c. ExactSubstr scrub (optional): remove corpus-duplicated
+    # token runs from the survivors; fully-scrubbed docs drop, the
+    # decontamination stage consumes the SCRUBBED text. Only the
+    # id-keyed keep list persists (the no-text-persists discipline);
+    # the scrubbed text recomputes into the decontamination stage
+    # with the operator's own persisted grams frame bounding the
+    # recompute. scr is carried onto the output for that frame's
+    # lifecycle.
+    scr = None
+    if substr_k is not None:
+        from bht_etl_app_spark.operators.substr_dedup import exact_substr_scrub
+
+        scr = exact_substr_scrub(ns, k=substr_k, text_col=text_col, id_col=id_col)
+        substr_keep_ids = (
+            scr.where(F.col("n_kept") > 0)
+            .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        extra_cached.append(substr_keep_ids)
+        drop_substr = ns.select(id_col).join(
+            substr_keep_ids, id_col, "left_anti"
+        ).select(ids, F.lit("substr_dup").alias("verdict"))
+        ns = scr.join(substr_keep_ids, id_col, "left_semi").select(
+            F.col(id_col), F.col("scrubbed_text").alias(text_col)
+        )
     # 4. decontamination
     dec = decontaminate(
         ns, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
@@ -1083,6 +1121,8 @@ def curate_corpus(
     out = drop_quality.unionByName(drop_exact).unionByName(drop_near)
     if lm_scores is not None:
         out = out.unionByName(drop_lm)
+    if scr is not None:
+        out = out.unionByName(drop_substr)
     out = out.unionByName(drop_cont).unionByName(kept)
     out = carry(
         track_persisted(out, qdec, exact_keep, drop_near_ids, dec, *extra_cached),
@@ -1090,4 +1130,6 @@ def curate_corpus(
     )
     if lm_scores is not None:
         out = carry(out, lm_scores)
+    if scr is not None:
+        out = carry(out, scr)
     return out

@@ -460,6 +460,57 @@ def test_curate_corpus_lm_stage_drops_high_perplexity_tail(spark):
     assert base == {1: "contaminated", 2: "kept", 3: "quality"}
 
 
+def test_curate_corpus_substr_stage_scrubs_before_decontamination(spark):
+    """substr_k enables the ExactSubstr stage in position: a survivor
+    fully covered by corpus-duplicated runs drops as substr_dup, a
+    partially-covered survivor continues with its SCRUBBED text, and
+    decontamination runs on that scrubbed text — a benchmark 5-gram
+    sitting INSIDE a duplicated run no longer contaminates (the
+    substr_k=None path keeps the original chain, where it does)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    r1 = " ".join(f"r{i}" for i in range(22))
+    r2 = "benchmark marker five gram match here now union"
+    rows = [
+        # fully covered by the run it shares with doc 2 (their shingle
+        # jaccard is 0.625 < 0.8, so near-dup does NOT catch the pair)
+        (1, r1),
+        (2, " ".join(f"f{i}" for i in range(14)) + " " + r1),
+        # docs 3/4 share r2 (which carries the benchmark 5-grams);
+        # pairwise jaccard ~0.18 -> never near-dups
+        (3, " ".join(f"d{i}" for i in range(14)) + " " + r2),
+        (4, " ".join(f"e{i}" for i in range(14)) + " " + r2),
+        (5, "too short"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench, hash_fn="md5", substr_k=5
+        ).collect()
+    }
+    assert got == {
+        1: "substr_dup",  # scrubbed to nothing
+        2: "kept",        # scrubbed to its f-prefix, clean
+        3: "kept",        # the contaminating 5-gram was scrubbed away
+        4: "kept",
+        5: "quality",
+    }
+    base = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, bench, hash_fn="md5").collect()
+    }
+    assert base == {
+        1: "kept", 2: "kept",
+        3: "contaminated", 4: "contaminated",
+        5: "quality",
+    }
+
+
 def test_curate_corpus_mid_band_pair_is_kept(spark):
     """Regression (r5 session-2 review #1): a doc pair with Jaccard in
     [0.5, 0.8) must be KEPT — minhash_lsh_pairs' default 0.5 threshold
