@@ -3718,6 +3718,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_scrub": lambda s, d: _substr_mod.exact_substr_scrub(
             load_table(s, d, "documents"), k=5
         ),
+        # xxhash64 production twins (the dedup family's r5 pattern):
+        # 8-byte longs on the wire instead of 32-char md5 strings for
+        # the corpus-token-sized (id,pos,fp) shuffle — Spark-only
+        # hash, so rows-only; span/scrub equality with the md5 family
+        # is pinned by tests/test_substr_dedup.py::
+        # test_hash_family_twins_agree_and_fixture_parity
+        "exact_substr_spans_fast": lambda s, d: _substr_mod.exact_substr_spans(
+            load_table(s, d, "documents"), k=5, hash_fn="xxhash64"
+        ),
+        "exact_substr_scrub_fast": lambda s, d: _substr_mod.exact_substr_scrub(
+            load_table(s, d, "documents"), k=5, hash_fn="xxhash64"
+        ),
         # Moore & Lewis (ACL 2010) cross-entropy-difference data
         # selection: score candidate docs by ce_in - ce_out under two
         # KN trigram LMs (in-domain = src0, out-domain = src1,

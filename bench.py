@@ -239,6 +239,7 @@ EXCLUDED = {
         "q21_sole_late_supplier", "q22_above_avg_suppliers",
     ],
     "twin": [
+        "exact_substr_spans_fast", "exact_substr_scrub_fast",
         "simhash_near_dup_fast", "simhash_near_dup_retuned",
         "simhash_near_dup_wide", "knn_vec0_arrow", "knn_vec0_quantized",
         "domain_quantile_keep_approx", "order_price_percentiles_approx",

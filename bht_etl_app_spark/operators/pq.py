@@ -312,3 +312,184 @@ def ann_pq_index_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_knn_join(
+    queries: DataFrame,
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF-PQ top-k join — the multi-query deployment shape of
+    :func:`ann_ivf_pq_topk`: for every query row, the ``k`` smallest
+    ADC distances among the ``nprobe`` probed inverted lists. Output
+    ``(q_id, vec_id, adc_dist, rank)``.
+
+    Unlike the single-query form (whose LUT is a driver-computed
+    literal), the per-query m x k ADC lookup table is a PROJECTED
+    ARRAY COLUMN on the query side (one squared-L2 fold per codeword
+    against the literal codebooks — parameter-sized work per query
+    row), and the probe list ranking is an in-array sort of the
+    coarse dot scores (score desc, cid asc — the IVF rule). The
+    query side explodes to ``n_queries x nprobe`` rows and
+    BROADCASTS; candidates join on their coarse ``list_id`` (a pure
+    projection, exactly :func:`pq_index_rows`), are scored with ``m``
+    ``element_at`` lookups + a sequential fold, and rank in a
+    per-query window.
+
+    Scale posture: no corpus-scale shuffle — the corpus side is scan
+    + projection + broadcast-hash join; only probed candidates reach
+    the ``q_id`` window, and real deployments size nlist ~ sqrt(N) so
+    a probed list stays a vanishing corpus fraction (here kc is a
+    fixture-sized 8). Every float fold is dimension-sequential and
+    distances round to 6 dp before the (dist, id) ordering — the
+    family's engine-exactness discipline."""
+    from .clustering import _argmax_expr, _l2_scores_expr
+    from .similarity import ivf_scores_expr, lit_double_array
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    n_codewords = len(codebooks[0])
+    from pyspark.sql.window import Window
+
+    qvec = F.col(vec_col).cast("array<double>")
+    # flattened m x k LUT, subspace-major — the pq_adc_lut layout;
+    # each entry folds (q_i - c_i)^2 in dimension order
+    lut_entries = []
+    for s in range(m):
+        sub = _subvec(qvec, s, d_sub)
+        for c in range(n_codewords):
+            cw = lit_double_array([float(x) for x in codebooks[s][c]])
+            lut_entries.append(
+                F.aggregate(
+                    F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    # probe ranking: score desc, cid asc via an explicit comparator
+    # (strict >/< on the raw dots — ties fall to cid, matching the
+    # oracle's ORDER BY ... DESC, cid ASC row_number)
+    pairs = F.transform(
+        ivf_scores_expr(F.col(vec_col), coarse_centroids),
+        lambda s, i: F.struct(s.alias("s"), i.cast("int").alias("cid")),
+    )
+    ranked = F.array_sort(
+        pairs,
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .otherwise(l["cid"] - r["cid"]),
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cid"])
+    qside = F.broadcast(
+        queries.select(
+            F.col(q_id),
+            F.array(*lut_entries).alias("__lut__"),
+            F.explode(probes).alias("__probe__"),
+        )
+    )
+
+    vec = F.col(vec_col)
+    codes = F.array(*[
+        _argmax_expr(_l2_scores_expr(_subvec(vec, s, d_sub), codebooks[s]))
+        for s in range(m)
+    ])
+    from .similarity import _ivf_list_id
+
+    cand = ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        _ivf_list_id(ivf_scores_expr(vec, coarse_centroids))
+        .cast("int")
+        .alias("__list__"),
+        codes.alias("codes"),
+    )
+    contribs = F.transform(
+        F.col("codes"),
+        lambda c, s: F.element_at(
+            F.col("__lut__"), (s * n_codewords + c + 1).cast("int")
+        ),
+    )
+    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    scored = cand.join(
+        qside, cand["__list__"] == qside["__probe__"], "inner"
+    ).select(F.col(q_id), F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
+    w = Window.partitionBy(q_id).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def l2_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 k-NN join — the brute-force baseline for the
+    PQ family, which approximates L2 (recall measured against the
+    cosine baseline would conflate metric mismatch with quantization
+    loss). Broadcast-query scoring (|Q| x |C| map-side, the knn_join
+    shape), distances fold dimension-sequentially and round to 6 dp
+    before the per-query (dist, id) rank window. Output
+    ``(q_id, vec_id, l2_dist, rank)``."""
+    from pyspark.sql.window import Window
+
+    qd = F.broadcast(
+        queries.select(
+            F.col(q_id), F.col(vec_col).cast("array<double>").alias("__qv__")
+        )
+    )
+    cd = corpus.select(
+        F.col(c_id), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv__"), F.col("__cv__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cd.join(qd).select(
+        F.col(q_id), F.col(c_id), F.bround(dist, 6).alias("l2_dist")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("l2_dist"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ann_recall_report_pq(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_queries: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF-PQ path (:func:`pq_knn_join` — the
+    configuration you would actually run at 100 TB, ~400x smaller
+    candidate payloads) against the exact squared-L2 brute force, on
+    the deterministic ``id < n_queries`` sample — so the
+    compression's recall cost is a NUMBER beside its speed number
+    (r7 VERDICT #5), through the identical verified fold as the LSH
+    report (:func:`~bht_etl_app_spark.operators.similarity.
+    recall_vs_exact`). One row: ``(n_queries, k, avg_recall,
+    min_recall)``."""
+    from .similarity import recall_vs_exact
+
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), vec_col
+    )
+    exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col)
+    approx = pq_knn_join(
+        q, emb, coarse_centroids, codebooks, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return recall_vs_exact(exact, approx, k, id_col=id_col)

@@ -625,6 +625,23 @@ def ann_recall_report(
         q, emb, planes, k=k, c_id=id_col, vec_col=vec_col,
         multiprobe_bits=multiprobe_bits,
     )
+    return recall_vs_exact(exact, approx, k, id_col=id_col)
+
+
+def recall_vs_exact(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The shared recall@k fold: join the approximate top-k onto the
+    exact top-k per query, per-query recall = hits/k (an exact
+    rational), the average folds in q_id-sorted order (the bm25 rule)
+    so the report is bit-stable across engines and partitionings.
+    One row: ``(n_queries, k, avg_recall, min_recall)``. Extracted
+    from :func:`ann_recall_report` (r8) so the IVF-PQ recall harness
+    (operators/pq.py ann_recall_report_pq) reports through the
+    identical, already-verified fold."""
     hits = exact.select("q_id", id_col).join(
         approx.select("q_id", F.col(id_col), F.lit(1).alias("__hit__")),
         ["q_id", id_col],

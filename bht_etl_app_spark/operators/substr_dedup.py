@@ -30,10 +30,14 @@ duplicated run at ANY alignment, which is exactly why the suffix
 array method removes ~10x more text than paragraph dedup in the
 paper.
 
-Everything is integers and md5 strings — no floats anywhere in the
-span path, so the DuckDB oracle matches bit-for-bit with no rounding
-discipline needed (the per-doc ``dup_frac`` is a single int/int
-division: correctly rounded, engine-exact).
+Everything is integers and fingerprint hashes — no floats anywhere
+in the span path, so the DuckDB oracle matches bit-for-bit with no
+rounding discipline needed (the per-doc ``dup_frac`` is a single
+int/int division: correctly rounded, engine-exact). The fingerprint
+has the dedup family's production/portable seam (``hash_fn``):
+md5 strings for the oracle-replayable contract keys, xxhash64 longs
+for the ``_fast`` production twins (8 bytes on the wire instead of
+~32 per token position — see :func:`_gram_fp_structs`).
 
 Contract status: REGISTERED r8 (`exact_substr_spans` /
 `exact_substr_stats` / `exact_substr_scrub`, all oracle-checked);
@@ -68,27 +72,47 @@ __all__ = [
 _TOK_SQL = tokens_sql()
 
 
-def _gram_fp_structs(text_col: str, k: int) -> Column:
-    """``array<struct<pos,fp>>`` — 1-based start position and the md5
+def _gram_fp_structs(text_col: str, k: int, hash_fn: str = "md5") -> Column:
+    """``array<struct<pos,fp>>`` — 1-based start position and a hash
     of the space-joined k-token window (tokens cannot contain spaces,
-    so the join is collision-free); docs shorter than k emit none."""
+    so the join is collision-free); docs shorter than k emit none.
+
+    ``hash_fn`` is the family's production/portable seam (the dedup
+    family's r5 pattern — the fp is equality-only, so any injective
+    hash works):
+
+    - ``"md5"`` — the engine-PORTABLE default the oracles replay
+      (DuckDB has md5, not xxhash64): a 32-char hex string, i.e.
+      ~32 bytes shuffled per token position.
+    - ``"xxhash64"`` — the PRODUCTION twin: one JVM op, an 8-byte
+      long on the wire — the shuffle-weight cut that matters when
+      the (id,pos,fp) frame is corpus-token-sized (r7 VERDICT #4).
+    """
     toks = tokens_expr(text_col)
+    if hash_fn == "md5":
+        fp_of = F.md5
+        fp_type = "string"
+    elif hash_fn == "xxhash64":
+        fp_of = F.xxhash64
+        fp_type = "bigint"
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(k) + 1),
             lambda i: F.struct(
                 i.cast("long").alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
+                fp_of(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
             ),
         ),
     ).otherwise(
-        F.array().cast("array<struct<pos:bigint,fp:string>>")
+        F.array().cast(f"array<struct<pos:bigint,fp:{fp_type}>>")
     )
 
 
 def _dup_positions(
-    df: DataFrame, k: int, text_col: str, id_col: str
+    df: DataFrame, k: int, text_col: str, id_col: str, hash_fn: str = "md5"
 ) -> tuple[DataFrame, DataFrame]:
     """``(doc_id, pos)`` for every k-gram start whose fingerprint
     occurs ≥ 2 times corpus-wide (including twice within one doc —
@@ -102,7 +126,10 @@ def _dup_positions(
 
     grams = (
         ensure_min_parallelism(df)
-        .select(F.col(id_col), F.explode(_gram_fp_structs(text_col, k)).alias("g"))
+        .select(
+            F.col(id_col),
+            F.explode(_gram_fp_structs(text_col, k, hash_fn)).alias("g"),
+        )
         .select(id_col, "g.pos", "g.fp")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -120,6 +147,7 @@ def exact_substr_spans(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Maximal duplicated token spans: ``(doc_id, span_start,
     span_end, span_tokens)`` — 1-based inclusive token positions of
@@ -131,7 +159,7 @@ def exact_substr_spans(
         # k=1 degrades to "any token that appears twice" — that is a
         # stopword detector, not substring dedup; fail loudly
         raise ValueError(f"k must be >= 2, got {k}")
-    d, grams = _dup_positions(df, k, text_col, id_col)
+    d, grams = _dup_positions(df, k, text_col, id_col, hash_fn)
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -171,6 +199,7 @@ def exact_substr_stats(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-ROW duplication summary against the DOC-level maximal
     spans: ``(doc_id, n_tokens, dup_tokens, n_spans, dup_frac)`` — one
@@ -188,7 +217,7 @@ def exact_substr_stats(
     structural empty-denominator rule), matching the scrub's coalesce
     convention. Everything stays int/int (``dup_frac`` is one
     correctly-rounded division — no quantization needed)."""
-    spans = exact_substr_spans(df, k, text_col, id_col)
+    spans = exact_substr_spans(df, k, text_col, id_col, hash_fn)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
@@ -235,6 +264,7 @@ def exact_substr_scrub(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The REMOVER — what the paper actually does with the spans:
     drop every token inside a duplicated span and reassemble the
@@ -245,7 +275,7 @@ def exact_substr_scrub(
     the empty string; empty docs stay empty. Token filtering is
     array-native per document (no extra shuffle beyond the spans
     computation itself)."""
-    spans = exact_substr_spans(df, k, text_col, id_col)
+    spans = exact_substr_spans(df, k, text_col, id_col, hash_fn)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))

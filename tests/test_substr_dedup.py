@@ -232,6 +232,37 @@ def test_scrub_duplicate_ids_and_null_text_match_oracle(spark):
     assert got == orows
 
 
+def test_hash_family_twins_agree_and_fixture_parity(spark, docs):
+    """The xxhash64 production twin (8-byte longs on the wire instead
+    of 32-char md5 strings) is value-IDENTICAL to the portable md5
+    family on spans, stats, and scrub — the fp is equality-only, so
+    any injective hash yields the same cover (the dedup family's
+    hash_fn-seam contract). Checked on the semantics fixture and on
+    the real sf0.001 documents table (the rows-only keys' evidence)."""
+    from bht_etl_app_spark.session import load_table
+
+    fixture_docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for frame in (docs, fixture_docs):
+        for fn, sort_cols in (
+            (exact_substr_spans, ["doc_id", "span_start"]),
+            (exact_substr_stats, ["doc_id", "n_tokens"]),
+            (exact_substr_scrub, ["doc_id", "scrubbed_text"]),
+        ):
+            md5_rows = [
+                tuple(r)
+                for r in fn(frame, k=K).orderBy(*sort_cols).collect()
+            ]
+            xx_rows = [
+                tuple(r)
+                for r in fn(frame, k=K, hash_fn="xxhash64")
+                .orderBy(*sort_cols)
+                .collect()
+            ]
+            assert md5_rows == xx_rows and len(md5_rows) > 0, fn.__name__
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        exact_substr_spans(docs, k=K, hash_fn="sha1")
+
+
 def test_k_guard():
     with pytest.raises(ValueError, match="k must be"):
         exact_substr_spans_oracle_sql(k=1)
