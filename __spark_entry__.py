@@ -2484,6 +2484,121 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
 """
 
 
+def _ann_ivf_pq_recall_oracle_sql(
+    k: int = 16,
+    rounds: int = 2,
+    kc: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 32,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ann_recall_report_ivf_pq: the IVF-PQ batched
+    top-k (coarse chain cv + subspace chains p0/p1 — the SAME
+    fragments the verified ann_ivf_pq_topk oracle uses, generalized
+    to per-query probe ranking and per-query LUTs) against the exact
+    squared-L2 brute force, folded into the recall report exactly as
+    _ann_recall_oracle_sql does (q_id-ordered average) — so the
+    harness, both paths, AND the 400x-compression recall cost are
+    hash-verified together."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="cv")},
+{_pq_chains_cte(k, rounds, dim)},
+qs AS (SELECT vec_id AS q_id, v AS qv FROM cve WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round_even(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      e.vec_id ASC) AS rank
+    FROM qs q, cve e
+  ) WHERE rank <= {topk}
+),
+probe AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM qs q, cvc{rounds} c
+  ) WHERE rn <= {nprobe}
+),
+cassign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cve e, cvc{rounds} c
+  ) WHERE rn = 1
+),
+lut0 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS dd
+  FROM qs q, p0c{rounds} c
+),
+lut1 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[{d} + i] - c.c[i]) * (q.qv[{d} + i] - c.c[i]))) AS dd
+  FROM qs q, p1c{rounds} c
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT pr.q_id, cv.vec_id,
+           row_number() OVER (
+             PARTITION BY pr.q_id
+             ORDER BY round_even(l0.dd + l1.dd, 6) ASC, cv.vec_id ASC
+           ) AS rank
+    FROM cassign cv
+    JOIN probe pr ON cv.list_id = pr.cid
+    JOIN p0a{fin} a ON a.vec_id = cv.vec_id
+    JOIN p1a{fin} b ON b.vec_id = cv.vec_id
+    JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.cid = a.list_id
+    JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.cid = b.list_id
+  ) WHERE rank <= {topk}
+),
+per_q AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN approx ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({topk} AS BIGINT) AS k,
+       round(list_sum(list(recall ORDER BY q_id))
+             / CAST(count(*) AS DOUBLE), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall
+FROM per_q
+"""
+
+
+def _q_ann_recall_ivf_pq(spark, sf_dir):
+    """Recall@k of the IVF-PQ configuration (the 100 TB call shape)
+    vs the exact squared-L2 brute force — r7 VERDICT #5: the 400x
+    compression's recall cost as an oracle-checked number beside its
+    speed number. Same coarse/codebook training as ann_ivf_pq_topk;
+    the batched pq_knn_join scores all 32 sample queries in ONE
+    broadcast-join pass."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import ann_recall_report_pq, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, **_PQ_PARAMS)
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    return ann_recall_report_pq(
+        emb, cents, books, k=5, n_queries=32, nprobe=2
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from bht_etl_app_spark.operators.sampling import stratified_sample
 
@@ -3403,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
         "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
@@ -3980,6 +4096,47 @@ _REVERIFY = {
     "curated_verdicts_lm": 7,
     "kn_doc_logprob": 7,
     "kn_heldout_logprob": 7,
+    # r8 semantic change: ann_recall_report now reports through the
+    # extracted shared fold (recall_vs_exact — values identical,
+    # function changed)
+    "ann_recall_report": 7,
+    # r8 file churn: pq.py gained the batched IVF-PQ join + recall
+    # harness, similarity.py the shared recall fold, corpus.py the
+    # substr stage — front-load their green keys with the remaining
+    # window budget (8 brand-new keys + 5 semantic restamps above
+    # leave ~37 free slots; total front-load 45 <= 50)
+    "pq_codes": 7,
+    "ann_pq_topk": 7,
+    "ann_ivf_pq_topk": 7,
+    "ann_pq_store_topk": 7,
+    "knn_vec0": 7,
+    "knn_vec0_arrow": 7,
+    "knn_vec0_quantized": 7,
+    "embedding_quantized": 7,
+    "knn_label_votes": 7,
+    "ann_knn_join": 7,
+    "near_dup_embeddings": 7,
+    "ann_ivf_topk": 7,
+    "ann_lsh_topk": 7,
+    "hybrid_rrf_topk": 7,
+    "hard_negatives": 7,
+    "semantic_dedup_survivors": 7,
+    "doc_decontaminate": 7,
+    "doc_bloom_decontaminate": 7,
+    "doc_span_dedup": 7,
+    "doc_chunks": 7,
+    "vocab_coverage": 7,
+    "doc_filter_decisions": 7,
+    "domain_quantile_keep": 7,
+    "domain_quantile_keep_approx": 7,
+    "domain_mixture": 7,
+    "domain_token_sketch": 7,
+    "doc_upsert_snapshot": 7,
+    "doc_apply_cdc": 7,
+    "mixture_sample_docs": 7,
+    "corpus_snapshot_diff": 7,
+    "source_dedup_rates": 7,
+    "corpus_datacard": 7,
 }
 
 
@@ -4891,6 +5048,7 @@ SELECT vec_id, cosine FROM (
         "ann_pq_topk": _ann_pq_topk_oracle_sql(),
         "ann_ivf_pq_topk": _ann_ivf_pq_oracle_sql(),
         "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),
+        "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

