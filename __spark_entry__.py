@@ -3798,6 +3798,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_verdicts_substr": lambda s, d: _q_curated_verdicts(
             s, d, substr=True
         ),
+        # the COMPLETE pipeline: every optional stage on — quality ->
+        # exact -> near-dup -> KN perplexity -> ExactSubstr scrub ->
+        # decontamination(scrubbed); the composed oracle embeds the
+        # KN fragments AND the substr fragments in one statement
+        "curated_verdicts_full": lambda s, d: _q_curated_verdicts(
+            s, d, lm=True, substr=True
+        ),
         # interpolated Kneser-Ney trigram LM (the CCNet perplexity
         # filter). Self-scoring QA mode: train on the documents table
         # and score it — every gram attested, pure p3-table lookups.
@@ -4504,6 +4511,9 @@ LATERAL (
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
         "curated_verdicts_substr": _curated_verdicts_oracle_sql(substr=True),
+        "curated_verdicts_full": _curated_verdicts_oracle_sql(
+            lm=True, substr=True
+        ),
         # KN LM oracles: the staged builders from operators/ngram_lm
         # (model-table CTE chain shared between both so a one-sided
         # edit cannot desynchronize them)

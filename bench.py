@@ -202,8 +202,10 @@ HEADLINE = [
     "exact_substr_spans",
     "exact_substr_scrub",
     "moore_lewis_scores",
-    # r8: the curation chain with the ExactSubstr scrub composed in
+    # r8: the curation chain with the ExactSubstr scrub composed in,
+    # and the COMPLETE pipeline with every optional stage on
     "curated_verdicts_substr",
+    "curated_verdicts_full",
     # r8: IVF-PQ recall harness (batched pq_knn_join vs exact L2)
     "ann_recall_report_ivf_pq",
 ]

@@ -511,6 +511,53 @@ def test_curate_corpus_substr_stage_scrubs_before_decontamination(spark):
     }
 
 
+def test_curate_corpus_full_chain_lm_drops_before_substr(spark):
+    """With BOTH optional stages on, the LM filter runs before the
+    scrub: an OOV doc that would ALSO scrub to nothing reports
+    lm_ppl (its first dropping stage) — and because it never reaches
+    the substr stage its grams never feed the duplication cover. The
+    substr-only chain reports substr_dup for the same doc."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+    from bht_etl_app_spark.operators.ngram_lm import kn_doc_logprob
+
+    ref_text = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the green hills with great speed and joy today"
+    )
+    run = " ".join(f"zq{i}" for i in range(22))  # OOV everywhere
+    rows = [
+        (1, ref_text),                                   # in-dist
+        (2, run),                                        # OOV, fully covered by 3
+        (3, " ".join(f"yy{i}" for i in range(10)) + " " + run),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_doc_logprob(
+            train.where("doc_id <= 2"), train_df=ref, final_round=6
+        ).collect()
+    }
+    cut = (scores[1] + scores[2]) / 2
+    full = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, ref, hash_fn="md5", lm_ref=ref,
+            lm_min_avg_logprob=cut, substr_k=5,
+        ).collect()
+    }
+    # doc 1 shares every 5-gram with the benchmark/reference; docs
+    # 2/3 both fall below the LM cut BEFORE the scrub can see them
+    assert full == {1: "contaminated", 2: "lm_ppl", 3: "lm_ppl"}
+    substr_only = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, ref, hash_fn="md5", substr_k=5
+        ).collect()
+    }
+    assert substr_only == {1: "contaminated", 2: "substr_dup", 3: "kept"}
+
+
 def test_curate_corpus_mid_band_pair_is_kept(spark):
     """Regression (r5 session-2 review #1): a doc pair with Jaccard in
     [0.5, 0.8) must be KEPT — minhash_lsh_pairs' default 0.5 threshold

@@ -108,6 +108,9 @@ NESTED_LOOP_OK = {
                              # printed plan are the persisted LM keep
                              # list's lineage shown once per verdict
                              # leg (cache materializes it once)
+    "curated_verdicts_full",  # inherits curated_verdicts_lm's
+                             # whitelisted 1-row KN broadcasts (the
+                             # substr stage adds only equi-joins)
     "moore_lewis_scores",    # TWO KN model chains -> the 1-row
                              # N1p(..) type-total broadcast appears
                              # once per model (kn_heldout_logprob's
