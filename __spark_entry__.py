@@ -4090,15 +4090,13 @@ _REVERIFY = {
     "running_monthly_revenue": 4,
     "moving_avg_revenue": 4,
     "salted_user_event_totals": 4,
-    # r7: curate_corpus gained the optional LM stage (lm_ref=None path
-    # value-identical — pytest + oracle re-verified locally — but the
-    # function changed, so the pre-r7 green rows are stale by rule)
-    "curated_verdicts": 6,
     # r8: curate_corpus gained the optional ExactSubstr stage
     # (substr_k=None paths value-identical, but the function changed
-    # — restamp both existing curated keys); ngram_lm.py file churn
-    # (moore_lewis registration comment) — restamp its r7-green keys
-    # with free window budget, the established file-churn discipline
+    # — restamp both existing curated keys; this supersedes the r7
+    # lm-stage restamp of curated_verdicts at 6); ngram_lm.py file
+    # churn (moore_lewis registration comment) — restamp its
+    # r7-green keys with free window budget, the established
+    # file-churn discipline
     "curated_verdicts": 7,
     "curated_verdicts_lm": 7,
     "kn_doc_logprob": 7,
@@ -4110,8 +4108,8 @@ _REVERIFY = {
     # r8 file churn: pq.py gained the batched IVF-PQ join + recall
     # harness, similarity.py the shared recall fold, corpus.py the
     # substr stage — front-load their green keys with the remaining
-    # window budget (8 brand-new keys + 5 semantic restamps above
-    # leave ~37 free slots; total front-load 45 <= 50)
+    # window budget (9 brand-new keys + 5 semantic restamps above +
+    # 32 file-churn entries below = 46 front-loaded <= 50)
     "pq_codes": 7,
     "ann_pq_topk": 7,
     "ann_ivf_pq_topk": 7,

@@ -1095,7 +1095,12 @@ def curate_corpus(
     if substr_k is not None:
         from bht_etl_app_spark.operators.substr_dedup import exact_substr_scrub
 
-        scr = exact_substr_scrub(ns, k=substr_k, text_col=text_col, id_col=id_col)
+        # hash_fn forwards so the production chain shuffles 8-byte
+        # xxhash64 fps, not 32-char md5 strings (r8 review #1 — the
+        # stage silently ran md5 under hash_fn="xxhash64" before)
+        scr = exact_substr_scrub(
+            ns, k=substr_k, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+        )
         substr_keep_ids = (
             scr.where(F.col("n_kept") > 0)
             .select(id_col)

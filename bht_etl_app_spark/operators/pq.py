@@ -60,6 +60,9 @@ __all__ = [
     "ann_ivf_pq_topk",
     "pq_index_rows",
     "ann_pq_index_topk",
+    "pq_knn_join",
+    "l2_knn_join",
+    "ann_recall_report_pq",
 ]
 
 

@@ -382,15 +382,21 @@ def test_l2_knn_join_matches_python_reference(spark):
 
 def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
     """The IVF-PQ recall report stays within [0, 1] with the declared
-    shape, and probing EVERY list (nprobe = kc) cannot score lower
-    than the nprobe=1 run — more candidates can only add exact
-    neighbors to the approximate top-k's reachable set... (not
-    guaranteed per-query for rank-k displacement, so assert on the
-    full-probe run's bounds plus monotone candidate-set recall at
-    k=1, where displacement cannot occur: the true nearest neighbor
-    is found iff its list is probed)."""
+    shape, and with nprobe = kc (every list probed) the batched join
+    degenerates to full PQ ADC — per-query results must equal
+    pq_topk over the encoded corpus. (Recall is deliberately NOT
+    asserted monotone in nprobe: a larger candidate set can surface
+    a smaller-ADC non-neighbor that displaces the true NN from the
+    approximate top-k — the dial's known non-monotonicity.)"""
     from bht_etl_app_spark.operators.clustering import kmeans_fit
-    from bht_etl_app_spark.operators.pq import ann_recall_report_pq, pq_train
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_report_pq,
+        pq_encode,
+        pq_knn_join,
+        pq_topk,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
 
     books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
     cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
@@ -399,6 +405,27 @@ def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
     ).collect()[0]
     assert (r["n_queries"], r["k"]) == (8, 5)
     assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
+    # nprobe == kc: candidates = whole corpus -> per-query equality
+    # with the full ADC ranking
+    q = emb_sdf.where("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    batched = {}
+    for row in pq_knn_join(q, emb_sdf, cents, books, k=6, nprobe=4).collect():
+        batched.setdefault(row["q_id"], []).append(
+            (row["rank"], row["vec_id"], row["adc_dist"])
+        )
+    codes = pq_encode(emb_sdf, books)
+    for q_id in (0, 1):
+        qv = [
+            float(x)
+            for x in emb_sdf.where(f"vec_id = {q_id}").first()["embedding"]
+        ]
+        full = [
+            (i + 1, row["vec_id"], row["adc_dist"])
+            for i, row in enumerate(pq_topk(codes, qv, books, k=6).collect())
+        ]
+        assert sorted(batched[q_id]) == full, q_id
 
 
 def test_ann_recall_report_exact_vs_exact_is_one(spark):
