@@ -133,3 +133,30 @@ def test_live_red_or_new_keys_front_load(live_order):
         assert max(live_order.index(k) for k in never) < min(
             stale_or_green_positions
         )
+
+
+def test_reverify_literal_lint_catches_shadowed_restamp(tmp_path):
+    """r8 review #1: _REVERIFY keeps restamp HISTORY as duplicate
+    dict keys (last wins), which is safe only append-at-end — a new
+    stamp inserted ABOVE an existing later duplicate is silently
+    shadowed. The lint enforces non-decreasing values per key and
+    must flag the shadowing insertion, accept the append style, and
+    pass on the real contract file."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from lint_contract import lint_reverify_literal
+
+    ok = tmp_path / "ok.py"
+    ok.write_text('_REVERIFY = {\n    "a": 2,\n    "b": 3,\n    "a": 5,\n}\n')
+    assert lint_reverify_literal(str(ok)) == []
+
+    bad = tmp_path / "bad.py"
+    # the r8-reviewed failure mode: round-7 stamp inserted above the
+    # historical round-4 entry -> the 4 wins and 7 is dead
+    bad.write_text('_REVERIFY = {\n    "a": 7,\n    "b": 3,\n    "a": 4,\n}\n')
+    found = lint_reverify_literal(str(bad))
+    assert len(found) == 1 and "'a'" in found[0] and "round 4" in found[0]
+
+    # the live contract file must already satisfy the invariant
+    root = os.path.join(os.path.dirname(__file__), "..")
+    assert lint_reverify_literal(os.path.join(root, "__spark_entry__.py")) == []

@@ -98,6 +98,52 @@ def oracle_type_hazard(duck_type: str) -> bool:
     )
 
 
+def lint_reverify_literal(entry_path: str) -> list[str]:
+    """AST-lint the ``_REVERIFY`` dict literal (r8 review #1): the
+    restamp log deliberately keeps HISTORY as duplicate keys (a key
+    restamped in r4 and again in r7 appears twice; Python keeps the
+    last), which is safe ONLY while restamps are appended at the end
+    — a new stamp inserted ABOVE an existing later duplicate is
+    silently shadowed and the key never re-verifies (exactly the
+    stale-green failure mode the dict exists to prevent). Enforce the
+    invariant mechanically: every duplicated key's values must be
+    non-decreasing in source order, so the winning (last) entry is
+    always the newest round."""
+    import ast
+
+    with open(entry_path.replace(".pyc", ".py")) as f:
+        tree = ast.parse(f.read())
+    out: list[str] = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id == "_REVERIFY"
+            and isinstance(node.value, ast.Dict)
+        ):
+            seen: dict[str, int] = {}
+            for k, v in zip(node.value.keys, node.value.values):
+                if not (
+                    isinstance(k, ast.Constant) and isinstance(v, ast.Constant)
+                ):
+                    out.append(
+                        "_REVERIFY: non-literal key/value at line "
+                        f"{k.lineno if k else v.lineno}"
+                    )
+                    continue
+                if k.value in seen and v.value < seen[k.value]:
+                    out.append(
+                        f"_REVERIFY: {k.value!r} restamped at round "
+                        f"{v.value} BELOW an earlier {seen[k.value]} "
+                        f"(line {k.lineno}) — later duplicate shadows "
+                        "it; append restamps at the end"
+                    )
+                seen[k.value] = max(v.value, seen.get(k.value, v.value))
+            break
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -160,6 +206,8 @@ def main() -> int:
     orphans = set(oracles) - set(qs)
     for name in sorted(orphans):
         problems.append(f"{name}: oracle_sql entry with no queries() entry")
+
+    problems.extend(lint_reverify_literal(mod.__file__))
 
     for p in problems:
         print("LINT", p)
