@@ -2581,6 +2581,85 @@ FROM per_q
 """
 
 
+def _ann_ivf_rpq_oracle_sql(
+    k: int = 16,
+    rounds: int = 2,
+    kc: int = 8,
+    nprobe: int = 2,
+    topk: int = 10,
+    dim: int = 64,
+) -> str:
+    """STAGED r8 → r9 (no oracle_sql() entry yet): DuckDB replay of
+    the RESIDUAL-encoding IVF-PQ (operators/pq.py ann_ivf_rpq_topk —
+    FAISS IndexIVFPQ's default). Same fragments as the verified
+    ann_ivf_pq_topk oracle, with two twists: the subspace Lloyd's
+    chains fit slices of the RESIDUAL table (v - centroid[assigned
+    list], elementwise-exact subtraction — _kmeans_cte's new ``src``
+    param), and the ADC LUTs are PER PROBED LIST from the query's own
+    residual, parenthesized ((q[i] - cc[i]) - c[i]) exactly as the
+    Python LUT computes it."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="cv")},
+cassign AS MATERIALIZED (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cve e, cvc{rounds} c
+  ) WHERE rn = 1
+),
+rsd AS MATERIALIZED (
+  SELECT e.vec_id, ca.list_id,
+         list_transform(range(1, {dim + 1}), i -> e.v[i] - cc.c[i]) AS v
+  FROM cve e
+  JOIN cassign ca USING (vec_id)
+  JOIN cvc{rounds} cc ON cc.cid = ca.list_id
+),
+{_kmeans_cte(k, rounds, vec_sql=f"list_slice(v, 1, {d})", prefix="p0", src="rsd")},
+{_kmeans_cte(k, rounds, vec_sql=f"list_slice(v, {d + 1}, {dim})", prefix="p1", src="rsd")},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_dot_product(q.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cvc{rounds} c, q
+  ) WHERE rn <= {nprobe}
+),
+lut0 AS (
+  SELECT cc.cid AS list_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> ((q.v[i] - cc.c[i]) - c.c[i])
+              * ((q.v[i] - cc.c[i]) - c.c[i]))) AS dd
+  FROM probe pr
+  JOIN cvc{rounds} cc ON cc.cid = pr.cid, p0c{rounds} c, q
+),
+lut1 AS (
+  SELECT cc.cid AS list_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> ((q.v[{d} + i] - cc.c[{d} + i]) - c.c[i])
+              * ((q.v[{d} + i] - cc.c[{d} + i]) - c.c[i]))) AS dd
+  FROM probe pr
+  JOIN cvc{rounds} cc ON cc.cid = pr.cid, p1c{rounds} c, q
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT a.vec_id, round_even(l0.dd + l1.dd, 6) AS adc_dist
+  FROM rsd r
+  JOIN probe ON r.list_id = probe.cid
+  JOIN p0a{fin} a ON a.vec_id = r.vec_id
+  JOIN p1a{fin} b ON b.vec_id = r.vec_id
+  JOIN lut0 l0 ON l0.list_id = r.list_id AND l0.cid = a.list_id
+  JOIN lut1 l1 ON l1.list_id = r.list_id AND l1.cid = b.list_id
+)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
+"""
+
+
 def _q_ann_recall_ivf_pq(spark, sf_dir):
     """Recall@k of the IVF-PQ configuration (the 100 TB call shape)
     vs the exact squared-L2 brute force — r7 VERDICT #5: the 400x
@@ -2938,12 +3017,16 @@ def _kmeans_cte(
     rounds: int,
     vec_sql: str = "CAST(embedding AS DOUBLE[])",
     prefix: str = "",
+    src: str = "embeddings",
 ) -> str:
     """WITH-body CTE chain for the unrolled Lloyd's fit: ends at
     ``{prefix}a{rounds+1}(vec_id, v, list_id)`` — the final assignment
     under the fitted centroids. Shared by the kmeans, SemDeDup,
     cluster-label, and PQ oracles; ``vec_sql`` lets PQ fit SUBSPACE
-    slices, ``prefix`` namespaces parallel chains in one statement."""
+    slices, ``prefix`` namespaces parallel chains in one statement,
+    ``src`` lets a chain fit a DERIVED table (the residual-PQ chains
+    fit slices of the rsd CTE; default keeps every existing oracle
+    byte-identical)."""
     x = prefix
     score = (
         "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))"
@@ -2964,7 +3047,7 @@ def _kmeans_cte(
 )"""
     parts = [
         f"""{x}e AS (
-  SELECT vec_id, {vec_sql} AS v FROM embeddings
+  SELECT vec_id, {vec_sql} AS v FROM {src}
 ),
 {x}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c

@@ -39,10 +39,13 @@ distances round to 6 dp before the (dist, vec_id) ordering. That is
 what lets the DuckDB oracle replay training, encoding, AND query
 bit-compatibly (``ann_ivf_pq_topk`` / ``pq_codes`` contract keys).
 
-This module quantizes RAW vectors (classic PQ). The IVF-residual
-variant (encode ``v - coarse_centroid`` for tighter cells) is the
-next knob and shares every shape here; it is deliberately not the
-default because it couples the codebook to the coarse quantizer.
+Classic PQ (raw vectors) is the default everywhere; the IVF-residual
+variant (encode ``v - coarse_centroid`` for tighter cells — FAISS
+IndexIVFPQ's default) ships STAGED r8 → r9 as
+:func:`ivf_residuals` / :func:`pq_train_residual` /
+:func:`ann_ivf_rpq_topk`. It shares every shape here and is
+deliberately not the default because it couples the codebook to the
+coarse quantizer.
 """
 
 from __future__ import annotations
@@ -63,6 +66,9 @@ __all__ = [
     "pq_knn_join",
     "l2_knn_join",
     "ann_recall_report_pq",
+    "ivf_residuals",
+    "pq_train_residual",
+    "ann_ivf_rpq_topk",
 ]
 
 
@@ -496,3 +502,137 @@ def ann_recall_report_pq(
         id_col=id_col, vec_col=vec_col,
     )
     return recall_vs_exact(exact, approx, k, id_col=id_col)
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF residual projection: ``(vec_id, embedding, list_id)`` where
+    ``embedding`` becomes ``v - coarse_centroid[list_id]`` (the
+    vector's own cell center subtracted, elementwise-exact double
+    subtraction — no rounding discipline needed). Coarse assignment
+    is the IVF rule (plain dot-product argmax, ties to the lowest
+    cid — ``ivf_scores_expr``/``_ivf_list_id``, the same pairing the
+    verified IVF oracles replay). One pure projection over the
+    corpus; no shuffle.
+
+    STAGED r8 → r9: the residual-encoding IVFPQ variant this module's
+    header names as the next knob (FAISS IndexIVFPQ's default) —
+    residuals span the CELL radius instead of the corpus span, so the
+    same codebook budget quantizes finer."""
+    from .clustering import _argmax_expr  # noqa: F401  (doc pointer)
+    from .similarity import _ivf_list_id, ivf_scores_expr, lit_double_array
+
+    vec = F.col(vec_col)
+    cents2d = F.array(*[lit_double_array(c) for c in coarse_centroids])
+    scores = ivf_scores_expr(vec, coarse_centroids)
+    out = ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        vec.cast("array<double>").alias("__v__"),
+        _ivf_list_id(scores).alias("list_id"),
+    )
+    cent = F.element_at(cents2d, (F.col("list_id") + 1).cast("int"))
+    return out.select(
+        F.col(id_col),
+        F.zip_with(F.col("__v__"), cent, lambda a, b: a - b).alias(vec_col),
+        "list_id",
+    )
+
+
+def pq_train_residual(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    m: int = 2,
+    k: int = 16,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the ``m`` subspace codebooks over IVF RESIDUALS — the
+    same deterministic :func:`pq_train` (smallest-id seeds, 9 dp
+    per-round quantization) fed by :func:`ivf_residuals`; the
+    codebooks quantize cell-local offsets instead of absolute
+    positions. STAGED r8 → r9."""
+    res = ivf_residuals(emb, coarse_centroids, id_col, vec_col).select(
+        id_col, vec_col
+    )
+    return pq_train(res, m=m, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+
+
+def ann_ivf_rpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k with RESIDUAL encoding (FAISS IndexIVFPQ's
+    default): every vector's code quantizes ``v - centroid[list]``,
+    and the query builds ONE ADC LUT PER PROBED LIST from its own
+    residual ``q - centroid[list]`` — nprobe × m × k driver-side
+    doubles, embedded as a flat literal indexed by
+    ``(list_id, subspace, code)``. Output ``(vec_id, adc_dist)``.
+
+    Scale posture matches :func:`ann_ivf_pq_topk` exactly (probe
+    filter prunes lists before any scoring; codes are projections;
+    top-k lowers to TakeOrderedAndProject); the residual twist adds
+    only the per-list LUT indexing — candidate cost stays ``m``
+    ``element_at`` lookups + a sequential fold. STAGED r8 → r9."""
+    from .clustering import _argmax_expr, _l2_scores_expr
+    from .similarity import lit_double_array
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    n_codewords = len(codebooks[0])
+    kc = len(coarse_centroids)
+    q_scores = sorted(
+        (
+            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(coarse_centroids)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_lists = [i for _, i in q_scores[:nprobe]]
+    # flat LUT over ALL kc lists (unprobed slots zero-filled — they
+    # are filtered out before scoring), list-major then subspace-major
+    flat = [0.0] * (kc * m * n_codewords)
+    for l in probe_lists:
+        q_res = [
+            float(a) - float(b)
+            for a, b in zip(query_vec, coarse_centroids[l])
+        ]
+        lut_l = pq_adc_lut(q_res, codebooks)
+        flat[l * m * n_codewords:(l + 1) * m * n_codewords] = lut_l
+    lut = lit_double_array(flat)
+
+    res = ivf_residuals(emb, coarse_centroids, id_col, vec_col)
+    probed = res.where(F.col("list_id").isin(probe_lists))
+    vec = F.col(vec_col)
+    codes = F.array(*[
+        _argmax_expr(_l2_scores_expr(_subvec(vec, s, d_sub), codebooks[s]))
+        for s in range(m)
+    ])
+    contribs = F.transform(
+        codes,
+        lambda c, s: F.element_at(
+            lut,
+            (
+                F.col("list_id") * (m * n_codewords)
+                + s * n_codewords
+                + c
+                + 1
+            ).cast("int"),
+        ),
+    )
+    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    return (
+        probed.select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -428,6 +428,78 @@ def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
         assert sorted(batched[q_id]) == full, q_id
 
 
+def test_ivf_rpq_zero_centroid_degenerates_to_classic_pq(spark, emb_sdf):
+    """STAGED r8 → r9 (IVF-residual PQ): with a single ZERO coarse
+    centroid the residual IS the raw vector and nprobe=1 probes
+    everything — ann_ivf_rpq_topk must equal classic full-scan
+    pq_topk exactly (ids, 6dp ADC distances, order). This pins the
+    residual plumbing (assignment, subtraction, per-list LUT
+    indexing) against the verified classic path."""
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_rpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        pq_train_residual,
+    )
+
+    qv = [float(x) for x in emb_sdf.where("vec_id = 0").first()["embedding"]]
+    zero_cent = [[0.0] * len(qv)]
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    # residual training under the zero centroid is classic training
+    rbooks = pq_train_residual(emb_sdf, zero_cent, m=2, k=8, max_iter=2)
+    assert rbooks == books
+    full = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_topk(pq_encode(emb_sdf, books), qv, books, k=9).collect()
+    ]
+    rpq = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ann_ivf_rpq_topk(
+            emb_sdf, qv, zero_cent, rbooks, k=9, nprobe=1
+        ).collect()
+    ]
+    assert rpq == full
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_rpq_oracle_matches_spark_on_fixture(spark, sf):
+    """STAGED r8 → r9 registration rehearsal: the residual-encoding
+    IVF-PQ oracle (coarse chain + residual table + subspace chains
+    over residual slices + per-list LUTs) matches Spark exactly on
+    the real fixtures — the driver-gate comparison, run in-tree until
+    the key registers."""
+    import duckdb
+
+    from __spark_entry__ import _PQ_PARAMS, _ann_ivf_rpq_oracle_sql
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_rpq_topk,
+        pq_train_residual,
+    )
+    from bht_etl_app_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books = pq_train_residual(emb, cents, **_PQ_PARAMS)
+    got = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ann_ivf_rpq_topk(
+            emb, qv, cents, books, k=10, nprobe=2
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    orows = [tuple(r) for r in con.execute(_ann_ivf_rpq_oracle_sql()).fetchall()]
+    assert got == orows and len(got) == 10
+
+
 def test_ann_recall_report_exact_vs_exact_is_one(spark):
     """With enough multiprobe coverage... simplest invariant: the
     report of the ANN path against itself-equivalent settings is
