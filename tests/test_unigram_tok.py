@@ -1,0 +1,194 @@
+"""Unigram-LM (SentencePiece-style) tokenizer trainer vs an
+independent pure-Python hard-EM reference, plus the DuckDB oracle
+rehearsals on the real fixtures. STAGED r8 → r9: these differentials
+ARE its verification until contract window budget exists (the r6
+staging convention, same as substr_dedup / moore_lewis before
+registration)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from bht_etl_app_spark.operators.unigram_tok import (
+    unigram_token_counts,
+    unigram_token_counts_oracle_sql,
+    unigram_train,
+    unigram_train_oracle_sql,
+)
+
+TOY = [
+    (1, "hashing hash hash table tables"),
+    (2, "hash table the the the a"),
+]
+
+
+def _py_unigram_counts(texts, L, rounds, maxlen, min_count):
+    """Independent reference: returns the final (piece -> count) map
+    after ``rounds`` hard-EM rounds — seed substring counts, 9 dp
+    half-even cost quantization (python round IS half-even), Viterbi
+    with (cost, j) tiebreak, char floor, len>1 zero-count prune."""
+    words = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if len(w) <= maxlen:
+                words[w] += 1
+    cnt = Counter()
+    for w, wc in words.items():
+        n = len(w)
+        for j in range(n):
+            for i in range(j + 1, min(j + L, n) + 1):
+                cnt[w[j:i]] += wc
+    counts = {p: c for p, c in cnt.items() if len(p) == 1 or c >= min_count}
+
+    def em(counts):
+        n_tot = sum(counts.values())
+        cost = {p: round(-math.log(c / n_tot), 9) for p, c in counts.items()}
+        pc = Counter()
+        for w, wc in words.items():
+            n = len(w)
+            best = [(0.0, -1)] + [(math.inf, -1)] * n
+            for i in range(1, n + 1):
+                cands = [
+                    (best[j][0] + cost[w[j:i]], j)
+                    for j in range(max(0, i - L), i)
+                    if w[j:i] in cost
+                ]
+                if cands:
+                    best[i] = min(cands)
+            pos = n
+            while pos > 0:
+                j = best[pos][1]
+                pc[w[j:pos]] += wc
+                pos = j
+        out = {}
+        for p in counts:
+            c = pc.get(p, 0) + (1 if len(p) == 1 else 0)
+            if c > 0:
+                out[p] = c
+        return out
+
+    for _ in range(rounds):
+        counts = em(counts)
+    return counts
+
+
+def _py_train(texts, vocab_size=48, L=4, rounds=2, maxlen=8, min_count=2):
+    counts = _py_unigram_counts(texts, L, rounds, maxlen, min_count)
+    n_tot = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(p, c, c / n_tot) for p, c in ranked[:vocab_size]]
+
+
+def test_train_matches_python_reference_and_semantics(spark):
+    docs = spark.createDataFrame(TOY, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in unigram_train(docs, vocab_size=12).collect()
+    )
+    ref = sorted(_py_train([t for _, t in TOY], vocab_size=12))
+    assert got == ref
+    by_piece = {p: c for p, c, _ in got}
+    # the EM keeps whole frequent words as single pieces...
+    assert by_piece["hash"] == 4 and by_piece["the"] == 3
+    # ...and drops unused multi-char seed pieces ("tabl", "ash", ...)
+    assert "tabl" not in by_piece and "ash" not in by_piece
+    # char floor: chars never prune even when no path uses them alone
+    assert by_piece["e"] == 1 and by_piece["h"] == 1
+
+
+def test_token_counts_segments_by_final_model(spark):
+    docs = spark.createDataFrame(TOY, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["piece"]): r["n"]
+        for r in unigram_token_counts(docs).collect()
+    }
+    # "hashing" -> hash+i+n+g, "tables" -> t+able+s, "the" stays whole
+    assert got[(1, "hash")] == 3          # hashing + hash + hash
+    assert got[(1, "able")] == 2          # table + tables
+    assert got[(2, "the")] == 3
+    assert got[(1, "g")] == 1 and got[(1, "s")] == 1
+
+
+def test_rounds_guard():
+    with pytest.raises(ValueError, match="rounds"):
+        unigram_train_oracle_sql(rounds=0)
+    with pytest.raises(ValueError, match="rounds"):
+        unigram_token_counts_oracle_sql(rounds=0)
+
+
+def _duck_con(rows):
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in rows
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    return con
+
+
+def test_oracle_matches_reference_on_random_corpora():
+    """Property sweep WITHOUT Spark in the loop (fast): the DuckDB
+    oracle equals the pure-Python hard-EM reference on random
+    small-alphabet corpora (heavy substring sharing exercises the DP
+    tiebreaks, the prune, and the char floor); Spark==DuckDB is pinned
+    on the toy corpus and the fixtures, so this transitively hardens
+    the Spark fold too."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=4))
+    @settings(max_examples=40, deadline=None)
+    def check(texts):
+        rows = list(enumerate(texts))
+        con = _duck_con(rows)
+        got = sorted(
+            tuple(r)
+            for r in con.execute(
+                unigram_train_oracle_sql(
+                    vocab_size=64, max_piece_len=3, rounds=2,
+                    max_word_len=6, min_count=2,
+                )
+            ).fetchall()
+        )
+        ref = sorted(
+            _py_train(texts, vocab_size=64, L=3, rounds=2, maxlen=6,
+                      min_count=2)
+        )
+        assert got == ref, texts
+
+    check()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_oracles_match_spark_on_fixture(spark, sf):
+    """r9 registration rehearsal: train AND token-counts oracles
+    match Spark exactly on the real fixtures (the driver-gate
+    comparison, run in-tree until the keys register)."""
+    import duckdb
+
+    from bht_etl_app_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    s = sorted(tuple(r) for r in unigram_train(docs).collect())
+    o = sorted(
+        tuple(r) for r in con.execute(unigram_train_oracle_sql()).fetchall()
+    )
+    assert s == o and len(s) > 0
+    s2 = sorted(tuple(r) for r in unigram_token_counts(docs).collect())
+    o2 = sorted(
+        tuple(r)
+        for r in con.execute(unigram_token_counts_oracle_sql()).fetchall()
+    )
+    assert s2 == o2 and len(s2) > 0
