@@ -156,6 +156,42 @@ def pq_adc_lut(
     return lut
 
 
+def _probe_lists(
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    nprobe: int,
+) -> list[int]:
+    """Driver-side probe ranking shared by every single-query IVF
+    path: the nprobe coarse lists by (dot desc, cid asc) — ONE copy
+    of the tiebreak so classic and residual paths cannot silently
+    diverge (r8 review)."""
+    q_scores = sorted(
+        (
+            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(coarse_centroids)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in q_scores[:nprobe]]
+
+
+def _adc_dist_expr(codes, lut, n_codewords: int, base=None):
+    """The ADC scoring fold shared by every PQ query path: ``m``
+    ``element_at`` lookups into the flat LUT (a literal or a per-row
+    column) + a sequential sum. ``base`` (a Column) offsets into a
+    multi-LUT concatenation — the residual path's per-probed-slot
+    layout."""
+
+    def idx(c, s):
+        off = s * n_codewords + c + 1
+        return off if base is None else base + off
+
+    contribs = F.transform(
+        codes, lambda c, s: F.element_at(lut, idx(c, s).cast("int"))
+    )
+    return F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+
+
 def pq_topk(
     codes_df: DataFrame,
     query_vec: list[float],
@@ -174,15 +210,7 @@ def pq_topk(
 
     n_codewords = len(codebooks[0])
     lut = lit_double_array(pq_adc_lut(query_vec, codebooks))
-    # the two-arg lambda takes (element, index): index IS wanted here
-    # — subspace s offsets into the flattened LUT
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, s: F.element_at(
-            lut, (s * n_codewords + c + 1).cast("int")
-        ),
-    )
-    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    dist = _adc_dist_expr(F.col("codes"), lut, n_codewords)
     return (
         codes_df.select(
             F.col(id_col), F.bround(dist, 6).alias("adc_dist")
@@ -212,14 +240,7 @@ def ann_ivf_pq_topk(
     projected column (no self-join), same as ``ann_ivf_topk``."""
     from .similarity import _ivf_list_id, ivf_scores_expr, lit_double_array
 
-    q_scores = sorted(
-        (
-            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
-            for i, c in enumerate(coarse_centroids)
-        ),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe_lists = [i for _, i in q_scores[:nprobe]]
+    probe_lists = _probe_lists(query_vec, coarse_centroids, nprobe)
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
@@ -238,13 +259,7 @@ def ann_ivf_pq_topk(
         for s in range(m)
     ])
     lut = lit_double_array(pq_adc_lut(query_vec, codebooks))
-    contribs = F.transform(
-        codes,
-        lambda c, s: F.element_at(
-            lut, (s * n_codewords + c + 1).cast("int")
-        ),
-    )
-    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    dist = _adc_dist_expr(codes, lut, n_codewords)
     return (
         probed.select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
@@ -298,23 +313,10 @@ def ann_pq_index_topk(
     equality is what the shared oracle green proves)."""
     from .similarity import lit_double_array
 
-    q_scores = sorted(
-        (
-            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
-            for i, c in enumerate(coarse_centroids)
-        ),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe_lists = [i for _, i in q_scores[:nprobe]]
+    probe_lists = _probe_lists(query_vec, coarse_centroids, nprobe)
     n_codewords = len(codebooks[0])
     lut = lit_double_array(pq_adc_lut(query_vec, codebooks))
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, s: F.element_at(
-            lut, (s * n_codewords + c + 1).cast("int")
-        ),
-    )
-    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    dist = _adc_dist_expr(F.col("codes"), lut, n_codewords)
     return (
         index.where(F.col("list_id").isin(probe_lists))
         .select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
@@ -417,13 +419,7 @@ def pq_knn_join(
         .alias("__list__"),
         codes.alias("codes"),
     )
-    contribs = F.transform(
-        F.col("codes"),
-        lambda c, s: F.element_at(
-            F.col("__lut__"), (s * n_codewords + c + 1).cast("int")
-        ),
-    )
-    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
+    dist = _adc_dist_expr(F.col("codes"), F.col("__lut__"), n_codewords)
     scored = cand.join(
         qside, cand["__list__"] == qside["__probe__"], "inner"
     ).select(F.col(q_id), F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
@@ -523,16 +519,21 @@ def ivf_residuals(
     header names as the next knob (FAISS IndexIVFPQ's default) —
     residuals span the CELL radius instead of the corpus span, so the
     same codebook budget quantizes finer."""
-    from .clustering import _argmax_expr  # noqa: F401  (doc pointer)
-    from .similarity import _ivf_list_id, ivf_scores_expr, lit_double_array
+    from .similarity import _ivf_list_id, ivf_scores_expr, lit_double_matrix
 
     vec = F.col(vec_col)
-    cents2d = F.array(*[lit_double_array(c) for c in coarse_centroids])
-    scores = ivf_scores_expr(vec, coarse_centroids)
-    out = ensure_min_parallelism(emb).select(
+    cents2d = lit_double_matrix(coarse_centroids)
+    # scores project ONCE before the argmax reads them twice
+    # (ivf_scores_expr's own rule; r8 review #2)
+    scored = ensure_min_parallelism(emb).select(
         F.col(id_col),
         vec.cast("array<double>").alias("__v__"),
-        _ivf_list_id(scores).alias("list_id"),
+        ivf_scores_expr(vec, coarse_centroids).alias("__scores__"),
+    )
+    out = scored.select(
+        F.col(id_col),
+        "__v__",
+        _ivf_list_id(F.col("__scores__")).alias("list_id"),
     )
     cent = F.element_at(cents2d, (F.col("list_id") + 1).cast("int"))
     return out.select(
@@ -576,13 +577,16 @@ def ann_ivf_rpq_topk(
     default): every vector's code quantizes ``v - centroid[list]``,
     and the query builds ONE ADC LUT PER PROBED LIST from its own
     residual ``q - centroid[list]`` — nprobe × m × k driver-side
-    doubles, embedded as a flat literal indexed by
-    ``(list_id, subspace, code)``. Output ``(vec_id, adc_dist)``.
+    doubles, embedded as a flat literal in PROBE-SLOT order (a dense
+    layout indexed through a list_id→slot CASE, so the literal never
+    scales with the total list count; r8 review — the first cut
+    zero-filled kc slots, ~80 MB of SQL text at FAISS-scale kc).
+    Output ``(vec_id, adc_dist)``.
 
     Scale posture matches :func:`ann_ivf_pq_topk` exactly (probe
     filter prunes lists before any scoring; codes are projections;
     top-k lowers to TakeOrderedAndProject); the residual twist adds
-    only the per-list LUT indexing — candidate cost stays ``m``
+    only the per-slot LUT indexing — candidate cost stays ``m``
     ``element_at`` lookups + a sequential fold. STAGED r8 → r9."""
     from .clustering import _argmax_expr, _l2_scores_expr
     from .similarity import lit_double_array
@@ -590,26 +594,25 @@ def ann_ivf_rpq_topk(
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     n_codewords = len(codebooks[0])
-    kc = len(coarse_centroids)
-    q_scores = sorted(
-        (
-            (sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
-            for i, c in enumerate(coarse_centroids)
-        ),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe_lists = [i for _, i in q_scores[:nprobe]]
-    # flat LUT over ALL kc lists (unprobed slots zero-filled — they
-    # are filtered out before scoring), list-major then subspace-major
-    flat = [0.0] * (kc * m * n_codewords)
+    probe_lists = _probe_lists(query_vec, coarse_centroids, nprobe)
+    flat: list[float] = []
     for l in probe_lists:
         q_res = [
             float(a) - float(b)
             for a, b in zip(query_vec, coarse_centroids[l])
         ]
-        lut_l = pq_adc_lut(q_res, codebooks)
-        flat[l * m * n_codewords:(l + 1) * m * n_codewords] = lut_l
+        flat.extend(pq_adc_lut(q_res, codebooks))
     lut = lit_double_array(flat)
+    # dense slot for the probed list (unmatched -> NULL, but the
+    # probe filter below guarantees a match)
+    slot_expr = None
+    for s_i, l in enumerate(probe_lists):
+        cond = F.col("list_id") == l
+        slot_expr = (
+            F.when(cond, s_i)
+            if slot_expr is None
+            else slot_expr.when(cond, s_i)
+        )
 
     res = ivf_residuals(emb, coarse_centroids, id_col, vec_col)
     probed = res.where(F.col("list_id").isin(probe_lists))
@@ -618,19 +621,9 @@ def ann_ivf_rpq_topk(
         _argmax_expr(_l2_scores_expr(_subvec(vec, s, d_sub), codebooks[s]))
         for s in range(m)
     ])
-    contribs = F.transform(
-        codes,
-        lambda c, s: F.element_at(
-            lut,
-            (
-                F.col("list_id") * (m * n_codewords)
-                + s * n_codewords
-                + c
-                + 1
-            ).cast("int"),
-        ),
+    dist = _adc_dist_expr(
+        codes, lut, n_codewords, base=slot_expr * (m * n_codewords)
     )
-    dist = F.aggregate(contribs, F.lit(0.0), lambda a, b: a + b)
     return (
         probed.select(F.col(id_col), F.bround(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))

@@ -85,6 +85,19 @@ __all__ = [
 _TOK_SQL = tokens_sql()
 
 
+def _check_params(max_piece_len: int, rounds: int, max_word_len: int) -> None:
+    """Shared guard (r8 review #5): max_piece_len=0 would silently
+    DIVERGE the engines — Spark's F.sequence(j, j-1) descends and
+    fabricates zero-length pieces while DuckDB's range(j+1, j+1) is
+    empty — so fail loudly like the rounds guard instead."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+
+
 def _word_counts(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
     """``(word, wc)`` — distinct lowercase whitespace words with
     corpus counts, capped at ``max_word_len`` (the ONE corpus-scale
@@ -266,15 +279,30 @@ def unigram_train(
     pieces as ``(piece, count, prob)`` — count is the final round's
     integer EM count, prob the exact rational ``count / N`` over the
     full pre-cap model. Ranking is (count desc, piece asc) — fully
-    deterministic, replayed verbatim by the oracle."""
-    if rounds < 1:
-        raise ValueError(f"rounds must be >= 1, got {rounds}")
-    words = _word_counts(df, text_col, max_word_len)
+    deterministic, replayed verbatim by the oracle. The word table
+    and every round's count table persist (vocabulary-sized blocks,
+    lifecycle tied to the result — the bpe word_counts discipline):
+    each round reads its input counts three times (total, model,
+    prune spine) and the words table once per round, so without the
+    cache the corpus scan re-expands per reference."""
+    _check_params(max_piece_len, rounds, max_word_len)
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    words = _word_counts(df, text_col, max_word_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [words]
     counts = _seed_counts(words, max_piece_len, min_count)
     for _ in range(rounds):
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(counts)
         counts = _em_round(words, counts, max_piece_len, max_word_len)
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(counts)
     n_tot = counts.agg(F.sum("cnt").cast("long").alias("__N__"))
-    return (
+    out = (
         counts.crossJoin(F.broadcast(n_tot))
         .select(
             "piece",
@@ -284,6 +312,7 @@ def unigram_train(
         .orderBy(F.desc("count"), F.asc("piece"))
         .limit(vocab_size)
     )
+    return track_persisted(out, *cached)
 
 
 def unigram_token_counts(
@@ -302,10 +331,22 @@ def unigram_token_counts(
     the FULL final model (pre-cap — capping could drop a char and
     leave a word unsegmentable; the cap is a reporting view,
     documented)."""
-    words = _word_counts(df, text_col, max_word_len)
+    _check_params(max_piece_len, rounds, max_word_len)
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    words = _word_counts(df, text_col, max_word_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [words]
     counts = _seed_counts(words, max_piece_len, min_count)
     for _ in range(rounds):
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(counts)
         counts = _em_round(words, counts, max_piece_len, max_word_len)
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(counts)
     model = _model_from_counts(counts)
     per_word = (
         _viterbi_pieces(words, model, max_piece_len, max_word_len)
@@ -319,11 +360,12 @@ def unigram_token_counts(
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("__dw__"))
     )
-    return (
+    out = (
         doc_words.join(per_word, "word", "inner")
         .groupBy(id_col, "piece")
         .agg(F.sum(F.col("__dw__") * F.col("__k__")).cast("long").alias("n"))
     )
+    return track_persisted(out, *cached)
 
 
 def _vit_ctes(p: str, counts_cte: str, L: int, maxlen: int) -> str:
@@ -459,8 +501,7 @@ def unigram_train_oracle_sql(
     """DuckDB replay of :func:`unigram_train` — integer counts +
     exact-rational probs; the per-round piece cost is the one
     quantized float (9 dp half-even, the kmeans rule)."""
-    if rounds < 1:
-        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    _check_params(max_piece_len, rounds, max_word_len)
     return f"""
 WITH {_uni_train_ctes(max_piece_len, rounds, max_word_len, min_count, table)}
 SELECT piece, cnt AS count,
@@ -483,8 +524,7 @@ def unigram_token_counts_oracle_sql(
     chain, ONE more Viterbi pass under the final model (prefix
     ``enc_``), then per-doc word counts joined to per-word piece
     occurrences."""
-    if rounds < 1:
-        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    _check_params(max_piece_len, rounds, max_word_len)
     return f"""
 WITH {_uni_train_ctes(max_piece_len, rounds, max_word_len, min_count, table)},
 {_vit_ctes("enc_", f"c{rounds}", max_piece_len, max_word_len)},

@@ -157,6 +157,19 @@ def test_reverify_literal_lint_catches_shadowed_restamp(tmp_path):
     found = lint_reverify_literal(str(bad))
     assert len(found) == 1 and "'a'" in found[0] and "round 4" in found[0]
 
+    # refactoring the literal away must fail loudly, not silently
+    # disable the guard (r8 second-pass review)
+    gone = tmp_path / "gone.py"
+    gone.write_text("_REVERIFY = dict(a=2)\n")
+    missing = lint_reverify_literal(str(gone))
+    assert len(missing) == 1 and "not found" in missing[0]
+
+    # non-int stamps are flagged instead of crashing the comparison
+    weird = tmp_path / "weird.py"
+    weird.write_text('_REVERIFY = {\n    "a": "r9",\n}\n')
+    flagged = lint_reverify_literal(str(weird))
+    assert len(flagged) == 1 and "non-int" in flagged[0]
+
     # the live contract file must already satisfy the invariant
     root = os.path.join(os.path.dirname(__file__), "..")
     assert lint_reverify_literal(os.path.join(root, "__spark_entry__.py")) == []

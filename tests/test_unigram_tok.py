@@ -109,11 +109,19 @@ def test_token_counts_segments_by_final_model(spark):
     assert got[(1, "g")] == 1 and got[(1, "s")] == 1
 
 
-def test_rounds_guard():
+def test_param_guards():
+    """rounds / max_piece_len / max_word_len all fail loudly —
+    max_piece_len=0 would otherwise silently DIVERGE the engines
+    (Spark's descending sequence fabricates zero-length pieces where
+    DuckDB's range is empty; r8 review)."""
     with pytest.raises(ValueError, match="rounds"):
         unigram_train_oracle_sql(rounds=0)
     with pytest.raises(ValueError, match="rounds"):
         unigram_token_counts_oracle_sql(rounds=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train_oracle_sql(max_piece_len=0)
+    with pytest.raises(ValueError, match="max_word_len"):
+        unigram_token_counts_oracle_sql(max_word_len=0)
 
 
 def _duck_con(rows):

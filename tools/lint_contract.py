@@ -114,6 +114,7 @@ def lint_reverify_literal(entry_path: str) -> list[str]:
     with open(entry_path.replace(".pyc", ".py")) as f:
         tree = ast.parse(f.read())
     out: list[str] = []
+    found = False
     for node in ast.walk(tree):
         if (
             isinstance(node, ast.Assign)
@@ -122,14 +123,17 @@ def lint_reverify_literal(entry_path: str) -> list[str]:
             and node.targets[0].id == "_REVERIFY"
             and isinstance(node.value, ast.Dict)
         ):
+            found = True
             seen: dict[str, int] = {}
             for k, v in zip(node.value.keys, node.value.values):
                 if not (
-                    isinstance(k, ast.Constant) and isinstance(v, ast.Constant)
+                    isinstance(k, ast.Constant)
+                    and isinstance(v, ast.Constant)
+                    and isinstance(v.value, int)
                 ):
                     out.append(
-                        "_REVERIFY: non-literal key/value at line "
-                        f"{k.lineno if k else v.lineno}"
+                        "_REVERIFY: non-literal or non-int key/value at "
+                        f"line {k.lineno if k else v.lineno}"
                     )
                     continue
                 if k.value in seen and v.value < seen[k.value]:
@@ -141,6 +145,14 @@ def lint_reverify_literal(entry_path: str) -> list[str]:
                     )
                 seen[k.value] = max(v.value, seen.get(k.value, v.value))
             break
+    if not found:
+        # refactoring _REVERIFY out of a plain dict literal silently
+        # disables this guard — fail loudly instead (r8 review #3)
+        out.append(
+            "_REVERIFY: dict literal not found in the contract file — "
+            "the shadowed-restamp guard cannot run; keep _REVERIFY a "
+            "plain `_REVERIFY = {...}` assignment"
+        )
     return out
 
 
