@@ -69,7 +69,7 @@ operators/bpe.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators.text import tokens_expr, tokens_sql
