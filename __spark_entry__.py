@@ -2006,8 +2006,15 @@ UNION ALL
             _scrub_ctes,
             _spans_ctes,
         )
+        from bht_etl_app_spark.operators.text import tokens_sql
 
         pre = surv
+        # dct's token expression derives from the ONE tokens_sql
+        # template (r8 ADVICE) — scrubbed_text is space-joined tokens
+        # so any whitespace split agrees today, but re-inlining the
+        # split here is how a future tokenizer change desynchronizes
+        # the composed oracle silently
+        dct_tokens = tokens_sql(col="coalesce(ka.scrubbed_text, '')")
         ss_ctes = f"""
 ss_in AS MATERIALIZED (
   SELECT tr.doc_id, tr.text FROM train tr JOIN {pre} USING (doc_id)
@@ -2015,13 +2022,14 @@ ss_in AS MATERIALIZED (
 {_spans_ctes(_SUBSTR_K, "ss_in", prefix="ss_")},
 {_scrub_ctes(_SUBSTR_K, prefix="ss_")},
 ss_keep AS MATERIALIZED (
-  SELECT DISTINCT tr.doc_id FROM ss_trow tr JOIN ss_keptagg ka USING (rid)
+  SELECT DISTINCT tr.doc_id
+  FROM ss_trow tr LEFT JOIN ss_keptagg ka USING (rid)
+  WHERE coalesce(ka.n_kept, 0) > 0
+     OR coalesce(len(tr.tk), 0) - coalesce(ka.n_kept, 0) = 0
 ),
 dct AS MATERIALIZED (
   SELECT tr.doc_id,
-         list_filter(regexp_split_to_array(trim(lower(
-             coalesce(ka.scrubbed_text, ''))), '\\s+'),
-           x -> x <> '') AS tk
+         {dct_tokens} AS tk
   FROM ss_trow tr LEFT JOIN ss_keptagg ka USING (rid)
   WHERE tr.doc_id IN (SELECT doc_id FROM ss_keep)
 ),"""

@@ -1101,8 +1101,15 @@ def curate_corpus(
         scr = exact_substr_scrub(
             ns, k=substr_k, text_col=text_col, id_col=id_col, hash_fn=hash_fn
         )
+        # keep = survivors with kept tokens OR untouched docs — the
+        # n_removed == 0 arm distinguishes "was already empty" from
+        # "scrubbed to nothing" (r8 ADVICE: under min_tokens=0 an
+        # empty survivor got n_kept=0 and a semantically wrong
+        # 'substr_dup' verdict even though nothing was duplicated;
+        # unreachable under the default quality gate, pinned in
+        # tests/test_corpus.py::test_curate_substr_empty_doc_edge)
         substr_keep_ids = (
-            scr.where(F.col("n_kept") > 0)
+            scr.where((F.col("n_kept") > 0) | (F.col("n_removed") == 0))
             .select(id_col)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

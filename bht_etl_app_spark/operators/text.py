@@ -45,7 +45,7 @@ def tokens_expr(col: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
-def tokens_sql(extra_filter: str = "") -> str:
+def tokens_sql(extra_filter: str = "", col: str = "text") -> str:
     """The ONE DuckDB twin of :func:`tokens_expr` (lowercase form),
     shared by every oracle that must tokenize exactly like Spark
     (ngram_lm, substr_dedup — the one-template-per-family rule). The
@@ -54,9 +54,12 @@ def tokens_sql(extra_filter: str = "") -> str:
     vertical tab: a crawl doc containing ``a\\x0Bb`` would tokenize
     differently per engine under ``'\\s+'``. ``extra_filter`` appends
     further lambda conjuncts (e.g. ngram_lm's BOS-sentinel
-    control-char exclusion)."""
+    control-char exclusion); ``col`` substitutes the tokenized SQL
+    expression (r8 ADVICE: composed oracles must derive their token
+    expressions from this ONE template instead of re-inlining the
+    split, so a tokenizer change can never desynchronize them)."""
     return (
-        "list_filter(regexp_split_to_array(trim(lower(text)), "
+        f"list_filter(regexp_split_to_array(trim(lower({col})), "
         "'[ \\t\\n\\v\\f\\r]+'),\n"
         f"                     x -> x <> ''{extra_filter})"
     )

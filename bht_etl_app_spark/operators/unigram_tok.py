@@ -169,6 +169,18 @@ def _viterbi_pieces(
     )
     inf = F.lit(float("inf"))
     ed = F.col("__edges__")
+    # INVARIANT (r8 ADVICE): the (inf, -1) fallback below is
+    # structurally unreachable — _em_round's char floor (+1 on every
+    # len==1 piece) guarantees single-char pieces never prune, so
+    # every position of every trained word has at least its char edge
+    # and the DP always completes. The DuckDB replay (_vit_ctes)
+    # relies on this HARDER than we do: it simply has no b{i} row for
+    # an unreachable position, so if char pruning were ever allowed
+    # the engines would diverge silently (Spark emits an inf-cost
+    # path, the oracle emits nothing) instead of failing loudly.
+    # tests/test_unigram_tok.py::test_char_floor_invariant pins the
+    # char-retention guarantee; keep it green before touching the
+    # floor.
 
     # forward DP: acc[i+1] = struct(cost, bp) for prefix length i;
     # min over incoming edges by (cost, bp) — array_min's struct

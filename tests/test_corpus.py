@@ -511,6 +511,38 @@ def test_curate_corpus_substr_stage_scrubs_before_decontamination(spark):
     }
 
 
+def test_curate_substr_empty_doc_edge(spark):
+    """r8 ADVICE regression: under min_tokens=0 (no quality gate to
+    drop empties first) a survivor whose text is ALREADY empty has
+    n_kept=0 but n_removed=0 — nothing was duplicated, so it must
+    NOT be labeled substr_dup; a genuinely fully-covered doc still
+    is. The keep rule is (n_kept > 0) OR (n_removed == 0)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    r1 = " ".join(f"r{i}" for i in range(22))
+    rows = [
+        (1, r1),                                     # fully covered
+        (2, " ".join(f"f{i}" for i in range(14)) + " " + r1),
+        (3, ""),                                     # already empty
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench, hash_fn="md5", substr_k=5, min_tokens=0
+        ).collect()
+    }
+    assert got == {
+        1: "substr_dup",  # scrubbed to nothing (n_removed > 0)
+        2: "kept",
+        3: "kept",        # was already empty (n_removed == 0)
+    }
+
+
 def test_curate_corpus_full_chain_lm_drops_before_substr(spark):
     """With BOTH optional stages on, the LM filter runs before the
     scrub: an OOV doc that would ALSO scrub to nothing reports

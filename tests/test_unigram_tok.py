@@ -109,6 +109,33 @@ def test_token_counts_segments_by_final_model(spark):
     assert got[(1, "g")] == 1 and got[(1, "s")] == 1
 
 
+def test_char_floor_invariant(spark):
+    """Pins the invariant the Viterbi DP (and, harder, its DuckDB
+    replay) relies on (r8 ADVICE): single-char pieces NEVER prune —
+    every char of every trained word survives every EM round, so no
+    DP position is ever unreachable. If this fails, the engines'
+    unreachable-position encodings ((inf,-1) struct vs missing b{i}
+    row) diverge silently; fix the floor before touching the DP."""
+    docs = spark.createDataFrame(TOY, "doc_id long, text string")
+    pieces = {
+        r["piece"] for r in unigram_train(docs, vocab_size=10_000).collect()
+    }
+    chars = {
+        ch
+        for _, t in TOY
+        for w in t.lower().split()
+        if len(w) <= 8
+        for ch in w
+    }
+    assert chars <= pieces
+    # and the same invariant under the python reference across rounds
+    for rounds in (1, 2, 3):
+        counts = _py_unigram_counts(
+            [t for _, t in TOY], L=4, rounds=rounds, maxlen=8, min_count=2
+        )
+        assert chars <= set(counts)
+
+
 def test_param_guards():
     """rounds / max_piece_len / max_word_len all fail loudly —
     max_piece_len=0 would otherwise silently DIVERGE the engines

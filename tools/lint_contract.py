@@ -111,7 +111,21 @@ def lint_reverify_literal(entry_path: str) -> list[str]:
     always the newest round."""
     import ast
 
-    with open(entry_path.replace(".pyc", ".py")) as f:
+    # entry_path comes from mod.__file__, which can point into
+    # __pycache__ (…/__pycache__/__spark_entry__.cpython-311.pyc) when
+    # the module was loaded from bytecode; a naive .pyc→.py swap keeps
+    # the __pycache__ dir and the cpython tag, so the open() below
+    # would crash with FileNotFoundError instead of reporting
+    # (r8 ADVICE). importlib owns the inverse mapping — use it.
+    if entry_path.endswith((".pyc", ".pyo")):
+        import importlib.util
+
+        try:
+            entry_path = importlib.util.source_from_cache(entry_path)
+        except ValueError:
+            # legacy layout: foo.pyc sitting beside foo.py
+            entry_path = entry_path[:-1]
+    with open(entry_path) as f:
         tree = ast.parse(f.read())
     out: list[str] = []
     found = False
