@@ -69,6 +69,7 @@ from bht_etl_app_spark.operators import (
     vocab_coverage,
 )
 from bht_etl_app_spark.operators import bpe as bpe_ops
+from bht_etl_app_spark.operators import unigram_tok
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
 from bht_etl_app_spark.operators import substr_dedup as _substr_mod
 from bht_etl_app_spark.operators import embstats as _emb_mod
@@ -2399,6 +2400,30 @@ def _q_ann_ivf_pq_topk(spark, sf_dir):
     return ann_ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=2)
 
 
+def _q_ann_ivf_rpq_topk(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding — FAISS IndexIVFPQ's default
+    (r8 staged → r9 registered): codes quantize v − centroid[list],
+    so the codebook budget spans the CELL radius instead of the
+    corpus span; the query builds one ADC LUT per probed list from
+    its own residual. Same coarse fit / probe rule / subspace-chain
+    determinism as ann_ivf_pq_topk; the oracle replays the residual
+    table and per-list LUTs on top of the verified fragments."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_rpq_topk,
+        pq_train_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books = pq_train_residual(emb, cents, **_PQ_PARAMS)
+    return ann_ivf_rpq_topk(emb, qv, cents, books, k=10, nprobe=2)
+
+
 def _q_ann_pq_store_topk(spark, sf_dir):
     """Same query against the PERSISTED index: (vec_id, list_id,
     codes) written hive-partitioned by list_id (io/layout.py
@@ -2597,9 +2622,9 @@ def _ann_ivf_rpq_oracle_sql(
     topk: int = 10,
     dim: int = 64,
 ) -> str:
-    """STAGED r8 → r9 (no oracle_sql() entry yet): DuckDB replay of
-    the RESIDUAL-encoding IVF-PQ (operators/pq.py ann_ivf_rpq_topk —
-    FAISS IndexIVFPQ's default). Same fragments as the verified
+    """DuckDB replay of the RESIDUAL-encoding IVF-PQ
+    (operators/pq.py ann_ivf_rpq_topk — FAISS IndexIVFPQ's default;
+    r8 staged → r9 registered). Same fragments as the verified
     ann_ivf_pq_topk oracle, with two twists: the subspace Lloyd's
     chains fit slices of the RESIDUAL table (v - centroid[assigned
     list], elementwise-exact subtraction — _kmeans_cte's new ``src``
@@ -3285,6 +3310,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded_docs": lambda s, d: bpe_ops.bpe_encode_docs(
             load_table(s, d, "documents"), num_merges=12
         ),
+        # unigram-LM (SentencePiece-style) tokenizer — the OTHER
+        # tokenizer real pretraining pipelines run besides BPE (Kudo
+        # ACL'18 hard-EM variant; r8 staged → r9 registered): one
+        # corpus pass to distinct-word counts, vocabulary-bounded
+        # Viterbi EM as bounded array folds, integer counts + exact
+        # rational probs (the per-piece cost is the only float)
+        "unigram_train": lambda s, d: unigram_tok.unigram_train(
+            load_table(s, d, "documents")
+        ),
+        "unigram_token_counts": lambda s, d: unigram_tok.unigram_token_counts(
+            load_table(s, d, "documents")
+        ),
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
@@ -3609,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "ann_ivf_rpq_topk": _q_ann_ivf_rpq_topk,
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
         "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
@@ -4740,6 +4778,11 @@ SELECT * FROM (
         "bpe_merges": _bpe_oracles["merges"],
         "bpe_token_counts": _bpe_oracles["token_counts"],
         "bpe_encoded_docs": _bpe_oracles["encode"],
+        # unigram-LM tokenizer: unrolled-DP MATERIALIZED CTE replays
+        # (the builders live beside the operator so the DP tiebreak
+        # and the 9dp cost quantum can never drift one-sided)
+        "unigram_train": unigram_tok.unigram_train_oracle_sql(),
+        "unigram_token_counts": unigram_tok.unigram_token_counts_oracle_sql(),
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
@@ -5146,6 +5189,7 @@ SELECT vec_id, cosine FROM (
         "pq_codes": _pq_codes_oracle_sql(),
         "ann_pq_topk": _ann_pq_topk_oracle_sql(),
         "ann_ivf_pq_topk": _ann_ivf_pq_oracle_sql(),
+        "ann_ivf_rpq_topk": _ann_ivf_rpq_oracle_sql(),
         "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),
         "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),

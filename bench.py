@@ -208,6 +208,11 @@ HEADLINE = [
     "curated_verdicts_full",
     # r8: IVF-PQ recall harness (batched pq_knn_join vs exact L2)
     "ann_recall_report_ivf_pq",
+    # r9: residual-encoding IVF-PQ (FAISS IndexIVFPQ's default) and
+    # the unigram-LM (SentencePiece-style) tokenizer train/encode
+    "ann_ivf_rpq_topk",
+    "unigram_train",
+    "unigram_token_counts",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

@@ -41,9 +41,9 @@ bit-compatibly (``ann_ivf_pq_topk`` / ``pq_codes`` contract keys).
 
 Classic PQ (raw vectors) is the default everywhere; the IVF-residual
 variant (encode ``v - coarse_centroid`` for tighter cells — FAISS
-IndexIVFPQ's default) ships STAGED r8 → r9 as
-:func:`ivf_residuals` / :func:`pq_train_residual` /
-:func:`ann_ivf_rpq_topk`. It shares every shape here and is
+IndexIVFPQ's default) is :func:`ivf_residuals` /
+:func:`pq_train_residual` / :func:`ann_ivf_rpq_topk` (contract key
+``ann_ivf_rpq_topk`` since r9). It shares every shape here and is
 deliberately not the default because it couples the codebook to the
 coarse quantizer.
 """
@@ -515,10 +515,10 @@ def ivf_residuals(
     verified IVF oracles replay). One pure projection over the
     corpus; no shuffle.
 
-    STAGED r8 → r9: the residual-encoding IVFPQ variant this module's
-    header names as the next knob (FAISS IndexIVFPQ's default) —
-    residuals span the CELL radius instead of the corpus span, so the
-    same codebook budget quantizes finer."""
+    The residual-encoding IVFPQ variant's foundation (FAISS
+    IndexIVFPQ's default) — residuals span the CELL radius instead of
+    the corpus span, so the same codebook budget quantizes finer.
+    Registered as contract key ``ann_ivf_rpq_topk`` in r9."""
     from .similarity import _ivf_list_id, ivf_scores_expr, lit_double_matrix
 
     vec = F.col(vec_col)
@@ -556,7 +556,7 @@ def pq_train_residual(
     same deterministic :func:`pq_train` (smallest-id seeds, 9 dp
     per-round quantization) fed by :func:`ivf_residuals`; the
     codebooks quantize cell-local offsets instead of absolute
-    positions. STAGED r8 → r9."""
+    positions."""
     res = ivf_residuals(emb, coarse_centroids, id_col, vec_col).select(
         id_col, vec_col
     )
@@ -587,7 +587,8 @@ def ann_ivf_rpq_topk(
     filter prunes lists before any scoring; codes are projections;
     top-k lowers to TakeOrderedAndProject); the residual twist adds
     only the per-slot LUT indexing — candidate cost stays ``m``
-    ``element_at`` lookups + a sequential fold. STAGED r8 → r9."""
+    ``element_at`` lookups + a sequential fold. Contract key
+    ``ann_ivf_rpq_topk`` (oracle: __spark_entry__._ann_ivf_rpq_oracle_sql)."""
     from .clustering import _argmax_expr, _l2_scores_expr
     from .similarity import lit_double_array
 

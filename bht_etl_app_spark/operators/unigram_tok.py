@@ -1,5 +1,5 @@
 """Distributed unigram-LM (SentencePiece-style) tokenizer trainer
-(STAGED r8 → r9).
+(contract keys ``unigram_train`` / ``unigram_token_counts`` since r9).
 
 Kudo, "Subword Regularization: Improving Neural Network Translation
 Models with Multiple Subword Candidates" (ACL 2018) trains the
@@ -57,10 +57,10 @@ Algorithm (hard-EM, char-floor smoothing):
    the final round, with ``prob = count / N`` over the full
    pre-cap model (exact rational).
 
-Contract status: STAGED FOR r9 (the r8 driver window is at its 46/50
-budget). Ships with the oracle builders fixture-rehearsed and a
-pure-Python differential (tests/test_unigram_tok.py); r9
-registration is queries()/oracle_sql()/bench/SURVEY wiring only.
+Contract status: REGISTERED r9 (staged r8 while the driver window
+sat at its 46/50 budget) — queries()/oracle_sql() entries wired in
+__spark_entry__.py, oracle builders below, pure-Python differential
+in tests/test_unigram_tok.py.
 
 No reference-parity citation: the reference app has no tokenizer
 surface; this extends the training-data-pipeline north star beside

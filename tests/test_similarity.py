@@ -429,7 +429,7 @@ def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
 
 
 def test_ivf_rpq_zero_centroid_degenerates_to_classic_pq(spark, emb_sdf):
-    """STAGED r8 → r9 (IVF-residual PQ): with a single ZERO coarse
+    """IVF-residual PQ degeneracy pin: with a single ZERO coarse
     centroid the residual IS the raw vector and nprobe=1 probes
     everything — ann_ivf_rpq_topk must equal classic full-scan
     pq_topk exactly (ids, 6dp ADC distances, order). This pins the
@@ -466,11 +466,10 @@ def test_ivf_rpq_zero_centroid_degenerates_to_classic_pq(spark, emb_sdf):
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 def test_ivf_rpq_oracle_matches_spark_on_fixture(spark, sf):
-    """STAGED r8 → r9 registration rehearsal: the residual-encoding
+    """Registration rehearsal (r9 contract key ann_ivf_rpq_topk): the residual-encoding
     IVF-PQ oracle (coarse chain + residual table + subspace chains
     over residual slices + per-list LUTs) matches Spark exactly on
-    the real fixtures — the driver-gate comparison, run in-tree until
-    the key registers."""
+    the real fixtures — the same comparison the driver gate runs."""
     import duckdb
 
     from __spark_entry__ import _PQ_PARAMS, _ann_ivf_rpq_oracle_sql

@@ -1,9 +1,8 @@
 """Unigram-LM (SentencePiece-style) tokenizer trainer vs an
 independent pure-Python hard-EM reference, plus the DuckDB oracle
-rehearsals on the real fixtures. STAGED r8 → r9: these differentials
-ARE its verification until contract window budget exists (the r6
-staging convention, same as substr_dedup / moore_lewis before
-registration)."""
+rehearsals on the real fixtures (contract keys unigram_train /
+unigram_token_counts since r9; staged r8 under the r6 staging
+convention)."""
 
 import math
 from collections import Counter
@@ -203,9 +202,9 @@ def test_oracle_matches_reference_on_random_corpora():
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 def test_oracles_match_spark_on_fixture(spark, sf):
-    """r9 registration rehearsal: train AND token-counts oracles
+    """Registration rehearsal (r9 contract keys): train AND token-counts oracles
     match Spark exactly on the real fixtures (the driver-gate
-    comparison, run in-tree until the keys register)."""
+    comparison)."""
     import duckdb
 
     from bht_etl_app_spark.session import load_table
