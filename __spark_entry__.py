@@ -2693,6 +2693,168 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
 """
 
 
+def _ann_ivf_rpq_recall_oracle_sql(
+    k: int = 16,
+    rounds: int = 2,
+    kc: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 32,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ann_recall_report_ivf_rpq: BOTH IVF-PQ
+    encodings (classic p0/p1 chains over raw vectors; residual r0/r1
+    chains over the rsd table) batched against the SHARED exact
+    squared-L2 baseline and folded into ONE report row — the residual
+    encoding's recall gain at identical storage is itself
+    hash-verified, not just each path separately. Fragments are the
+    verified _ann_ivf_pq_recall_oracle_sql generalizations: per-query
+    probe ranking, per-query classic LUTs, per-(query, probed list)
+    residual LUTs parenthesized ((q[i]-cc[i])-c[i]) exactly as the
+    Spark fold computes them."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="cv")},
+{_pq_chains_cte(k, rounds, dim)},
+cassign AS MATERIALIZED (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cve e, cvc{rounds} c
+  ) WHERE rn = 1
+),
+rsd AS MATERIALIZED (
+  SELECT e.vec_id, ca.list_id,
+         list_transform(range(1, {dim + 1}), i -> e.v[i] - cc.c[i]) AS v
+  FROM cve e
+  JOIN cassign ca USING (vec_id)
+  JOIN cvc{rounds} cc ON cc.cid = ca.list_id
+),
+{_kmeans_cte(k, rounds, vec_sql=f"list_slice(v, 1, {d})", prefix="r0", src="rsd")},
+{_kmeans_cte(k, rounds, vec_sql=f"list_slice(v, {d + 1}, {dim})", prefix="r1", src="rsd")},
+qs AS (SELECT vec_id AS q_id, v AS qv FROM cve WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round_even(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      e.vec_id ASC) AS rank
+    FROM qs q, cve e
+  ) WHERE rank <= {topk}
+),
+probe AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM qs q, cvc{rounds} c
+  ) WHERE rn <= {nprobe}
+),
+lut0 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS dd
+  FROM qs q, p0c{rounds} c
+),
+lut1 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[{d} + i] - c.c[i]) * (q.qv[{d} + i] - c.c[i]))) AS dd
+  FROM qs q, p1c{rounds} c
+),
+approx_pq AS (
+  SELECT q_id, vec_id FROM (
+    SELECT pr.q_id, cv.vec_id,
+           row_number() OVER (
+             PARTITION BY pr.q_id
+             ORDER BY round_even(l0.dd + l1.dd, 6) ASC, cv.vec_id ASC
+           ) AS rank
+    FROM cassign cv
+    JOIN probe pr ON cv.list_id = pr.cid
+    JOIN p0a{fin} a ON a.vec_id = cv.vec_id
+    JOIN p1a{fin} b ON b.vec_id = cv.vec_id
+    JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.cid = a.list_id
+    JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.cid = b.list_id
+  ) WHERE rank <= {topk}
+),
+rlut0 AS (
+  SELECT pr.q_id, cc.cid AS list_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> ((q.qv[i] - cc.c[i]) - c.c[i])
+              * ((q.qv[i] - cc.c[i]) - c.c[i]))) AS dd
+  FROM probe pr
+  JOIN qs q ON q.q_id = pr.q_id
+  JOIN cvc{rounds} cc ON cc.cid = pr.cid, r0c{rounds} c
+),
+rlut1 AS (
+  SELECT pr.q_id, cc.cid AS list_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> ((q.qv[{d} + i] - cc.c[{d} + i]) - c.c[i])
+              * ((q.qv[{d} + i] - cc.c[{d} + i]) - c.c[i]))) AS dd
+  FROM probe pr
+  JOIN qs q ON q.q_id = pr.q_id
+  JOIN cvc{rounds} cc ON cc.cid = pr.cid, r1c{rounds} c
+),
+approx_rpq AS (
+  SELECT q_id, vec_id FROM (
+    SELECT pr.q_id, r.vec_id,
+           row_number() OVER (
+             PARTITION BY pr.q_id
+             ORDER BY round_even(l0.dd + l1.dd, 6) ASC, r.vec_id ASC
+           ) AS rank
+    FROM rsd r
+    JOIN probe pr ON r.list_id = pr.cid
+    JOIN r0a{fin} a ON a.vec_id = r.vec_id
+    JOIN r1a{fin} b ON b.vec_id = r.vec_id
+    JOIN rlut0 l0 ON l0.q_id = pr.q_id AND l0.list_id = r.list_id
+                 AND l0.cid = a.list_id
+    JOIN rlut1 l1 ON l1.q_id = pr.q_id AND l1.list_id = r.list_id
+                 AND l1.cid = b.list_id
+  ) WHERE rank <= {topk}
+),
+per_q_pq AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN approx_pq ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+),
+per_q_rpq AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN approx_rpq ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+),
+agg_pq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(list_sum(list(recall ORDER BY q_id))
+               / CAST(count(*) AS DOUBLE), 6) AS avg_recall_pq,
+         round(min(recall), 6) AS min_recall_pq
+  FROM per_q_pq
+),
+agg_rpq AS (
+  SELECT round(list_sum(list(recall ORDER BY q_id))
+               / CAST(count(*) AS DOUBLE), 6) AS avg_recall_rpq,
+         round(min(recall), 6) AS min_recall_rpq
+  FROM per_q_rpq
+)
+SELECT a.n_queries,
+       CAST({topk} AS BIGINT) AS k,
+       a.avg_recall_pq, a.min_recall_pq,
+       b.avg_recall_rpq, b.min_recall_rpq
+FROM agg_pq a, agg_rpq b
+"""
+
+
 def _q_ann_recall_ivf_pq(spark, sf_dir):
     """Recall@k of the IVF-PQ configuration (the 100 TB call shape)
     vs the exact squared-L2 brute force — r7 VERDICT #5: the 400x
@@ -2708,6 +2870,30 @@ def _q_ann_recall_ivf_pq(spark, sf_dir):
     cents = kmeans_fit(emb, k=8, max_iter=2)
     return ann_recall_report_pq(
         emb, cents, books, k=5, n_queries=32, nprobe=2
+    )
+
+
+def _q_ann_recall_ivf_rpq(spark, sf_dir):
+    """Recall@k of BOTH IVF-PQ encodings — classic and residual —
+    against the shared exact squared-L2 baseline, one row (r8 VERDICT
+    #3: the residual encoding's recall gain at IDENTICAL storage is
+    its entire reason to exist, so it must be a measured,
+    oracle-checked number beside classic PQ's). Same coarse
+    quantizer, same m/k budget; both batched joins are the
+    no-corpus-shuffle deployment shapes."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_report_rpq_vs_pq,
+        pq_train,
+        pq_train_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    pq_books = pq_train(emb, **_PQ_PARAMS)
+    rpq_books = pq_train_residual(emb, cents, **_PQ_PARAMS)
+    return ann_recall_report_rpq_vs_pq(
+        emb, cents, pq_books, rpq_books, k=5, n_queries=32, nprobe=2
     )
 
 
@@ -3648,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "ann_ivf_rpq_topk": _q_ann_ivf_rpq_topk,
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
+        "ann_recall_report_ivf_rpq": _q_ann_recall_ivf_rpq,
         "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
@@ -5192,6 +5379,7 @@ SELECT vec_id, cosine FROM (
         "ann_ivf_rpq_topk": _ann_ivf_rpq_oracle_sql(),
         "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),
         "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
+        "ann_recall_report_ivf_rpq": _ann_ivf_rpq_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

@@ -213,6 +213,9 @@ HEADLINE = [
     "ann_ivf_rpq_topk",
     "unigram_train",
     "unigram_token_counts",
+    # r9: both IVF-PQ encodings' recall vs the shared exact-L2
+    # baseline in one row (the residual gain at identical storage)
+    "ann_recall_report_ivf_rpq",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

@@ -121,6 +121,18 @@ NESTED_LOOP_OK = {
                              # eval-scale brute force as
                              # ann_recall_report's; the IVF-PQ side
                              # itself is an equi-join on list_id
+    "ann_recall_report_ivf_rpq",  # same l2_knn_join fixed-Q exact
+                             # baseline, PLUS the final 1-row x 1-row
+                             # report-assembly crossJoin (both PQ
+                             # configuration legs are equi-joins on
+                             # list_id)
+    "unigram_train",         # the 1-row model-total N broadcast
+                             # (crossJoin(broadcast(sum(cnt))) in
+                             # _model_from_counts / the prob column)
+                             # — the freq_table/kn family's
+                             # whitelisted 1-row-total shape
+    "unigram_token_counts",  # same 1-row N broadcast via the final
+                             # model's cost table
 }
 
 

@@ -428,6 +428,74 @@ def test_ann_recall_report_pq_bounds_and_full_probe_consistency(spark, emb_sdf):
         assert sorted(batched[q_id]) == full, q_id
 
 
+def test_rpq_knn_join_matches_single_query_path(spark, emb_sdf):
+    """The batched residual join (rpq_knn_join — the recall harness's
+    deployment shape) equals the verified single-query
+    ann_ivf_rpq_topk per query: same ids, same 6dp ADC distances,
+    same (dist, id) order. Pins the column-side probe ranking
+    (_probes_expr) and the per-(query, list) LUT fold against the
+    driver-side literal path."""
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_ivf_rpq_topk,
+        pq_train_residual,
+        rpq_knn_join,
+    )
+
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    books = pq_train_residual(emb_sdf, cents, m=2, k=8, max_iter=2)
+    q = emb_sdf.where("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    batched = {}
+    for row in rpq_knn_join(q, emb_sdf, cents, books, k=6, nprobe=2).collect():
+        batched.setdefault(row["q_id"], []).append(
+            (row["rank"], row["vec_id"], row["adc_dist"])
+        )
+    for q_id in (0, 1, 2):
+        qv = [
+            float(x)
+            for x in emb_sdf.where(f"vec_id = {q_id}").first()["embedding"]
+        ]
+        single = [
+            (i + 1, row["vec_id"], row["adc_dist"])
+            for i, row in enumerate(
+                ann_ivf_rpq_topk(
+                    emb_sdf, qv, cents, books, k=6, nprobe=2
+                ).collect()
+            )
+        ]
+        assert sorted(batched[q_id]) == single, q_id
+
+
+def test_rpq_vs_pq_recall_report_shape(spark, emb_sdf):
+    """The side-by-side report: one row, both configurations bounded
+    in [0, 1], n_queries/k as asked. (No recall ordering is asserted
+    between the encodings — on tiny fixtures quantization noise can
+    go either way; the point of the key is that the comparison is a
+    MEASURED number.)"""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_report_rpq_vs_pq,
+        pq_train,
+        pq_train_residual,
+    )
+
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    pq_books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    rpq_books = pq_train_residual(emb_sdf, cents, m=2, k=8, max_iter=2)
+    rows = ann_recall_report_rpq_vs_pq(
+        emb_sdf, cents, pq_books, rpq_books, k=5, n_queries=8, nprobe=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_queries"], r["k"]) == (8, 5)
+    assert 0.0 <= r["min_recall_pq"] <= r["avg_recall_pq"] <= 1.0
+    assert 0.0 <= r["min_recall_rpq"] <= r["avg_recall_rpq"] <= 1.0
+
+
 def test_ivf_rpq_zero_centroid_degenerates_to_classic_pq(spark, emb_sdf):
     """IVF-residual PQ degeneracy pin: with a single ZERO coarse
     centroid the residual IS the raw vector and nprobe=1 probes
