@@ -1891,7 +1891,10 @@ _LM_D = 0.75                # KN discount
 _SUBSTR_K = 5               # ExactSubstr minimum duplicated-run length
 
 
-def _q_curated_verdicts(spark, sf_dir, lm: bool = False, substr: bool = False):
+def _q_curated_verdicts(
+    spark, sf_dir, lm: bool = False, substr: bool = False,
+    redact: bool = False,
+):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
     [substr=True: ExactSubstr scrub ->] benchmark decontamination,
@@ -1903,23 +1906,34 @@ def _q_curated_verdicts(spark, sf_dir, lm: bool = False, substr: bool = False):
     shared _LM_MIN_AVG_LOGPROB cut. The substr variant removes
     corpus-duplicated >= _SUBSTR_K-token runs from the survivors
     (Lee et al. ACL'22 scrub-then-train), drops fully-scrubbed docs
-    as substr_dup, and decontaminates the SCRUBBED text."""
+    as substr_dup, and decontaminates the SCRUBBED text. The redact
+    variant (r9) runs the URL/email redaction PRE-quality on train
+    docs seeded with the doc_scrubbed fixture's synthetic URLs
+    (_seed_urls_expr — the corpus is URL-free word soup, so the
+    stage must be fed to be proven); every later stage consumes the
+    redacted text."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    if redact:
+        train = train.withColumn("text", _seed_urls_expr())
     return curate_corpus(
-        docs.where(F.col("source") != "src0"),
+        train,
         ref,
         hash_fn="md5",
         lm_ref=ref if lm else None,
         lm_min_avg_logprob=_LM_MIN_AVG_LOGPROB,
         lm_d=_LM_D,
         substr_k=_SUBSTR_K if substr else None,
+        redact=redact,
     )
 
 
-def _curated_verdicts_oracle_sql(lm: bool = False, substr: bool = False) -> str:
+def _curated_verdicts_oracle_sql(
+    lm: bool = False, substr: bool = False, redact: bool = False
+) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
     portable-MinHash near-dup components keep-min → [lm=True: CCNet
@@ -2043,9 +2057,24 @@ UNION ALL
         hit_from = "dct"
     if hit_from is None:
         hit_from = f"t JOIN {surv} USING (doc_id)"
+    # redact=True: the train CTE seeds the doc_scrubbed fixture's
+    # synthetic URLs (_SEED_URLS_SQL verbatim) and applies
+    # text.redact_sql — the SAME pattern-constant fragment the
+    # doc_scrubbed oracle runs — so one hash-match re-proves the
+    # redaction kernel AND its pre-quality composition
+    train_body = "SELECT doc_id, text FROM documents WHERE source <> 'src0'"
+    if redact:
+        from bht_etl_app_spark.operators.text import redact_sql
+
+        train_body = f"""SELECT doc_id, {redact_sql("text")} AS text
+  FROM (
+    SELECT doc_id,
+           {_SEED_URLS_SQL} AS text
+    FROM documents WHERE source <> 'src0'
+  )"""
     return f"""
 WITH RECURSIVE train AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+  {train_body}
 ),
 t AS MATERIALIZED (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk
@@ -3166,6 +3195,31 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _seed_urls_expr():
+    """The shared URL/email seeding expression (the corpus is
+    URL-free word soup, so redaction keys must inject something to
+    redact): ONE Spark copy, with ``_SEED_URLS_SQL`` as its verbatim
+    DuckDB twin — shared by doc_scrubbed AND the curate_corpus
+    redact-stage key so the fixtures can never drift."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" ref https://example.com/d?id=1 mail team@example.org"),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.lit(" contact alice@test.net"))
+        .otherwise(F.lit("")),
+    )
+
+
+_SEED_URLS_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' ref https://example.com/d?id=1 mail team@example.org'\n"
+    "             WHEN doc_id % 11 = 0 THEN ' contact alice@test.net'\n"
+    "             ELSE '' END"
+)
+
+
 def _q_scrub(spark, sf_dir):
     """PII/URL scrubbing over documents seeded with synthetic URLs and
     addresses (the corpus itself is URL-free word soup; the seeding is
@@ -3174,19 +3228,41 @@ def _q_scrub(spark, sf_dir):
     from bht_etl_app_spark.operators.text import scrub_text
 
     docs = load_table(spark, sf_dir, "documents")
-    seeded = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.lit(" ref https://example.com/d?id=1 mail team@example.org"),
-            )
-            .when(F.col("doc_id") % 11 == 0, F.lit(" contact alice@test.net"))
-            .otherwise(F.lit("")),
-        ),
+    return scrub_text(docs.withColumn("text", _seed_urls_expr()))
+
+
+def _doc_scrubbed_oracle_sql() -> str:
+    """DuckDB replay of scrub_text over the seeded corpus — the
+    redaction expression comes from text.redact_sql (the SAME pattern
+    constants the Spark kernel compiles; r9: fragment shared with the
+    curate_corpus redact-stage composed oracle), the counts from the
+    same raw-text patterns."""
+    from bht_etl_app_spark.operators.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        redact_sql,
     )
-    return scrub_text(seeded)
+
+    n_urls = (
+        "CAST(len(regexp_extract_all(text, '" + URL_PATTERN
+        + "')) AS BIGINT) AS n_urls"
+    )
+    n_emails = (
+        "CAST(len(regexp_extract_all(text, '" + EMAIL_PATTERN
+        + "')) AS BIGINT) AS n_emails"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         {_SEED_URLS_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+       {redact_sql("text")} AS clean_text,
+       {n_urls},
+       {n_emails}
+FROM seeded
+"""
 
 
 def _q_kmeans_sizes(spark, sf_dir):
@@ -4118,6 +4194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact -> near-dup -> KN perplexity -> ExactSubstr scrub ->
         # decontamination(scrubbed); the composed oracle embeds the
         # KN fragments AND the substr fragments in one statement
+        "curated_verdicts_redact": lambda s, d: _q_curated_verdicts(
+            s, d, redact=True
+        ),
         "curated_verdicts_full": lambda s, d: _q_curated_verdicts(
             s, d, lm=True, substr=True
         ),
@@ -4825,6 +4904,7 @@ LATERAL (
         "curated_verdicts": _curated_verdicts_oracle_sql(),
         "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
         "curated_verdicts_substr": _curated_verdicts_oracle_sql(substr=True),
+        "curated_verdicts_redact": _curated_verdicts_oracle_sql(redact=True),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True
         ),
@@ -5268,21 +5348,7 @@ FROM fps f
 LEFT JOIN hist h USING (fp)
 JOIN mn USING (fp)
 """,
-        "doc_scrubbed": """
-WITH seeded AS (
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 7 = 0 THEN ' ref https://example.com/d?id=1 mail team@example.org'
-                      WHEN doc_id % 11 = 0 THEN ' contact alice@test.net'
-                      ELSE '' END AS text
-  FROM documents
-)
-SELECT doc_id,
-       regexp_replace(regexp_replace(text, 'https?://\\S+', '<URL>', 'g'),
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_urls,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
-FROM seeded
-""",
+        "doc_scrubbed": _doc_scrubbed_oracle_sql(),
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

@@ -216,6 +216,9 @@ HEADLINE = [
     # r9: both IVF-PQ encodings' recall vs the shared exact-L2
     # baseline in one row (the residual gain at identical storage)
     "ann_recall_report_ivf_rpq",
+    # r9: the curation chain with the URL/email redaction composed
+    # in pre-quality (every later stage consumes redacted text)
+    "curated_verdicts_redact",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

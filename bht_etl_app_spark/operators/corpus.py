@@ -958,11 +958,13 @@ def curate_corpus(
     lm_min_avg_logprob: float = -4.2,
     lm_d: float = 0.75,
     substr_k: int | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
     an auditable verdict for EVERY input document:
 
+    0. (``redact=True``) URL/email redaction     → (no verdict leg)
     1. quality gate (Gopher/C4 composite rules)  → ``quality``
     2. exact dedup (md5 keep-min)                → ``exact_dup``
     3. MinHash+LSH near-dup, components, keep-min → ``near_dup``
@@ -1018,6 +1020,19 @@ def curate_corpus(
     )
 
     ids = F.col(id_col)
+    # 0. URL/email redaction (optional): the standard pre-quality
+    # scrub every real curation chain runs (PII/boilerplate out
+    # BEFORE anything tokenizes, fingerprints, or trains on the
+    # text). Pure per-row projection — redact_expr is the SAME
+    # kernel as the standalone scrub_text operator, so the stage and
+    # the doc_scrubbed contract key can never diverge; every
+    # downstream stage (quality, dedup fingerprints, LM, substr,
+    # decontamination) consumes the REDACTED text. No verdict leg:
+    # redaction transforms, it never drops.
+    if redact:
+        from bht_etl_app_spark.operators.text import redact_expr
+
+        df = df.withColumn(text_col, redact_expr(text_col))
     # Stage boundaries are persisted: the verdict union has five legs
     # and each leg's lineage would otherwise re-run every upstream
     # stage (quality's gram aggregation ~5x, measured 28 s -> at

@@ -341,6 +341,32 @@ URL_PATTERN = r"https?://\S+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
+def redact_expr(col: Column | str) -> Column:
+    """The ONE redaction kernel: URLs → ``<URL>`` then emails →
+    ``<EMAIL>`` (URLs FIRST — a URL's userinfo part could otherwise
+    be half-eaten by the email pass). Shared by :func:`scrub_text`
+    and the ``curate_corpus`` redact stage so the operator and the
+    composition can never diverge; :func:`redact_sql` is its DuckDB
+    twin built from the SAME pattern constants."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, URL_PATTERN, "<URL>"),
+        EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+
+
+def redact_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`redact_expr`, built from the same
+    URL_PATTERN / EMAIL_PATTERN constants (both ASCII-class-only so
+    the identical strings run under java.util.regex AND RE2) — the
+    one-template-per-family rule, same as tokens_sql."""
+    return (
+        "regexp_replace(regexp_replace(" + col + ", '" + URL_PATTERN
+        + "', '<URL>', 'g'), '" + EMAIL_PATTERN + "', '<EMAIL>', 'g')"
+    )
+
+
 def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """PII/URL scrubbing for training corpora: replace URLs with
     ``<URL>`` and email addresses with ``<EMAIL>``, and report how
@@ -352,14 +378,9 @@ def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     Pure per-row projection — scan speed at 100 TB.
     Output: ``(doc_id, clean_text, n_urls, n_emails)``.
     """
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), URL_PATTERN, "<URL>"),
-        EMAIL_PATTERN,
-        "<EMAIL>",
-    )
     return ensure_min_parallelism(df).select(
         F.col(id_col),
-        clean.alias("clean_text"),
+        redact_expr(text_col).alias("clean_text"),
         F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
         F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
     )

@@ -511,6 +511,40 @@ def test_curate_corpus_substr_stage_scrubs_before_decontamination(spark):
     }
 
 
+def test_curate_corpus_redact_stage_runs_pre_quality(spark):
+    """redact=True composes the URL/email redaction BEFORE the
+    quality gate, and every later stage consumes the redacted text:
+    two docs identical except for DIFFERENT URLs have different
+    exact-dedup fingerprints raw, but redact to the same '<URL>'
+    token — so the second becomes exact_dup only under redact=True.
+    Pins both the stage position and that redaction transforms
+    without dropping (no redact verdict leg exists)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    base = " ".join(f"r{i}" for i in range(30))
+    rows = [
+        (1, base + " see https://a.example/x"),
+        (2, base + " see https://b.example/y"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    redacted = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, bench, hash_fn="md5", redact=True).collect()
+    }
+    assert redacted == {1: "kept", 2: "exact_dup"}
+    raw = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, bench, hash_fn="md5").collect()
+    }
+    # raw fingerprints differ (URLs differ), so exact dedup cannot
+    # be what separates them without the redact stage
+    assert raw[2] != "exact_dup"
+
+
 def test_curate_substr_empty_doc_edge(spark):
     """r8 ADVICE regression: under min_tokens=0 (no quality gate to
     drop empties first) a survivor whose text is ALREADY empty has
