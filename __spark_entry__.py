@@ -4537,6 +4537,26 @@ _REVERIFY = {
     "corpus_snapshot_diff": 7,
     "source_dedup_rates": 7,
     "corpus_datacard": 7,
+    # r9 file churn (the early-r9 commits c044998..0555df3 landed
+    # before these stamps — appended here in the follow-up hygiene
+    # commit): corpus.py gained the redact stage + the substr
+    # verdict-edge fix (curate_corpus callers), pq.py the registered
+    # residual path + the rpq recall harness (shared PQ helpers
+    # refactored in 2951afd ride along), text.py the shared
+    # redaction-seam refactor consumed by doc_scrubbed and the
+    # composed redact oracle, and the composed substr oracle's dct
+    # CTE now builds from tokens_sql() (curated_verdicts_substr/full
+    # replay text changed).
+    "curated_verdicts": 8,
+    "curated_verdicts_lm": 8,
+    "curated_verdicts_substr": 8,
+    "curated_verdicts_full": 8,
+    "doc_scrubbed": 8,
+    "pq_codes": 8,
+    "ann_pq_topk": 8,
+    "ann_ivf_pq_topk": 8,
+    "ann_pq_store_topk": 8,
+    "ann_recall_report_ivf_pq": 8,
 }
 
 
