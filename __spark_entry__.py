@@ -3584,6 +3584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_counts": lambda s, d: unigram_tok.unigram_token_counts(
             load_table(s, d, "documents")
         ),
+        # position-ordered encode surface (the bpe_encoded_docs
+        # precedent): space-joined Viterbi pieces in document order
+        "unigram_encoded_docs": lambda s, d: unigram_tok.unigram_encode_docs(
+            load_table(s, d, "documents")
+        ),
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
@@ -5070,6 +5075,7 @@ SELECT * FROM (
         # and the 9dp cost quantum can never drift one-sided)
         "unigram_train": unigram_tok.unigram_train_oracle_sql(),
         "unigram_token_counts": unigram_tok.unigram_token_counts_oracle_sql(),
+        "unigram_encoded_docs": unigram_tok.unigram_encode_docs_oracle_sql(),
         "doc_token_stats": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

@@ -213,6 +213,7 @@ HEADLINE = [
     "ann_ivf_rpq_topk",
     "unigram_train",
     "unigram_token_counts",
+    "unigram_encoded_docs",
     # r9: both IVF-PQ encodings' recall vs the shared exact-L2
     # baseline in one row (the residual gain at identical storage)
     "ann_recall_report_ivf_rpq",

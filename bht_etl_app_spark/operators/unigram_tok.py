@@ -1,5 +1,6 @@
 """Distributed unigram-LM (SentencePiece-style) tokenizer trainer
-(contract keys ``unigram_train`` / ``unigram_token_counts`` since r9).
+(contract keys ``unigram_train`` / ``unigram_token_counts`` /
+``unigram_encoded_docs`` since r9).
 
 Kudo, "Subword Regularization: Improving Neural Network Translation
 Models with Multiple Subword Candidates" (ACL 2018) trains the
@@ -78,8 +79,10 @@ from bht_etl_app_spark.session import ensure_min_parallelism
 __all__ = [
     "unigram_train",
     "unigram_token_counts",
+    "unigram_encode_docs",
     "unigram_train_oracle_sql",
     "unigram_token_counts_oracle_sql",
+    "unigram_encode_docs_oracle_sql",
 ]
 
 _TOK_SQL = tokens_sql()
@@ -136,13 +139,17 @@ def _seed_counts(words: DataFrame, max_piece_len: int, min_count: int) -> DataFr
     )
 
 
-def _viterbi_pieces(
+def _viterbi_paths(
     words: DataFrame, model: DataFrame, max_piece_len: int, max_word_len: int
 ) -> DataFrame:
-    """``(word, wc, piece)`` — one row per piece OCCURRENCE on the
-    word's canonical Viterbi path under ``model (piece, cost)``.
-    Edges come from an equi-join (broadcast model); the DP and the
-    backtrace are bounded array folds — no UDF, no recursion."""
+    """``(word, wc, __path__)`` — the canonical Viterbi segmentation
+    of each word under ``model (piece, cost)`` as an array of pieces
+    in WORD order (the backtrace walks end->start; the array is
+    reversed before returning). Edges come from an equi-join
+    (broadcast model); the DP and the backtrace are bounded array
+    folds — no UDF, no recursion. ``_viterbi_pieces`` explodes this
+    for the order-free count consumers; ``unigram_encode_docs``
+    consumes the order directly."""
     n = F.length("word")
     # candidate (j, i) edges: piece = word[j+1 .. i] (0-based j)
     cand = F.flatten(
@@ -235,7 +242,18 @@ def _viterbi_pieces(
         F.sequence(F.lit(1), F.lit(max_word_len)), tr_init, hop
     )["arr"]
     return with_best.select(
-        "word", "wc", F.explode(path).alias("piece")
+        "word", "wc", F.reverse(path).alias("__path__")
+    )
+
+
+def _viterbi_pieces(
+    words: DataFrame, model: DataFrame, max_piece_len: int, max_word_len: int
+) -> DataFrame:
+    """``(word, wc, piece)`` — one row per piece OCCURRENCE on the
+    word's canonical Viterbi path (order-free view of
+    :func:`_viterbi_paths`, for the EM/count consumers)."""
+    return _viterbi_paths(words, model, max_piece_len, max_word_len).select(
+        "word", "wc", F.explode("__path__").alias("piece")
     )
 
 
@@ -376,6 +394,77 @@ def unigram_token_counts(
         doc_words.join(per_word, "word", "inner")
         .groupBy(id_col, "piece")
         .agg(F.sum(F.col("__dw__") * F.col("__k__")).cast("long").alias("n"))
+    )
+    return track_persisted(out, *cached)
+
+
+def unigram_encode_docs(
+    df: DataFrame,
+    max_piece_len: int = 4,
+    rounds: int = 2,
+    max_word_len: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document into its unigram-LM subword sequence
+    under a tokenizer trained on the same corpus: ``(doc_id,
+    uni_tokens)`` with ``uni_tokens`` the space-joined Viterbi pieces
+    in document order — the position-ordered encode surface beside
+    the bag-of-pieces :func:`unigram_token_counts` (the
+    ``bpe_encoded_docs`` precedent, operators/bpe.py).
+
+    Vocabulary-first like every chain in this module: segmentation
+    runs once per DISTINCT word (:func:`_viterbi_paths` keeps the
+    path in word order), the word->pieces map is broadcast
+    (model-parameter-sized), and per-doc reassembly folds the
+    position-indexed word explode — the corpus never shuffles on
+    anything wider than ``(doc_id, pos)``. Words longer than
+    ``max_word_len`` are outside the trained vocabulary and are
+    OMITTED from the sequence (the bpe_encode_docs untrainable-word
+    rule; production would pass them through as rare whole pieces —
+    a one-line coalesce — but contract parity with the oracle's
+    ``words`` table is the deliberate default). Empty documents
+    yield an empty string."""
+    _check_params(max_piece_len, rounds, max_word_len)
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    words = _word_counts(df, text_col, max_word_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [words]
+    counts = _seed_counts(words, max_piece_len, min_count)
+    for _ in range(rounds):
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(counts)
+        counts = _em_round(words, counts, max_piece_len, max_word_len)
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(counts)
+    model = _model_from_counts(counts)
+    word_pieces = _viterbi_paths(
+        words, model, max_piece_len, max_word_len
+    ).select("word", F.concat_ws(" ", "__path__").alias("pieces"))
+    doc_words = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.posexplode_outer(tokens_expr(text_col)))
+        .select(id_col, F.col("pos"), F.col("col").alias("word"))
+    )
+    # concat_ws skips NULL elements, so out-of-vocabulary words
+    # (len > max_word_len: LEFT join miss) and the empty-doc
+    # posexplode_outer sentinel both drop out of the joined string
+    ordered = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+            lambda x: x["pieces"],
+        ),
+    )
+    out = (
+        doc_words.join(F.broadcast(word_pieces), "word", "left")
+        .groupBy(id_col)
+        .agg(ordered.alias("uni_tokens"))
     )
     return track_persisted(out, *cached)
 
@@ -552,4 +641,45 @@ doc_words AS MATERIALIZED (
 SELECT dw.doc_id, pw.piece, CAST(sum(dw.dw * pw.k) AS BIGINT) AS n
 FROM doc_words dw JOIN per_word pw USING (word)
 GROUP BY dw.doc_id, pw.piece
+"""
+
+
+def unigram_encode_docs_oracle_sql(
+    max_piece_len: int = 4,
+    rounds: int = 2,
+    max_word_len: int = 8,
+    min_count: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`unigram_encode_docs`: the training
+    chain, one encode Viterbi pass (prefix ``enc_``), per-word piece
+    strings rebuilt IN ORDER from the hop CTEs (each ``enc_hop{{k}}``
+    row carries the piece's 0-based start position as ``pos``, so
+    ``string_agg(.. ORDER BY pos)`` is the document-order path — the
+    Spark side's reversed backtrace array), then the bpe_encode_docs
+    index-explode reassembly over the [NULL]-padded empty-doc case."""
+    _check_params(max_piece_len, rounds, max_word_len)
+    hop_union = "\n    UNION ALL ".join(
+        f"SELECT word, pos, piece FROM enc_hop{k}"
+        for k in range(max_word_len, 0, -1)
+    )
+    return f"""
+WITH {_uni_train_ctes(max_piece_len, rounds, max_word_len, min_count, table)},
+{_vit_ctes("enc_", f"c{rounds}", max_piece_len, max_word_len)},
+enc_seq AS MATERIALIZED (
+  SELECT word, string_agg(piece, ' ' ORDER BY pos ASC) AS pieces FROM (
+    {hop_union}
+  ) GROUP BY word
+),
+dw AS (
+  SELECT doc_id, i AS ord, toks2[i] AS word FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END AS toks2
+    FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM {table})
+  ), unnest(range(1, len(toks2) + 1)) AS t(i)
+)
+SELECT doc_id,
+       coalesce(string_agg(pieces, ' ' ORDER BY ord), '') AS uni_tokens
+FROM dw LEFT JOIN enc_seq USING (word)
+GROUP BY doc_id
 """

@@ -10,6 +10,8 @@ from collections import Counter
 import pytest
 
 from bht_etl_app_spark.operators.unigram_tok import (
+    unigram_encode_docs,
+    unigram_encode_docs_oracle_sql,
     unigram_token_counts,
     unigram_token_counts_oracle_sql,
     unigram_train,
@@ -106,6 +108,65 @@ def test_token_counts_segments_by_final_model(spark):
     assert got[(1, "able")] == 2          # table + tables
     assert got[(2, "the")] == 3
     assert got[(1, "g")] == 1 and got[(1, "s")] == 1
+
+
+def _py_encode(texts, L=4, rounds=2, maxlen=8, min_count=2):
+    """Ordered-encode reference: final-model Viterbi per word with the
+    (cost, j) tiebreak, pieces emitted start->end, words joined in
+    document order; words longer than ``maxlen`` omitted."""
+    counts = _py_unigram_counts(texts, L, rounds, maxlen, min_count)
+    n_tot = sum(counts.values())
+    cost = {p: round(-math.log(c / n_tot), 9) for p, c in counts.items()}
+
+    def seg(w):
+        n = len(w)
+        best = [(0.0, -1)] + [(math.inf, -1)] * n
+        for i in range(1, n + 1):
+            cands = [
+                (best[j][0] + cost[w[j:i]], j)
+                for j in range(max(0, i - L), i)
+                if w[j:i] in cost
+            ]
+            if cands:
+                best[i] = min(cands)
+        pieces, pos = [], n
+        while pos > 0:
+            j = best[pos][1]
+            pieces.append(w[j:pos])
+            pos = j
+        return list(reversed(pieces))
+
+    out = []
+    for t in texts:
+        pieces = []
+        for w in (t or "").lower().split():
+            if len(w) <= maxlen:
+                pieces.extend(seg(w))
+        out.append(" ".join(pieces))
+    return out
+
+
+def test_encode_docs_document_order_and_edges(spark):
+    """The position-ordered encode surface: pieces appear in DOCUMENT
+    order (not just the right multiset), out-of-vocabulary words
+    (len > max_word_len) are omitted, and the empty/whitespace doc
+    encodes to the empty string."""
+    rows = TOY + [(3, ""), (4, "  "), (5, "hyperhashing table")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["uni_tokens"]
+        for r in unigram_encode_docs(docs).collect()
+    }
+    ref = _py_encode([t for _, t in rows])
+    assert got == {i: ref[n] for n, (i, _) in enumerate(rows)}
+    assert len(got) == 5
+    # order pinned explicitly, not just via the reference:
+    # "hashing hash hash table tables" under the TOY model
+    assert got[1] == "hash i n g hash hash t able t able s"
+    assert got[3] == "" and got[4] == ""
+    # "hyperhashing" (12 chars > max_word_len=8) is omitted; the
+    # in-vocabulary neighbor still encodes
+    assert got[5] == "t able"
 
 
 def test_char_floor_invariant(spark):
@@ -226,3 +287,9 @@ def test_oracles_match_spark_on_fixture(spark, sf):
         for r in con.execute(unigram_token_counts_oracle_sql()).fetchall()
     )
     assert s2 == o2 and len(s2) > 0
+    s3 = sorted(tuple(r) for r in unigram_encode_docs(docs).collect())
+    o3 = sorted(
+        tuple(r)
+        for r in con.execute(unigram_encode_docs_oracle_sql()).fetchall()
+    )
+    assert s3 == o3 and len(s3) > 0
