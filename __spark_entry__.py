@@ -2411,6 +2411,67 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}
 """
 
 
+def _ann_pq_rerank_oracle_sql(
+    k: int = 16, rounds: int = 2, topk: int = 10, shortlist: int = 50,
+    dim: int = 64,
+) -> str:
+    """Two-stage replay: the verified ADC top-k fragment cut at
+    ``shortlist`` instead of ``topk``, then exact squared-L2 re-rank
+    of the shortlist against the full vectors (the recall-oracle
+    round_even(list_sum(...)) exact fold) — codes order the scan,
+    full vectors are touched only for the shortlist ids."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_pq_chains_cte(k, rounds, dim)},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+lut0 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[i] - c[i]) * (q.v[i] - c[i]))) AS dd
+  FROM p0c{rounds}, q
+),
+lut1 AS (
+  SELECT cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[{d} + i] - c[i]) * (q.v[{d} + i] - c[i]))) AS dd
+  FROM p1c{rounds}, q
+),
+short AS (
+  SELECT vec_id, adc_dist FROM (
+    SELECT a.vec_id, round_even(l0.dd + l1.dd, 6) AS adc_dist
+    FROM p0a{fin} a JOIN p1a{fin} b USING (vec_id)
+    JOIN lut0 l0 ON l0.cid = a.list_id
+    JOIN lut1 l1 ON l1.cid = b.list_id
+  )
+  ORDER BY adc_dist ASC, vec_id ASC LIMIT {shortlist}
+)
+SELECT s.vec_id, s.adc_dist,
+       round_even(list_sum(list_transform(range(1, {dim + 1}),
+         i -> (q.v[i] - e.ev[i]) * (q.v[i] - e.ev[i]))), 6) AS l2_dist
+FROM short s
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings) e
+  USING (vec_id), q
+ORDER BY l2_dist ASC, s.vec_id ASC LIMIT {topk}
+"""
+
+
+def _q_ann_pq_rerank_topk(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank (FAISS IndexRefineFlat's
+    refine stage): the corpus-wide scan touches only the codes; the
+    exact pass fetches `shortlist` full vectors by broadcast id join
+    and repairs the quantization error in the final ranking."""
+    from bht_etl_app_spark.operators.pq import pq_rerank_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    books = pq_train(emb, **_PQ_PARAMS)
+    return pq_rerank_topk(emb, qv, books, k=10, shortlist=50)
+
+
 def _q_ann_ivf_pq_topk(spark, sf_dir):
     """Full IVF-PQ composite: coarse k-means (k=8) probe + ADC over
     PQ codes — the FAISS-style index shape. The oracle replays coarse
@@ -3912,6 +3973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF composite + persisted partition-pruned index)
         "pq_codes": _q_pq_codes,
         "ann_pq_topk": _q_ann_pq_topk,
+        # two-stage refine (r9): ADC shortlist -> exact re-rank
+        "ann_pq_rerank_topk": _q_ann_pq_rerank_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "ann_ivf_rpq_topk": _q_ann_ivf_rpq_topk,
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
@@ -5467,6 +5530,7 @@ SELECT vec_id, cosine FROM (
         "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
         "pq_codes": _pq_codes_oracle_sql(),
         "ann_pq_topk": _ann_pq_topk_oracle_sql(),
+        "ann_pq_rerank_topk": _ann_pq_rerank_oracle_sql(),
         "ann_ivf_pq_topk": _ann_ivf_pq_oracle_sql(),
         "ann_ivf_rpq_topk": _ann_ivf_rpq_oracle_sql(),
         "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),

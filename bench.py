@@ -217,6 +217,9 @@ HEADLINE = [
     # r9: both IVF-PQ encodings' recall vs the shared exact-L2
     # baseline in one row (the residual gain at identical storage)
     "ann_recall_report_ivf_rpq",
+    # r9: two-stage refine — ADC shortlist + exact re-rank (FAISS
+    # IndexRefineFlat's production shape)
+    "ann_pq_rerank_topk",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

@@ -65,6 +65,7 @@ __all__ = [
     "ann_pq_index_topk",
     "pq_knn_join",
     "l2_knn_join",
+    "pq_rerank_topk",
     "ann_recall_report_pq",
     "ivf_residuals",
     "pq_train_residual",
@@ -476,6 +477,74 @@ def l2_knn_join(
     w = Window.partitionBy(q_id).orderBy(F.asc("l2_dist"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: ADC over PQ codes down to a
+    ``shortlist``-sized candidate set, then EXACT squared-L2 re-rank
+    of the shortlist to the final top-k — the standard production
+    refine stage (FAISS ``IndexRefineFlat``). Output ``(vec_id,
+    adc_dist, l2_dist)``, the k exactly-nearest of the shortlist.
+
+    Why this is THE shape at 100 TB: the corpus-wide scan touches
+    only 8-byte codes (ADC: m lookups per candidate), while the lossy
+    quantization error is repaired by fetching just ``shortlist``
+    full vectors BY ID — a broadcast-semi-join against the vector
+    store, never a second corpus scan. Recall approaches exact search
+    as shortlist/k grows while the full-vector traffic stays
+    parameter-sized.
+
+    Determinism: ADC distances round 6 dp with ties to the lowest id
+    (the pq_topk rule) BEFORE the shortlist cut; exact distances fold
+    dimension-sequentially and round 6 dp (the l2_knn_join rule)
+    before the final (l2_dist, vec_id) order."""
+    from .clustering import _argmax_expr, _l2_scores_expr
+    from .similarity import lit_double_array
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    n_codewords = len(codebooks[0])
+    vec = F.col(vec_col)
+    codes = F.array(*[
+        _argmax_expr(_l2_scores_expr(_subvec(vec, s, d_sub), codebooks[s]))
+        for s in range(m)
+    ])
+    lut = lit_double_array(pq_adc_lut(query_vec, codebooks))
+    adc = _adc_dist_expr(codes, lut, n_codewords)
+    short = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col), F.bround(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qv = lit_double_array(query_vec)
+    exact = F.aggregate(
+        F.zip_with(
+            qv,
+            F.col(vec_col).cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(short), id_col, "inner")
+        .select(
+            F.col(id_col),
+            "adc_dist",
+            F.bround(exact, 6).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
     )
 
 

@@ -251,6 +251,48 @@ def test_pq_adc_self_distance_is_minimal(spark, emb_sdf):
     assert top[0]["vec_id"] == 0
 
 
+def test_pq_rerank_recovers_exact_topk(spark, emb_sdf):
+    """The refine stage's contract: with a full-corpus shortlist the
+    re-ranked top-k IS the exact L2 top-k (quantization error fully
+    repaired), and at the production shortlist the result (a) is
+    ordered by exact distance, (b) is a subset of the ADC shortlist,
+    and (c) has recall@k >= the pure-ADC top-k against exact."""
+    from bht_etl_app_spark.operators.pq import (
+        l2_knn_join,
+        pq_encode,
+        pq_rerank_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    qv = [float(x) for x in emb_sdf.where("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    n = emb_sdf.count()
+    q = emb_sdf.where("vec_id = 0").selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    exact = [
+        r["vec_id"]
+        for r in l2_knn_join(q, emb_sdf, k=10).orderBy("rank").collect()
+    ]
+    full = pq_rerank_topk(emb_sdf, qv, books, k=10, shortlist=n).collect()
+    assert [r["vec_id"] for r in full] == exact
+    got = pq_rerank_topk(emb_sdf, qv, books, k=10, shortlist=50).collect()
+    dists = [r["l2_dist"] for r in got]
+    assert dists == sorted(dists)
+    short_ids = {
+        r["vec_id"]
+        for r in pq_topk(pq_encode(emb_sdf, books), qv, books, k=50).collect()
+    }
+    assert {r["vec_id"] for r in got} <= short_ids
+    adc10 = {
+        r["vec_id"]
+        for r in pq_topk(pq_encode(emb_sdf, books), qv, books, k=10).collect()
+    }
+    ex = set(exact)
+    assert len({r["vec_id"] for r in got} & ex) >= len(adc10 & ex)
+
+
 def test_pq_adc_matches_python_reference(spark, emb_sdf):
     """ADC distances replayed in pure Python from the SAME codebooks
     and codes — pins the LUT indexing and the fold order."""
