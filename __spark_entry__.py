@@ -2704,6 +2704,134 @@ FROM per_q
 """
 
 
+def _ann_pq_rerank_recall_oracle_sql(
+    k: int = 16,
+    rounds: int = 2,
+    kc: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    shortlist: int = 20,
+    n_queries: int = 32,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ann_recall_report_pq_rerank: the verified
+    IVF-PQ batched-recall fragments (_ann_ivf_pq_recall_oracle_sql)
+    with the ranked ADC set cut TWICE — at ``topk`` for the pure-ADC
+    path and at ``shortlist`` for the refine path, the latter
+    exactly re-ranked against the full vectors before its own
+    ``topk`` cut — and BOTH per-query recall folds reported in one
+    row (q_id-ordered averages, the recall-harness rule)."""
+    fin = rounds + 1
+    d = dim // 2
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="cv")},
+{_pq_chains_cte(k, rounds, dim)},
+qs AS (SELECT vec_id AS q_id, v AS qv FROM cve WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round_even(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      e.vec_id ASC) AS rank
+    FROM qs q, cve e
+  ) WHERE rank <= {topk}
+),
+probe AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM qs q, cvc{rounds} c
+  ) WHERE rn <= {nprobe}
+),
+cassign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM cve e, cvc{rounds} c
+  ) WHERE rn = 1
+),
+lut0 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS dd
+  FROM qs q, p0c{rounds} c
+),
+lut1 AS (
+  SELECT q.q_id, c.cid,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.qv[{d} + i] - c.c[i]) * (q.qv[{d} + i] - c.c[i]))) AS dd
+  FROM qs q, p1c{rounds} c
+),
+ranked AS MATERIALIZED (
+  SELECT pr.q_id, cv.vec_id,
+         row_number() OVER (
+           PARTITION BY pr.q_id
+           ORDER BY round_even(l0.dd + l1.dd, 6) ASC, cv.vec_id ASC
+         ) AS rank
+  FROM cassign cv
+  JOIN probe pr ON cv.list_id = pr.cid
+  JOIN p0a{fin} a ON a.vec_id = cv.vec_id
+  JOIN p1a{fin} b ON b.vec_id = cv.vec_id
+  JOIN lut0 l0 ON l0.q_id = pr.q_id AND l0.cid = a.list_id
+  JOIN lut1 l1 ON l1.q_id = pr.q_id AND l1.cid = b.list_id
+),
+approx AS (SELECT q_id, vec_id FROM ranked WHERE rank <= {topk}),
+rerank AS (
+  SELECT q_id, vec_id FROM (
+    SELECT s.q_id, s.vec_id,
+           row_number() OVER (
+             PARTITION BY s.q_id
+             ORDER BY round_even(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      s.vec_id ASC) AS rr
+    FROM ranked s
+    JOIN qs q ON q.q_id = s.q_id
+    JOIN cve e ON e.vec_id = s.vec_id
+    WHERE s.rank <= {shortlist}
+  ) WHERE rr <= {topk}
+),
+per_q_pq AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN approx ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+),
+per_q_rr AS (
+  SELECT ex.q_id,
+         CAST(count(rr.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN rerank rr
+    ON ex.q_id = rr.q_id AND ex.vec_id = rr.vec_id
+  GROUP BY 1
+)
+SELECT p.n_queries, p.k, p.shortlist,
+       p.avg_recall_pq, p.min_recall_pq,
+       r.avg_recall_rerank, r.min_recall_rerank
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST({topk} AS BIGINT) AS k,
+         CAST({shortlist} AS BIGINT) AS shortlist,
+         round(list_sum(list(recall ORDER BY q_id))
+               / CAST(count(*) AS DOUBLE), 6) AS avg_recall_pq,
+         round(min(recall), 6) AS min_recall_pq
+  FROM per_q_pq
+) p, (
+  SELECT round(list_sum(list(recall ORDER BY q_id))
+               / CAST(count(*) AS DOUBLE), 6) AS avg_recall_rerank,
+         round(min(recall), 6) AS min_recall_rerank
+  FROM per_q_rr
+) r
+"""
+
+
 def _ann_ivf_rpq_oracle_sql(
     k: int = 16,
     rounds: int = 2,
@@ -2984,6 +3112,27 @@ def _q_ann_recall_ivf_rpq(spark, sf_dir):
     rpq_books = pq_train_residual(emb, cents, **_PQ_PARAMS)
     return ann_recall_report_rpq_vs_pq(
         emb, cents, pq_books, rpq_books, k=5, n_queries=32, nprobe=2
+    )
+
+
+def _q_ann_recall_pq_rerank(spark, sf_dir):
+    """Recall@k of IVF-PQ with and without the exact re-rank stage
+    (FAISS IndexRefineFlat), one row — the refine stage's recall
+    gain at the same index storage and probe setting as a measured,
+    oracle-checked number: pure ADC truncates at k on APPROXIMATE
+    distances, the refine path takes a 4x-k ADC shortlist and lets
+    exact math order the final k."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_report_pq_rerank,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books = pq_train(emb, **_PQ_PARAMS)
+    return ann_recall_report_pq_rerank(
+        emb, cents, books, k=5, shortlist=20, n_queries=32, nprobe=2
     )
 
 
@@ -3979,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_rpq_topk": _q_ann_ivf_rpq_topk,
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
         "ann_recall_report_ivf_rpq": _q_ann_recall_ivf_rpq,
+        "ann_recall_report_pq_rerank": _q_ann_recall_pq_rerank,
         "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
@@ -5536,6 +5686,7 @@ SELECT vec_id, cosine FROM (
         "ann_pq_store_topk": _ann_ivf_pq_oracle_sql(),
         "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
         "ann_recall_report_ivf_rpq": _ann_ivf_rpq_recall_oracle_sql(),
+        "ann_recall_report_pq_rerank": _ann_pq_rerank_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

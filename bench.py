@@ -218,8 +218,10 @@ HEADLINE = [
     # baseline in one row (the residual gain at identical storage)
     "ann_recall_report_ivf_rpq",
     # r9: two-stage refine — ADC shortlist + exact re-rank (FAISS
-    # IndexRefineFlat's production shape)
+    # IndexRefineFlat's production shape), and its recall gain as a
+    # measured one-row report
     "ann_pq_rerank_topk",
+    "ann_recall_report_pq_rerank",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

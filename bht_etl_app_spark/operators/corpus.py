@@ -959,6 +959,7 @@ def curate_corpus(
     lm_d: float = 0.75,
     substr_k: int | None = None,
     redact: bool = False,
+    persist_scrubbed: bool = False,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
@@ -993,6 +994,10 @@ def curate_corpus(
     earlier stages emit). Scale posture: the scrub adds two
     fp-keyed corpus-scale exchanges over the survivor set (documented
     on the operator) — no pair joins, nothing quadratic.
+    ``persist_scrubbed=True`` additionally persists the id+scrubbed
+    text boundary so the scrub chain evaluates once instead of twice
+    (keep-list + decontamination) — an opt-in exception to the
+    no-text-persists discipline, priced in PERFORMANCE.md r9.
 
     ``lm_ref`` enables the CCNet stage (Wenzek et al., LREC 2020) in
     CCNet's own position — after dedup, with the quality gates: a
@@ -1116,6 +1121,20 @@ def curate_corpus(
         scr = exact_substr_scrub(
             ns, k=substr_k, text_col=text_col, id_col=id_col, hash_fn=hash_fn
         )
+        # The scrub output feeds TWO consumers (the keep list and the
+        # decontamination stage), so its plan evaluates twice under
+        # the default no-text-persists discipline (the operator's own
+        # persisted grams frame bounds the recompute to the probe +
+        # gaps-and-islands half). ``persist_scrubbed=True`` opts into
+        # an id+text boundary (spill-to-disk) so the scrub runs once
+        # — measured at sf0.1/10x/30x (PERFORMANCE.md r9): the
+        # recompute costs ~10-15% of full-chain wall at 30x, the
+        # boundary trades that for document-text block storage; keep
+        # it off unless the substr stage dominates your chain.
+        scr_txt = scr.select(id_col, "n_kept", "n_removed", "scrubbed_text")
+        if persist_scrubbed:
+            scr_txt = scr_txt.persist(StorageLevel.MEMORY_AND_DISK)
+            extra_cached.append(scr_txt)
         # keep = survivors with kept tokens OR untouched docs — the
         # n_removed == 0 arm distinguishes "was already empty" from
         # "scrubbed to nothing" (r8 ADVICE: under min_tokens=0 an
@@ -1124,7 +1143,7 @@ def curate_corpus(
         # unreachable under the default quality gate, pinned in
         # tests/test_corpus.py::test_curate_substr_empty_doc_edge)
         substr_keep_ids = (
-            scr.where((F.col("n_kept") > 0) | (F.col("n_removed") == 0))
+            scr_txt.where((F.col("n_kept") > 0) | (F.col("n_removed") == 0))
             .select(id_col)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1132,7 +1151,7 @@ def curate_corpus(
         drop_substr = ns.select(id_col).join(
             substr_keep_ids, id_col, "left_anti"
         ).select(ids, F.lit("substr_dup").alias("verdict"))
-        ns = scr.join(substr_keep_ids, id_col, "left_semi").select(
+        ns = scr_txt.join(substr_keep_ids, id_col, "left_semi").select(
             F.col(id_col), F.col("scrubbed_text").alias(text_col)
         )
     # 4. decontamination

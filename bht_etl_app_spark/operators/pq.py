@@ -66,7 +66,9 @@ __all__ = [
     "pq_knn_join",
     "l2_knn_join",
     "pq_rerank_topk",
+    "rerank_knn_join",
     "ann_recall_report_pq",
+    "ann_recall_report_pq_rerank",
     "ivf_residuals",
     "pq_train_residual",
     "ann_ivf_rpq_topk",
@@ -578,6 +580,125 @@ def ann_recall_report_pq(
         id_col=id_col, vec_col=vec_col,
     )
     return recall_vs_exact(exact, approx, k, id_col=id_col)
+
+
+def rerank_knn_join(
+    queries: DataFrame,
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF-PQ shortlist + exact re-rank — the multi-query
+    deployment shape of :func:`pq_rerank_topk`: every query takes its
+    ``shortlist`` best ADC candidates through the verified
+    :func:`pq_knn_join` machinery, then the shortlist's FULL vectors
+    are fetched by id and re-ranked exactly. Output ``(q_id, vec_id,
+    adc_dist, l2_dist, rank)``, rank by exact distance.
+
+    Scale posture: the corpus contributes one codes scan (inside
+    pq_knn_join — no corpus shuffle) plus one broadcast-hash id fetch
+    of ``n_queries x shortlist`` rows; the exact math runs on
+    report-sized data only. Re-ranking repairs QUANTIZATION loss —
+    candidates pruned by the coarse probe never enter the shortlist,
+    so the nprobe dial is unchanged (the FAISS IndexRefineFlat
+    contract)."""
+    from pyspark.sql.window import Window
+
+    short = pq_knn_join(
+        queries, emb, coarse_centroids, codebooks, k=shortlist,
+        nprobe=nprobe, q_id=q_id, id_col=id_col, vec_col=vec_col,
+    )
+    qd = F.broadcast(
+        queries.select(
+            F.col(q_id), F.col(vec_col).cast("array<double>").alias("__qv__")
+        )
+    )
+    cd = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv__")
+    )
+    fetched = cd.join(
+        F.broadcast(short.select(q_id, id_col, "adc_dist")), id_col, "inner"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv__"), F.col("__cv__"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = fetched.join(qd, q_id).select(
+        F.col(q_id), F.col(id_col), "adc_dist",
+        F.bround(dist, 6).alias("l2_dist"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("l2_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ann_recall_report_pq_rerank(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    n_queries: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF-PQ with and WITHOUT the exact re-rank stage
+    against the shared exact squared-L2 baseline, in one row — so the
+    refine stage's recall GAIN (its entire reason to exist: repairing
+    quantization loss by touching ``shortlist`` full vectors per
+    query) is a measured number beside the pure-ADC path's, at the
+    same index storage and probe setting. Output: ``(n_queries, k,
+    shortlist, avg_recall_pq, min_recall_pq, avg_recall_rerank,
+    min_recall_rerank)``.
+
+    Same harness discipline as
+    :func:`ann_recall_report_rpq_vs_pq`: both approximate paths are
+    the batched no-corpus-shuffle joins, the report folds through the
+    verified q_id-ordered :func:`~bht_etl_app_spark.operators.
+    similarity.recall_vs_exact`, the exact baseline persists
+    (report-sized), and the one-row crossJoin is the whitelisted
+    report-assembly shape."""
+    from pyspark import StorageLevel
+
+    from ..functions.lifecycle import track_persisted
+    from .similarity import recall_vs_exact
+
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), vec_col
+    )
+    exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pq_approx = pq_knn_join(
+        q, emb, coarse_centroids, codebooks, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    rr_approx = rerank_knn_join(
+        q, emb, coarse_centroids, codebooks, k=k, shortlist=shortlist,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+    rep_pq = recall_vs_exact(exact, pq_approx, k, id_col=id_col).select(
+        "n_queries", "k",
+        F.lit(shortlist).cast("long").alias("shortlist"),
+        F.col("avg_recall").alias("avg_recall_pq"),
+        F.col("min_recall").alias("min_recall_pq"),
+    )
+    rep_rr = recall_vs_exact(exact, rr_approx, k, id_col=id_col).select(
+        F.col("avg_recall").alias("avg_recall_rerank"),
+        F.col("min_recall").alias("min_recall_rerank"),
+    )
+    return track_persisted(rep_pq.crossJoin(rep_rr), exact)
 
 
 def ivf_residuals(

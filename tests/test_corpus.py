@@ -624,6 +624,41 @@ def test_curate_corpus_full_chain_lm_drops_before_substr(spark):
     assert substr_only == {1: "contaminated", 2: "substr_dup", 3: "kept"}
 
 
+def test_curate_persist_scrubbed_boundary_is_value_neutral(spark):
+    """persist_scrubbed=True only changes the substr stage's
+    evaluation count (scrub once into a persisted id+text boundary
+    instead of twice into keep-list and decontamination) — verdicts
+    must be IDENTICAL on a corpus that exercises every substr leg
+    (kept, substr_dup, contaminated-after-scrub)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    ref_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    run = " ".join(f"dup{i}" for i in range(25))
+    rows = [
+        (1, ref_text),                                    # contaminated
+        (2, run),                                         # scrubs to nothing
+        (3, " ".join(f"aa{i}" for i in range(22)) + " " + run),
+        (4, " ".join(f"bb{i}" for i in range(22))),       # untouched
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    base = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, ref, hash_fn="md5", substr_k=5).collect()
+    }
+    boundary = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, ref, hash_fn="md5", substr_k=5, persist_scrubbed=True
+        ).collect()
+    }
+    assert boundary == base
+    assert base[2] == "substr_dup" and base[4] == "kept"
+
+
 def test_curate_corpus_mid_band_pair_is_kept(spark):
     """Regression (r5 session-2 review #1): a doc pair with Jaccard in
     [0.5, 0.8) must be KEPT — minhash_lsh_pairs' default 0.5 threshold

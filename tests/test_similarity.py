@@ -293,6 +293,46 @@ def test_pq_rerank_recovers_exact_topk(spark, emb_sdf):
     assert len({r["vec_id"] for r in got} & ex) >= len(adc10 & ex)
 
 
+def test_rerank_knn_join_matches_single_and_gains_recall(spark, emb_sdf):
+    """Batched-vs-single consistency is inherited from pq_knn_join
+    (already pinned); here: (a) every rerank row's l2_dist is the
+    true exact distance (replayed in Python), (b) rank orders by
+    exact distance, (c) the report's rerank recall >= the pure-ADC
+    recall and both fold through the verified recall_vs_exact."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_report_pq_rerank,
+        pq_train,
+        rerank_knn_join,
+    )
+
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    q = emb_sdf.where("vec_id < 4").selectExpr("vec_id AS q_id", "embedding")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb_sdf.collect()
+    }
+    rows = rerank_knn_join(
+        q, emb_sdf, cents, books, k=3, shortlist=10, nprobe=2
+    ).collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    by_q = {}
+    for r in rows:
+        qv, cv = vecs[r["q_id"]], vecs[r["vec_id"]]
+        exp = round(sum((a - b) * (a - b) for a, b in zip(qv, cv)), 6)
+        assert r["l2_dist"] == exp, (r, exp)
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["l2_dist"]))
+    for q_id, rr in by_q.items():
+        rr.sort()
+        assert [d for _, d in rr] == sorted(d for _, d in rr)
+    rep = ann_recall_report_pq_rerank(
+        emb_sdf, cents, books, k=3, shortlist=30, n_queries=8, nprobe=2
+    ).collect()[0]
+    assert rep["avg_recall_rerank"] >= rep["avg_recall_pq"]
+    assert rep["n_queries"] == 8 and rep["shortlist"] == 30
+
+
 def test_pq_adc_matches_python_reference(spark, emb_sdf):
     """ADC distances replayed in pure Python from the SAME codebooks
     and codes — pins the LUT indexing and the fold order."""
