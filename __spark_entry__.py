@@ -989,6 +989,160 @@ def _q_classifier_scores(spark, sf_dir):
     return logreg_score(docs, w, num_buckets=64)
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Side-by-side fertility (pieces per whitespace word) of the two
+    trained tokenizers — the report that actually drives tokenizer
+    selection for a pretraining run (lower fertility = fewer
+    sequence positions for the same text = cheaper training): per
+    source, integer totals of whitespace words, BPE pieces, and
+    unigram-LM pieces, with pieces-per-word ratios. Both tokenizers
+    train on the same corpus through their verified chains; the
+    unigram side counts its <= max_word_len vocabulary (OOV words
+    pass through untokenized in production — documented on the
+    operator), the BPE side its sentinel-safe words, so the ratios
+    compare each tokenizer's own coverage against the shared word
+    denominator."""
+    from bht_etl_app_spark.operators import unigram_tok
+    from bht_etl_app_spark.operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = bpe_token_counts(docs)
+    uni = (
+        unigram_tok.unigram_token_counts(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("n_uni"))
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(bpe, "doc_id", "left")
+        .join(uni, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("w"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("b"),
+            F.coalesce(F.col("n_uni"), F.lit(0)).cast("long").alias("u"),
+        )
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("b").cast("long").alias("n_bpe_tokens"),
+        F.sum("u").cast("long").alias("n_uni_tokens"),
+    )
+    ratio = lambda c: F.when(  # noqa: E731
+        F.col("n_words") > 0,
+        F.bround(
+            F.col(c).cast("double") / F.col("n_words").cast("double"), 6
+        ),
+    )
+    return agg.select(
+        F.col("source").alias("domain"),
+        "n_docs", "n_words", "n_bpe_tokens", "n_uni_tokens",
+        ratio("n_bpe_tokens").alias("bpe_per_word"),
+        ratio("n_uni_tokens").alias("uni_per_word"),
+    )
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    """Both verified tokenizer replays wrapped whole as CTEs (the
+    quality_calibration_bins wrapping rule — one hash-match re-proves
+    the BPE chain, the unigram chain, and the comparison), then
+    integer totals per source and the two int/int ratios."""
+    from bht_etl_app_spark.operators import unigram_tok
+
+    return f"""
+WITH b AS MATERIALIZED (
+{_bpe_oracles["token_counts"]}
+),
+u AS MATERIALIZED (
+{unigram_tok.unigram_token_counts_oracle_sql()}
+),
+ud AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_uni FROM u GROUP BY doc_id)
+SELECT d.source AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(b.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(b.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(coalesce(ud.n_uni, 0)) AS BIGINT) AS n_uni_tokens,
+       CASE WHEN sum(coalesce(b.n_words, 0)) > 0 THEN
+         round_even(CAST(sum(coalesce(b.n_bpe_tokens, 0)) AS DOUBLE)
+                    / CAST(sum(coalesce(b.n_words, 0)) AS DOUBLE), 6)
+       END AS bpe_per_word,
+       CASE WHEN sum(coalesce(b.n_words, 0)) > 0 THEN
+         round_even(CAST(sum(coalesce(ud.n_uni, 0)) AS DOUBLE)
+                    / CAST(sum(coalesce(b.n_words, 0)) AS DOUBLE), 6)
+       END AS uni_per_word
+FROM documents d
+LEFT JOIN b ON b.doc_id = d.doc_id
+LEFT JOIN ud ON ud.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+def _q_quality_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the hashed quality classifier on
+    its weak-supervision label (resubstitution calibration — the
+    report a pipeline reads before trusting score thresholds; a
+    held-out split only changes which rows flow in). Integer-ppm
+    binning: nothing order-dependent touches corpus-scale data."""
+    from bht_etl_app_spark.operators.selection import (
+        calibration_bins,
+        logreg_fit,
+        logreg_score,
+    )
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(tokens_expr("text"), "spark")
+    w = logreg_fit(docs, label, num_buckets=64, n_iter=10, lr=0.25)
+    scored = logreg_score(docs, w, num_buckets=64)
+    labeled = scored.join(
+        docs.select(F.col("doc_id"), label.cast("long").alias("label")),
+        "doc_id",
+    )
+    return calibration_bins(labeled, n_bins=10, label_col="label")
+
+
+def _quality_calibration_oracle_sql(
+    n_bins: int = 10, num_buckets: int = 64, n_iter: int = 10,
+    lr: float = 0.25,
+) -> str:
+    """Wraps the ENTIRE verified classifier replay as a CTE (the
+    strongest fragment-reuse form: one hash-match re-proves the fit,
+    the scoring, and the binning), joins the weak label, and bins in
+    exact integer ppm space with the same floor-of-double expression
+    the Spark side evaluates."""
+    return f"""
+WITH scored AS MATERIALIZED (
+{_quality_classifier_oracle_sql(num_buckets, n_iter, lr)}
+),
+lab AS (
+  SELECT doc_id,
+         CAST(list_contains(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> ''), 'spark') AS BIGINT) AS y
+  FROM documents
+),
+binned AS (
+  SELECT least(CAST(floor(CAST(CAST(round(s.score * 1000000) AS BIGINT)
+                                * {n_bins} AS DOUBLE) / 1000000.0)
+                    AS BIGINT), {n_bins - 1}) AS bin,
+         CAST(round(s.score * 1000000) AS BIGINT) AS ppm, l.y
+  FROM scored s JOIN lab l USING (doc_id)
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round_even(CAST(sum(ppm) AS DOUBLE) / 1000000.0
+                  / CAST(count(*) AS DOUBLE), 6) AS avg_score,
+       round_even(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS pos_rate,
+       round_even(abs(CAST(sum(ppm) AS DOUBLE) / 1000000.0
+                      / CAST(count(*) AS DOUBLE)
+                      - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)),
+                  6) AS abs_gap
+FROM binned GROUP BY bin
+"""
+
+
 def _q_cluster_top_terms(spark, sf_dir):
     """c-TF-IDF cluster labels (BERTopic formula) over the fitted
     k-means clusters (embeddings joined to documents on the shared
@@ -4095,6 +4249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_selected": _q_dsir_selected,
         "quality_classifier_scores": _q_classifier_scores,
+        "quality_calibration_bins": _q_quality_calibration,
+        "tokenizer_fertility_compare": _q_tokenizer_fertility,
         "cluster_top_terms": _q_cluster_top_terms,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": lambda s, d: simhash_near_dup_pairs(
@@ -5695,6 +5851,8 @@ SELECT vec_id, cosine FROM (
         ),
         "dsir_selected": _dsir_selected_oracle_sql(),
         "quality_classifier_scores": _quality_classifier_oracle_sql(),
+        "quality_calibration_bins": _quality_calibration_oracle_sql(),
+        "tokenizer_fertility_compare": _tokenizer_fertility_oracle_sql(),
         "cluster_top_terms": _cluster_top_terms_oracle_sql(),
         "semantic_dedup_survivors": _semantic_dedup_oracle_sql(),
         "near_dup_incremental_docs": _near_dup_incremental_oracle_sql(),

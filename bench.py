@@ -222,6 +222,11 @@ HEADLINE = [
     # measured one-row report
     "ann_pq_rerank_topk",
     "ann_recall_report_pq_rerank",
+    # r9: reliability-diagram calibration report for the hashed
+    # quality classifier (integer-ppm binning)
+    "quality_calibration_bins",
+    # r9: BPE-vs-unigram fertility side-by-side (tokenizer selection)
+    "tokenizer_fertility_compare",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

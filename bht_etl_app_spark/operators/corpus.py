@@ -1126,11 +1126,14 @@ def curate_corpus(
         # the default no-text-persists discipline (the operator's own
         # persisted grams frame bounds the recompute to the probe +
         # gaps-and-islands half). ``persist_scrubbed=True`` opts into
-        # an id+text boundary (spill-to-disk) so the scrub runs once
-        # — measured at sf0.1/10x/30x (PERFORMANCE.md r9): the
-        # recompute costs ~10-15% of full-chain wall at 30x, the
-        # boundary trades that for document-text block storage; keep
-        # it off unless the substr stage dominates your chain.
+        # an id+text boundary (MEMORY_AND_DISK) so the scrub runs
+        # once — MEASURED on the full chain at sf0.1/10x/30x
+        # (PERFORMANCE.md r9): the boundary wins ~16% at 1x but
+        # LOSES 10-17% at 10x/30x — corpus-sized text blocks spill
+        # and their write+read outprices the grams-bounded recompute
+        # — so False stays the default; the knob exists for chains
+        # whose scrub stage dominates (k near the gram floor, hot
+        # cache tiers).
         scr_txt = scr.select(id_col, "n_kept", "n_removed", "scrubbed_text")
         if persist_scrubbed:
             scr_txt = scr_txt.persist(StorageLevel.MEMORY_AND_DISK)

@@ -61,6 +61,7 @@ __all__ = [
     "dsir_select",
     "logreg_fit",
     "logreg_score",
+    "calibration_bins",
 ]
 
 
@@ -428,4 +429,67 @@ def logreg_score(
         "doc_id",
         F.bround(sig, 6).alias("score"),
         (F.bround(sig, 6) >= 0.5).alias("keep"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram calibration report for a probabilistic
+    classifier (Guo et al., "On Calibration of Modern Neural
+    Networks", ICML 2017 — the standard equal-width binning): rows
+    ``(bin, n, avg_score, pos_rate, abs_gap)`` where ``bin`` is the
+    equal-width score decile (score=1.0 clamps into the top bin),
+    ``avg_score`` the bin's mean predicted probability, ``pos_rate``
+    the observed positive rate, and ``abs_gap`` their absolute
+    difference — the per-bin term of the ECE sum. A well-calibrated
+    quality classifier has small gaps; a miscalibrated one over- or
+    under-trusts its own scores, which directly skews any
+    threshold-based keep decision downstream.
+
+    Determinism at scale: scores arrive 6 dp-rounded (logreg_score),
+    so they scale EXACTLY to integer ppm — binning and both per-bin
+    sums run in integer space (no order-dependent float accumulation
+    ever touches corpus-scale data; contrast the report-sized
+    collect_list folds in recall_vs_exact, which would NOT scale
+    here), and each output stat is a single int/int division rounded
+    6 dp half-even. The groupBy shuffles ``n_bins`` counter triples
+    — map-side-combined, report-sized."""
+    ppm = F.round(F.col(score_col) * F.lit(1000000.0)).cast("long")
+    y = F.col(label_col).cast("long")
+    # floor((ppm * n_bins) / 1e6): the product is <= 1e6 * n_bins,
+    # double-exact, so floor-of-double == integer division in both
+    # engines (the oracle spells the identical expression)
+    bin_ = F.least(
+        F.floor(
+            (ppm * F.lit(n_bins)).cast("double") / F.lit(1000000.0)
+        ).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    agg = (
+        scored.select(
+            bin_.alias("bin"), ppm.alias("__ppm__"), y.alias("__y__")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__ppm__").alias("__sp__"),
+            F.sum("__y__").alias("__sy__"),
+        )
+    )
+    avg = (
+        F.col("__sp__").cast("double")
+        / F.lit(1000000.0)
+        / F.col("n").cast("double")
+    )
+    pos = F.col("__sy__").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        F.bround(avg, 6).alias("avg_score"),
+        F.bround(pos, 6).alias("pos_rate"),
+        F.bround(F.abs(avg - pos), 6).alias("abs_gap"),
     )

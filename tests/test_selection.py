@@ -153,3 +153,61 @@ def test_cluster_top_terms_formula_and_ranks(spark):
     assert got[(0, "cherry")] == (s(1, 1), 2)
     assert (0, "banana") not in got
     assert all(r["rank"] <= 2 for r in out)
+
+
+def test_calibration_bins_hand_computed(spark):
+    """calibration_bins on a hand-built scored frame: bin edges
+    (clamp at 1.0, floor at edges), exact per-bin stats, and the
+    abs_gap arithmetic — all against values computed by hand."""
+    from bht_etl_app_spark.operators.selection import calibration_bins
+
+    rows = [
+        # (doc_id, score, label) — bins at n_bins=10
+        (1, 0.05, 0),   # bin 0
+        (2, 0.051, 1),  # bin 0
+        (3, 0.55, 1),   # bin 5
+        (4, 0.59, 1),   # bin 5
+        (5, 1.0, 1),    # clamps into bin 9
+        (6, 0.9, 0),    # bin 9 (edge lands exactly)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label long")
+    got = {
+        r["bin"]: (r["n"], r["avg_score"], r["pos_rate"], r["abs_gap"])
+        for r in calibration_bins(df, n_bins=10).collect()
+    }
+    assert set(got) == {0, 5, 9}
+    assert got[0] == (2, 0.0505, 0.5, 0.4495)
+    assert got[5] == (2, 0.57, 1.0, 0.43)
+    assert got[9] == (2, 0.95, 0.5, 0.45)
+
+
+def test_calibration_bins_matches_oracle_shape(spark):
+    """The contract key end-to-end at the small fixture: Spark ==
+    DuckDB for the composed fit+score+bin chain (registration
+    rehearsal for quality_calibration_bins)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in entry.queries()["quality_calibration_bins"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["quality_calibration_bins"]
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0

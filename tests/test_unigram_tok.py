@@ -293,3 +293,41 @@ def test_oracles_match_spark_on_fixture(spark, sf):
         for r in con.execute(unigram_encode_docs_oracle_sql()).fetchall()
     )
     assert s3 == o3 and len(s3) > 0
+
+
+def test_tokenizer_fertility_compare_matches_oracle(spark):
+    """Contract rehearsal for tokenizer_fertility_compare at the
+    small fixture: Spark == DuckDB for the composed BPE + unigram
+    fertility report, plus sanity on the ratio direction (the
+    48-piece unigram model keeps frequent words whole, so its
+    fertility must undercut 12-merge BPE's on this corpus)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in entry.queries()["tokenizer_fertility_compare"](
+            spark, sf
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["tokenizer_fertility_compare"]
+        ).fetchall()
+    )
+    assert got == exp and len(got) == 20
+    for row in got:
+        assert row[5] > row[6] > 1.0  # bpe_per_word > uni_per_word
