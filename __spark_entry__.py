@@ -3457,6 +3457,80 @@ WHERE {ham} <= {max_hamming}
 """
 
 
+# UNCAPPED brute-force exact-Jaccard pairs at t=0.8 — the lossless
+# truth the PPJoin key is verified against, and (r9) one side of the
+# near_dup_recall_report comparison (wrapped whole as a CTE there)
+_PPJOIN_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM ex a JOIN ex b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+  FROM pairs
+) WHERE jaccard >= 0.8
+"""
+
+
+def _near_dup_recall_oracle_sql() -> str:
+    """Replay of near_dup_recall_report: BOTH verified pair oracles
+    wrapped whole as CTEs (the lossless PPJoin truth at t=0.8 and the
+    portable-MinHash banded pipeline at the same threshold), compared
+    on the pair key with a full-outer join, counts + int/int ratios.
+    One hash-match re-proves both pipelines AND their agreement."""
+    return f"""
+WITH ex_pairs AS MATERIALIZED (
+{_PPJOIN_ORACLE_SQL}
+),
+lsh_pairs AS MATERIALIZED (
+{_minhash_lsh_pairs_oracle_sql(threshold=0.8)}
+),
+j AS (
+  SELECT e.id_a AS e_a, l.id_a AS l_a
+  FROM ex_pairs e FULL JOIN lsh_pairs l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b
+),
+c AS (
+  SELECT CAST(count(e_a) AS BIGINT) AS n_exact_pairs,
+         CAST(count(l_a) AS BIGINT) AS n_lsh_pairs,
+         CAST(sum(CASE WHEN e_a IS NOT NULL AND l_a IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM j
+)
+SELECT n_exact_pairs, n_lsh_pairs, n_matched,
+       CASE WHEN n_exact_pairs > 0 THEN
+         round_even(CAST(n_matched AS DOUBLE)
+                    / CAST(n_exact_pairs AS DOUBLE), 6)
+       END AS pair_recall,
+       CASE WHEN n_lsh_pairs > 0 THEN
+         round_even(CAST(n_matched AS DOUBLE)
+                    / CAST(n_lsh_pairs AS DOUBLE), 6)
+       END AS pair_precision
+FROM c
+"""
+
+
 def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
     rows-only in r4 — the portable md5+rotate-xor signature family
@@ -3970,6 +4044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair (tests pin the same against a pure-Python all-pairs)
         "near_dup_jaccard_ppjoin": lambda s, d: ngram_jaccard_pairs_ppjoin(
             load_table(s, d, "documents"), threshold=0.8
+        ),
+        # r9: the banding's measured miss rate vs the lossless truth
+        # (portable md5 family so the full comparison replays)
+        "near_dup_recall_report": lambda s, d: _dedup_sql.near_dup_recall_report(
+            load_table(s, d, "documents"), threshold=0.8, hash_fn="md5"
         ),
         # the asymmetric twin: subsumption (quote/excerpt) duplicates
         # that a Jaccard threshold structurally misses
@@ -5787,37 +5866,8 @@ SELECT id_a, id_b, jaccard FROM (
         # oracle for the PPJoin path is the UNCAPPED inverted-index
         # brute force: a hash match here proves the prefix/positional
         # filters are lossless, not merely self-consistent
-        "near_dup_jaccard_ppjoin": """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_sort(list_distinct(list_transform(
-             range(1, len(t) - 3 + 2),
-             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
-         ELSE [] END AS shingles
-  FROM toks
-),
-ex AS (
-  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
-),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
-         any_value(b.n_sh) AS n_b, count(*) AS shared
-  FROM ex a JOIN ex b USING (s)
-  WHERE a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT id_a, id_b,
-         round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
-  FROM pairs
-) WHERE jaccard >= 0.8
-""",
+        "near_dup_jaccard_ppjoin": _PPJOIN_ORACLE_SQL,
+        "near_dup_recall_report": _near_dup_recall_oracle_sql(),
         "knn_vec0": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine FROM (

@@ -227,6 +227,8 @@ HEADLINE = [
     "quality_calibration_bins",
     # r9: BPE-vs-unigram fertility side-by-side (tokenizer selection)
     "tokenizer_fertility_compare",
+    # r9: banded-MinHash miss rate vs the lossless PPJoin truth
+    "near_dup_recall_report",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

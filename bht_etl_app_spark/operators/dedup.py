@@ -1522,3 +1522,78 @@ FROM pairs p
 JOIN sizes sa ON p.src_a = sa.src
 JOIN sizes sb ON p.src_b = sb.src
 """
+
+
+def near_dup_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pair-level recall/precision of banded MinHash-LSH against the
+    LOSSLESS PPJoin exact-Jaccard truth at the same shingle size and
+    threshold — the dedup family's twin of the ANN recall harness:
+    before anyone turns the bands/rows dial on a real corpus, the
+    banding's miss rate should be a measured number, not the S-curve
+    formula's promise. One row: ``(n_exact_pairs, n_lsh_pairs,
+    n_matched, pair_recall, pair_precision)``.
+
+    ``pair_precision`` is structurally 1.0 whenever both paths agree
+    on the verify arithmetic (LSH candidates are verified with the
+    exact Jaccard before thresholding, and PPJoin is lossless) — it
+    is reported anyway as the harness invariant: anything below 1.0
+    means the two pipelines' shingle/verify stages have drifted
+    apart, which is exactly what an audit row should catch.
+
+    Scale posture: both sides are the existing operators (one
+    corpus-scale explode each, pair-bounded joins); the comparison
+    itself is a full-outer join on the pair key — PAIR-sized, never
+    corpus-sized. PPJoin is the expensive truth; at 100 TB this
+    report runs on a sampled slice (pass the sample in as ``df``),
+    exactly how ANN recall harnesses are deployed."""
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    exact0 = ngram_jaccard_pairs_ppjoin(df, text_col, id_col, n, threshold)
+    lsh0 = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, threshold, hash_fn
+    )
+    e = exact0.select("id_a", "id_b", F.lit(1).alias("__e__"))
+    l = lsh0.select("id_a", "id_b", F.lit(1).alias("__l__"))
+    j = e.join(l, ["id_a", "id_b"], "full")
+    agg = j.agg(
+        F.count("__e__").cast("long").alias("n_exact_pairs"),
+        F.count("__l__").cast("long").alias("n_lsh_pairs"),
+        F.sum(
+            F.when(
+                F.col("__e__").isNotNull() & F.col("__l__").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+    )
+    rep = agg.select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_matched",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.bround(
+                F.col("n_matched").cast("double")
+                / F.col("n_exact_pairs").cast("double"),
+                6,
+            ),
+        ).alias("pair_recall"),
+        F.when(
+            F.col("n_lsh_pairs") > 0,
+            F.bround(
+                F.col("n_matched").cast("double")
+                / F.col("n_lsh_pairs").cast("double"),
+                6,
+            ),
+        ).alias("pair_precision"),
+    )
+    return carry(rep, exact0, lsh0)

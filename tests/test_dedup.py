@@ -568,3 +568,37 @@ def test_source_overlap_matrix_hand_computed(spark):
     assert r["shared"] == 1
     assert r["overlap"] == 0.5       # 1 / min(2, 3)
     assert r["jaccard"] == 0.25      # 1 / (2 + 3 - 1)
+
+
+def test_near_dup_recall_report_vs_python_truth(spark):
+    """The audit row against an independent pure-Python all-pairs
+    truth on the seeded random corpus: n_exact_pairs equals the
+    brute-force pair count, n_matched <= n_exact_pairs, and
+    precision is exactly 1.0 whenever LSH emits pairs (its
+    candidates are exact-verified, so any sub-1.0 value means the
+    two pipelines' shingle/verify stages drifted)."""
+    import random
+
+    from bht_etl_app_spark.operators.dedup import near_dup_recall_report
+
+    rng = random.Random(71)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 18))))
+        for i in range(40)
+    ]
+    for i in range(40, 52):
+        src = rows[i % 20][1]
+        toks = src.split()
+        if i % 3 == 0 and len(toks) > 4:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = _python_jaccard_pairs(rows, threshold=0.8)
+    r = near_dup_recall_report(docs, threshold=0.8).collect()[0]
+    assert r["n_exact_pairs"] == len(exp) and len(exp) > 0
+    assert r["n_matched"] <= r["n_exact_pairs"]
+    assert r["n_lsh_pairs"] == r["n_matched"]  # verified candidates only
+    if r["n_lsh_pairs"] > 0:
+        assert r["pair_precision"] == 1.0
+    assert r["pair_recall"] == round(r["n_matched"] / r["n_exact_pairs"], 6)
