@@ -133,6 +133,17 @@ NESTED_LOOP_OK = {
                              # whitelisted 1-row-total shape
     "unigram_token_counts",  # same 1-row N broadcast via the final
                              # model's cost table
+    "unigram_encoded_docs",  # same 1-row N broadcast (the encode
+                             # pass scores under the same final
+                             # model's cost table)
+    "tokenizer_fertility_compare",  # composes unigram_token_counts
+                             # -> inherits its whitelisted 1-row N
+                             # broadcast (the BPE side and the
+                             # report joins are equi-joins)
+    "ann_recall_report_pq_rerank",  # l2_knn_join fixed-Q exact
+                             # baseline + the final 1-row x 1-row
+                             # report-assembly crossJoin (both the
+                             # ADC and rerank legs are equi-joins)
 }
 
 
