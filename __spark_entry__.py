@@ -3493,6 +3493,77 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+# df-capped jaccard pairs -> recursive-CTE connected components with
+# min-reachable-id labels — the near_dup_clusters replay, and (r9)
+# the component source the leakage_safe_split oracle wraps whole
+_NEAR_DUP_CLUSTERS_ORACLE_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(t) - 3 + 2),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
+exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
+         any_value(b.n_sh) AS n_b, count(*) AS shared
+  FROM exf a JOIN exf b USING (s)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+    FROM cand
+  ) WHERE jaccard >= 0.8
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+def _leakage_safe_split_oracle_sql(test_hex_threshold: str = "cccc") -> str:
+    """Replay of sampling.leakage_safe_split over the same pair
+    source as the near_dup_clusters key: the verified recursive
+    components statement wrapped whole as a CTE, LEFT-joined to the
+    corpus, split decided by md5 of the coalesced representative —
+    the train_test_split hash rule on the component key."""
+    return f"""
+WITH comp AS MATERIALIZED (
+{_NEAR_DUP_CLUSTERS_ORACLE_SQL}
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS split_key,
+       CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+                                    AS VARCHAR)), 1, 4)
+                 < '{test_hex_threshold}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def _near_dup_recall_oracle_sql() -> str:
     """Replay of near_dup_recall_report: BOTH verified pair oracles
     wrapped whole as CTEs (the lossless PPJoin truth at t=0.8 and the
@@ -4166,6 +4237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ngram_jaccard_pairs(
                 load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
             )
+        ),
+        # r9: near-dup-aware split — components decide membership, so
+        # a test doc can never have a near-duplicate in train
+        "leakage_safe_split": lambda s, d: sampling.leakage_safe_split(
+            load_table(s, d, "documents"),
+            ngram_jaccard_pairs(
+                load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
+            ),
         ),
         "purchase_and_click_users": lambda s, d: windows.purchase_and_click_users(
             load_table(s, d, "events")
@@ -5424,52 +5503,8 @@ FROM orders GROUP BY 1
         "training_order_docs": sampling.TRAINING_ORDER_SQL,
         "stratified_sample_docs": sampling.STRATIFIED_SAMPLE_SQL,
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
-        "near_dup_clusters": """
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_sort(list_distinct(list_transform(
-             range(1, len(t) - 3 + 2),
-             i -> array_to_string(list_slice(t, i, i + 2), ' '))))
-         ELSE [] END AS shingles
-  FROM toks
-),
-ex AS (
-  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
-),
-dfc AS (SELECT s, count(*) AS d FROM ex GROUP BY 1),
-exf AS (SELECT ex.id, ex.n_sh, ex.s FROM ex JOIN dfc USING (s) WHERE d <= 64),
-cand AS (
-  SELECT a.id AS id_a, b.id AS id_b, any_value(a.n_sh) AS n_a,
-         any_value(b.n_sh) AS n_b, count(*) AS shared
-  FROM exf a JOIN exf b USING (s)
-  WHERE a.id < b.id
-  GROUP BY a.id, b.id
-),
-pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT id_a, id_b,
-           round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
-    FROM cand
-  ) WHERE jaccard >= 0.8
-),
-und AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, r) AS (
-  SELECT s, s FROM und
-  UNION
-  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id
-)
-SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
-""",
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
+        "leakage_safe_split": _leakage_safe_split_oracle_sql(),
         "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id,

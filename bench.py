@@ -229,6 +229,8 @@ HEADLINE = [
     "tokenizer_fertility_compare",
     # r9: banded-MinHash miss rate vs the lossless PPJoin truth
     "near_dup_recall_report",
+    # r9: near-dup-aware train/test split (components decide sides)
+    "leakage_safe_split",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

@@ -314,3 +314,50 @@ FROM (
   WHERE len(gh) >= 4
 )
 """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_hex_threshold: str = "cccc",
+) -> DataFrame:
+    """Near-dup-aware train/test assignment: documents in the same
+    near-duplicate COMPONENT always land in the same split, because
+    membership hashes the component representative (minimum reachable
+    id through the pair graph; singletons hash their own id) instead
+    of the document id. This closes the classic evaluation-leakage
+    bug: under a plain per-id hash split (:func:`train_test_split`),
+    a test document's near-duplicate routinely lands in train and the
+    eval silently measures memorization — the reason Lee et al.
+    (ACL'22) and every serious pretraining eval dedup ACROSS the
+    split boundary, not just within train.
+
+    Output: ``(doc_id, split_key, split)`` — ``split_key`` is the id
+    whose hash decided membership (cluster representative or self),
+    kept in the output so the grouping is auditable.
+
+    Scale posture: components come from
+    :func:`~bht_etl_app_spark.operators.dedup.dedup_clusters` over
+    the (pair-sized) near-dup edge set; the corpus side adds one
+    id-keyed LEFT join against the (pair-bounded) label table and a
+    per-row hash — no new corpus-scale shuffle beyond the join, and
+    the same split-stability properties as train_test_split
+    (membership depends only on ids and the edge set)."""
+    from bht_etl_app_spark.functions.lifecycle import carry
+    from bht_etl_app_spark.operators.dedup import dedup_clusters
+
+    comp = dedup_clusters(pairs)
+    labeled = ensure_min_parallelism(df).select(F.col(id_col)).join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long")
+    h = F.substring(F.md5(key.cast("string")), 1, 4)
+    out = labeled.select(
+        F.col(id_col),
+        key.alias("split_key"),
+        F.when(h < F.lit(test_hex_threshold), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return carry(out, comp)

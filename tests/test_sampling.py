@@ -147,3 +147,45 @@ def test_weighted_sample_topk_plan(spark):
     plan = qe.explainString(mode)
     assert "TakeOrderedAndProject" in plan
     assert "Sort (" not in plan
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    """The leakage guard: a near-dup pair whose ids would land in
+    DIFFERENT splits under the per-id hash must land together (keyed
+    by the min reachable id), while singletons keep exactly their
+    train_test_split assignment."""
+    import hashlib
+
+    from bht_etl_app_spark.operators.sampling import leakage_safe_split
+
+    def side(key):
+        return (
+            "train"
+            if hashlib.md5(str(key).encode()).hexdigest()[:4] < "cccc"
+            else "test"
+        )
+
+    # find two ids on opposite sides of the plain split
+    a = 1
+    b = next(i for i in range(2, 200) if side(i) != side(a))
+    text_dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (a, text_dup),
+        (b, text_dup + " w11"),          # jaccard > 0.8 with a
+        (50, "x1 x2 x3 x4 x5 x6"),       # singleton
+        (51, "y1 y2 y3 y4 y5 y6"),       # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(0.9))
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert len(got) == 4
+    # the pair shares the min-id key and therefore the split
+    assert got[a] == (a, side(a)) and got[b] == (a, side(a))
+    assert side(a) != side(b), "fixture must exercise the leak case"
+    # singletons: exactly the per-id rule
+    assert got[50] == (50, side(50)) and got[51] == (51, side(51))
