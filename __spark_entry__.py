@@ -4752,6 +4752,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             final_round=6,
         ),
+        # r9: CCNet's head/middle/tail perplexity terciles per domain
+        # (train on the src0 reference, score the crawl — the same
+        # orientation as curate_corpus's LM stage)
+        "kn_ppl_buckets": lambda s, d: _kn_mod.kn_ppl_buckets(
+            load_table(s, d, "documents").where(F.col("source") != "src0"),
+            train_df=load_table(s, d, "documents").where(
+                F.col("source") == "src0"
+            ),
+        ),
         # ExactSubstr (Lee et al. ACL'22) duplicated-span dedup,
         # re-expressed as a distributed gram-cover: maximal
         # corpus-duplicated token runs, the per-row duplication
@@ -5465,6 +5474,7 @@ LATERAL (
         # edit cannot desynchronize them)
         "kn_doc_logprob": _kn_mod.kn_oracle_sql(),
         "kn_heldout_logprob": _kn_mod.kn_heldout_oracle_sql(),
+        "kn_ppl_buckets": _kn_mod.kn_ppl_buckets_oracle_sql(),
         # ExactSubstr family: integer/string-only replays (no rounding
         # discipline), k matching the queries() entries exactly
         "exact_substr_spans": _substr_mod.exact_substr_spans_oracle_sql(k=5),

@@ -231,6 +231,8 @@ HEADLINE = [
     "near_dup_recall_report",
     # r9: near-dup-aware train/test split (components decide sides)
     "leakage_safe_split",
+    # r9: CCNet head/middle/tail perplexity terciles per domain
+    "kn_ppl_buckets",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

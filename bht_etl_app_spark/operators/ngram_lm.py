@@ -73,6 +73,8 @@ __all__ = [
     "kn_per_doc_cte",
     "moore_lewis_scores",
     "moore_lewis_oracle_sql",
+    "kn_ppl_buckets",
+    "kn_ppl_buckets_oracle_sql",
 ]
 
 BOS = "\x02s\x03"  # control-byte-bracketed so no corpus token collides
@@ -772,4 +774,124 @@ SELECT t.doc_id,
 FROM score_toks t
 LEFT JOIN ind_per_doc a USING (doc_id)
 LEFT JOIN ood_per_doc b USING (doc_id)
+"""
+
+
+def kn_ppl_buckets(
+    df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    d: float = 0.75,
+    final_round: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity terciles (Wenzek et al.,
+    LREC 2020 §4.3 — the bucket split CCNet PUBLISHES per language
+    and downstream work trains on): score ``df`` under the
+    reference-trained KN model, rank per domain by perplexity
+    (ascending ppl == descending avg_logprob, doc_id tiebreak), and
+    cut into integer-rank terciles. Output one row per (domain,
+    bucket): ``(domain, bucket, n_docs, min_avg_logprob,
+    max_avg_logprob)`` — the min/max are the bucket BOUNDARIES, the
+    cut points a production run would freeze as constants (exactly
+    how CCNet deploys per-language cuts). Docs the LM cannot score
+    (no tokens) land in an explicit ``unscored`` bucket with NULL
+    boundaries rather than silently biasing the tail.
+
+    Determinism: bucket membership is pure integer arithmetic
+    (rank*3 vs n) over the 6 dp-rounded scores; min/max need no
+    ordered folds. Scale posture: scoring is the kn_doc_logprob
+    chain (corpus scan + vocabulary-bounded model joins); bucketing
+    adds one per-DOMAIN rank window — CCNet's own per-language sort,
+    the domain-partitioned cousin of domain_quantile_keep (whose
+    approx-percentile twin is the documented 100 TB escape hatch if
+    a single domain outgrows a sort partition)."""
+    from pyspark.sql.window import Window
+
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    scores = kn_doc_logprob(
+        df, text_col, id_col, d=d, train_df=train_df,
+        final_round=final_round,
+    )
+    lab = scores.join(
+        df.select(F.col(id_col), F.col(domain_col).alias("domain")), id_col
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    wn = Window.partitionBy("domain")
+    ranked = (
+        lab.where(F.col("avg_logprob").isNotNull())
+        .withColumn("__rk__", F.row_number().over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "bucket",
+            F.when(F.col("__rk__") * 3 <= F.col("__n__"), F.lit("head"))
+            .when(F.col("__rk__") * 3 <= F.col("__n__") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("domain", "bucket", "avg_logprob")
+    )
+    unscored = lab.where(F.col("avg_logprob").isNull()).select(
+        "domain", F.lit("unscored").alias("bucket"), F.col("avg_logprob")
+    )
+    out = (
+        ranked.unionByName(unscored)
+        .groupBy("domain", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob").alias("min_avg_logprob"),
+            F.max("avg_logprob").alias("max_avg_logprob"),
+        )
+    )
+    return carry(out, scores)
+
+
+def kn_ppl_buckets_oracle_sql(
+    d: float = 0.75,
+    table: str = "documents",
+    train_pred: str = "source = 'src0'",
+    score_pred: str = "source <> 'src0'",
+    final_round: int = 6,
+) -> str:
+    """Replay of :func:`kn_ppl_buckets` over the contract shape
+    (train on the reference slice, score the crawl): the verified
+    held-out scoring statement wrapped whole as a CTE (the
+    kn_heldout_oracle_sql text with swapped predicates), then the
+    per-domain integer-rank terciles + the explicit unscored leg."""
+    return f"""
+WITH scores AS MATERIALIZED (
+{kn_heldout_oracle_sql(d, table, train_pred=train_pred, score_pred=score_pred, final_round=final_round)}
+),
+lab AS (
+  SELECT s.doc_id, d.source AS domain, s.avg_logprob
+  FROM scores s JOIN {table} d USING (doc_id)
+),
+ranked AS (
+  SELECT domain,
+         CASE WHEN rk * 3 <= n THEN 'head'
+              WHEN rk * 3 <= n * 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         avg_logprob
+  FROM (
+    SELECT domain, avg_logprob,
+           row_number() OVER (PARTITION BY domain
+                              ORDER BY avg_logprob DESC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY domain) AS n
+    FROM lab WHERE avg_logprob IS NOT NULL
+  )
+),
+unioned AS (
+  SELECT domain, bucket, avg_logprob FROM ranked
+  UNION ALL
+  SELECT domain, 'unscored' AS bucket, avg_logprob
+  FROM lab WHERE avg_logprob IS NULL
+)
+SELECT domain, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logprob) AS min_avg_logprob,
+       max(avg_logprob) AS max_avg_logprob
+FROM unioned GROUP BY domain, bucket
 """

@@ -565,3 +565,52 @@ def test_kn_heldout_oracle_sql_hash_matches_spark_on_fixture(spark):
     assert len(srows) == len(orows) > 0
     diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not diffs, diffs[:3]
+
+
+def test_kn_ppl_buckets_tercile_arithmetic_and_unscored(spark):
+    """Integer-rank terciles: with 7 scored docs in one domain the
+    split is head=2 / middle=2 / tail=3 (rank*3 <= n rule), bucket
+    boundaries are the min/max of each bucket's avg_logprob under
+    the (score desc, id) rank, and the empty doc lands in the
+    explicit unscored bucket with NULL boundaries."""
+    from pyspark.sql import functions as F
+
+    from bht_etl_app_spark.operators.ngram_lm import (
+        kn_doc_logprob,
+        kn_ppl_buckets,
+    )
+
+    ref_text = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the green hills with great speed"
+    )
+    rows = [(i, f"doc {i} " + ref_text[: 20 + 7 * i]) for i in range(7)]
+    rows.append((7, ""))  # unscored
+    score = spark.createDataFrame(rows, "doc_id long, text string")
+    score = score.withColumn("source", F.lit("crawl"))
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    got = {
+        (r["domain"], r["bucket"]): (
+            r["n_docs"], r["min_avg_logprob"], r["max_avg_logprob"]
+        )
+        for r in kn_ppl_buckets(score, ref).collect()
+    }
+    assert got[("crawl", "head")][0] == 2
+    assert got[("crawl", "middle")][0] == 2
+    assert got[("crawl", "tail")][0] == 3
+    assert got[("crawl", "unscored")] == (1, None, None)
+    # replay the rank from the scoring operator directly
+    sc = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_doc_logprob(score, train_df=ref, final_round=6).collect()
+    }
+    ranked = sorted(
+        (i for i in sc if sc[i] is not None),
+        key=lambda i: (-sc[i], i),
+    )
+    head = [sc[i] for i in ranked[:2]]
+    tail = [sc[i] for i in ranked[4:]]
+    assert got[("crawl", "head")][1] == min(head)
+    assert got[("crawl", "head")][2] == max(head)
+    assert got[("crawl", "tail")][1] == min(tail)
+    assert got[("crawl", "tail")][2] == max(tail)
