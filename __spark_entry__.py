@@ -2858,6 +2858,58 @@ FROM per_q
 """
 
 
+def _ann_trunc_recall_oracle_sql(
+    keep_dims: int = 32, topk: int = 5, n_queries: int = 32, dim: int = 64
+) -> str:
+    """Replay of ann_recall_report_truncated_dim: both sides are the
+    exact brute-force rank (the recall-oracle exact fold), the approx
+    side folding only the first ``keep_dims`` dimensions — no model
+    chains, pure projection — then the q_id-ordered recall fold."""
+    return f"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round_even(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      e.vec_id ASC) AS rank
+    FROM qs q, ev e
+  ) WHERE rank <= {topk}
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round_even(list_sum(list_transform(
+                        range(1, {keep_dims + 1}),
+                        i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 6) ASC,
+                      e.vec_id ASC) AS rank
+    FROM qs q, ev e
+  ) WHERE rank <= {topk}
+),
+per_q AS (
+  SELECT ex.q_id,
+         CAST(count(ap.vec_id) AS DOUBLE) / {float(topk)!r} AS recall
+  FROM exact ex LEFT JOIN approx ap
+    ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({topk} AS BIGINT) AS k,
+       CAST({keep_dims} AS BIGINT) AS keep_dims,
+       round(list_sum(list(recall ORDER BY q_id))
+             / CAST(count(*) AS DOUBLE), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall
+FROM per_q
+"""
+
+
 def _ann_pq_rerank_recall_oracle_sql(
     k: int = 16,
     rounds: int = 2,
@@ -4443,6 +4495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
         "ann_recall_report_ivf_rpq": _q_ann_recall_ivf_rpq,
         "ann_recall_report_pq_rerank": _q_ann_recall_pq_rerank,
+        # r9: the Matryoshka storage dial — exact search on the
+        # first half of the dims vs the full-dim exact baseline
+        "ann_recall_report_truncated_dim": lambda s, d: (
+            _sim_mod.ann_recall_report_truncated_dim(
+                load_table(s, d, "embeddings"), keep_dims=32, k=5,
+                n_queries=32,
+            )
+        ),
         "ann_pq_store_topk": _q_ann_pq_store_topk,
         "semantic_dedup_survivors": _q_semantic_dedup,
         "doc_bloom_decontaminate": lambda s, d: bloom_decontaminate(
@@ -5938,6 +5998,7 @@ SELECT vec_id, cosine FROM (
         "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
         "ann_recall_report_ivf_rpq": _ann_ivf_rpq_recall_oracle_sql(),
         "ann_recall_report_pq_rerank": _ann_pq_rerank_recall_oracle_sql(),
+        "ann_recall_report_truncated_dim": _ann_trunc_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),
         "kmeans_cluster_sizes": _kmeans_cluster_sizes_oracle_sql(),

@@ -233,6 +233,8 @@ HEADLINE = [
     "leakage_safe_split",
     # r9: CCNet head/middle/tail perplexity terciles per domain
     "kn_ppl_buckets",
+    # r9: Matryoshka truncation recall (half-dim exact vs full exact)
+    "ann_recall_report_truncated_dim",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

@@ -666,6 +666,55 @@ def recall_vs_exact(
     )
 
 
+def ann_recall_report_truncated_dim(
+    emb: DataFrame,
+    keep_dims: int = 32,
+    k: int = 5,
+    n_queries: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of exact L2 search over TRUNCATED vectors (the first
+    ``keep_dims`` dimensions) against the full-dimension exact
+    baseline — the Matryoshka storage dial (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): keeping the
+    first half of the dims halves vector storage, shuffle width, and
+    scan bandwidth corpus-wide, and this row prices exactly what that
+    cut costs retrieval, through the same verified q_id-ordered
+    recall fold as every other harness configuration. Output one
+    row: ``(n_queries, k, keep_dims, avg_recall, min_recall)``.
+
+    Both sides are the brute-force :func:`~bht_etl_app_spark.
+    operators.pq.l2_knn_join` (fixed-Q broadcast scoring — the
+    documented eval-scale shape); the truncation is a pure
+    projection (``F.slice``) on both query and corpus sides, so the
+    report isolates DIMENSION loss with no quantization or index
+    effects mixed in (contrast ann_recall_report_ivf_pq, which
+    prices codebook loss at full dimensionality)."""
+    from pyspark import StorageLevel
+
+    from ..functions.lifecycle import track_persisted
+    from .pq import l2_knn_join
+
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), vec_col
+    )
+    exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    qt = q.withColumn(vec_col, F.slice(F.col(vec_col), 1, keep_dims))
+    embt = emb.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, keep_dims).alias(vec_col)
+    )
+    approx = l2_knn_join(qt, embt, k=k, c_id=id_col, vec_col=vec_col)
+    rep = recall_vs_exact(exact, approx, k, id_col=id_col).select(
+        "n_queries", "k",
+        F.lit(keep_dims).cast("long").alias("keep_dims"),
+        "avg_recall", "min_recall",
+    )
+    return track_persisted(rep, exact)
+
+
 def hard_negatives(
     emb: DataFrame,
     planes: list[list[float]],

@@ -758,3 +758,23 @@ def test_rrf_fuse_hand_case(spark):
     t62 = round(1.0 / 62.0, 12)
     assert got[20]["rrf"] == round(t61 + t62, 12)
     assert got[10]["rrf"] == t61 and got[30]["rrf"] == t62
+
+
+def test_truncated_dim_recall_full_dims_is_exact(spark, emb_sdf):
+    """keep_dims == dim reproduces the baseline bit-for-bit (recall
+    1.0); half dims on gaussian fixture vectors loses recall (no MRL
+    dimension ordering in random embeddings — the report exists to
+    measure exactly this before anyone truncates storage)."""
+    from bht_etl_app_spark.operators.similarity import (
+        ann_recall_report_truncated_dim,
+    )
+
+    full = ann_recall_report_truncated_dim(
+        emb_sdf, keep_dims=64, k=3, n_queries=8
+    ).collect()[0]
+    assert full["avg_recall"] == 1.0 and full["min_recall"] == 1.0
+    assert full["keep_dims"] == 64 and full["n_queries"] == 8
+    half = ann_recall_report_truncated_dim(
+        emb_sdf, keep_dims=32, k=3, n_queries=8
+    ).collect()[0]
+    assert half["avg_recall"] <= 1.0
