@@ -5158,6 +5158,29 @@ _REVERIFY = {
     "ann_ivf_pq_topk": 8,
     "ann_pq_store_topk": 8,
     "ann_recall_report_ivf_pq": 8,
+    # r9 session file churn (pure-append operator additions — no
+    # existing function edited — but the rotation discipline
+    # front-loads the neighbors of touched files while window budget
+    # allows: 14 new keys + 10 semantic restamps above + these 14 =
+    # 38 <= 50): ngram_lm.py gained kn_ppl_buckets, sampling.py
+    # leakage_safe_split, selection.py calibration_bins, dedup.py
+    # near_dup_recall_report (whose comparison composes the two
+    # stamped pair keys), similarity.py the truncated-dim report
+    # sharing recall_vs_exact.
+    "kn_doc_logprob": 8,
+    "kn_heldout_logprob": 8,
+    "moore_lewis_scores": 8,
+    "train_test_split_counts": 8,
+    "stratified_sample_docs": 8,
+    "pack_sequences_bins": 8,
+    "training_order_docs": 8,
+    "weighted_sample_docs": 8,
+    "dsir_doc_weights": 8,
+    "dsir_selected": 8,
+    "quality_classifier_scores": 8,
+    "minhash_lsh_pairs": 8,
+    "near_dup_jaccard_ppjoin": 8,
+    "ann_recall_report": 8,
 }
 
 
