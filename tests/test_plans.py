@@ -144,6 +144,11 @@ NESTED_LOOP_OK = {
                              # baseline + the final 1-row x 1-row
                              # report-assembly crossJoin (both the
                              # ADC and rerank legs are equi-joins)
+    "ann_recall_report_truncated_dim",  # BOTH sides are the
+                             # documented l2_knn_join fixed-Q
+                             # broadcast scoring (full-dim baseline
+                             # and the sliced-projection twin) + the
+                             # 1-row report crossJoin
 }
 
 
