@@ -149,6 +149,11 @@ NESTED_LOOP_OK = {
                              # broadcast scoring (full-dim baseline
                              # and the sliced-projection twin) + the
                              # 1-row report crossJoin
+    "kn_ppl_buckets",        # inherits kn_doc_logprob's whitelisted
+                             # 1-row N1p(..) type-total broadcast
+                             # (the held-out scoring chain); the
+                             # bucketing itself adds only a window +
+                             # groupBy
 }
 
 
