@@ -3548,8 +3548,10 @@ SELECT id_a, id_b, jaccard FROM (
 # df-capped jaccard pairs -> recursive-CTE connected components with
 # min-reachable-id labels — the near_dup_clusters replay, and (r9)
 # the component source the leakage_safe_split oracle wraps whole
-_NEAR_DUP_CLUSTERS_ORACLE_SQL = """
-WITH RECURSIVE toks AS (
+# the df-capped (stop-shingle <= 64) exact-Jaccard pair CTE chain at
+# t=0.8 — the near_dup_clusters / leakage_safe_split pair source,
+# shared verbatim with the r9 split_leakage_audit oracle
+_CAPPED_JACCARD_PAIRS_CTES = """toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
   FROM documents
@@ -3581,7 +3583,10 @@ pairs AS (
            round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
     FROM cand
   ) WHERE jaccard >= 0.8
-),
+)"""
+
+_NEAR_DUP_CLUSTERS_ORACLE_SQL = f"""
+WITH RECURSIVE {_CAPPED_JACCARD_PAIRS_CTES},
 und AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
@@ -3613,6 +3618,51 @@ SELECT d.doc_id,
                  < '{test_hex_threshold}'
             THEN 'train' ELSE 'test' END AS split
 FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def _split_leakage_audit_oracle_sql(test_hex_threshold: str = "cccc") -> str:
+    """Replay of sampling.split_leakage_audit: the shared capped-pair
+    CTE chain (verbatim) for the edge list, the whole verified
+    components statement wrapped as ``comp`` (nested CTE names shadow
+    the outer chain — standard scoping), both split rules as CASE
+    projections, and the three pair counts + leak rate."""
+    return f"""
+WITH RECURSIVE {_CAPPED_JACCARD_PAIRS_CTES},
+comp AS MATERIALIZED (
+{_NEAR_DUP_CLUSTERS_ORACLE_SQL}
+),
+splits AS (
+  SELECT d.doc_id,
+         CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                   < '{test_hex_threshold}'
+              THEN 'train' ELSE 'test' END AS p,
+         CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+                                      AS VARCHAR)), 1, 4)
+                   < '{test_hex_threshold}'
+              THEN 'train' ELSE 'test' END AS s
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+j AS (
+  SELECT a.p AS p_a, b.p AS p_b, a.s AS s_a, b.s AS s_b
+  FROM pairs pr
+  JOIN splits a ON pr.id_a = a.doc_id
+  JOIN splits b ON pr.id_b = b.doc_id
+),
+c2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN p_a <> p_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddling_plain,
+         CAST(sum(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddling_safe
+  FROM j
+)
+SELECT n_pairs, n_straddling_plain, n_straddling_safe,
+       CASE WHEN n_pairs > 0 THEN
+         round_even(CAST(n_straddling_plain AS DOUBLE)
+                    / CAST(n_pairs AS DOUBLE), 6)
+       END AS leak_rate_plain
+FROM c2
 """
 
 
@@ -4292,6 +4342,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r9: near-dup-aware split — components decide membership, so
         # a test doc can never have a near-duplicate in train
+        # r9: the leak the component split closes, quantified
+        "split_leakage_audit": lambda s, d: sampling.split_leakage_audit(
+            load_table(s, d, "documents"),
+            ngram_jaccard_pairs(
+                load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
+            ),
+        ),
         "leakage_safe_split": lambda s, d: sampling.leakage_safe_split(
             load_table(s, d, "documents"),
             ngram_jaccard_pairs(
@@ -5598,6 +5655,7 @@ FROM orders GROUP BY 1
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
         "leakage_safe_split": _leakage_safe_split_oracle_sql(),
+        "split_leakage_audit": _split_leakage_audit_oracle_sql(),
         "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id,

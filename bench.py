@@ -231,6 +231,7 @@ HEADLINE = [
     "near_dup_recall_report",
     # r9: near-dup-aware train/test split (components decide sides)
     "leakage_safe_split",
+    "split_leakage_audit",
     # r9: CCNet head/middle/tail perplexity terciles per domain
     "kn_ppl_buckets",
     # r9: Matryoshka truncation recall (half-dim exact vs full exact)

@@ -361,3 +361,70 @@ def leakage_safe_split(
         .alias("split"),
     )
     return carry(out, comp)
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_hex_threshold: str = "cccc",
+) -> DataFrame:
+    """Quantifies the eval-leakage :func:`leakage_safe_split` closes:
+    for every near-dup pair, does it STRADDLE the train/test boundary
+    under the plain per-id hash split vs the component split? One
+    row: ``(n_pairs, n_straddling_plain, n_straddling_safe,
+    leak_rate_plain)``. ``n_straddling_safe`` is the structural
+    invariant 0 — both endpoints of a pair share a component and
+    therefore a split key — reported like the recall harness's
+    precision row: any non-zero value means the component labels and
+    the split rule have drifted apart. ``leak_rate_plain`` is the
+    number to put in front of anyone still using a per-id split on
+    near-duplicated data.
+
+    Scale posture: two id-keyed joins of the (pair-sized) edge list
+    against each split assignment — the corpus contributes the split
+    projections; nothing pair-quadratic, nothing corpus-shuffled
+    beyond leakage_safe_split's own component join."""
+    from bht_etl_app_spark.functions.lifecycle import carry
+
+    plain = train_test_split(df, id_col).select(
+        F.col(id_col), F.col("split").alias("__p__")
+    )
+    safe = leakage_safe_split(df, pairs, id_col, test_hex_threshold)
+    both = plain.join(
+        safe.select(F.col(id_col), F.col("split").alias("__s__")), id_col
+    )
+    a = both.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__p__").alias("p_a"),
+        F.col("__s__").alias("s_a"),
+    )
+    b = both.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__p__").alias("p_b"),
+        F.col("__s__").alias("s_b"),
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("p_a") != F.col("p_b")).cast("int"))
+        .cast("long")
+        .alias("n_straddling_plain"),
+        F.sum((F.col("s_a") != F.col("s_b")).cast("int"))
+        .cast("long")
+        .alias("n_straddling_safe"),
+    )
+    out = agg.select(
+        "n_pairs",
+        "n_straddling_plain",
+        "n_straddling_safe",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.bround(
+                F.col("n_straddling_plain").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ),
+        ).alias("leak_rate_plain"),
+    )
+    return carry(out, safe)

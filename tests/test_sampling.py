@@ -189,3 +189,32 @@ def test_leakage_safe_split_groups_near_dups(spark):
     assert side(a) != side(b), "fixture must exercise the leak case"
     # singletons: exactly the per-id rule
     assert got[50] == (50, side(50)) and got[51] == (51, side(51))
+
+
+def test_split_leakage_audit_counts(spark):
+    """On the planted corpus: one near-dup pair that straddles the
+    plain per-id split -> n_straddling_plain=1, the safe invariant 0,
+    leak rate 1/1."""
+    import hashlib
+
+    from bht_etl_app_spark.operators.sampling import split_leakage_audit
+
+    def side(key):
+        return (
+            "train"
+            if hashlib.md5(str(key).encode()).hexdigest()[:4] < "cccc"
+            else "test"
+        )
+
+    a = 1
+    b = next(i for i in range(2, 200) if side(i) != side(a))
+    rows = [(a, "w1 w2 w3"), (b, "w1 w2 w3 w4"), (50, "x1 x2 x3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(0.9))
+    r = split_leakage_audit(docs, pairs).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["n_straddling_plain"] == 1
+    assert r["n_straddling_safe"] == 0
+    assert r["leak_rate_plain"] == 1.0
