@@ -4203,6 +4203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
+        # r9: per-doc corpus-unique 5-gram fraction (novelty signal)
+        "doc_ngram_novelty": lambda s, d: _text_mod.ngram_novelty(
+            load_table(s, d, "documents")
+        ),
         "dedup_exact_docs": lambda s, d: dedup_exact(load_table(s, d, "documents")),
         # max_shingle_df=64 is the stop-shingle boilerplate guard —
         # a no-op at the fixture SFs (max shingle df there is 25) but
@@ -6007,6 +6011,38 @@ SELECT f.doc_id, f.fp,
 FROM fps f
 LEFT JOIN hist h USING (fp)
 JOIN mn USING (fp)
+""",
+        "doc_ngram_novelty": """
+WITH toksn AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 5 THEN
+             list_transform(range(1, len(t) - 5 + 2),
+                            i -> array_to_string(list_slice(t, i, i + 4), ' '))
+           ELSE [] END) AS gram
+    FROM toksn
+  )
+),
+dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+pd AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN dfc USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(pd.n_grams, 0) > 0 THEN
+         round_even(CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE), 6)
+       END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "doc_scrubbed": _doc_scrubbed_oracle_sql(),
         "dedup_exact_docs": """

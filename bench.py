@@ -236,6 +236,8 @@ HEADLINE = [
     "kn_ppl_buckets",
     # r9: Matryoshka truncation recall (half-dim exact vs full exact)
     "ann_recall_report_truncated_dim",
+    # r9: per-doc corpus-unique 5-gram fraction (novelty signal)
+    "doc_ngram_novelty",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

@@ -1562,3 +1562,64 @@ SELECT nr.n AS n_relevant, agg.hits AS hits_at_k,
        END AS ndcg_at_k
 FROM agg CROSS JOIN nr CROSS JOIN ideal
 """
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in NO other document — the standard
+    novelty/duplication-risk signal (high novelty = fresh text; low
+    novelty = the doc is assembled from corpus-repeated phrasing,
+    exactly the mass ExactSubstr/near-dup dedup targets and the
+    complement of what decontamination checks). Output ``(doc_id,
+    n_grams, n_novel, novelty)`` — docs with fewer than ``n`` tokens
+    report 0 grams and NULL novelty.
+
+    Scale posture: distinct (doc, gram) explode -> gram-keyed
+    document-frequency aggregation (map-side combined) -> gram-keyed
+    join back -> per-doc counts. Two gram-keyed corpus-scale
+    exchanges and an id-keyed spine join — the ExactSubstr detection
+    shape without the windows; nothing pairwise. At real scale the
+    gram key should be the xxhash64 fingerprint rather than the
+    string (the substr_dedup hash_fn seam); the contract form keeps
+    strings so the oracle replays verbatim."""
+    toks = tokens_expr(text_col)
+    grams = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(ngrams_expr(toks, n)).alias("g"))
+        .distinct()
+    )
+    dfc = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("__df__")
+    )
+    per_doc = (
+        grams.join(dfc, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__df__") == 1).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.bround(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -590,3 +590,27 @@ def test_bm25_eval_metrics_mixed_case_and_empty_terms(spark):
     assert row["mrr"] == 1.0
     with _pytest.raises(ValueError):
         bm25_eval_metrics(docs, [])
+
+
+def test_ngram_novelty_hand_case(spark):
+    """Planted corpus: doc 1 and 2 share one 5-gram run; doc 3 is
+    fully unique; doc 4 is too short to form a 5-gram."""
+    from bht_etl_app_spark.operators.text import ngram_novelty
+
+    shared = "a b c d e"
+    rows = [
+        (1, shared + " x1 x2 x3 x4 x5"),
+        (2, shared + " y1 y2 y3 y4 y5"),
+        (3, "z1 z2 z3 z4 z5 z6"),
+        (4, "w1 w2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs, n=5).collect()
+    }
+    # doc 1: 6 distinct 5-grams, only "a b c d e" is shared -> 5 novel
+    assert got[1] == (6, 5, round(5 / 6, 6))
+    assert got[2] == (6, 5, round(5 / 6, 6))
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (0, 0, None)
