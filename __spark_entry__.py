@@ -4338,6 +4338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "stratified_sample_docs": _q_stratified_sample,
+        # r9: sequence-boundary fragmentation report over the packing
+        "packing_bin_stats": lambda s, d: sampling.packing_bin_stats(
+            load_table(s, d, "documents")
+        ),
         "pack_sequences_bins": lambda s, d: _pack_sequences(s, d),
         "near_dup_clusters": lambda s, d: dedup_clusters(
             ngram_jaccard_pairs(
@@ -5656,6 +5660,29 @@ FROM orders GROUP BY 1
         "train_test_split_counts": sampling.TRAIN_TEST_SPLIT_SQL,
         "training_order_docs": sampling.TRAINING_ORDER_SQL,
         "stratified_sample_docs": sampling.STRATIFIED_SAMPLE_SQL,
+        # composed verbatim from the verified packing statement
+        "packing_bin_stats": f"""
+WITH packed AS (
+{sampling.PACK_SEQUENCES_SQL}
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN (start_offset % 2048) + n_tokens > 2048
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+  FROM packed GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_bins, n_crossing,
+       CASE WHEN n_docs > 0 THEN
+         round_even(CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       END AS frac_crossing,
+       CASE WHEN n_bins > 0 THEN
+         round_even(CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE), 6)
+       END AS avg_docs_per_bin
+FROM agg
+""",
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
         "leakage_safe_split": _leakage_safe_split_oracle_sql(),

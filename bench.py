@@ -238,6 +238,8 @@ HEADLINE = [
     "ann_recall_report_truncated_dim",
     # r9: per-doc corpus-unique 5-gram fraction (novelty signal)
     "doc_ngram_novelty",
+    # r9: sequence-boundary fragmentation report over the packing
+    "packing_bin_stats",
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",

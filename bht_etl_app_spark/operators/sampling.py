@@ -428,3 +428,55 @@ def split_leakage_audit(
         ).alias("leak_rate_plain"),
     )
     return carry(out, safe)
+
+
+def packing_bin_stats(
+    df: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source packing quality report over :func:`pack_sequences`'
+    concat-and-chunk layout: ``(source, n_docs, total_tokens, n_bins,
+    n_crossing, frac_crossing, avg_docs_per_bin)``. ``n_crossing``
+    counts documents whose token span CROSSES a bin boundary
+    (``start_offset % budget + n_tokens > budget``) — the
+    sequence-boundary fragmentation rate: a crossing document is
+    split across training sequences, so its continuation trains with
+    a truncated left context and pollutes the next sequence's start
+    (the reason production packers tune budget vs doc-length
+    distribution, or mask across boundaries). All counts are exact
+    integers; the two ratios are single int/int divisions rounded
+    6 dp. One groupBy over pack_sequences' existing per-source
+    window — no new corpus-scale shuffle."""
+    packed = pack_sequences(df, budget, source_col, id_col, text_col)
+    crossing = (
+        (F.col("start_offset") % budget) + F.col("n_tokens") > budget
+    ).cast("int")
+    agg = packed.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum(crossing).cast("long").alias("n_crossing"),
+    )
+    return agg.select(
+        F.col(source_col).alias("source"),
+        "n_docs", "total_tokens", "n_bins", "n_crossing",
+        F.when(
+            F.col("n_docs") > 0,
+            F.bround(
+                F.col("n_crossing").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        ).alias("frac_crossing"),
+        F.when(
+            F.col("n_bins") > 0,
+            F.bround(
+                F.col("n_docs").cast("double")
+                / F.col("n_bins").cast("double"),
+                6,
+            ),
+        ).alias("avg_docs_per_bin"),
+    )

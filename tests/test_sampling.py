@@ -218,3 +218,25 @@ def test_split_leakage_audit_counts(spark):
     assert r["n_straddling_plain"] == 1
     assert r["n_straddling_safe"] == 0
     assert r["leak_rate_plain"] == 1.0
+
+
+def test_packing_bin_stats_hand_case(spark):
+    """budget=10, one source, docs of 4/4/4/8 tokens laid end-to-end:
+    doc 3 ([8,12)) spans the first boundary (8%10+4 > 10); doc 4
+    ([12,20)) ENDS exactly on the second boundary — ending flush is
+    NOT a cross (12%10+8 == 10) -> 1 of 4 crossing; bins 0 and 1."""
+    from bht_etl_app_spark.operators.sampling import packing_bin_stats
+
+    rows = [
+        (1, "s", "a b c d"),
+        (2, "s", "e f g h"),
+        (3, "s", "i j k l"),
+        (4, "s", "m n o p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = packing_bin_stats(docs, budget=10).collect()[0]
+    assert r["n_docs"] == 4 and r["total_tokens"] == 20
+    assert r["n_bins"] == 2
+    assert r["n_crossing"] == 1
+    assert r["frac_crossing"] == 0.25
+    assert r["avg_docs_per_bin"] == 2.0
