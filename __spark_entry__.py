@@ -1002,15 +1002,21 @@ def _q_tokenizer_fertility(spark, sf_dir):
     operator), the BPE side its sentinel-safe words, so the ratios
     compare each tokenizer's own coverage against the shared word
     denominator."""
+    from bht_etl_app_spark.functions.lifecycle import carry
     from bht_etl_app_spark.operators import unigram_tok
     from bht_etl_app_spark.operators.bpe import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents")
     bpe = bpe_token_counts(docs)
-    uni = (
-        unigram_tok.unigram_token_counts(docs)
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("long").alias("n_uni"))
+    # hold the tracked counts frame in a local and carry() it onto
+    # the report (r9 ADVICE): deriving .groupBy straight off the call
+    # drops the only reference mid-expression, the weakref finalizer
+    # unpersists the EM-chain caches, and the bench action measures
+    # an unintended uncached recompute (the attribute-dropping hazard
+    # corpus.py documents)
+    uni_counts = unigram_tok.unigram_token_counts(docs)
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_uni")
     )
     per_doc = (
         docs.select("doc_id", "source")
@@ -1035,11 +1041,14 @@ def _q_tokenizer_fertility(spark, sf_dir):
             F.col(c).cast("double") / F.col("n_words").cast("double"), 6
         ),
     )
-    return agg.select(
-        F.col("source").alias("domain"),
-        "n_docs", "n_words", "n_bpe_tokens", "n_uni_tokens",
-        ratio("n_bpe_tokens").alias("bpe_per_word"),
-        ratio("n_uni_tokens").alias("uni_per_word"),
+    return carry(
+        agg.select(
+            F.col("source").alias("domain"),
+            "n_docs", "n_words", "n_bpe_tokens", "n_uni_tokens",
+            ratio("n_bpe_tokens").alias("bpe_per_word"),
+            ratio("n_uni_tokens").alias("uni_per_word"),
+        ),
+        uni_counts,
     )
 
 
@@ -5246,6 +5255,18 @@ _REVERIFY = {
     "minhash_lsh_pairs": 8,
     "near_dup_jaccard_ppjoin": 8,
     "ann_recall_report": 8,
+    # r10 semantic changes (r9 ADVICE fixes): leakage_safe_split
+    # hashes the raw string key (values identical for bigint ids,
+    # code path changed), split_leakage_audit forwards the threshold
+    # to the plain side (values identical at the default),
+    # packing_bin_stats' n_bins is now ceil(total/budget) (VALUES
+    # CHANGE whenever a source's last doc crosses trailing
+    # boundaries), tokenizer_fertility_compare carries the unigram
+    # counts frame (plan caching only).
+    "leakage_safe_split": 9,
+    "split_leakage_audit": 9,
+    "packing_bin_stats": 9,
+    "tokenizer_fertility_compare": 9,
 }
 
 
@@ -5669,7 +5690,7 @@ agg AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         CAST((sum(n_tokens) + 2048 - 1) // 2048 AS BIGINT) AS n_bins,
          CAST(sum(CASE WHEN (start_offset % 2048) + n_tokens > 2048
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
   FROM packed GROUP BY source

@@ -334,8 +334,14 @@ def leakage_safe_split(
     split boundary, not just within train.
 
     Output: ``(doc_id, split_key, split)`` — ``split_key`` is the id
-    whose hash decided membership (cluster representative or self),
-    kept in the output so the grouping is auditable.
+    whose hash decided membership (cluster representative or self,
+    in the id column's own type), kept in the output so the grouping
+    is auditable. The membership hash is md5 of the key cast
+    STRAIGHT to string — the identical rule
+    :func:`train_test_split` applies — so singletons get exactly
+    their per-id assignment for ANY id type (an intermediate
+    ``cast("long")`` nulled non-numeric ids and silently sent every
+    document to 'test'; r9 ADVICE).
 
     Scale posture: components come from
     :func:`~bht_etl_app_spark.operators.dedup.dedup_clusters` over
@@ -351,7 +357,7 @@ def leakage_safe_split(
     labeled = ensure_min_parallelism(df).select(F.col(id_col)).join(
         comp.withColumnRenamed("doc_id", id_col), id_col, "left"
     )
-    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
     h = F.substring(F.md5(key.cast("string")), 1, 4)
     out = labeled.select(
         F.col(id_col),
@@ -387,7 +393,11 @@ def split_leakage_audit(
     beyond leakage_safe_split's own component join."""
     from bht_etl_app_spark.functions.lifecycle import carry
 
-    plain = train_test_split(df, id_col).select(
+    # threshold forwards to BOTH split rules (r9 ADVICE, medium): the
+    # audit compares the per-id and component assignments AT THE SAME
+    # split fraction — defaulting one side made any non-default
+    # threshold compare two different splits
+    plain = train_test_split(df, id_col, test_hex_threshold).select(
         F.col(id_col), F.col("split").alias("__p__")
     )
     safe = leakage_safe_split(df, pairs, id_col, test_hex_threshold)
@@ -446,10 +456,14 @@ def packing_bin_stats(
     split across training sequences, so its continuation trains with
     a truncated left context and pollutes the next sequence's start
     (the reason production packers tune budget vs doc-length
-    distribution, or mask across boundaries). All counts are exact
-    integers; the two ratios are single int/int divisions rounded
-    6 dp. One groupBy over pack_sequences' existing per-source
-    window — no new corpus-scale shuffle."""
+    distribution, or mask across boundaries). ``n_bins`` is the
+    actual chunk count ``ceil(total_tokens / budget)`` — NOT
+    ``max(bin) + 1`` over start-bin assignments, which undercounts
+    trailing bins occupied only by the tail of a long crossing last
+    document and inflates ``avg_docs_per_bin`` (r9 ADVICE). All
+    counts are exact integers; the two ratios are single int/int
+    divisions rounded 6 dp. One groupBy over pack_sequences' existing
+    per-source window — no new corpus-scale shuffle."""
     packed = pack_sequences(df, budget, source_col, id_col, text_col)
     crossing = (
         (F.col("start_offset") % budget) + F.col("n_tokens") > budget
@@ -457,8 +471,12 @@ def packing_bin_stats(
     agg = packed.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        (F.max("bin") + 1).cast("long").alias("n_bins"),
         F.sum(crossing).cast("long").alias("n_crossing"),
+    ).withColumn(
+        "n_bins",
+        F.floor(
+            (F.col("total_tokens") + F.lit(budget) - 1) / F.lit(budget)
+        ).cast("long"),
     )
     return agg.select(
         F.col(source_col).alias("source"),

@@ -240,3 +240,76 @@ def test_packing_bin_stats_hand_case(spark):
     assert r["n_crossing"] == 1
     assert r["frac_crossing"] == 0.25
     assert r["avg_docs_per_bin"] == 2.0
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """r9 ADVICE (low): string ids must hash exactly as
+    train_test_split hashes them — the old cast("long") nulled the
+    key, md5(NULL) was NULL, and every document landed in 'test'."""
+    import hashlib
+
+    from bht_etl_app_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "t") for i in range(40)], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    got = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    want = {
+        f"doc-{i}": (
+            "train"
+            if hashlib.md5(f"doc-{i}".encode()).hexdigest()[:4] < "cccc"
+            else "test"
+        )
+        for i in range(40)
+    }
+    assert got == want
+    assert "train" in set(got.values()), "fixture must exercise both sides"
+
+
+def test_split_leakage_audit_forwards_threshold(spark):
+    """r9 ADVICE (medium): a non-default threshold must apply to BOTH
+    split rules. With threshold 'ffff' everything is 'train' on both
+    sides, so a straddling-under-default pair reports 0 straddles."""
+    import hashlib
+
+    from bht_etl_app_spark.operators.sampling import split_leakage_audit
+
+    def side(key):
+        return (
+            "train"
+            if hashlib.md5(str(key).encode()).hexdigest()[:4] < "cccc"
+            else "test"
+        )
+
+    a = 1
+    b = next(i for i in range(2, 200) if side(i) != side(a))
+    docs = spark.createDataFrame(
+        [(a, "w1 w2 w3"), (b, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(0.9))
+    r = split_leakage_audit(docs, pairs, test_hex_threshold="ffff").collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["n_straddling_plain"] == 0, "plain side must honor the threshold"
+    assert r["n_straddling_safe"] == 0
+
+
+def test_packing_bin_stats_counts_trailing_bins(spark):
+    """r9 ADVICE (low): n_bins is ceil(total/budget), so a long last
+    document whose tail occupies bins no document STARTS in still
+    counts them. budget=10, docs of 4 and 26 tokens: start-bins are
+    {0}, but the layout spans 3 chunks -> n_bins=3."""
+    from bht_etl_app_spark.operators.sampling import packing_bin_stats
+
+    rows = [
+        (1, "s", " ".join(f"a{i}" for i in range(4))),
+        (2, "s", " ".join(f"b{i}" for i in range(26))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = packing_bin_stats(docs, budget=10).collect()[0]
+    assert r["total_tokens"] == 30
+    assert r["n_bins"] == 3
+    assert r["n_crossing"] == 1
+    assert r["avg_docs_per_bin"] == round(2 / 3, 6)
