@@ -2056,7 +2056,7 @@ _SUBSTR_K = 5               # ExactSubstr minimum duplicated-run length
 
 def _q_curated_verdicts(
     spark, sf_dir, lm: bool = False, substr: bool = False,
-    redact: bool = False,
+    redact: bool = False, extract: bool = False,
 ):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
@@ -2074,12 +2074,17 @@ def _q_curated_verdicts(
     docs seeded with the doc_scrubbed fixture's synthetic URLs
     (_seed_urls_expr — the corpus is URL-free word soup, so the
     stage must be fed to be proven); every later stage consumes the
-    redacted text."""
+    redacted text. The extract variant (r10) runs markup/boilerplate
+    extraction FIRST on train docs seeded with synthetic HTML
+    (_seed_html_expr — the doc_extracted_text fixture); every later
+    stage consumes the extracted text."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(F.col("source") == "src0")
     train = docs.where(F.col("source") != "src0")
+    if extract:
+        train = train.withColumn("text", _seed_html_expr())
     if redact:
         train = train.withColumn("text", _seed_urls_expr())
     return curate_corpus(
@@ -2091,11 +2096,13 @@ def _q_curated_verdicts(
         lm_d=_LM_D,
         substr_k=_SUBSTR_K if substr else None,
         redact=redact,
+        extract_markup=extract,
     )
 
 
 def _curated_verdicts_oracle_sql(
-    lm: bool = False, substr: bool = False, redact: bool = False
+    lm: bool = False, substr: bool = False, redact: bool = False,
+    extract: bool = False,
 ) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
@@ -2226,6 +2233,11 @@ UNION ALL
     # doc_scrubbed oracle runs — so one hash-match re-proves the
     # redaction kernel AND its pre-quality composition
     train_body = "SELECT doc_id, text FROM documents WHERE source <> 'src0'"
+    if extract and redact:
+        raise ValueError(
+            "extract+redact composition is not a registered fixture — "
+            "each stage is proven on its own seeded corpus"
+        )
     if redact:
         from bht_etl_app_spark.operators.text import redact_sql
 
@@ -2233,6 +2245,20 @@ UNION ALL
   FROM (
     SELECT doc_id,
            {_SEED_URLS_SQL} AS text
+    FROM documents WHERE source <> 'src0'
+  )"""
+    # extract=True: the train CTE seeds the doc_extracted_text
+    # fixture's synthetic HTML (_SEED_HTML_SQL verbatim) and applies
+    # text.extract_text_sql — the SAME pattern-constant fragment the
+    # doc_extracted_text oracle runs — so one hash-match re-proves
+    # the extraction kernel AND its first-stage composition
+    if extract:
+        from bht_etl_app_spark.operators.text import extract_text_sql
+
+        train_body = f"""SELECT doc_id, {extract_text_sql("text")} AS text
+  FROM (
+    SELECT doc_id,
+           {_SEED_HTML_SQL} AS text
     FROM documents WHERE source <> 'src0'
   )"""
     return f"""
@@ -3840,6 +3866,86 @@ _SEED_URLS_SQL = (
 )
 
 
+def _seed_html_expr():
+    """The shared HTML/entity seeding expression (the corpus is
+    markup-free word soup, so extraction keys must inject something
+    to extract): ONE Spark copy, with ``_SEED_HTML_SQL`` as its
+    verbatim DuckDB twin — shared by doc_extracted_text AND the
+    curate_corpus extract-stage key so the fixtures can never drift.
+    Exercises every kernel pass: a style block, a script block,
+    block-tag line breaks, generic tag strip, all six entities, and
+    a 2-alpha-word nav line the boilerplate filter must drop."""
+    return (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(
+                    "<html><head><style>p {color:red}</style></head>"
+                    "<body><p>"
+                ),
+                F.col("text"),
+                F.lit(
+                    "</p><br><script>var x = 1;</script>"
+                    "<div>Home | Login</div></body></html>"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+_SEED_HTML_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN"
+    " '<html><head><style>p {color:red}</style></head><body><p>'"
+    " || text ||"
+    " '</p><br><script>var x = 1;</script>"
+    "<div>Home | Login</div></body></html>'\n"
+    "             WHEN doc_id % 5 = 1 THEN"
+    " text || ' &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end'\n"
+    "             ELSE text END"
+)
+
+
+def _q_extract_text(spark, sf_dir):
+    """Markup/boilerplate extraction over documents seeded with
+    synthetic HTML (the corpus is markup-free; the seeding is
+    reproduced verbatim in the oracle so every kernel pass is
+    actually exercised)."""
+    from bht_etl_app_spark.operators.text import extract_markup_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_markup_text(docs.withColumn("text", _seed_html_expr()))
+
+
+def _doc_extracted_oracle_sql() -> str:
+    """DuckDB replay of extract_markup_text over the seeded corpus —
+    the extraction expression comes from text.extract_text_sql (the
+    SAME pattern constants the Spark kernel compiles), the sizes from
+    the same columns."""
+    from bht_etl_app_spark.operators.text import extract_text_sql
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         {_SEED_HTML_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+       {extract_text_sql("text")} AS extracted_text,
+       CAST(length(text) AS BIGINT) AS n_raw_chars,
+       CAST(length({extract_text_sql("text")}) AS BIGINT)
+         AS n_extracted_chars
+FROM seeded
+"""
+
+
 def _q_scrub(spark, sf_dir):
     """PII/URL scrubbing over documents seeded with synthetic URLs and
     addresses (the corpus itself is URL-free word soup; the seeding is
@@ -4352,6 +4458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "pack_sequences_bins": lambda s, d: _pack_sequences(s, d),
+        # r10: the fragmentation-reducing knob the r9 metric exists to
+        # tune — harmonic doc-boundary packing + the two-packer
+        # trade-off report at the same budget
+        "pack_sequences_harmonic": lambda s, d: sampling.pack_sequences_harmonic(
+            load_table(s, d, "documents")
+        ),
+        "packing_compare_stats": lambda s, d: sampling.packing_compare_stats(
+            load_table(s, d, "documents")
+        ),
         "near_dup_clusters": lambda s, d: dedup_clusters(
             ngram_jaccard_pairs(
                 load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
@@ -4476,6 +4591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_bigram_surprise": lambda s, d: _bigram_scores(s, d),
         "doc_scrubbed": _q_scrub,
+        # r10: markup/boilerplate extraction (the missing first stage
+        # of the web-crawl chain) over the seeded-HTML fixture
+        "doc_extracted_text": _q_extract_text,
         "doc_decontaminate": lambda s, d: decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
             load_table(s, d, "documents").where(F.col("source") == "src0"),
@@ -4860,6 +4978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact -> near-dup -> KN perplexity -> ExactSubstr scrub ->
         # decontamination(scrubbed); the composed oracle embeds the
         # KN fragments AND the substr fragments in one statement
+        # r10: the chain with markup extraction composed FIRST (every
+        # later stage consumes the extracted text)
+        "curated_verdicts_extract": lambda s, d: _q_curated_verdicts(
+            s, d, extract=True
+        ),
         "curated_verdicts_redact": lambda s, d: _q_curated_verdicts(
             s, d, redact=True
         ),
@@ -5635,6 +5758,7 @@ LATERAL (
         "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
         "curated_verdicts_substr": _curated_verdicts_oracle_sql(substr=True),
         "curated_verdicts_redact": _curated_verdicts_oracle_sql(redact=True),
+        "curated_verdicts_extract": _curated_verdicts_oracle_sql(extract=True),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True
         ),
@@ -5705,6 +5829,8 @@ SELECT source, n_docs, total_tokens, n_bins, n_crossing,
 FROM agg
 """,
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
+        "pack_sequences_harmonic": sampling.pack_sequences_harmonic_sql(),
+        "packing_compare_stats": sampling.packing_compare_stats_sql(),
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
         "leakage_safe_split": _leakage_safe_split_oracle_sql(),
         "split_leakage_audit": _split_leakage_audit_oracle_sql(),
@@ -6093,6 +6219,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "doc_scrubbed": _doc_scrubbed_oracle_sql(),
+        "doc_extracted_text": _doc_extracted_oracle_sql(),
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

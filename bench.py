@@ -243,6 +243,13 @@ HEADLINE = [
     # r9: the curation chain with the URL/email redaction composed
     # in pre-quality (every later stage consumes redacted text)
     "curated_verdicts_redact",
+    # r10: harmonic doc-boundary packing (the fragmentation knob —
+    # new kernel shape: per-(source, class) layout window + class
+    # offset prefix sum)
+    "pack_sequences_harmonic",
+    # r10: markup/boilerplate extraction kernel (regex chain + line
+    # filter — the web-crawl first stage)
+    "doc_extracted_text",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):
@@ -278,6 +285,7 @@ EXCLUDED = {
         "q21_sole_late_supplier", "q22_above_avg_suppliers",
     ],
     "twin": [
+        "curated_verdicts_extract",
         "exact_substr_spans_fast", "exact_substr_scrub_fast",
         "simhash_near_dup_fast", "simhash_near_dup_retuned",
         "simhash_near_dup_wide", "knn_vec0_arrow", "knn_vec0_quantized",
@@ -300,7 +308,7 @@ EXCLUDED = {
         "high_value_customers", "kmeans_cluster_sizes",
         "latest_event_per_user", "monthly_order_stats",
         "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",
-        "near_dup_jaccard", "order_price_deciles",
+        "near_dup_jaccard", "order_price_deciles", "packing_compare_stats",
         "order_price_percentiles", "orders_unpivot_metrics",
         "price_histogram", "props_key_counts", "purchase_and_click_users",
         "purchase_asof_click", "qty_price_correlation", "quantity_moments",

@@ -959,12 +959,16 @@ def curate_corpus(
     lm_d: float = 0.75,
     substr_k: int | None = None,
     redact: bool = False,
+    extract_markup: bool = False,
     persist_scrubbed: bool = False,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
     an auditable verdict for EVERY input document:
 
+    -1. (``extract_markup=True``) markup/boilerplate
+        extraction (tag strip, entity decode,
+        thin-line drop)                          → (no verdict leg)
     0. (``redact=True``) URL/email redaction     → (no verdict leg)
     1. quality gate (Gopher/C4 composite rules)  → ``quality``
     2. exact dedup (md5 keep-min)                → ``exact_dup``
@@ -1025,6 +1029,20 @@ def curate_corpus(
     )
 
     ids = F.col(id_col)
+    # -1. markup/boilerplate extraction (optional): the FIRST stage
+    # of every web-crawl chain (CCNet/RefinedWeb/FineWeb start from
+    # HTML) — script/style blocks out, tags stripped, entities
+    # decoded, thin boilerplate lines dropped, whitespace collapsed,
+    # BEFORE redaction sees the text (a tag-split URL would otherwise
+    # dodge the pattern) and before anything tokenizes, fingerprints,
+    # or trains. Pure per-row projection; the SAME extract_text_expr
+    # kernel as the standalone doc_extracted_text key, so the stage
+    # and the contract key can never diverge. No verdict leg:
+    # extraction transforms, it never drops.
+    if extract_markup:
+        from bht_etl_app_spark.operators.text import extract_text_expr
+
+        df = df.withColumn(text_col, extract_text_expr(text_col))
     # 0. URL/email redaction (optional): the standard pre-quality
     # scrub every real curation chain runs (PII/boilerplate out
     # BEFORE anything tokenizes, fingerprints, or trains on the

@@ -121,6 +121,185 @@ def pack_sequences(
     )
 
 
+def pack_sequences_harmonic(
+    df: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-boundary-aware bin packing by HARMONIC size classes (Lee &
+    Lee, JACM 32(3), 1985) — the fragmentation-reducing knob
+    :func:`packing_bin_stats` exists to tune: where
+    :func:`pack_sequences` (concat-and-chunk) splits every
+    boundary-crossing document across training sequences, this packer
+    places each document WHOLLY inside one bin, so boundary crossing
+    is structurally zero for every document that fits the budget.
+
+    The trick that makes best-fit-style packing distributed AND
+    SQL-replayable: a document of ``n`` tokens joins size class
+    ``c = floor(budget / n)`` (the number of documents that size
+    guaranteed to fit one bin: ``n <= budget/c`` so ``c·n <=
+    budget``); within each (source, class) the documents are laid
+    ``c`` per bin in deterministic (length desc, id asc) order — no
+    sequential first-fit state, every class packs independently.
+    Classic harmonic guarantees apply: every closed class-``c`` bin
+    is filled past ``budget·c/(c+1)`` (>= half), and the asymptotic
+    bin count is within ~1.691x of optimal — traded for zero
+    fragmentation and a fully parallel plan.
+
+    Documents LONGER than the budget cannot fit any bin whole: they
+    land in class 0, one document per bin index, consuming
+    ``bins_used = ceil(n/budget)`` chunks (the only unavoidable
+    crossings — flagged, not hidden).
+
+    Scale posture: one window per (source, size_class) — STRICTLY
+    more parallel than pack_sequences' per-source window (classes
+    split each source's order); the per-(source, class) bin-count
+    table is tiny (<= ~2·sqrt(budget) occupied classes per source),
+    its per-source prefix-sum window is report-sized, and the join
+    back is on (source, class) keys AQE can broadcast. Empty docs
+    (0 tokens) join the largest class and consume no capacity.
+
+    Output: ``(source, doc_id, n_tokens, size_class, bin,
+    bins_used)`` — ``bin`` is contiguous per source (class offsets
+    prefix-summed in class order), ``bins_used`` is 1 except for
+    class-0 overflow documents.
+    """
+    from bht_etl_app_spark.operators.text import tokens_expr
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(source_col), F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    cap = F.least(
+        F.floor(F.lit(budget) / F.greatest(F.col("n_tokens"), F.lit(1))),
+        F.lit(budget),
+    ).cast("long")
+    classed = toks.withColumn("size_class", cap)
+    w = Window.partitionBy(source_col, "size_class").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    binned = classed.withColumn(
+        "__rn__", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "bin_in_class",
+        F.when(
+            F.col("size_class") >= 1,
+            F.floor((F.col("__rn__") - 1) / F.col("size_class")),
+        )
+        .otherwise(F.col("__rn__") - 1)
+        .cast("long"),
+    )
+    cls_bins = binned.groupBy(source_col, "size_class").agg(
+        (F.max("bin_in_class") + 1).cast("long").alias("__nb__")
+    )
+    w2 = (
+        Window.partitionBy(source_col)
+        .orderBy("size_class")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cls_bins.select(
+        F.col(source_col), F.col("size_class"),
+        F.coalesce(F.sum("__nb__").over(w2), F.lit(0)).alias("__off__"),
+    )
+    return binned.join(offs, [source_col, "size_class"]).select(
+        F.col(source_col), F.col(id_col), F.col("n_tokens"),
+        F.col("size_class"),
+        (F.col("__off__") + F.col("bin_in_class")).cast("long").alias("bin"),
+        F.when(
+            F.col("size_class") == 0,
+            F.floor((F.col("n_tokens") + F.lit(budget) - 1) / F.lit(budget)),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("bins_used"),
+    )
+
+
+def packing_compare_stats(
+    df: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The packing trade-off in ONE report — concat-and-chunk
+    (:func:`pack_sequences`) vs harmonic doc-boundary packing
+    (:func:`pack_sequences_harmonic`) at the same budget, one row per
+    (source, packer): ``(source, packer, n_docs, total_tokens,
+    n_bins, n_crossing, frac_crossing, utilization)``.
+
+    What the two rows say: concat-and-chunk wastes NOTHING
+    (``utilization`` = total/budget·bins ~ 1 up to the final chunk)
+    but fragments ``frac_crossing`` of the documents across sequence
+    boundaries (truncated left context + polluted next-sequence
+    start); harmonic packing drives ``n_crossing`` to the structural
+    floor (only documents longer than the budget, each flagged by
+    ``bins_used > 1``) at the cost of partially-filled bins
+    (utilization >= c/(c+1) per closed class-c bin). ``n_bins``
+    counts actual training sequences on both sides: chunk layout =
+    ceil(total/budget); harmonic = contiguous bin indices plus the
+    extra chunks of overflow documents. Both legs reuse their
+    verified packers; the aggregation adds one small groupBy per leg.
+    """
+    packed = pack_sequences(df, budget, source_col, id_col, text_col)
+    chunk_cross = (
+        (F.col("start_offset") % budget) + F.col("n_tokens") > budget
+    ).cast("int")
+    chunk = (
+        packed.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(chunk_cross).cast("long").alias("n_crossing"),
+        )
+        .withColumn(
+            "n_bins",
+            F.floor(
+                (F.col("total_tokens") + F.lit(budget) - 1) / F.lit(budget)
+            ).cast("long"),
+        )
+        .withColumn("packer", F.lit("concat_chunk"))
+    )
+    harm = (
+        pack_sequences_harmonic(df, budget, source_col, id_col, text_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum((F.col("bins_used") > 1).cast("int"))
+            .cast("long")
+            .alias("n_crossing"),
+            (
+                F.max("bin") + 1 + F.sum(F.col("bins_used") - 1)
+            ).cast("long").alias("n_bins"),
+        )
+        .withColumn("packer", F.lit("harmonic"))
+    )
+    both = chunk.unionByName(harm)
+    return both.select(
+        F.col(source_col).alias("source"),
+        "packer", "n_docs", "total_tokens", "n_bins", "n_crossing",
+        F.when(
+            F.col("n_docs") > 0,
+            F.bround(
+                F.col("n_crossing").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        ).alias("frac_crossing"),
+        F.when(
+            F.col("n_bins") > 0,
+            F.bround(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_bins") * F.lit(budget)).cast("double"),
+                6,
+            ),
+        ).alias("utilization"),
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -313,6 +492,106 @@ FROM (
   )
   WHERE len(gh) >= 4
 )
+"""
+
+
+def pack_sequences_harmonic_sql(budget: int = 2048) -> str:
+    """DuckDB replay of :func:`pack_sequences_harmonic` over the
+    ``documents`` table — size class by integer division, the
+    per-(source, class) layout window, the per-source class-offset
+    prefix sum, and the overflow chunk count, all from the ONE
+    tokens_sql template."""
+    from bht_etl_app_spark.operators.text import tokens_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cls AS (
+  SELECT source, doc_id, n_tokens,
+         least({budget} // greatest(n_tokens, 1), {budget}) AS size_class
+  FROM toks
+),
+rn AS (
+  SELECT source, doc_id, n_tokens, size_class,
+         row_number() OVER (PARTITION BY source, size_class
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM cls
+),
+bic AS (
+  SELECT source, doc_id, n_tokens, size_class,
+         CASE WHEN size_class >= 1 THEN (rn - 1) // size_class
+              ELSE rn - 1 END AS bin_in_class
+  FROM rn
+),
+cb AS (
+  SELECT source, size_class, max(bin_in_class) + 1 AS nb
+  FROM bic GROUP BY 1, 2
+),
+offs AS (
+  SELECT source, size_class,
+         coalesce(sum(nb) OVER (PARTITION BY source ORDER BY size_class
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS off
+  FROM cb
+)
+SELECT b.source, b.doc_id, b.n_tokens,
+       CAST(b.size_class AS BIGINT) AS size_class,
+       CAST(o.off + b.bin_in_class AS BIGINT) AS bin,
+       CAST(CASE WHEN b.size_class = 0
+                 THEN (b.n_tokens + {budget} - 1) // {budget}
+                 ELSE 1 END AS BIGINT) AS bins_used
+FROM bic b JOIN offs o USING (source, size_class)
+"""
+
+
+def packing_compare_stats_sql(budget: int = 2048) -> str:
+    """DuckDB replay of :func:`packing_compare_stats`: BOTH verified
+    packer statements wrapped whole as CTEs (``PACK_SEQUENCES_SQL``
+    verbatim for the chunk leg, :func:`pack_sequences_harmonic_sql`
+    for the harmonic leg — one hash-match re-proves both packers AND
+    the comparison), then the per-leg aggregates and int/int
+    ratios. Budget is pinned to 2048 because the chunk leg reuses
+    the fixed-budget PACK_SEQUENCES_SQL statement verbatim."""
+    if budget != 2048:
+        raise ValueError("oracle replay is pinned to the contract budget 2048")
+    return f"""
+WITH packed AS MATERIALIZED (
+{PACK_SEQUENCES_SQL}
+),
+harm AS MATERIALIZED (
+{pack_sequences_harmonic_sql(budget)}
+),
+legs AS (
+  SELECT source, 'concat_chunk' AS packer,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST((sum(n_tokens) + {budget} - 1) // {budget} AS BIGINT)
+           AS n_bins,
+         CAST(sum(CASE WHEN (start_offset % {budget}) + n_tokens
+                            > {budget}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+  FROM packed GROUP BY source
+  UNION ALL
+  SELECT source, 'harmonic' AS packer,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(bin) + 1 + sum(bins_used - 1) AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN bins_used > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_crossing
+  FROM harm GROUP BY source
+)
+SELECT source, packer, n_docs, total_tokens, n_bins, n_crossing,
+       CASE WHEN n_docs > 0 THEN
+         round_even(CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       END AS frac_crossing,
+       CASE WHEN n_bins > 0 THEN
+         round_even(CAST(total_tokens AS DOUBLE)
+                    / CAST(n_bins * {budget} AS DOUBLE), 6)
+       END AS utilization
+FROM legs
 """
 
 

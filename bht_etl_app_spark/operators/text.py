@@ -334,6 +334,117 @@ def repetition_signals(
     )
 
 
+# Markup-extraction patterns — like the scrub patterns below, every
+# one is RE2-compatible (no backrefs or lookaround; inline (?is)
+# flags only) so the IDENTICAL strings run under java.util.regex and
+# the DuckDB oracle's RE2. Script/style pairs are matched per tag
+# name (no backreference), lazily, so nested text documents are
+# linear-time; an unterminated block simply falls through to the
+# tag-strip pass.
+SCRIPT_BLOCK_PATTERN = r"(?is)<script[^>]*>.*?</script>"
+STYLE_BLOCK_PATTERN = r"(?is)<style[^>]*>.*?</style>"
+# block-level closers/breaks become newlines BEFORE the generic tag
+# strip, so line structure survives into the boilerplate-line filter
+BLOCK_TAG_PATTERN = r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)[^>]*>"
+TAG_PATTERN = r"(?s)<[^>]*>"
+# decode order matters: &amp; LAST, so '&amp;lt;' decodes to the
+# literal '&lt;' and never to '<' (the standard double-escape rule)
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+# explicit Java-\s class, spelled out so RE2 (whose \s excludes
+# vertical tab) tokenizes identically — the tokens_sql rule
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+LINE_WORD_PATTERN = "[A-Za-z]{2,}"
+
+
+def extract_text_expr(col: Column | str, min_line_words: int = 3) -> Column:
+    """Markup/boilerplate text extraction — the stage every web-crawl
+    pipeline (CCNet, RefinedWeb, FineWeb) runs FIRST, as one native
+    column expression: drop ``<script>``/``<style>`` blocks whole,
+    turn block-level tag boundaries into newlines, strip remaining
+    tags, decode the six ubiquitous HTML entities (``&amp;`` last —
+    double-escape rule), then drop boilerplate lines with fewer than
+    ``min_line_words`` alphabetic words (nav bars, button labels,
+    separator rows — the line-length heuristic of
+    boilerplate-removal literature), and collapse whitespace.
+    ``min_line_words=0`` disables the line filter. Pure per-row
+    projection — scan speed at 100 TB, no Python, no shuffle;
+    :func:`extract_text_sql` is its DuckDB twin built from the SAME
+    pattern constants."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, SCRIPT_BLOCK_PATTERN, " ")
+    s = F.regexp_replace(s, STYLE_BLOCK_PATTERN, " ")
+    s = F.regexp_replace(s, BLOCK_TAG_PATTERN, "\n")
+    s = F.regexp_replace(s, TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    if min_line_words > 0:
+        kept = F.filter(
+            F.split(s, "\n"),
+            lambda ln: F.size(
+                F.filter(
+                    F.split(F.trim(ln), "[ \\t]+"),
+                    lambda w: w.rlike(LINE_WORD_PATTERN),
+                )
+            )
+            >= min_line_words,
+        )
+        s = F.array_join(kept, "\n")
+    return F.trim(F.regexp_replace(s, WS_CLASS + "+", " "))
+
+
+def extract_text_sql(col: str = "text", min_line_words: int = 3) -> str:
+    """DuckDB twin of :func:`extract_text_expr`, assembled from the
+    SAME pattern constants (one-template-per-family rule, like
+    redact_sql/tokens_sql)."""
+    s = f"regexp_replace({col}, '{SCRIPT_BLOCK_PATTERN}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{STYLE_BLOCK_PATTERN}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{BLOCK_TAG_PATTERN}', chr(10), 'g')"
+    s = f"regexp_replace({s}, '{TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent.replace(chr(39), chr(39) * 2)}', '{rep_sql}')"
+    if min_line_words > 0:
+        # coalesce: DuckDB array_to_string([]) is NULL where Spark
+        # array_join([]) is '' — an all-boilerplate doc must extract
+        # to the empty string in both engines
+        s = (
+            f"coalesce(array_to_string(list_filter(string_split({s}, "
+            f"chr(10)), "
+            f"ln -> len(list_filter(regexp_split_to_array(trim(ln), "
+            f"'[ \\t]+'), w -> regexp_matches(w, '{LINE_WORD_PATTERN}'))) "
+            f">= {min_line_words}), chr(10)), '')"
+        )
+    return f"trim(regexp_replace({s}, '{WS_CLASS}+', ' ', 'g'))"
+
+
+def extract_markup_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """Standalone markup-extraction operator over
+    :func:`extract_text_expr` — the one kernel, reported with before/
+    after sizes so a pipeline can audit how much markup it shed.
+    Output: ``(doc_id, extracted_text, n_raw_chars, n_extracted_chars)``.
+    Pure per-row projection."""
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        extract_text_expr(text_col, min_line_words).alias("extracted_text"),
+        F.length(F.col(text_col)).cast("long").alias("n_raw_chars"),
+        F.length(extract_text_expr(text_col, min_line_words))
+        .cast("long")
+        .alias("n_extracted_chars"),
+    )
+
+
 # Scrub patterns are deliberately RE2-compatible (no backrefs or
 # lookaround) so the identical pattern strings run in both Spark
 # (java.util.regex) and the DuckDB oracle (RE2).

@@ -755,3 +755,45 @@ def test_scd2_null_states_get_their_own_periods(spark):
         for r in scd2_from_changelog(ev).orderBy("effective_from").collect()
     ]
     assert rows == [("a", 1, 2), (None, 2, 3), ("a", 3, None)]
+
+
+def test_curate_corpus_extract_stage_runs_first(spark):
+    """extract_markup=True composes markup extraction BEFORE
+    redaction's slot and the quality gate, and every later stage
+    consumes the extracted text: two docs identical except for
+    DIFFERENT script blocks have different exact-dedup fingerprints
+    raw, but extract to the same text — so the second becomes
+    exact_dup only under extract_markup=True. Pins the stage position
+    and that extraction transforms without dropping (no verdict
+    leg)."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    # words need >= 2 consecutive letters or the boilerplate line
+    # filter drops the whole line
+    base = " ".join(f"tok{i}" for i in range(30))
+    # the script bodies differ in enough tokens that the RAW docs are
+    # not even near-dups (jaccard < 0.8) — extraction strips them to
+    # IDENTICAL text, so the pin isolates the stage exactly
+    js_a = " ".join(f"aa{i}" for i in range(25))
+    js_b = " ".join(f"bb{i}" for i in range(25))
+    rows = [
+        (1, "<p>" + base + "</p><script>" + js_a + "</script>"),
+        (2, "<p>" + base + "</p><script>" + js_b + "</script>"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    extracted = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench, hash_fn="md5", extract_markup=True
+        ).collect()
+    }
+    assert extracted == {1: "kept", 2: "exact_dup"}
+    raw = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(train, bench, hash_fn="md5").collect()
+    }
+    assert raw == {1: "kept", 2: "kept"}

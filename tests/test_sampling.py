@@ -313,3 +313,61 @@ def test_packing_bin_stats_counts_trailing_bins(spark):
     assert r["n_bins"] == 3
     assert r["n_crossing"] == 1
     assert r["avg_docs_per_bin"] == round(2 / 3, 6)
+
+
+def test_pack_sequences_harmonic_hand_case(spark):
+    """budget=10: docs of 6,6 (class 1 -> own bins), 4,4,4 (class 2 ->
+    2 per bin), 25 (class 0 overflow -> 3 chunks). Every non-overflow
+    bin's fill must respect the budget; bins are contiguous per
+    source in class order."""
+    from bht_etl_app_spark.operators.sampling import pack_sequences_harmonic
+
+    rows = [
+        (1, "s", " ".join(f"a{i}" for i in range(6))),
+        (2, "s", " ".join(f"b{i}" for i in range(6))),
+        (3, "s", " ".join(f"c{i}" for i in range(4))),
+        (4, "s", " ".join(f"d{i}" for i in range(4))),
+        (5, "s", " ".join(f"e{i}" for i in range(4))),
+        (6, "s", " ".join(f"f{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           pack_sequences_harmonic(docs, budget=10).collect()}
+    assert {r["size_class"] for r in got.values()} == {0, 1, 2}
+    # class 0: the overflow doc, 3 chunks
+    assert got[6]["size_class"] == 0 and got[6]["bins_used"] == 3
+    # class 1: 6-token docs one per bin; class 2: 4-token docs 2 per bin
+    assert got[1]["bin"] != got[2]["bin"]
+    assert got[3]["bin"] == got[4]["bin"] != got[5]["bin"]
+    # validity: per-bin fill <= budget for every fitting doc
+    import collections
+    fill = collections.Counter()
+    for r in got.values():
+        if r["size_class"] >= 1:
+            fill[r["bin"]] += r["n_tokens"]
+    assert all(v <= 10 for v in fill.values())
+    # bins contiguous 0..max within the source
+    bins = sorted({r["bin"] for r in got.values()})
+    assert bins == list(range(len(bins)))
+    assert all(r["bins_used"] == 1 for r in got.values() if r["size_class"] >= 1)
+
+
+def test_packing_compare_stats_harmonic_kills_crossing(spark):
+    """The report the packer exists for: harmonic frac_crossing is 0
+    (no overflow docs here) while concat-and-chunk fragments, and
+    both legs agree on totals."""
+    from bht_etl_app_spark.operators.sampling import packing_compare_stats
+
+    rows = [
+        (i, "s", " ".join(f"w{i}_{j}" for j in range(7))) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    legs = {r["packer"]: r.asDict()
+            for r in packing_compare_stats(docs, budget=10).collect()}
+    assert legs["concat_chunk"]["n_crossing"] > 0
+    assert legs["harmonic"]["n_crossing"] == 0
+    assert legs["harmonic"]["frac_crossing"] == 0.0
+    assert legs["concat_chunk"]["total_tokens"] == legs["harmonic"]["total_tokens"] == 70
+    assert legs["concat_chunk"]["n_bins"] == 7   # ceil(70/10)
+    assert legs["harmonic"]["n_bins"] == 10      # class 1: one 7-token doc per bin
+    assert legs["harmonic"]["utilization"] == 0.7

@@ -614,3 +614,74 @@ def test_ngram_novelty_hand_case(spark):
     assert got[2] == (6, 5, round(5 / 6, 6))
     assert got[3] == (2, 2, 1.0)
     assert got[4] == (0, 0, None)
+
+
+def test_extract_text_expr_kernel(spark):
+    """Every pass of the markup-extraction kernel on one document:
+    script/style blocks removed whole, block tags become line breaks,
+    generic tags strip, entities decode in double-escape-safe order
+    (&amp; last), the 2-alpha-word nav line drops under
+    min_line_words=3, whitespace collapses."""
+    from bht_etl_app_spark.operators.text import extract_markup_text
+
+    html = (
+        "<html><head><style>p {color:red}</style>"
+        "<script>var x = 1; if (x<2) x++;</script></head>"
+        "<body><p>the quick brown fox jumps</p>"
+        "<div>Home | Login</div>"
+        "<p>entities &amp;lt; stay &lt;escaped&gt; &quot;q&quot;"
+        " &#39;s&#39;&nbsp;end</p></body></html>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    r = extract_markup_text(docs).collect()[0]
+    assert r["extracted_text"] == (
+        "the quick brown fox jumps "
+        "entities &lt; stay <escaped> \"q\" 's' end"
+    )
+    assert r["n_raw_chars"] == len(html)
+    assert r["n_extracted_chars"] == len(r["extracted_text"])
+
+
+def test_extract_text_expr_no_line_filter(spark):
+    """min_line_words=0 disables the boilerplate-line drop — the nav
+    line survives; tags still strip."""
+    from bht_etl_app_spark.operators.text import extract_markup_text
+
+    docs = spark.createDataFrame(
+        [(1, "<p>one two three four</p><div>Home | Login</div>")],
+        "doc_id long, text string",
+    )
+    r = extract_markup_text(docs, min_line_words=0).collect()[0]
+    assert r["extracted_text"] == "one two three four Home | Login"
+
+
+def test_extract_text_sql_parity(spark):
+    """The DuckDB twin built from the same constants produces the
+    identical extraction on a markup-heavy fixture (the oracle
+    relationship, pinned engine-to-engine)."""
+    import duckdb
+
+    from bht_etl_app_spark.operators.text import (
+        extract_markup_text,
+        extract_text_sql,
+    )
+
+    rows = [
+        (1, "<style>a{}</style><p>alpha beta gamma delta</p><div>x</div>"),
+        (2, "plain words only here &amp; more &lt;kept&gt; fine"),
+        (3, "<script>while(1){}</script><p>loop gone for good</p>"),
+        (4, "<p>tiny</p>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["extracted_text"]
+        for r in extract_markup_text(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {extract_text_sql('text')} FROM t"
+        ).fetchall()
+    )
+    assert got == want
