@@ -3957,6 +3957,80 @@ def _q_scrub(spark, sf_dir):
     return scrub_text(docs.withColumn("text", _seed_urls_expr()))
 
 
+def _seed_pii_expr():
+    """Extended PII seeding for the four-class scrubber: the
+    _seed_urls_expr URL/email seeds PLUS independent phone and IP
+    terms (separate modulus conditions so the class combinations
+    overlap on some docs). ``_SEED_PII_SQL`` is the verbatim DuckDB
+    twin."""
+    return F.concat(
+        _seed_urls_expr(),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(" from 192.168.1.100 dial (555) 987-6543"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(" node 10.0.0.7 call +1 555.123.4567"),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SEED_PII_SQL = (
+    "(" + _SEED_URLS_SQL + ")\n"
+    "    || CASE WHEN doc_id % 5 = 0 THEN"
+    " ' from 192.168.1.100 dial (555) 987-6543' ELSE '' END\n"
+    "    || CASE WHEN doc_id % 13 = 0 THEN"
+    " ' node 10.0.0.7 call +1 555.123.4567' ELSE '' END"
+)
+
+
+def _q_scrub_pii(spark, sf_dir):
+    """Four-class PII scrubbing (URL/email/IP/phone) over documents
+    seeded with all four pattern classes — the per-class replacement
+    counts beside the scrubbed text."""
+    from bht_etl_app_spark.operators.text import scrub_text_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_text_pii(docs.withColumn("text", _seed_pii_expr()))
+
+
+def _doc_scrubbed_pii_oracle_sql() -> str:
+    """DuckDB replay of scrub_text_pii over the PII-seeded corpus —
+    redaction from text.redact_sql with the FULL class set (the SAME
+    pattern constants the Spark kernel compiles), per-class counts
+    from the same raw-text patterns."""
+    from bht_etl_app_spark.operators.text import (
+        EMAIL_PATTERN,
+        IP_PATTERN,
+        PHONE_PATTERN,
+        PII_REDACT_CLASSES,
+        URL_PATTERN,
+        redact_sql,
+    )
+
+    def count(pat: str, name: str) -> str:
+        return (
+            "CAST(len(regexp_extract_all(text, '" + pat
+            + "')) AS BIGINT) AS " + name
+        )
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         {_SEED_PII_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+       {redact_sql("text", PII_REDACT_CLASSES)} AS clean_text,
+       {count(URL_PATTERN, "n_urls")},
+       {count(EMAIL_PATTERN, "n_emails")},
+       {count(IP_PATTERN, "n_ips")},
+       {count(PHONE_PATTERN, "n_phones")}
+FROM seeded
+"""
+
+
 def _doc_scrubbed_oracle_sql() -> str:
     """DuckDB replay of scrub_text over the seeded corpus — the
     redaction expression comes from text.redact_sql (the SAME pattern
@@ -4594,6 +4668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: markup/boilerplate extraction (the missing first stage
         # of the web-crawl chain) over the seeded-HTML fixture
         "doc_extracted_text": _q_extract_text,
+        # r10: four-class PII scrub (URL/email/IP/phone) with
+        # per-class replacement counts
+        "doc_scrubbed_pii": _q_scrub_pii,
         "doc_decontaminate": lambda s, d: decontaminate(
             load_table(s, d, "documents").where(F.col("source") != "src0"),
             load_table(s, d, "documents").where(F.col("source") == "src0"),
@@ -6220,6 +6297,7 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "doc_scrubbed": _doc_scrubbed_oracle_sql(),
         "doc_extracted_text": _doc_extracted_oracle_sql(),
+        "doc_scrubbed_pii": _doc_scrubbed_pii_oracle_sql(),
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

@@ -302,6 +302,7 @@ EXCLUDED = {
         "distinct_parts_per_supplier", "doc_bigram_surprise",
         "doc_char_entropy", "doc_fingerprint", "doc_lang_id",
         "doc_pagerank", "doc_quality_scores", "doc_scrubbed",
+        "doc_scrubbed_pii",
         "domain_quantile_keep", "embedding_norms", "exact_substr_stats",
         "error_recent_click_counts", "ewma_user_values",
         "freq_orderpriority", "grouping_sets_order_stats",

@@ -959,6 +959,7 @@ def curate_corpus(
     lm_d: float = 0.75,
     substr_k: int | None = None,
     redact: bool = False,
+    redact_classes: tuple[str, ...] | None = None,
     extract_markup: bool = False,
     persist_scrubbed: bool = False,
 ) -> DataFrame:
@@ -1055,7 +1056,15 @@ def curate_corpus(
     if redact:
         from bht_etl_app_spark.operators.text import redact_expr
 
-        df = df.withColumn(text_col, redact_expr(text_col))
+        # redact_classes widens the pattern set (e.g.
+        # text.PII_REDACT_CLASSES adds IP + phone); None keeps the
+        # kernel's URL+email default — same ONE kernel either way
+        if redact_classes is None:
+            df = df.withColumn(text_col, redact_expr(text_col))
+        else:
+            df = df.withColumn(
+                text_col, redact_expr(text_col, redact_classes)
+            )
     # Stage boundaries are persisted: the verdict union has five legs
     # and each leg's lineage would otherwise re-run every upstream
     # stage (quality's gram aggregation ~5x, measured 28 s -> at

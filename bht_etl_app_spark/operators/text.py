@@ -450,32 +450,68 @@ def extract_markup_text(
 # (java.util.regex) and the DuckDB oracle (RE2).
 URL_PATTERN = r"https?://\S+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# dotted-quad with \b anchors — ASCII word boundary means the same
+# thing to java.util.regex and RE2
+IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# separator-REQUIRED phone shape (optional +country, (area) or area,
+# then 3+4 digits): plain digit runs in data never match, and the
+# dotted-quad form can't satisfy the trailing \d{4} — IPs still
+# redact FIRST so the classes can't race
+PHONE_PATTERN = r"(?:\+\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}"
+
+# the ONE ordered class table: URLs first (a URL's userinfo part
+# could otherwise be half-eaten by the email pass), then emails,
+# then IPs before phones (both are digit shapes; the dotted quad
+# must be consumed before the phone pass scans). Kernel order is
+# THIS table's order regardless of how a caller lists the classes.
+REDACT_CLASSES = (
+    ("url", URL_PATTERN, "<URL>"),
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("ip", IP_PATTERN, "<IP>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+)
+DEFAULT_REDACT_CLASSES = ("url", "email")
+PII_REDACT_CLASSES = ("url", "email", "ip", "phone")
 
 
-def redact_expr(col: Column | str) -> Column:
-    """The ONE redaction kernel: URLs → ``<URL>`` then emails →
-    ``<EMAIL>`` (URLs FIRST — a URL's userinfo part could otherwise
-    be half-eaten by the email pass). Shared by :func:`scrub_text`
-    and the ``curate_corpus`` redact stage so the operator and the
+def redact_expr(
+    col: Column | str,
+    classes: tuple[str, ...] = DEFAULT_REDACT_CLASSES,
+) -> Column:
+    """The ONE redaction kernel: each enabled class's matches are
+    replaced by its ``<CLASS>`` token, in REDACT_CLASSES order.
+    Shared by :func:`scrub_text` / :func:`scrub_text_pii` and the
+    ``curate_corpus`` redact stage so the operators and the
     composition can never diverge; :func:`redact_sql` is its DuckDB
-    twin built from the SAME pattern constants."""
+    twin built from the SAME pattern constants. The default class
+    set is URL+email (the r9 contract); ``PII_REDACT_CLASSES`` adds
+    IP and phone."""
+    unknown = set(classes) - {name for name, _, _ in REDACT_CLASSES}
+    if unknown:
+        raise ValueError(f"unknown redaction classes: {sorted(unknown)}")
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(
-        F.regexp_replace(c, URL_PATTERN, "<URL>"),
-        EMAIL_PATTERN,
-        "<EMAIL>",
-    )
+    for name, pat, tok in REDACT_CLASSES:
+        if name in classes:
+            c = F.regexp_replace(c, pat, tok)
+    return c
 
 
-def redact_sql(col: str = "text") -> str:
+def redact_sql(
+    col: str = "text",
+    classes: tuple[str, ...] = DEFAULT_REDACT_CLASSES,
+) -> str:
     """DuckDB twin of :func:`redact_expr`, built from the same
-    URL_PATTERN / EMAIL_PATTERN constants (both ASCII-class-only so
-    the identical strings run under java.util.regex AND RE2) — the
-    one-template-per-family rule, same as tokens_sql."""
-    return (
-        "regexp_replace(regexp_replace(" + col + ", '" + URL_PATTERN
-        + "', '<URL>', 'g'), '" + EMAIL_PATTERN + "', '<EMAIL>', 'g')"
-    )
+    pattern constants (all ASCII-class-only so the identical strings
+    run under java.util.regex AND RE2) — the one-template-per-family
+    rule, same as tokens_sql."""
+    unknown = set(classes) - {name for name, _, _ in REDACT_CLASSES}
+    if unknown:
+        raise ValueError(f"unknown redaction classes: {sorted(unknown)}")
+    s = col
+    for name, pat, tok in REDACT_CLASSES:
+        if name in classes:
+            s = f"regexp_replace({s}, '{pat}', '{tok}', 'g')"
+    return s
 
 
 def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -494,6 +530,32 @@ def scrub_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         redact_expr(text_col).alias("clean_text"),
         F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
         F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+    )
+
+
+def scrub_text_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-PII scrubbing — :func:`scrub_text`'s report shape grown
+    to production's minimum pattern set (VERDICT r9 #3): URLs,
+    emails, IPs, and phone numbers all redact through the ONE
+    :func:`redact_expr` kernel (``PII_REDACT_CLASSES`` order), with a
+    per-class replacement count measured on the raw text — so
+    ``n_ips`` counts a dotted quad even when it sits inside a URL
+    that the kernel redacts first (count = exposure in the raw
+    corpus; the redaction order only decides which token it becomes).
+
+    Pure per-row projection — scan speed at 100 TB.
+    Output: ``(doc_id, clean_text, n_urls, n_emails, n_ips,
+    n_phones)``.
+    """
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        redact_expr(text_col, PII_REDACT_CLASSES).alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(IP_PATTERN)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
     )
 
 

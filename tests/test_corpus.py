@@ -797,3 +797,42 @@ def test_curate_corpus_extract_stage_runs_first(spark):
         for r in curate_corpus(train, bench, hash_fn="md5").collect()
     }
     assert raw == {1: "kept", 2: "kept"}
+
+
+def test_curate_corpus_redact_classes_widen_the_stage(spark):
+    """redact_classes=PII_REDACT_CLASSES runs the SAME kernel with IP
+    and phone added: two docs identical except for different IPs
+    redact to the same '<IP>' token and collapse to exact_dup; under
+    the default URL+email classes they stay distinct."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+    from bht_etl_app_spark.operators.text import PII_REDACT_CLASSES
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, base + " from 10.0.0.1"),
+        (2, base + " from 10.0.0.2"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    pii = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench, hash_fn="md5", redact=True,
+            redact_classes=PII_REDACT_CLASSES,
+        ).collect()
+    }
+    assert pii == {1: "kept", 2: "exact_dup"}
+    default = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench, hash_fn="md5", redact=True
+        ).collect()
+    }
+    # default URL+email classes leave the IPs in place: fingerprints
+    # stay DISTINCT (no exact_dup); the pair is only caught later by
+    # the near-dup LSH stage — exactly the stage difference that
+    # proves the widened class set reached the redact stage
+    assert default == {1: "kept", 2: "near_dup"}

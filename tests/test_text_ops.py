@@ -685,3 +685,52 @@ def test_extract_text_sql_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_scrub_text_pii_classes_and_counts(spark):
+    """Four-class kernel order and raw-text counts: IPs redact before
+    phones (the dotted quad never becomes <PHONE>), URLs before
+    everything, counts measure the RAW text so an IP inside a URL
+    still counts as exposure."""
+    from bht_etl_app_spark.operators.text import scrub_text_pii
+
+    rows = [
+        (1, "visit https://10.1.2.3/path or mail bob@x.org"),
+        (2, "server 192.168.1.100 answers (555) 987-6543 or 555.123.4567"),
+        (3, "intl +1 555-123-4567 plain 1234567 untouched 12.3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_text_pii(docs).collect()}
+    assert got[1]["clean_text"] == "visit <URL> or mail <EMAIL>"
+    assert (got[1]["n_urls"], got[1]["n_emails"], got[1]["n_ips"]) == (1, 1, 1)
+    assert got[2]["clean_text"] == "server <IP> answers <PHONE> or <PHONE>"
+    assert (got[2]["n_ips"], got[2]["n_phones"]) == (1, 2)
+    assert got[3]["clean_text"] == "intl <PHONE> plain 1234567 untouched 12.3"
+    assert got[3]["n_phones"] == 1 and got[3]["n_ips"] == 0
+
+
+def test_redact_expr_rejects_unknown_class():
+    import pytest as _pytest
+
+    from bht_etl_app_spark.operators.text import redact_expr, redact_sql
+
+    with _pytest.raises(ValueError):
+        redact_expr("text", ("url", "ssn"))
+    with _pytest.raises(ValueError):
+        redact_sql("text", ("ssn",))
+
+
+def test_redact_sql_default_is_unchanged():
+    """The classes parameter must not disturb the verified r9 oracle
+    fragment: the default-class SQL is byte-identical to the
+    two-pass URL+email template."""
+    from bht_etl_app_spark.operators.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        redact_sql,
+    )
+
+    assert redact_sql("text") == (
+        "regexp_replace(regexp_replace(text, '" + URL_PATTERN
+        + "', '<URL>', 'g'), '" + EMAIL_PATTERN + "', '<EMAIL>', 'g')"
+    )
