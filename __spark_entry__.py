@@ -3866,6 +3866,58 @@ _SEED_URLS_SQL = (
 )
 
 
+def _q_contamination_attr(spark, sf_dir):
+    """Per-(source, benchmark) contamination attribution: the src0
+    eval shard plays three benchmarks (split by doc_id % 3 — the
+    fixture needs MULTIPLE benchmarks to attribute anything), the
+    other sources are the train side. n=3 — the attribution audit
+    runs at a MORE sensitive gram size than the n=5 drop rule
+    (doc_decontaminate): the release note wants to see near-misses
+    per benchmark, not only the grams that already triggered drops
+    (and the word-soup fixture yields a 2-row report at n=5 vs a
+    ~57-row one at n=3, so the grouping is actually exercised)."""
+    from bht_etl_app_spark.operators.corpus import contamination_attribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0").withColumn(
+        "benchmark",
+        F.concat(F.lit("bench"), (F.col("doc_id") % 3).cast("string")),
+    )
+    return contamination_attribution(
+        docs.where(F.col("source") != "src0"), ev, n=3
+    )
+
+
+_CONTAMINATION_ATTR_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 3 + 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+  FROM toks WHERE len(t) >= 3
+),
+ev AS (
+  SELECT DISTINCT 'bench' || CAST(doc_id % 3 AS VARCHAR) AS benchmark, g
+  FROM grams WHERE source = 'src0'
+),
+hits AS (
+  SELECT tr.source, ev.benchmark, tr.doc_id, tr.g
+  FROM grams tr JOIN ev USING (g)
+  WHERE tr.source <> 'src0'
+)
+SELECT source, benchmark,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+       CAST(count(DISTINCT (doc_id, g)) AS BIGINT) AS n_gram_hits,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_leaked_grams
+FROM hits
+GROUP BY 1, 2
+"""
+
+
 def _seed_html_expr():
     """The shared HTML/entity seeding expression (the corpus is
     markup-free word soup, so extraction keys must inject something
@@ -4676,6 +4728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").where(F.col("source") == "src0"),
             n=5,
         ),
+        # r10: the audit twin — WHICH benchmark leaks WHERE, per
+        # (train source, benchmark); the src0 eval shard is split
+        # into three synthetic benchmarks by id
+        "contamination_attribution": lambda s, d: _q_contamination_attr(s, d),
         "doc_chunks": lambda s, d: chunk_documents(
             load_table(s, d, "documents"), max_tokens=32, stride=16
         ),
@@ -6298,6 +6354,7 @@ FROM documents d LEFT JOIN pd USING (doc_id)
         "doc_scrubbed": _doc_scrubbed_oracle_sql(),
         "doc_extracted_text": _doc_extracted_oracle_sql(),
         "doc_scrubbed_pii": _doc_scrubbed_pii_oracle_sql(),
+        "contamination_attribution": _CONTAMINATION_ATTR_ORACLE_SQL,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

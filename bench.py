@@ -250,6 +250,9 @@ HEADLINE = [
     # r10: markup/boilerplate extraction kernel (regex chain + line
     # filter — the web-crawl first stage)
     "doc_extracted_text",
+    # r10: per-(source, benchmark) contamination attribution (the
+    # broadcast gram join aggregated to hit mass, not a semi-join)
+    "contamination_attribution",
 ]
 
 # HEADLINE inclusion rule (VERDICT r6 item #6 — previously implicit):

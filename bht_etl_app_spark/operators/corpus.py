@@ -251,6 +251,82 @@ def dedup_spans(
     )
 
 
+def contamination_attribution(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    benchmark_col: str = "benchmark",
+) -> DataFrame:
+    """The audit twin of :func:`decontaminate` (VERDICT r9 #5): WHICH
+    benchmark leaks WHERE. ``decontaminate`` reports one boolean per
+    train doc against the pooled benchmark set; a release note needs
+    the attribution — per (train source, benchmark) how many train
+    docs share an ``n``-gram with that benchmark, how much gram mass
+    overlaps, and how many of the benchmark's distinct grams are the
+    leak surface. Output: ``(source, benchmark,
+    n_contaminated_docs, n_gram_hits, n_leaked_grams)`` —
+    ``n_gram_hits`` counts distinct (train doc, gram) matches against
+    the benchmark's gram set (the 'mass' of the overlap: one doc
+    sharing 40 grams with a benchmark outweighs 40 docs sharing one),
+    ``n_leaked_grams`` counts the benchmark's distinct grams seen
+    anywhere in that source.
+
+    Plan shape at 100 TB: identical to decontaminate's — the
+    benchmark (benchmark, gram) pairs distinct-aggregate small and
+    BROADCAST; train docs explode their distinct n-grams once and
+    drop non-matching grams map-side in the broadcast hash join, so
+    nothing corpus-sized shuffles; the only exchange after the scan
+    carries the HIT set (bounded by matches), aggregated to a
+    (sources x benchmarks)-sized report. The two count-distincts
+    expand hit rows only.
+    """
+    ev_grams = (
+        ensure_min_parallelism(eval_df)
+        .select(
+            F.col(benchmark_col), tokens_expr(text_col).alias("__toks__")
+        )
+        .select(
+            F.col(benchmark_col),
+            F.explode(F.array_distinct(ngrams_expr("__toks__", n))).alias(
+                "__g__"
+            ),
+        )
+        .distinct()
+    )
+    tr_grams = (
+        ensure_min_parallelism(train)
+        .select(
+            F.col(id_col), F.col(source_col),
+            tokens_expr(text_col).alias("__toks__"),
+        )
+        .select(
+            F.col(id_col), F.col(source_col),
+            F.explode(F.array_distinct(ngrams_expr("__toks__", n))).alias(
+                "__g__"
+            ),
+        )
+    )
+    hits = tr_grams.join(F.broadcast(ev_grams), "__g__")
+    return (
+        hits.groupBy(source_col, benchmark_col)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_contaminated_docs"),
+            F.countDistinct(id_col, "__g__")
+            .cast("long")
+            .alias("n_gram_hits"),
+            F.countDistinct("__g__").cast("long").alias("n_leaked_grams"),
+        )
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(benchmark_col).alias("benchmark"),
+            "n_contaminated_docs", "n_gram_hits", "n_leaked_grams",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 512,

@@ -836,3 +836,35 @@ def test_curate_corpus_redact_classes_widen_the_stage(spark):
     # the near-dup LSH stage — exactly the stage difference that
     # proves the widened class set reached the redact stage
     assert default == {1: "kept", 2: "near_dup"}
+
+
+def test_contamination_attribution_hand_case(spark):
+    """Attribution separates benchmarks AND sources: doc 10 (web)
+    shares two 3-grams with bench A only; doc 11 (books) shares one
+    with bench B; doc 12 shares with nothing."""
+    from bht_etl_app_spark.operators.corpus import contamination_attribution
+
+    ev = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "one two three four", "B"),
+        ],
+        "doc_id long, text string, benchmark string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma delta y", "web"),   # grams: a-b-g, b-g-d (+2 with x/y not in ev)
+            (11, "one two three something", "books"),    # gram: one-two-three
+            (12, "totally clean text here", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source"], r["benchmark"]): r.asDict()
+        for r in contamination_attribution(train, ev, n=3).collect()
+    }
+    assert set(got) == {("web", "A"), ("books", "B")}
+    assert got[("web", "A")]["n_contaminated_docs"] == 1
+    assert got[("web", "A")]["n_gram_hits"] == 2
+    assert got[("web", "A")]["n_leaked_grams"] == 2
+    assert got[("books", "B")]["n_gram_hits"] == 1
