@@ -3377,6 +3377,61 @@ def _q_ann_recall_pq_rerank(spark, sf_dir):
     )
 
 
+def _q_ann_recall_frontier(spark, sf_dir):
+    """The ONE storage/recall frontier: every harness configuration
+    (Matryoshka truncation at 32/16 dims, classic IVF-PQ, residual
+    IVF-PQ, IVF-PQ + exact re-rank) against the shared exact baseline
+    in one table — models train ONCE and feed all arms."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_frontier,
+        pq_train,
+        pq_train_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books = pq_train(emb, **_PQ_PARAMS)
+    rbooks = pq_train_residual(emb, cents, **_PQ_PARAMS)
+    return ann_recall_frontier(
+        emb, cents, books, rbooks, k=5, n_queries=32, nprobe=2,
+        shortlist=20, keep_dims_list=(32, 16),
+    )
+
+
+def _ann_recall_frontier_oracle_sql() -> str:
+    """DuckDB replay of ann_recall_frontier: the FOUR verified
+    recall-report statements wrapped whole as derived tables (the
+    hybrid_rrf nesting rule — one hash-match re-proves every
+    configuration's chain AND the frontier assembly), each projected
+    to the shared (config, bytes_per_vec, n_queries, k, avg_recall,
+    min_recall) row shape and UNION ALL'd. bytes_per_vec literals
+    match the Spark side's storage accounting (keep_dims x 4-byte
+    float32; m code bytes + 1 coarse list byte for the PQ family)."""
+    parts = [
+        f"""SELECT 'trunc_d{kd}' AS config,
+       CAST({kd * 4} AS BIGINT) AS bytes_per_vec,
+       n_queries, k, avg_recall, min_recall
+FROM ({_ann_trunc_recall_oracle_sql(keep_dims=kd)})"""
+        for kd in (32, 16)
+    ]
+    parts.append(f"""SELECT 'ivf_pq_m2' AS config,
+       CAST(3 AS BIGINT) AS bytes_per_vec,
+       n_queries, k, avg_recall, min_recall
+FROM ({_ann_ivf_pq_recall_oracle_sql()})""")
+    parts.append(f"""SELECT 'ivf_rpq_m2' AS config,
+       CAST(3 AS BIGINT) AS bytes_per_vec,
+       n_queries, k,
+       avg_recall_rpq AS avg_recall, min_recall_rpq AS min_recall
+FROM ({_ann_ivf_rpq_recall_oracle_sql()})""")
+    parts.append(f"""SELECT 'ivf_pq_m2_rerank20' AS config,
+       CAST(3 AS BIGINT) AS bytes_per_vec,
+       n_queries, k,
+       avg_recall_rerank AS avg_recall, min_recall_rerank AS min_recall
+FROM ({_ann_pq_rerank_recall_oracle_sql()})""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_stratified_sample(spark, sf_dir):
     from bht_etl_app_spark.operators.sampling import stratified_sample
 
@@ -4820,6 +4875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report_ivf_pq": _q_ann_recall_ivf_pq,
         "ann_recall_report_ivf_rpq": _q_ann_recall_ivf_rpq,
         "ann_recall_report_pq_rerank": _q_ann_recall_pq_rerank,
+        # r10: every configuration's storage/recall row in ONE table
+        "ann_recall_frontier": _q_ann_recall_frontier,
         # r9: the Matryoshka storage dial — exact search on the
         # first half of the dims vs the full-dim exact baseline
         "ann_recall_report_truncated_dim": lambda s, d: (
@@ -6425,6 +6482,7 @@ SELECT vec_id, cosine FROM (
         "ann_recall_report_ivf_pq": _ann_ivf_pq_recall_oracle_sql(),
         "ann_recall_report_ivf_rpq": _ann_ivf_rpq_recall_oracle_sql(),
         "ann_recall_report_pq_rerank": _ann_pq_rerank_recall_oracle_sql(),
+        "ann_recall_frontier": _ann_recall_frontier_oracle_sql(),
         "ann_recall_report_truncated_dim": _ann_trunc_recall_oracle_sql(),
         "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "dedup_corpus_survivors": _dedup_corpus_survivors_oracle_sql(),

