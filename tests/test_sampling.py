@@ -371,3 +371,26 @@ def test_packing_compare_stats_harmonic_kills_crossing(spark):
     assert legs["concat_chunk"]["n_bins"] == 7   # ceil(70/10)
     assert legs["harmonic"]["n_bins"] == 10      # class 1: one 7-token doc per bin
     assert legs["harmonic"]["utilization"] == 0.7
+
+
+def test_pack_sequences_harmonic_tail_class_capacity(spark):
+    """Harmonic-K tail: budget=100, K=8 -> virtual budget 88. Twenty
+    10-token docs (cap 10 -> clamped to class 8) lay end-to-end and
+    cut every 88 tokens: starts 0..80 are bin 0 (9 docs, 90 tokens
+    <= 100 — the slack absorbs the straddler whole), 90..170 bin 1,
+    180/190 bin 2. Never a near-empty bin per length class."""
+    from bht_etl_app_spark.operators.sampling import pack_sequences_harmonic
+
+    rows = [
+        (i, "s", " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = pack_sequences_harmonic(docs, budget=100, max_classes=8).collect()
+    assert all(r["size_class"] == 8 for r in got)
+    import collections
+    fill = collections.Counter()
+    for r in got:
+        fill[r["bin"]] += r["n_tokens"]
+    assert sorted(fill) == [0, 1, 2]
+    assert all(v <= 100 for v in fill.values())
+    assert fill[0] == 90 and fill[1] == 90 and fill[2] == 20
