@@ -5580,6 +5580,53 @@ _REVERIFY = {
     "split_leakage_audit": 9,
     "packing_bin_stats": 9,
     "tokenizer_fertility_compare": 9,
+    # r10 file churn (pure-append or param-append edits — no existing
+    # contract value changed, pinned by the local full gate): text.py
+    # gained the extraction kernel + the classed redaction table
+    # (redact_sql default byte-identical, pytest-pinned), corpus.py
+    # the extract/redact_classes stages + contamination_attribution,
+    # sampling.py the Harmonic-K packer + compare report, pq.py the
+    # frontier. Front-load their green keys with the remaining window
+    # budget: 7 new keys + 4 semantic restamps above + these 39 = 50.
+    "doc_token_stats": 9,
+    "doc_quality_scores": 9,
+    "doc_lang_id": 9,
+    "doc_fingerprint": 9,
+    "doc_repetition": 9,
+    "doc_char_entropy": 9,
+    "doc_bigram_surprise": 9,
+    "tfidf_top_terms": 9,
+    "winnow_fingerprints": 9,
+    "winnow_overlap_pairs": 9,
+    "bm25_query_scores": 9,
+    "doc_script_mix": 9,
+    "lang_token_fertility": 9,
+    "doc_scrubbed": 9,
+    "curated_verdicts_redact": 9,
+    "curated_verdicts": 9,
+    "curated_verdicts_lm": 9,
+    "curated_verdicts_substr": 9,
+    "curated_verdicts_full": 9,
+    "doc_decontaminate": 9,
+    "doc_bloom_decontaminate": 9,
+    "doc_chunks": 9,
+    "vocab_coverage": 9,
+    "domain_mixture": 9,
+    "mixture_sample_docs": 9,
+    "corpus_snapshot_diff": 9,
+    "source_dedup_rates": 9,
+    "train_test_split_counts": 9,
+    "stratified_sample_docs": 9,
+    "pack_sequences_bins": 9,
+    "training_order_docs": 9,
+    "weighted_sample_docs": 9,
+    "pq_codes": 9,
+    "ann_pq_topk": 9,
+    "ann_ivf_pq_topk": 9,
+    "ann_pq_store_topk": 9,
+    "ann_recall_report_ivf_pq": 9,
+    "ann_recall_report_ivf_rpq": 9,
+    "ann_recall_report_pq_rerank": 9,
 }
 
 
