@@ -4648,6 +4648,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_compare_stats": lambda s, d: sampling.packing_compare_stats(
             load_table(s, d, "documents")
         ),
+        # the budget-256 twin exercises the regime the report exists
+        # for: the fixture docs CROSS at 256 (frac_crossing ~0.2 on
+        # the chunk leg, structural 0 on the harmonic leg), where the
+        # contract-default 2048 packs every source into one bin
+        "packing_compare_stats_256": lambda s, d: sampling.packing_compare_stats(
+            load_table(s, d, "documents"), budget=256
+        ),
         "near_dup_clusters": lambda s, d: dedup_clusters(
             ngram_jaccard_pairs(
                 load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
@@ -5587,7 +5594,7 @@ _REVERIFY = {
     # the extract/redact_classes stages + contamination_attribution,
     # sampling.py the Harmonic-K packer + compare report, pq.py the
     # frontier. Front-load their green keys with the remaining window
-    # budget: 7 new keys + 4 semantic restamps above + these 39 = 50.
+    # budget: 8 new keys + 4 semantic restamps above + these 38 = 50.
     "doc_token_stats": 9,
     "doc_quality_scores": 9,
     "doc_lang_id": 9,
@@ -5600,7 +5607,6 @@ _REVERIFY = {
     "winnow_overlap_pairs": 9,
     "bm25_query_scores": 9,
     "doc_script_mix": 9,
-    "lang_token_fertility": 9,
     "doc_scrubbed": 9,
     "curated_verdicts_redact": 9,
     "curated_verdicts": 9,
@@ -6068,6 +6074,7 @@ FROM agg
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "pack_sequences_harmonic": sampling.pack_sequences_harmonic_sql(),
         "packing_compare_stats": sampling.packing_compare_stats_sql(),
+        "packing_compare_stats_256": sampling.packing_compare_stats_sql(256),
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
         "leakage_safe_split": _leakage_safe_split_oracle_sql(),
         "split_leakage_audit": _split_leakage_audit_oracle_sql(),

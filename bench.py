@@ -314,6 +314,7 @@ EXCLUDED = {
         "latest_event_per_user", "monthly_order_stats",
         "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",
         "near_dup_jaccard", "order_price_deciles", "packing_compare_stats",
+        "packing_compare_stats_256",
         "order_price_percentiles", "orders_unpivot_metrics",
         "price_histogram", "props_key_counts", "purchase_and_click_users",
         "purchase_asof_click", "qty_price_correlation", "quantity_moments",

@@ -477,10 +477,15 @@ FROM (
 WHERE sample_rank <= 50
 """
 
-PACK_SEQUENCES_SQL = """
+def pack_sequences_sql(budget: int = 2048) -> str:
+    """DuckDB replay of :func:`pack_sequences` at any budget — the
+    generator behind ``PACK_SEQUENCES_SQL`` (the 2048 contract
+    constant is byte-identical to its pre-r10 literal, pinned in
+    tests/test_sampling.py)."""
+    return f"""
 SELECT source, doc_id, n_tokens,
        CAST(cum - n_tokens AS BIGINT) AS start_offset,
-       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+       CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS bin
 FROM (
   SELECT source, doc_id, n_tokens,
          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -493,6 +498,9 @@ FROM (
   )
 )
 """
+
+
+PACK_SEQUENCES_SQL = pack_sequences_sql(2048)
 
 WINNOW_FINGERPRINTS_SQL = """
 SELECT doc_id, unnest(list_distinct(sel)) AS fp
@@ -580,17 +588,15 @@ FROM bic b JOIN offs o USING (source, size_class)
 
 def packing_compare_stats_sql(budget: int = 2048) -> str:
     """DuckDB replay of :func:`packing_compare_stats`: BOTH verified
-    packer statements wrapped whole as CTEs (``PACK_SEQUENCES_SQL``
-    verbatim for the chunk leg, :func:`pack_sequences_harmonic_sql`
-    for the harmonic leg — one hash-match re-proves both packers AND
-    the comparison), then the per-leg aggregates and int/int
-    ratios. Budget is pinned to 2048 because the chunk leg reuses
-    the fixed-budget PACK_SEQUENCES_SQL statement verbatim."""
-    if budget != 2048:
-        raise ValueError("oracle replay is pinned to the contract budget 2048")
+    packer statements wrapped whole as CTEs
+    (:func:`pack_sequences_sql` — at 2048 byte-identical to the
+    PACK_SEQUENCES_SQL contract constant — for the chunk leg,
+    :func:`pack_sequences_harmonic_sql` for the harmonic leg; one
+    hash-match re-proves both packers AND the comparison), then the
+    per-leg aggregates and int/int ratios."""
     return f"""
 WITH packed AS MATERIALIZED (
-{PACK_SEQUENCES_SQL}
+{pack_sequences_sql(budget)}
 ),
 harm AS MATERIALIZED (
 {pack_sequences_harmonic_sql(budget)}

@@ -394,3 +394,17 @@ def test_pack_sequences_harmonic_tail_class_capacity(spark):
     assert sorted(fill) == [0, 1, 2]
     assert all(v <= 100 for v in fill.values())
     assert fill[0] == 90 and fill[1] == 90 and fill[2] == 20
+
+
+def test_pack_sequences_sql_constant_unchanged():
+    """PACK_SEQUENCES_SQL became generated in r10 (budget param for
+    the compare twin); the 2048 contract constant must stay
+    byte-identical to the verified pre-r10 literal."""
+    from bht_etl_app_spark.operators.sampling import (
+        PACK_SEQUENCES_SQL,
+        pack_sequences_sql,
+    )
+
+    assert PACK_SEQUENCES_SQL == pack_sequences_sql(2048)
+    assert "/ 2048.0" in PACK_SEQUENCES_SQL
+    assert "regexp_split_to_array(trim(lower(text)), '\\s+')" in PACK_SEQUENCES_SQL
