@@ -3794,6 +3794,28 @@ FROM c
 """
 
 
+def _near_dup_recall_sampled_oracle_sql() -> str:
+    """Replay of the SAMPLED-SLICE deployment of
+    near_dup_recall_report: the whole verified recall statement with
+    its corpus relation swapped for a deterministic md5-sampled slice
+    (the segment_migration_matrix relation-swap rule — the statement
+    text is otherwise verbatim, so a hash-match re-proves both
+    pipelines, the comparison, AND the sampling predicate). The slice
+    is ~50% of documents (first md5 hex nibble < '8'), the same
+    portable hash family as every split/sample operator."""
+    inner = _near_dup_recall_oracle_sql().replace(
+        "FROM documents", "FROM docs_sample"
+    )
+    return inner.replace(
+        "WITH ex_pairs AS MATERIALIZED (",
+        "WITH docs_sample AS MATERIALIZED (\n"
+        "  SELECT * FROM documents\n"
+        "  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'\n"
+        "),\nex_pairs AS MATERIALIZED (",
+        1,
+    )
+
+
 def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
     rows-only in r4 — the portable md5+rotate-xor signature family
@@ -4522,6 +4544,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (portable md5 family so the full comparison replays)
         "near_dup_recall_report": lambda s, d: _dedup_sql.near_dup_recall_report(
             load_table(s, d, "documents"), threshold=0.8, hash_fn="md5"
+        ),
+        # r10: the documented 100 TB deployment of the audit — the
+        # same harness over a deterministic ~50% md5 slice (the r9
+        # VERDICT watch item turned into a verified shape: at scale
+        # the PPJoin truth runs on a sample, never the full corpus)
+        "near_dup_recall_sampled": lambda s, d: _dedup_sql.near_dup_recall_report(
+            load_table(s, d, "documents").where(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                < "8"
+            ),
+            threshold=0.8,
+            hash_fn="md5",
         ),
         # the asymmetric twin: subsumption (quote/excerpt) duplicates
         # that a Jaccard threshold structurally misses
@@ -5594,7 +5628,7 @@ _REVERIFY = {
     # the extract/redact_classes stages + contamination_attribution,
     # sampling.py the Harmonic-K packer + compare report, pq.py the
     # frontier. Front-load their green keys with the remaining window
-    # budget: 8 new keys + 4 semantic restamps above + these 38 = 50.
+    # budget: 9 new keys + 4 semantic restamps above + these 37 = 50.
     "doc_token_stats": 9,
     "doc_quality_scores": 9,
     "doc_lang_id": 9,
@@ -5606,7 +5640,6 @@ _REVERIFY = {
     "winnow_fingerprints": 9,
     "winnow_overlap_pairs": 9,
     "bm25_query_scores": 9,
-    "doc_script_mix": 9,
     "doc_scrubbed": 9,
     "curated_verdicts_redact": 9,
     "curated_verdicts": 9,
@@ -6511,6 +6544,7 @@ SELECT id_a, id_b, jaccard FROM (
         # filters are lossless, not merely self-consistent
         "near_dup_jaccard_ppjoin": _PPJOIN_ORACLE_SQL,
         "near_dup_recall_report": _near_dup_recall_oracle_sql(),
+        "near_dup_recall_sampled": _near_dup_recall_sampled_oracle_sql(),
         "knn_vec0": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine FROM (

@@ -408,3 +408,50 @@ def test_pack_sequences_sql_constant_unchanged():
     assert PACK_SEQUENCES_SQL == pack_sequences_sql(2048)
     assert "/ 2048.0" in PACK_SEQUENCES_SQL
     assert "regexp_split_to_array(trim(lower(text)), '\\s+')" in PACK_SEQUENCES_SQL
+
+
+def test_pack_sequences_harmonic_vs_bfd_gap(spark):
+    """Quality bound vs the sequential baseline Harmonic-K trades
+    away for distribution: on a deterministic mixed-length corpus,
+    the distributed packer's bin count stays within the classic
+    harmonic envelope of true best-fit-decreasing (<= 1.7x + K), and
+    no bin overflows the budget."""
+    import hashlib
+
+    budget, K = 100, 8
+    lengths = [
+        5 + int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 90
+        for i in range(200)
+    ]
+    rows = [
+        (i, "s", " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from bht_etl_app_spark.operators.sampling import pack_sequences_harmonic
+
+    got = pack_sequences_harmonic(docs, budget=budget, max_classes=K).collect()
+    import collections
+    fill = collections.Counter()
+    for r in got:
+        assert r["bins_used"] == 1  # nothing exceeds the budget here
+        fill[r["bin"]] += r["n_tokens"]
+    assert all(v <= budget for v in fill.values())
+    harmonic_bins = len(fill)
+    # sequential best-fit-decreasing baseline (driver-side, the
+    # algorithm the distributed packer approximates)
+    bins: list[int] = []
+    for n in sorted(lengths, reverse=True):
+        best = None
+        for i, free in enumerate(bins):
+            if free >= n and (best is None or free < bins[best]):
+                best = i
+        if best is None:
+            bins.append(budget - n)
+        else:
+            bins[best] -= n
+    bfd_bins = len(bins)
+    assert harmonic_bins <= 1.7 * bfd_bins + K, (harmonic_bins, bfd_bins)
+    # and the whole point of the trade: zero crossing where BFD's
+    # sequential state would also give zero — parity on the invariant
+    assert all(r["size_class"] >= 1 for r in got)
