@@ -2,10 +2,12 @@
 the composition a 100 TB pretraining-data run would chain, built
 entirely from this engine's operators:
 
-    load -> quality filter -> language filter
+    load -> markup/boilerplate extraction -> PII redaction (URL/
+         email/IP/phone) -> quality filter -> language filter
          -> decontamination (Bloom at scale) -> dedup (exact + near
          + span-level boilerplate) -> deterministic train/test split
-         -> sequence packing -> training-shard write
+         -> sequence packing (concat-and-chunk or Harmonic-K
+         doc-boundary) -> training-shard write
 
 Every stage is a lazy DataFrame transformation; nothing materializes
 until the final writes, so Catalyst plans the whole flow (filters
@@ -33,7 +35,16 @@ from bht_etl_app_spark.operators.corpus import (
     quality_filter_decisions,
 )
 from bht_etl_app_spark.operators.dedup import dedup_corpus
-from bht_etl_app_spark.operators.sampling import pack_sequences, train_test_split
+from bht_etl_app_spark.operators.sampling import (
+    pack_sequences,
+    pack_sequences_harmonic,
+    train_test_split,
+)
+from bht_etl_app_spark.operators.text import (
+    PII_REDACT_CLASSES,
+    extract_text_expr,
+    redact_expr,
+)
 from bht_etl_app_spark.session import load_table
 
 
@@ -56,11 +67,19 @@ def build_training_set(
     langs: tuple[str, ...] = ("en", "und"),
     dedup_threshold: float = 0.8,
     pack_budget: int = 2048,
+    packer: str = "chunk",
 ):
     """The full flow as one lazy composition; returns (train, test)
     DataFrames of ``(source, doc_id, n_tokens, start_offset, bin,
     split)``. ``eval_docs`` (optional) is a benchmark corpus to
     decontaminate against."""
+    # 0. markup extraction then full-PII redaction, BEFORE anything
+    # tokenizes, fingerprints, or trains (web-crawl order; both pure
+    # per-row projections at scan speed). Extraction first — a
+    # tag-split URL would otherwise dodge the redaction patterns.
+    docs = docs.withColumn("text", extract_text_expr("text"))
+    docs = docs.withColumn("text", redact_expr("text", PII_REDACT_CLASSES))
+
     # 1. composite quality gate: length + repetition + language rules
     keep = quality_filter_decisions(
         docs, min_tokens=min_tokens, allowed_langs=langs
@@ -84,10 +103,13 @@ def build_training_set(
 
     # 4. reproducible split, then pack each split independently
     split = train_test_split(docs_d)
+    # packer="harmonic" keeps every document whole inside one bin
+    # (zero boundary crossing, ~1-1/K fill) where "chunk" slices the
+    # stream every pack_budget tokens (full bins, fragmented docs) —
+    # the measured trade lives in packing_compare_stats
+    pack = pack_sequences if packer == "chunk" else pack_sequences_harmonic
     packed = {
-        name: pack_sequences(
-            split.where(F.col("split") == name), budget=pack_budget
-        )
+        name: pack(split.where(F.col("split") == name), budget=pack_budget)
         for name in ("train", "test")
     }
     # the packed frames read docs_d's checkpoint blocks (connected
