@@ -868,3 +868,40 @@ def test_contamination_attribution_hand_case(spark):
     assert got[("web", "A")]["n_gram_hits"] == 2
     assert got[("web", "A")]["n_leaked_grams"] == 2
     assert got[("books", "B")]["n_gram_hits"] == 1
+
+
+def test_curate_corpus_extract_then_redact_compose(spark):
+    """Both optional pre-stages together, in order (extract FIRST —
+    a tag-split URL would dodge the redaction pattern otherwise):
+    docs identical except for DIFFERENT URLs inside markup collapse
+    to exact_dup only when BOTH stages run; with only extraction the
+    URLs still differ, with only redaction the tags still differ."""
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    # URL stays INSIDE the long paragraph line or the extraction
+    # boilerplate filter drops the whole 2-word URL line by itself
+    # whitespace before </p>: the URL pattern's \S+ would otherwise
+    # swallow the differing tags and make redaction alone collapse
+    rows = [
+        (1, "<p>" + base + " see https://a.example/one </p><script>var x</script>"),
+        (2, "<p>" + base + " see https://b.example/two </p><script>var y</script>"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def verdicts(**kw):
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in curate_corpus(train, bench, hash_fn="md5", **kw).collect()
+        }
+
+    both = verdicts(extract_markup=True, redact=True)
+    assert both == {1: "kept", 2: "exact_dup"}
+    only_extract = verdicts(extract_markup=True)
+    assert only_extract[2] != "exact_dup"
+    only_redact = verdicts(redact=True)
+    assert only_redact[2] != "exact_dup"
