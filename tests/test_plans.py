@@ -154,6 +154,13 @@ NESTED_LOOP_OK = {
                              # (the held-out scoring chain); the
                              # bucketing itself adds only a window +
                              # groupBy
+    "ann_recall_frontier",   # every arm's exact baseline is the SAME
+                             # persisted l2_knn_join fixed-Q broadcast
+                             # scoring pass (the whitelisted
+                             # eval-scale brute force), the truncation
+                             # arms are its sliced-projection twins;
+                             # all PQ arms are list_id equi-joins and
+                             # the union carries report rows only
 }
 
 
