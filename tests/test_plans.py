@@ -1356,3 +1356,42 @@ def test_brand_price_anova_empty_input_matches_oracle_shape(spark):
     # mirrors the oracle: list() over zero rows is NULL in DuckDB
     assert r["k"] == 0 and r["n"] is None
     assert r["f_stat"] is None and r["dof_within"] is None
+
+
+def test_extraction_and_pii_scrub_are_shuffle_free(spark):
+    """The two r10 per-row kernels must stay pure projections: a
+    keyed Exchange anywhere means something regrouped a 100 TB scan
+    to run a regex."""
+    for name in ("doc_extracted_text", "doc_scrubbed_pii"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_harmonic_packer_windows_are_class_partitioned(spark):
+    """pack_sequences_harmonic's scale claim: every window partitions
+    by (source, size_class) — strictly finer than the chunk packer's
+    per-source window — and nothing runs on a single partition."""
+    plan = _plan(spark, "pack_sequences_harmonic")
+    assert "SinglePartition" not in plan
+    # the layout window's partition spec carries both keys
+    assert "size_class" in plan
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert win_lines, "expected window nodes in the plan"
+    for ln in win_lines:
+        low = ln.lower()
+        assert "source" in low, ln
+
+
+def test_contamination_attribution_broadcasts_benchmark_grams(spark):
+    """The attribution join must keep decontaminate's plan shape: the
+    (benchmark, gram) side broadcasts; a SortMergeJoin on the gram
+    key would shuffle every training n-gram at corpus scale."""
+    plan = _plan(spark, "contamination_attribution")
+    assert "BroadcastHashJoin" in plan
+    gram_smj = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "__g__" in ln
+    ]
+    assert not gram_smj, gram_smj
