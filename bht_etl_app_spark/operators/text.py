@@ -434,14 +434,20 @@ def extract_markup_text(
     :func:`extract_text_expr` — the one kernel, reported with before/
     after sizes so a pipeline can audit how much markup it shed.
     Output: ``(doc_id, extracted_text, n_raw_chars, n_extracted_chars)``.
-    Pure per-row projection."""
-    return ensure_min_parallelism(df).select(
+    Pure per-row projection; the extraction chain materializes in its
+    own projection so the length reads the alias instead of
+    re-running the regex cascade (don't lean on codegen
+    subexpression elimination for a 6-regex chain)."""
+    base = ensure_min_parallelism(df).select(
         F.col(id_col),
         extract_text_expr(text_col, min_line_words).alias("extracted_text"),
         F.length(F.col(text_col)).cast("long").alias("n_raw_chars"),
-        F.length(extract_text_expr(text_col, min_line_words))
-        .cast("long")
-        .alias("n_extracted_chars"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("extracted_text"),
+        F.col("n_raw_chars"),
+        F.length("extracted_text").cast("long").alias("n_extracted_chars"),
     )
 
 

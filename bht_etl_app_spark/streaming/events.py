@@ -530,6 +530,8 @@ def streaming_curate_ingest(
     decontam_n: int = 5,
     min_tokens: int = 20,
     band_index_table: str | None = None,
+    extract_markup: bool = False,
+    redact: bool = False,
 ):
     """The streaming twin of
     :func:`~bht_etl_app_spark.operators.corpus.curate_corpus`: per
@@ -554,6 +556,7 @@ def streaming_curate_ingest(
             batch_df, batch_id, out_path, benchmark_df,
             threshold=threshold, n=n, decontam_n=decontam_n,
             min_tokens=min_tokens, band_index_table=band_index_table,
+            extract_markup=extract_markup, redact=redact,
         )
 
     return (
@@ -575,10 +578,18 @@ def ingest_curate_batch(
     min_tokens: int = 20,
     band_index_table: str | None = None,
     index_buckets: int = 8,
+    extract_markup: bool = False,
+    redact: bool = False,
 ) -> None:
     """One micro-batch of :func:`streaming_curate_ingest`, exposed for
     replay-idempotency testing (the ingest_corpus_batch contract:
-    same (batch_df, batch_id) twice -> identical shard contents)."""
+    same (batch_df, batch_id) twice -> identical shard contents).
+
+    ``extract_markup`` / ``redact`` run curate_corpus's optional
+    pre-stages (markup extraction first, then URL/email redaction) on
+    the batch BEFORE anything fingerprints — per-row transforms, so
+    they are trivially exactly-once, and the landed text matches the
+    batch chain's byte for byte (pinned in test_streaming)."""
     from bht_etl_app_spark.operators.corpus import (
         decontaminate,
         quality_filter_decisions,
@@ -590,6 +601,14 @@ def ingest_curate_batch(
         near_dup_incremental,
     )
 
+    if extract_markup:
+        from bht_etl_app_spark.operators.text import extract_text_expr
+
+        batch_df = batch_df.withColumn("text", extract_text_expr("text"))
+    if redact:
+        from bht_etl_app_spark.operators.text import redact_expr
+
+        batch_df = batch_df.withColumn("text", redact_expr("text"))
     spark = batch_df.sparkSession
     cols = list(batch_df.columns)
     jvm = spark._jvm
