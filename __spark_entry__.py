@@ -68,6 +68,9 @@ from bht_etl_app_spark.operators import (
     upsert_latest,
     vocab_coverage,
 )
+from bht_etl_app_spark.operators.corpus import (
+    mixture_epoch_plan as corpus_mixture_epoch_plan,
+)
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import unigram_tok
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
@@ -4852,6 +4855,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": lambda s, d: domain_mixture_weights(
             load_table(s, d, "documents"), alpha=0.5
         ),
+        # r10: data-constrained epoch plan (Muennighoff et al. '23) —
+        # budget 200k tokens forces the 4-epoch cap to bind on the
+        # fixture (each source holds ~1.4k tokens), so target/epochs/
+        # realized/shortfall are all exercised
+        "mixture_epoch_plan": lambda s, d: corpus_mixture_epoch_plan(
+            load_table(s, d, "documents"), token_budget=200_000, alpha=0.5
+        ),
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
             load_table(s, d, "documents")
         ),
@@ -5628,7 +5638,7 @@ _REVERIFY = {
     # the extract/redact_classes stages + contamination_attribution,
     # sampling.py the Harmonic-K packer + compare report, pq.py the
     # frontier. Front-load their green keys with the remaining window
-    # budget: 9 new keys + 4 semantic restamps above + these 37 = 50.
+    # budget: 10 new keys + 4 semantic restamps above + these 36 = 50.
     "doc_token_stats": 9,
     "doc_quality_scores": 9,
     "doc_lang_id": 9,
@@ -5638,7 +5648,6 @@ _REVERIFY = {
     "doc_bigram_surprise": 9,
     "tfidf_top_terms": 9,
     "winnow_fingerprints": 9,
-    "winnow_overlap_pairs": 9,
     "bm25_query_scores": 9,
     "doc_scrubbed": 9,
     "curated_verdicts_redact": 9,
@@ -6383,6 +6392,45 @@ SELECT domain, n_docs, n_tokens,
                   / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
          AS weight
 FROM per
+""",
+        # composed from the verified domain_mixture weight fragment;
+        # everything past the 6dp weight is integer-ppm arithmetic so
+        # both engines land identical integers (the calibration_bins
+        # rule)
+        "mixture_epoch_plan": """
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT domain, n_tokens,
+         round_even(power(CAST(n_tokens AS DOUBLE), 0.5)
+                    / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
+           AS weight
+  FROM per
+),
+p AS (
+  SELECT domain, n_tokens, weight,
+         CAST((200000 * CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT))
+              // 1000000 AS BIGINT) AS target_tokens
+  FROM w WHERE n_tokens > 0
+),
+r AS (
+  SELECT domain, n_tokens, weight, target_tokens,
+         CAST(least(4, greatest(1, (target_tokens + n_tokens - 1) // n_tokens))
+              AS BIGINT) AS epochs,
+         CAST(least(target_tokens, n_tokens * 4) AS BIGINT) AS realized_tokens
+  FROM p
+)
+SELECT domain, n_tokens, weight, target_tokens, epochs, realized_tokens,
+       CASE WHEN realized_tokens > 0 THEN
+         round_even(CAST(greatest(realized_tokens - n_tokens, 0) AS DOUBLE)
+                    / CAST(realized_tokens AS DOUBLE), 6)
+       ELSE 0.0 END AS repeated_frac,
+       CAST(target_tokens - realized_tokens AS BIGINT) AS shortfall_tokens
+FROM r
 """,
         "doc_filter_decisions": """
 WITH t AS (

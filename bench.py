@@ -313,6 +313,7 @@ EXCLUDED = {
         "freq_orderpriority", "grouping_sets_order_stats",
         "high_value_customers", "kmeans_cluster_sizes",
         "latest_event_per_user", "monthly_order_stats",
+        "mixture_epoch_plan",
         "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",
         "near_dup_jaccard", "order_price_deciles", "packing_compare_stats",
         "packing_compare_stats_256",

@@ -636,6 +636,87 @@ def domain_mixture_weights(
     )
 
 
+def mixture_epoch_plan(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained training plan (Muennighoff et al., "Scaling
+    Data-Constrained Language Models", NeurIPS 2023): given a total
+    ``token_budget`` and the temperature-``alpha`` mixture weights,
+    how many EPOCHS of each source the run must repeat, capped at
+    ``max_epochs`` (the paper's finding: up to ~4 epochs of repeated
+    data is nearly as good as fresh; beyond that returns decay to
+    zero — so the cap is where a data-constrained run should stop
+    and reallocate). Output per domain: ``(domain, n_tokens, weight,
+    target_tokens, epochs, realized_tokens, repeated_frac,
+    shortfall_tokens)`` —
+
+    - ``target_tokens``: the budget share the mixture asks of this
+      domain (integer-ppm arithmetic on the 6dp weight, so both
+      engines land the identical integer);
+    - ``epochs``: ceil(target / available) capped at ``max_epochs``;
+    - ``realized_tokens``: what the capped plan actually yields
+      (min(target, available x max_epochs));
+    - ``repeated_frac``: the fraction of realized tokens that are
+      repeats — the number to read against the paper's decay curve;
+    - ``shortfall_tokens``: budget the cap leaves unfilled HERE (a
+      planner reallocates it to under-epoched domains or shrinks the
+      run).
+
+    Builds on :func:`domain_mixture_weights` (the verified weights
+    feed this plan verbatim — same composition discipline as the
+    curated chain); everything after the weights is integer
+    arithmetic on a |domains|-row frame."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    w = domain_mixture_weights(
+        df, alpha=alpha, domain_col=domain_col, text_col=text_col
+    )
+    wppm = F.floor(F.col("weight") * 1_000_000.0 + F.lit(0.5)).cast("long")
+    target = (F.lit(int(token_budget)) * wppm / F.lit(1_000_000)).cast("long")
+    planned = w.select(
+        "domain", "n_tokens", "weight", target.alias("target_tokens")
+    )
+    avail = F.col("n_tokens")
+    epochs = F.least(
+        F.lit(int(max_epochs)),
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                (F.col("target_tokens") + avail - 1) / avail
+            ).cast("long"),
+        ),
+    ).cast("long")
+    out = planned.where(avail > 0).withColumn("epochs", epochs)
+    realized = F.least(
+        F.col("target_tokens"), avail * F.lit(int(max_epochs))
+    ).cast("long")
+    out = out.withColumn("realized_tokens", realized)
+    return out.select(
+        "domain", "n_tokens", "weight", "target_tokens", "epochs",
+        "realized_tokens",
+        F.when(
+            F.col("realized_tokens") > 0,
+            F.bround(
+                F.greatest(
+                    F.col("realized_tokens") - F.col("n_tokens"), F.lit(0)
+                ).cast("double")
+                / F.col("realized_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("repeated_frac"),
+        (F.col("target_tokens") - F.col("realized_tokens"))
+        .cast("long")
+        .alias("shortfall_tokens"),
+    )
+
+
 def domain_token_sketches(
     df: DataFrame,
     domain_col: str = "source",

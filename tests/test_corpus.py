@@ -905,3 +905,48 @@ def test_curate_corpus_extract_then_redact_compose(spark):
     assert only_extract[2] != "exact_dup"
     only_redact = verdicts(redact=True)
     assert only_redact[2] != "exact_dup"
+
+
+def test_mixture_epoch_plan_hand_case(spark):
+    """Budget 100, alpha=1 (natural weights): web holds 10 tokens,
+    books 40 -> weights 0.2/0.8 -> targets 20/80. web needs
+    ceil(20/10)=2 epochs (uncapped), books ceil(80/40)=2; with
+    max_epochs=1 the cap binds: realized=min(target, avail),
+    shortfall appears, repeated_frac is 0."""
+    from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
+
+    rows = [
+        (0, "t " * 10, "web"),
+        (1, "t " * 40, "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["domain"]: r.asDict()
+        for r in mixture_epoch_plan(df, token_budget=100, alpha=1.0).collect()
+    }
+    assert got["web"]["target_tokens"] == 20 and got["books"]["target_tokens"] == 80
+    assert got["web"]["epochs"] == 2 and got["books"]["epochs"] == 2
+    assert got["web"]["realized_tokens"] == 20
+    assert got["web"]["repeated_frac"] == 0.5   # 10 of 20 are repeats
+    assert got["web"]["shortfall_tokens"] == 0
+    capped = {
+        r["domain"]: r.asDict()
+        for r in mixture_epoch_plan(
+            df, token_budget=100, alpha=1.0, max_epochs=1
+        ).collect()
+    }
+    assert capped["web"]["epochs"] == 1
+    assert capped["web"]["realized_tokens"] == 10
+    assert capped["web"]["shortfall_tokens"] == 10
+    assert capped["web"]["repeated_frac"] == 0.0
+
+
+def test_mixture_epoch_plan_rejects_bad_params(spark):
+    from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
+
+    df = spark.createDataFrame([(0, "t", "w")], "doc_id long, text string, source string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_epoch_plan(df, token_budget=0)
+    with _pytest.raises(ValueError):
+        mixture_epoch_plan(df, token_budget=10, max_epochs=0)

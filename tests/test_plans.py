@@ -154,6 +154,10 @@ NESTED_LOOP_OK = {
                              # (the held-out scoring chain); the
                              # bucketing itself adds only a window +
                              # groupBy
+    "mixture_epoch_plan",    # inherits domain_mixture's whitelisted
+                             # 1-row normalizer broadcast (the plan
+                             # arithmetic runs on the |domains|-row
+                             # frame)
     "ann_recall_frontier",   # every arm's exact baseline is the SAME
                              # persisted l2_knn_join fixed-Q broadcast
                              # scoring pass (the whitelisted
