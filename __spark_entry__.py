@@ -3819,13 +3819,24 @@ def _near_dup_recall_sampled_oracle_sql() -> str:
     )
 
 
-def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
+def _minhash_lsh_pairs_oracle_sql(
+    threshold: float = 0.5, bands: int = 4, final_select: str | None = None
+) -> str:
     """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
     rows-only in r4 — the portable md5+rotate-xor signature family
     made the whole candidate pipeline SQL-expressible): signatures,
     raw-slice band keys, candidate equi-join, exact-Jaccard verify.
-    Same stages as the composite dedup oracle, over all documents."""
+    Same stages as the composite dedup oracle, over all documents.
+    ``bands`` splits the fixed 16-hash signature (r10 — the banding
+    frontier sweeps it); the default-4 text is byte-identical to the
+    pre-r10 builder. ``final_select`` swaps the trailing SELECT (the
+    frontier's candidate-count arm reads ``cand`` off the same
+    chain); None keeps the verified pairs select."""
     from bht_etl_app_spark.operators.dedup import minhash_mix_params
+
+    if 16 % bands:
+        raise ValueError("bands must divide the 16-hash signature")
+    rpb = 16 // bands
 
     def mix(k: int) -> str:
         rot, c_signed = minhash_mix_params(k)
@@ -3844,9 +3855,11 @@ def _minhash_lsh_pairs_oracle_sql(threshold: float = 0.5) -> str:
     sig_cols = ",\n         ".join(mix(k) for k in range(16))
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
-        f"concat_ws('|', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}) AS bh"
+        "concat_ws('|', "
+        + ", ".join(f"s{b * rpb + i}" for i in range(rpb))
+        + ") AS bh"
         " FROM sig"
-        for b in range(4)
+        for b in range(bands)
     )
     return f"""
 WITH mtoks AS (
@@ -3881,7 +3894,7 @@ cand AS (
   FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh
   WHERE a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, jaccard FROM (
+{final_select or f'''SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          round(len(list_intersect(sa.shingles, sb.shingles)) /
                CAST(len(sa.shingles) + len(sb.shingles)
@@ -3890,7 +3903,60 @@ SELECT id_a, id_b, jaccard FROM (
   FROM cand
   JOIN msh sa ON sa.doc_id = cand.id_a
   JOIN msh sb ON sb.doc_id = cand.id_b
-) WHERE jaccard >= {threshold}
+) WHERE jaccard >= {threshold}'''}
+"""
+
+
+def _near_dup_banding_frontier_oracle_sql(
+    band_counts: tuple[int, ...] = (2, 4, 8), threshold: float = 0.8
+) -> str:
+    """Replay of near_dup_banding_frontier: the lossless PPJoin truth
+    wrapped ONCE as a shared CTE, then per band count the verified
+    banded-pipeline statement twice — verbatim for the pairs arm,
+    and with the candidate-count final select reading the same
+    ``cand`` CTE — folded into one row per band count and UNION
+    ALL'd (the ann_recall_frontier assembly rule for the dedup
+    family)."""
+    arms = []
+    for b in band_counts:
+        pairs_stmt = _minhash_lsh_pairs_oracle_sql(threshold=threshold, bands=b)
+        cand_stmt = _minhash_lsh_pairs_oracle_sql(
+            threshold=threshold,
+            bands=b,
+            final_select=(
+                "SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM cand"
+            ),
+        )
+        arms.append(f"""SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({16 // b} AS BIGINT) AS rows_per_band,
+       f.n_exact_pairs, f.n_lsh_pairs, f.n_matched, cc.n_candidate_pairs,
+       CASE WHEN f.n_exact_pairs > 0 THEN
+         round_even(CAST(f.n_matched AS DOUBLE)
+                    / CAST(f.n_exact_pairs AS DOUBLE), 6)
+       END AS pair_recall,
+       CASE WHEN f.n_lsh_pairs > 0 THEN
+         round_even(CAST(f.n_matched AS DOUBLE)
+                    / CAST(f.n_lsh_pairs AS DOUBLE), 6)
+       END AS pair_precision
+FROM (
+  WITH lshb AS MATERIALIZED (
+{pairs_stmt}
+  )
+  SELECT CAST(count(e.id_a) AS BIGINT) AS n_exact_pairs,
+         CAST(count(l.id_a) AS BIGINT) AS n_lsh_pairs,
+         CAST(sum(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM ex_pairs e FULL JOIN lshb l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b
+) f, (
+{cand_stmt}
+) cc""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH ex_pairs AS MATERIALIZED (
+{_PPJOIN_ORACLE_SQL}
+)
+{body}
 """
 
 
@@ -4552,6 +4618,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same harness over a deterministic ~50% md5 slice (the r9
         # VERDICT watch item turned into a verified shape: at scale
         # the PPJoin truth runs on a sample, never the full corpus)
+        # r10: the banding dial in one table — recall AND candidate
+        # work per band count of the same 16-hash signature, vs the
+        # shared PPJoin truth (the ann_recall_frontier of dedup)
+        "near_dup_banding_frontier": lambda s, d: (
+            _dedup_sql.near_dup_banding_frontier(
+                load_table(s, d, "documents"), threshold=0.8, hash_fn="md5"
+            )
+        ),
         "near_dup_recall_sampled": lambda s, d: _dedup_sql.near_dup_recall_report(
             load_table(s, d, "documents").where(
                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
@@ -5638,7 +5712,7 @@ _REVERIFY = {
     # the extract/redact_classes stages + contamination_attribution,
     # sampling.py the Harmonic-K packer + compare report, pq.py the
     # frontier. Front-load their green keys with the remaining window
-    # budget: 10 new keys + 4 semantic restamps above + these 36 = 50.
+    # budget: 11 new keys + 4 semantic restamps above + these 35 = 50.
     "doc_token_stats": 9,
     "doc_quality_scores": 9,
     "doc_lang_id": 9,
@@ -5647,7 +5721,6 @@ _REVERIFY = {
     "doc_char_entropy": 9,
     "doc_bigram_surprise": 9,
     "tfidf_top_terms": 9,
-    "winnow_fingerprints": 9,
     "bm25_query_scores": 9,
     "doc_scrubbed": 9,
     "curated_verdicts_redact": 9,
@@ -6593,6 +6666,7 @@ SELECT id_a, id_b, jaccard FROM (
         "near_dup_jaccard_ppjoin": _PPJOIN_ORACLE_SQL,
         "near_dup_recall_report": _near_dup_recall_oracle_sql(),
         "near_dup_recall_sampled": _near_dup_recall_sampled_oracle_sql(),
+        "near_dup_banding_frontier": _near_dup_banding_frontier_oracle_sql(),
         "knn_vec0": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine FROM (

@@ -1597,3 +1597,106 @@ def near_dup_recall_report(
         ).alias("pair_precision"),
     )
     return carry(rep, exact0, lsh0)
+
+
+def near_dup_banding_frontier(
+    df: DataFrame,
+    band_counts: tuple[int, ...] = (2, 4, 8),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The banding dial in ONE table — the dedup family's twin of the
+    ANN storage/recall frontier: pair recall AND candidate precision
+    of banded MinHash-LSH against the SHARED lossless PPJoin truth,
+    one row per band count of the same ``num_hashes``-hash signature.
+    Output: ``(bands, rows_per_band, n_exact_pairs, n_lsh_pairs,
+    n_matched, n_candidate_pairs, pair_recall, pair_precision)``.
+
+    What the rows say: more bands with fewer rows each = a flatter
+    S-curve = higher recall but more candidate pairs to verify
+    (``n_candidate_pairs`` is the verify-stage work the banding
+    choice buys); fewer, wider bands prune harder and miss more
+    mid-band pairs. The production knob (Leskovec et al., MMDS ch.3)
+    is chosen off exactly this table instead of the S-curve formula's
+    promise.
+
+    Scale posture: the expensive truth side (lossless PPJoin)
+    computes ONCE and persists (pair-sized); each arm is the verified
+    banded pipeline at its own band count (the signature cost is per
+    arm — at 100 TB you sweep on a sampled slice exactly like
+    :func:`near_dup_recall_report`'s documented deployment); the
+    comparison joins are pair-sized. Report rows only leave the
+    union."""
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import track_persisted
+
+    for b in band_counts:
+        if num_hashes % b:
+            raise ValueError(f"bands={b} must divide num_hashes={num_hashes}")
+    exact0 = ngram_jaccard_pairs_ppjoin(
+        df, text_col, id_col, n, threshold
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e = exact0.select("id_a", "id_b", F.lit(1).alias("__e__"))
+    rows = []
+    for b in band_counts:
+        banded = minhash_bands(df, text_col, id_col, n, num_hashes, b, hash_fn)
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bh"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+            )
+            .distinct()
+        )
+        lsh = minhash_lsh_pairs(
+            df, text_col, id_col, n, num_hashes, b, threshold, hash_fn
+        )
+        l = lsh.select("id_a", "id_b", F.lit(1).alias("__l__"))
+        j = e.join(l, ["id_a", "id_b"], "full")
+        agg = j.agg(
+            F.count("__e__").cast("long").alias("n_exact_pairs"),
+            F.count("__l__").cast("long").alias("n_lsh_pairs"),
+            F.sum(
+                F.when(
+                    F.col("__e__").isNotNull() & F.col("__l__").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+        ncand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        row = agg.crossJoin(F.broadcast(ncand)).select(
+            F.lit(int(b)).cast("long").alias("bands"),
+            F.lit(int(num_hashes // b)).cast("long").alias("rows_per_band"),
+            "n_exact_pairs", "n_lsh_pairs", "n_matched", "n_candidate_pairs",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.bround(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_exact_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("pair_recall"),
+            F.when(
+                F.col("n_lsh_pairs") > 0,
+                F.bround(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_lsh_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("pair_precision"),
+        )
+        rows.append(track_persisted(row, banded))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return track_persisted(out, exact0)

@@ -602,3 +602,37 @@ def test_near_dup_recall_report_vs_python_truth(spark):
     if r["n_lsh_pairs"] > 0:
         assert r["pair_precision"] == 1.0
     assert r["pair_recall"] == round(r["n_matched"] / r["n_exact_pairs"], 6)
+
+
+def test_near_dup_banding_frontier_monotone_dials(spark):
+    """The banding table's structural facts on a planted corpus:
+    recall never decreases with more bands (flatter S-curve),
+    candidate count never decreases either (the verify-work price),
+    precision is the harness invariant 1.0 (candidates are
+    exact-verified), and every count is consistent."""
+    from bht_etl_app_spark.operators.dedup import near_dup_banding_frontier
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(12):
+        toks = list(base)
+        toks[0] = f"v{d}"          # near-dup cluster around base
+        rows.append((d, " ".join(toks)))
+    rows += [(100 + d, " ".join(f"u{d}_{j}" for j in range(12))) for d in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.asDict() for r in
+         near_dup_banding_frontier(docs, threshold=0.8, hash_fn="md5").collect()),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in got] == [2, 4, 8]
+    assert all(r["rows_per_band"] * r["bands"] == 16 for r in got)
+    recalls = [r["pair_recall"] for r in got]
+    cands = [r["n_candidate_pairs"] for r in got]
+    assert recalls == sorted(recalls), recalls
+    assert cands == sorted(cands), cands
+    for r in got:
+        assert r["pair_precision"] in (1.0, None)
+        assert r["n_matched"] <= min(r["n_exact_pairs"], r["n_lsh_pairs"])
+        assert r["n_lsh_pairs"] <= r["n_candidate_pairs"]
+    assert got[-1]["pair_recall"] == 1.0  # 8 narrow bands catch the cluster
