@@ -158,6 +158,12 @@ NESTED_LOOP_OK = {
                              # 1-row normalizer broadcast (the plan
                              # arithmetic runs on the |domains|-row
                              # frame)
+    "near_dup_banding_frontier",  # per-arm 1-row x 1-row report
+                             # assembly crossJoin (the pair fold x
+                             # the candidate count — the
+                             # ann_recall_report_ivf_rpq shape);
+                             # both pair pipelines and the truth
+                             # side are equi-joins
     "ann_recall_frontier",   # every arm's exact baseline is the SAME
                              # persisted l2_knn_join fixed-Q broadcast
                              # scoring pass (the whitelisted
