@@ -5748,6 +5748,12 @@ _REVERIFY = {
     "ann_recall_report_ivf_pq": 9,
     "ann_recall_report_ivf_rpq": 9,
     "ann_recall_report_pq_rerank": 9,
+    # r11 semantic changes (r10 ADVICE/VERDICT fixes):
+    # mixture_epoch_plan's share arithmetic is now integer-exact
+    # (DECIMAL(38,0) multiply + integral div; values identical at the
+    # contract's 200k budget, arithmetic path changed + oracle text
+    # changed).
+    "mixture_epoch_plan": 10,
 }
 
 
@@ -6486,13 +6492,14 @@ w AS (
 ),
 p AS (
   SELECT domain, n_tokens, weight,
-         CAST((200000 * CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT))
+         CAST((CAST(200000 AS HUGEINT)
+               * CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT))
               // 1000000 AS BIGINT) AS target_tokens
   FROM w WHERE n_tokens > 0
 ),
 r AS (
   SELECT domain, n_tokens, weight, target_tokens,
-         CAST(least(4, greatest(1, (target_tokens + n_tokens - 1) // n_tokens))
+         CAST(least(4, greatest(1, ((target_tokens - 1) // n_tokens) + 1))
               AS BIGINT) AS epochs,
          CAST(least(target_tokens, n_tokens * 4) AS BIGINT) AS realized_tokens
   FROM p

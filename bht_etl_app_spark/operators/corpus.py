@@ -678,19 +678,35 @@ def mixture_epoch_plan(
     w = domain_mixture_weights(
         df, alpha=alpha, domain_col=domain_col, text_col=text_col
     )
+    # Integer-exact share arithmetic (ADVICE r10): long*long multiply
+    # + double division loses integer exactness past 2^53 (any budget
+    # over ~9e9 tokens at high weight) and the long multiply
+    # ANSI-overflows past ~9.2e18 — exactly the trillion-token
+    # budgets a data-constrained plan targets. DECIMAL(38,0) multiply
+    # (budget <= long max, wppm <= 1e6 -> product <= ~9.2e24, far
+    # inside 38 digits) + integral `div` lands the identical integer
+    # the DuckDB oracle's HUGEINT `//` does at ANY long budget.
     wppm = F.floor(F.col("weight") * 1_000_000.0 + F.lit(0.5)).cast("long")
-    target = (F.lit(int(token_budget)) * wppm / F.lit(1_000_000)).cast("long")
     planned = w.select(
-        "domain", "n_tokens", "weight", target.alias("target_tokens")
+        "domain", "n_tokens", "weight", wppm.alias("__wppm__")
+    ).select(
+        "domain", "n_tokens", "weight",
+        F.expr(
+            f"CAST((CAST({int(token_budget)} AS DECIMAL(38,0)) * "
+            "CAST(__wppm__ AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)"
+        ).alias("target_tokens"),
     )
     avail = F.col("n_tokens")
+    # integer ceil WITHOUT the `(target + avail - 1)` add (which can
+    # itself overflow at long-max targets): for target >= 1 this is
+    # exact ceil in both engines; at target == 0 Spark's
+    # truncate-toward-zero `div` lands 1 and DuckDB's floor `//`
+    # lands 0, and greatest(1, .) folds both to 1.
     epochs = F.least(
-        F.lit(int(max_epochs)),
+        F.lit(int(max_epochs)).cast("long"),
         F.greatest(
-            F.lit(1),
-            F.floor(
-                (F.col("target_tokens") + avail - 1) / avail
-            ).cast("long"),
+            F.lit(1).cast("long"),
+            F.expr("((target_tokens - 1) DIV n_tokens) + 1"),
         ),
     ).cast("long")
     out = planned.where(avail > 0).withColumn("epochs", epochs)

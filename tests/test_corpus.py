@@ -941,6 +941,40 @@ def test_mixture_epoch_plan_hand_case(spark):
     assert capped["web"]["repeated_frac"] == 0.0
 
 
+def test_mixture_epoch_plan_integer_exact_at_long_budgets(spark):
+    """ADVICE r10 pin: trillion-token budgets must land the exact
+    integer `budget * wppm // 1e6`, not the double-division
+    approximation (which diverges past 2^53) — and budgets near long
+    max must not ANSI-overflow the multiply. Expected values computed
+    with Python's arbitrary-precision ints."""
+    from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
+
+    rows = [
+        (0, "t " * 10, "web"),
+        (1, "t " * 40, "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # alpha=1 weights are exactly 0.2 / 0.8 -> wppm 200000 / 800000
+    wppm = {"web": 200_000, "books": 800_000}
+    for budget in ((1 << 53) + 4, 9_000_000_000_000_000_000):
+        got = {
+            r["domain"]: r.asDict()
+            for r in mixture_epoch_plan(
+                df, token_budget=budget, alpha=1.0
+            ).collect()
+        }
+        for dom, n_avail in (("web", 10), ("books", 40)):
+            exact = budget * wppm[dom] // 1_000_000
+            assert got[dom]["target_tokens"] == exact, (dom, budget)
+            assert got[dom]["epochs"] == 4  # capped
+            assert got[dom]["realized_tokens"] == 4 * n_avail
+            assert got[dom]["shortfall_tokens"] == exact - 4 * n_avail
+    # the 2^53+4 books case is one double arithmetic gets wrong:
+    assert ((1 << 53) + 4) * 800_000 // 1_000_000 != int(
+        ((1 << 53) + 4) * 800_000 / 1_000_000
+    )
+
+
 def test_mixture_epoch_plan_rejects_bad_params(spark):
     from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
 
