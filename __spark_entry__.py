@@ -3820,23 +3820,27 @@ def _near_dup_recall_sampled_oracle_sql() -> str:
 
 
 def _minhash_lsh_pairs_oracle_sql(
-    threshold: float = 0.5, bands: int = 4, final_select: str | None = None
+    threshold: float = 0.5,
+    bands: int = 4,
+    final_select: str | None = None,
+    num_hashes: int = 16,
 ) -> str:
     """DuckDB mirror of MinHash+LSH near-dup pairs (promoted from
     rows-only in r4 — the portable md5+rotate-xor signature family
     made the whole candidate pipeline SQL-expressible): signatures,
     raw-slice band keys, candidate equi-join, exact-Jaccard verify.
     Same stages as the composite dedup oracle, over all documents.
-    ``bands`` splits the fixed 16-hash signature (r10 — the banding
-    frontier sweeps it); the default-4 text is byte-identical to the
+    ``bands`` splits the ``num_hashes``-hash signature (r10 — the
+    banding frontier sweeps bands; r11 sweeps the width too); the
+    default (bands=4, num_hashes=16) text is byte-identical to the
     pre-r10 builder. ``final_select`` swaps the trailing SELECT (the
     frontier's candidate-count arm reads ``cand`` off the same
     chain); None keeps the verified pairs select."""
     from bht_etl_app_spark.operators.dedup import minhash_mix_params
 
-    if 16 % bands:
-        raise ValueError("bands must divide the 16-hash signature")
-    rpb = 16 // bands
+    if num_hashes % bands:
+        raise ValueError("bands must divide the signature width")
+    rpb = num_hashes // bands
 
     def mix(k: int) -> str:
         rot, c_signed = minhash_mix_params(k)
@@ -3852,7 +3856,7 @@ def _minhash_lsh_pairs_oracle_sql(
             f"ELSE CAST({mixed} AS HUGEINT) END AS BIGINT)) AS s{k}"
         )
 
-    sig_cols = ",\n         ".join(mix(k) for k in range(16))
+    sig_cols = ",\n         ".join(mix(k) for k in range(num_hashes))
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
         "concat_ws('|', "
@@ -3908,27 +3912,36 @@ cand AS (
 
 
 def _near_dup_banding_frontier_oracle_sql(
-    band_counts: tuple[int, ...] = (2, 4, 8), threshold: float = 0.8
+    band_counts: tuple[int, ...] = (2, 4, 8),
+    threshold: float = 0.8,
+    hash_counts: tuple[int, ...] = (16, 32),
 ) -> str:
     """Replay of near_dup_banding_frontier: the lossless PPJoin truth
-    wrapped ONCE as a shared CTE, then per band count the verified
-    banded-pipeline statement twice — verbatim for the pairs arm,
-    and with the candidate-count final select reading the same
-    ``cand`` CTE — folded into one row per band count and UNION
-    ALL'd (the ann_recall_frontier assembly rule for the dedup
-    family)."""
+    wrapped ONCE as a shared CTE, then per (signature width, band
+    count) the verified banded-pipeline statement twice — verbatim
+    for the pairs arm, and with the candidate-count final select
+    reading the same ``cand`` CTE — folded into one row per arm and
+    UNION ALL'd (the ann_recall_frontier assembly rule for the dedup
+    family). r11 adds the width sweep (VERDICT r10 #1): the same
+    builder at ``num_hashes`` 16 and 32."""
     arms = []
-    for b in band_counts:
-        pairs_stmt = _minhash_lsh_pairs_oracle_sql(threshold=threshold, bands=b)
+    for nh in hash_counts:
+      for b in band_counts:
+        pairs_stmt = _minhash_lsh_pairs_oracle_sql(
+            threshold=threshold, bands=b, num_hashes=nh
+        )
         cand_stmt = _minhash_lsh_pairs_oracle_sql(
             threshold=threshold,
             bands=b,
+            num_hashes=nh,
             final_select=(
                 "SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM cand"
             ),
         )
-        arms.append(f"""SELECT CAST({b} AS BIGINT) AS bands,
-       CAST({16 // b} AS BIGINT) AS rows_per_band,
+        arms.append(f"""SELECT CAST({nh} AS BIGINT) AS num_hashes,
+       CAST({nh * 8} AS BIGINT) AS sig_bytes,
+       CAST({b} AS BIGINT) AS bands,
+       CAST({nh // b} AS BIGINT) AS rows_per_band,
        f.n_exact_pairs, f.n_lsh_pairs, f.n_matched, cc.n_candidate_pairs,
        CASE WHEN f.n_exact_pairs > 0 THEN
          round_even(CAST(f.n_matched AS DOUBLE)
@@ -4619,8 +4632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT watch item turned into a verified shape: at scale
         # the PPJoin truth runs on a sample, never the full corpus)
         # r10: the banding dial in one table — recall AND candidate
-        # work per band count of the same 16-hash signature, vs the
-        # shared PPJoin truth (the ann_recall_frontier of dedup)
+        # work per band count, vs the shared PPJoin truth (the
+        # ann_recall_frontier of dedup). r11: bands x signature WIDTH
+        # (num_hashes 16 vs 32), sig_bytes as the storage column.
         "near_dup_banding_frontier": lambda s, d: (
             _dedup_sql.near_dup_banding_frontier(
                 load_table(s, d, "documents"), threshold=0.8, hash_fn="md5"
@@ -5754,6 +5768,14 @@ _REVERIFY = {
     # contract's 200k budget, arithmetic path changed + oracle text
     # changed).
     "mixture_epoch_plan": 10,
+    # r11: the banding frontier grew the signature-width dimension
+    # (VERDICT r10 #1 — schema + rows change: bands x num_hashes, new
+    # sig_bytes storage column) and now builds signatures once per
+    # width; minhash_lsh_pairs gained the precomputed-banded seam
+    # (ADVICE r10 — values identical, candidate/verify halves
+    # extracted into shared functions).
+    "near_dup_banding_frontier": 10,
+    "minhash_lsh_pairs": 10,
 }
 
 

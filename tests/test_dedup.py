@@ -623,16 +623,43 @@ def test_near_dup_banding_frontier_monotone_dials(spark):
     got = sorted(
         (r.asDict() for r in
          near_dup_banding_frontier(docs, threshold=0.8, hash_fn="md5").collect()),
-        key=lambda r: r["bands"],
+        key=lambda r: (r["num_hashes"], r["bands"]),
     )
-    assert [r["bands"] for r in got] == [2, 4, 8]
-    assert all(r["rows_per_band"] * r["bands"] == 16 for r in got)
-    recalls = [r["pair_recall"] for r in got]
-    cands = [r["n_candidate_pairs"] for r in got]
-    assert recalls == sorted(recalls), recalls
-    assert cands == sorted(cands), cands
+    assert [(r["num_hashes"], r["bands"]) for r in got] == [
+        (16, 2), (16, 4), (16, 8), (32, 2), (32, 4), (32, 8)
+    ]
     for r in got:
+        assert r["rows_per_band"] * r["bands"] == r["num_hashes"]
+        assert r["sig_bytes"] == 8 * r["num_hashes"]
         assert r["pair_precision"] in (1.0, None)
         assert r["n_matched"] <= min(r["n_exact_pairs"], r["n_lsh_pairs"])
         assert r["n_lsh_pairs"] <= r["n_candidate_pairs"]
-    assert got[-1]["pair_recall"] == 1.0  # 8 narrow bands catch the cluster
+    for nh in (16, 32):
+        per = [r for r in got if r["num_hashes"] == nh]
+        recalls = [r["pair_recall"] for r in per]
+        cands = [r["n_candidate_pairs"] for r in per]
+        assert recalls == sorted(recalls), (nh, recalls)
+        assert cands == sorted(cands), (nh, cands)
+        assert per[-1]["pair_recall"] == 1.0  # 8 narrow bands catch it
+
+
+def test_banding_frontier_builds_signatures_once_per_width(spark, monkeypatch):
+    """ADVICE r10 pin: the frontier runs the tokenize->shingle->
+    minhash projection ONCE per signature width (persisted, then
+    banded per arm by the cheap slice projection) — the r10 cut
+    rebuilt it per (width, band) arm via minhash_lsh_pairs."""
+    from bht_etl_app_spark.operators import dedup as D
+
+    calls = []
+    real = D.minhash_signatures
+
+    def counting(*a, **kw):
+        calls.append(a[4] if len(a) > 4 else kw.get("num_hashes"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(D, "minhash_signatures", counting)
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f g{i}") for i in range(4)], "doc_id long, text string"
+    )
+    D.near_dup_banding_frontier(docs, threshold=0.8, hash_fn="md5")
+    assert sorted(calls) == [16, 32]
