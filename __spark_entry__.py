@@ -71,6 +71,9 @@ from bht_etl_app_spark.operators import (
 from bht_etl_app_spark.operators.corpus import (
     mixture_epoch_plan as corpus_mixture_epoch_plan,
 )
+from bht_etl_app_spark.operators.corpus import (
+    mixture_epoch_plan_realloc as corpus_mixture_epoch_plan_realloc,
+)
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import unigram_tok
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
@@ -3973,6 +3976,137 @@ WITH ex_pairs AS MATERIALIZED (
 """
 
 
+def _mixture_epoch_plan_oracle_sql(budget: int = 200000) -> str:
+    """DuckDB replay of mixture_epoch_plan — composed from the
+    verified domain_mixture weight fragment; everything past the 6dp
+    weight is integer arithmetic (HUGEINT multiply + `//`, mirroring
+    the Spark side's DECIMAL(38,0) + integral div) so both engines
+    land identical integers at ANY long budget. Extracted into a
+    builder in r11 so the realloc key can embed the base plan
+    VERBATIM; the default-budget text is byte-identical to the r10
+    literal."""
+    return f"""
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT domain, n_tokens,
+         round_even(power(CAST(n_tokens AS DOUBLE), 0.5)
+                    / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
+           AS weight
+  FROM per
+),
+p AS (
+  SELECT domain, n_tokens, weight,
+         CAST((CAST({int(budget)} AS HUGEINT)
+               * CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT))
+              // 1000000 AS BIGINT) AS target_tokens
+  FROM w WHERE n_tokens > 0
+),
+r AS (
+  SELECT domain, n_tokens, weight, target_tokens,
+         CAST(least(4, greatest(1, ((target_tokens - 1) // n_tokens) + 1))
+              AS BIGINT) AS epochs,
+         CAST(least(target_tokens, n_tokens * 4) AS BIGINT) AS realized_tokens
+  FROM p
+)
+SELECT domain, n_tokens, weight, target_tokens, epochs, realized_tokens,
+       CASE WHEN realized_tokens > 0 THEN
+         round_even(CAST(greatest(realized_tokens - n_tokens, 0) AS DOUBLE)
+                    / CAST(realized_tokens AS DOUBLE), 6)
+       ELSE 0.0 END AS repeated_frac,
+       CAST(target_tokens - realized_tokens AS BIGINT) AS shortfall_tokens
+FROM r
+"""
+
+
+def _mixture_epoch_plan_realloc_oracle_sql(
+    budget: int = 200000, max_epochs: int = 4
+) -> str:
+    """DuckDB replay of mixture_epoch_plan_realloc: the base plan
+    embedded VERBATIM as a CTE (the curated-chain composition rule),
+    then exact integer water-filling — ratio-ordered prefix sums, the
+    integer cross-product capacity-bound test, HUGEINT-proportional
+    allocation of the remainder, and the flooring dust (+1 to the
+    first `dust` un-capped domains in domain order). Mirrors the
+    Spark side's DECIMAL(38,0)/div arithmetic step for step."""
+    me = int(max_epochs)
+    return f"""
+WITH base AS (
+{_mixture_epoch_plan_oracle_sql(budget)}
+),
+b AS (
+  SELECT *, CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wppm,
+         CAST(n_tokens * {me} AS BIGINT) AS capacity_tokens
+  FROM base
+),
+t AS (SELECT sum(wppm) AS wtot, sum(capacity_tokens) AS captot FROM b),
+o AS (
+  SELECT b.*, t.wtot,
+         CAST(least({int(budget)}, t.captot) AS BIGINT) AS a,
+         CAST(wppm = 0 AS INT) AS zw,
+         CASE WHEN wppm = 0 THEN 0.0
+              ELSE CAST(capacity_tokens AS DOUBLE) / wppm END AS ord_r
+  FROM b, t
+),
+c AS (
+  SELECT *,
+    coalesce(sum(capacity_tokens) OVER (ORDER BY zw, ord_r, domain
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+    coalesce(sum(wppm) OVER (ORDER BY zw, ord_r, domain
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw
+  FROM o
+),
+k AS (
+  SELECT *,
+    (CAST(capacity_tokens AS HUGEINT) * (wtot - cumw))
+      <= (CAST(a AS HUGEINT) - cumcap) * wppm AS capped
+  FROM c
+),
+s AS (
+  SELECT coalesce(sum(CASE WHEN capped THEN capacity_tokens END), 0) AS capsum,
+         coalesce(sum(CASE WHEN capped THEN wppm END), 0) AS wsum
+  FROM k
+),
+al AS (
+  SELECT k.*, CAST(k.a - s.capsum AS BIGINT) AS rr,
+    CAST(k.wtot - s.wsum AS BIGINT) AS wu,
+    CASE WHEN capped THEN capacity_tokens
+         WHEN k.wtot - s.wsum = 0 THEN 0
+         ELSE CAST((CAST(k.a - s.capsum AS HUGEINT) * wppm)
+                   // (k.wtot - s.wsum) AS BIGINT) END AS alloc0,
+    row_number() OVER (PARTITION BY capped ORDER BY domain) AS rn
+  FROM k, s
+),
+d AS (
+  SELECT coalesce(sum(CASE WHEN NOT capped THEN alloc0 END), 0) AS placed
+  FROM al
+),
+fin AS (
+  SELECT al.*,
+    CAST(alloc0 + CASE WHEN NOT capped AND wu > 0
+                        AND rn <= (rr - d.placed) THEN 1 ELSE 0 END
+         AS BIGINT) AS final_tokens
+  FROM al, d
+)
+SELECT domain, n_tokens, weight, target_tokens, epochs, realized_tokens,
+       shortfall_tokens, capacity_tokens, final_tokens,
+       CAST(least({me}, greatest(1, ((final_tokens - 1) // n_tokens) + 1))
+            AS BIGINT) AS final_epochs,
+       CAST(final_tokens - realized_tokens AS BIGINT) AS extra_tokens,
+       CASE WHEN final_tokens > 0 THEN
+         round_even(CAST(greatest(final_tokens - n_tokens, 0) AS DOUBLE)
+                    / CAST(final_tokens AS DOUBLE), 6)
+       ELSE 0.0 END AS final_repeated_frac,
+       CAST(greatest(target_tokens - final_tokens, 0) AS BIGINT)
+         AS residual_shortfall
+FROM fin
+"""
+
+
 def _simhash_near_dup_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB mirror of the banded SimHash hamming join (promoted
     from rows-only in r4): same 16-bit band keys off the shared
@@ -4949,6 +5083,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # realized/shortfall are all exercised
         "mixture_epoch_plan": lambda s, d: corpus_mixture_epoch_plan(
             load_table(s, d, "documents"), token_budget=200_000, alpha=0.5
+        ),
+        # r11: the planner loop closed — exact integer water-filling
+        # of min(budget, 4-epoch capacity) over the same ppm weights.
+        # Budget 100k sits BETWEEN the smallest and largest source
+        # capacity at sf0.01, so the contract row set exercises both
+        # the capacity-bound prefix and the proportional remainder.
+        "mixture_epoch_plan_realloc": lambda s, d: (
+            corpus_mixture_epoch_plan_realloc(
+                load_table(s, d, "documents"), token_budget=100_000,
+                alpha=0.5,
+            )
         ),
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
             load_table(s, d, "documents")
@@ -6495,45 +6640,15 @@ SELECT domain, n_docs, n_tokens,
 FROM per
 """,
         # composed from the verified domain_mixture weight fragment;
-        # everything past the 6dp weight is integer-ppm arithmetic so
+        # everything past the 6dp weight is integer arithmetic so
         # both engines land identical integers (the calibration_bins
         # rule)
-        "mixture_epoch_plan": """
-WITH per AS (
-  SELECT source AS domain, count(*) AS n_docs,
-         CAST(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                  x -> x <> ''))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY 1
-),
-w AS (
-  SELECT domain, n_tokens,
-         round_even(power(CAST(n_tokens AS DOUBLE), 0.5)
-                    / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
-           AS weight
-  FROM per
-),
-p AS (
-  SELECT domain, n_tokens, weight,
-         CAST((CAST(200000 AS HUGEINT)
-               * CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT))
-              // 1000000 AS BIGINT) AS target_tokens
-  FROM w WHERE n_tokens > 0
-),
-r AS (
-  SELECT domain, n_tokens, weight, target_tokens,
-         CAST(least(4, greatest(1, ((target_tokens - 1) // n_tokens) + 1))
-              AS BIGINT) AS epochs,
-         CAST(least(target_tokens, n_tokens * 4) AS BIGINT) AS realized_tokens
-  FROM p
-)
-SELECT domain, n_tokens, weight, target_tokens, epochs, realized_tokens,
-       CASE WHEN realized_tokens > 0 THEN
-         round_even(CAST(greatest(realized_tokens - n_tokens, 0) AS DOUBLE)
-                    / CAST(realized_tokens AS DOUBLE), 6)
-       ELSE 0.0 END AS repeated_frac,
-       CAST(target_tokens - realized_tokens AS BIGINT) AS shortfall_tokens
-FROM r
-""",
+        "mixture_epoch_plan": _mixture_epoch_plan_oracle_sql(),
+        # the base plan embedded verbatim, then exact integer
+        # water-filling (the planner loop's fixed point — r11)
+        "mixture_epoch_plan_realloc": _mixture_epoch_plan_realloc_oracle_sql(
+            budget=100_000
+        ),
         "doc_filter_decisions": """
 WITH t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS tk

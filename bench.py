@@ -315,6 +315,7 @@ EXCLUDED = {
         "high_value_customers", "kmeans_cluster_sizes",
         "latest_event_per_user", "monthly_order_stats",
         "mixture_epoch_plan",
+        "mixture_epoch_plan_realloc",
         "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",
         "near_dup_jaccard", "order_price_deciles", "packing_compare_stats",
         "packing_compare_stats_256",

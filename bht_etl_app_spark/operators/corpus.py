@@ -733,6 +733,181 @@ def mixture_epoch_plan(
     )
 
 
+def mixture_epoch_plan_realloc(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`mixture_epoch_plan` with the planner loop CLOSED
+    (VERDICT r10 #2): the budget that epoch caps leave unfilled is
+    reallocated to domains with remaining capacity by the SAME ppm
+    weights — run to its FIXED POINT, not one round, via exact
+    integer water-filling (bounded proportional allocation): a domain
+    is capacity-bound iff its capacity-per-unit-weight sits below the
+    water level, and the remaining budget divides among the rest in
+    weight proportion. Output = the verified base-plan columns plus
+
+    - ``capacity_tokens``: ``n_tokens x max_epochs`` — the most this
+      domain can supply under the epoch cap;
+    - ``final_tokens``: the water-filled allocation. Invariant (the
+      point of the operator): ``sum(final_tokens) = min(budget,
+      sum(capacity_tokens))`` EXACTLY, and no domain below its
+      capacity holds residual shortfall;
+    - ``final_epochs``, ``final_repeated_frac``: the base plan's
+      epoch/repeat readings at the final allocation;
+    - ``extra_tokens``: ``final - realized`` (the reallocated mass;
+      can be a few tokens negative on dust, because the base target
+      divides by the nominal 1e6 while the water level divides by the
+      ACTUAL ppm sum);
+    - ``residual_shortfall``: ``max(target - final, 0)`` — nonzero
+      only for capacity-bound domains.
+
+    Arithmetic is the base plan's integer discipline end-to-end:
+    DECIMAL(38,0) products, integral ``div``, and the flooring dust
+    (< one token per un-capped domain) is placed deterministically —
+    +1 to the first ``dust`` un-capped domains in domain order, each
+    of which has >= 1 token of headroom by the strict-inequality
+    definition of un-capped. Every frame past the verified weights is
+    |domains|-row (the windows below are report-sized by
+    construction, same class as the packer's offset table)."""
+    base = mixture_epoch_plan(
+        df, token_budget, alpha, max_epochs, domain_col, text_col
+    )
+    b = base.withColumn(
+        "__wppm__",
+        F.floor(F.col("weight") * 1_000_000.0 + F.lit(0.5)).cast("long"),
+    ).withColumn(
+        "capacity_tokens",
+        (F.col("n_tokens") * F.lit(int(max_epochs))).cast("long"),
+    )
+    tot = b.agg(
+        F.sum("__wppm__").alias("__wtot__"),
+        F.sum("capacity_tokens").alias("__captot__"),
+    )
+    o = (
+        b.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__a__",
+            F.least(F.lit(int(token_budget)), F.col("__captot__")).cast(
+                "long"
+            ),
+        )
+        # ratio order (capacity per unit weight); zero-weight domains
+        # sort last via the explicit flag so neither engine divides
+        # by zero
+        .withColumn("__zw__", (F.col("__wppm__") == 0).cast("int"))
+        .withColumn(
+            "__ord__",
+            F.when(F.col("__wppm__") == 0, F.lit(0.0)).otherwise(
+                F.col("capacity_tokens").cast("double")
+                / F.col("__wppm__").cast("double")
+            ),
+        )
+    )
+    wprev = (
+        Window.orderBy("__zw__", "__ord__", "domain")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = o.withColumn(
+        "__cumcap__",
+        F.coalesce(F.sum("capacity_tokens").over(wprev), F.lit(0)),
+    ).withColumn(
+        "__cumw__", F.coalesce(F.sum("__wppm__").over(wprev), F.lit(0))
+    )
+    # capacity-bound iff cap_i / w_i <= water level of the prefix —
+    # compared as exact integer cross-products (prefix consistency is
+    # the standard water-filling monotonicity argument)
+    k = c.withColumn(
+        "__capped__",
+        F.expr(
+            "CAST(capacity_tokens AS DECIMAL(38,0))"
+            " * CAST(__wtot__ - __cumw__ AS DECIMAL(38,0))"
+            " <= CAST(__a__ - __cumcap__ AS DECIMAL(38,0))"
+            " * CAST(__wppm__ AS DECIMAL(38,0))"
+        ),
+    )
+    s = k.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__capped__"), F.col("capacity_tokens"))),
+            F.lit(0),
+        ).alias("__capsum__"),
+        F.coalesce(
+            F.sum(F.when(F.col("__capped__"), F.col("__wppm__"))), F.lit(0)
+        ).alias("__wsum__"),
+    )
+    al = (
+        k.crossJoin(F.broadcast(s))
+        .withColumn("__rr__", (F.col("__a__") - F.col("__capsum__")).cast("long"))
+        .withColumn("__wu__", (F.col("__wtot__") - F.col("__wsum__")).cast("long"))
+        .withColumn(
+            "__alloc0__",
+            F.when(F.col("__capped__"), F.col("capacity_tokens"))
+            .when(F.col("__wu__") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((CAST(__rr__ AS DECIMAL(38,0))"
+                    " * CAST(__wppm__ AS DECIMAL(38,0)))"
+                    " DIV __wu__ AS BIGINT)"
+                )
+            ),
+        )
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("__capped__").orderBy("domain")
+            ),
+        )
+    )
+    d = al.agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("__capped__"), F.col("__alloc0__"))), F.lit(0)
+        ).alias("__placed__")
+    )
+    fin = al.crossJoin(F.broadcast(d)).withColumn(
+        "final_tokens",
+        (
+            F.col("__alloc0__")
+            + F.when(
+                ~F.col("__capped__")
+                & (F.col("__wu__") > 0)
+                & (F.col("__rn__") <= F.col("__rr__") - F.col("__placed__")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+    return fin.select(
+        "domain", "n_tokens", "weight", "target_tokens", "epochs",
+        "realized_tokens", "shortfall_tokens", "capacity_tokens",
+        "final_tokens",
+        F.least(
+            F.lit(int(max_epochs)).cast("long"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("((final_tokens - 1) DIV n_tokens) + 1"),
+            ),
+        ).cast("long").alias("final_epochs"),
+        (F.col("final_tokens") - F.col("realized_tokens"))
+        .cast("long")
+        .alias("extra_tokens"),
+        F.when(
+            F.col("final_tokens") > 0,
+            F.bround(
+                F.greatest(
+                    F.col("final_tokens") - F.col("n_tokens"), F.lit(0)
+                ).cast("double")
+                / F.col("final_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("final_repeated_frac"),
+        F.greatest(
+            F.col("target_tokens") - F.col("final_tokens"), F.lit(0)
+        ).cast("long").alias("residual_shortfall"),
+    )
+
+
 def domain_token_sketches(
     df: DataFrame,
     domain_col: str = "source",

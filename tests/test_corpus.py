@@ -975,6 +975,97 @@ def test_mixture_epoch_plan_integer_exact_at_long_budgets(spark):
     )
 
 
+def _waterfill_reference(doms, budget, max_epochs=4):
+    """Pure-Python mirror of the realloc water-filling: doms is
+    {domain: (n_tokens, weight)}; returns {domain: final_tokens}."""
+    import math
+
+    rows = []
+    for dom, (n, w) in doms.items():
+        wppm = int(math.floor(w * 1_000_000.0 + 0.5))
+        cap = n * max_epochs
+        rows.append((wppm == 0, (cap / wppm) if wppm else 0.0, dom, wppm, cap))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    wtot = sum(r[3] for r in rows)
+    captot = sum(r[4] for r in rows)
+    a = min(budget, captot)
+    cumcap = cumw = 0
+    capped = {}
+    for zw, _, dom, wppm, cap in rows:
+        capped[dom] = cap * (wtot - cumw) <= (a - cumcap) * wppm
+        cumcap += cap
+        cumw += wppm
+    capsum = sum(r[4] for r in rows if capped[r[2]])
+    wsum = sum(r[3] for r in rows if capped[r[2]])
+    rr, wu = a - capsum, wtot - wsum
+    out = {}
+    uncapped = sorted(r[2] for r in rows if not capped[r[2]])
+    for zw, _, dom, wppm, cap in rows:
+        out[dom] = cap if capped[dom] else (rr * wppm // wu if wu else 0)
+    dust = rr - sum(out[d] for d in uncapped)
+    for i, d in enumerate(uncapped):
+        if wu and i < dust:
+            out[d] += 1
+    return out
+
+
+def test_mixture_epoch_plan_realloc_waterfill_invariants(spark):
+    """VERDICT r10 #2 pins: (a) sum(final_tokens) == min(budget,
+    4-epoch capacity) EXACTLY; (b) residual shortfall only at
+    capacity-bound domains; (c) exact parity with a pure-Python
+    water-fill; (d) a case where ONE-ROUND shortfall redistribution
+    provably under-fills (the receiver also absorbs the ppm dust),
+    showing why the operator runs to the fixed point."""
+    from bht_etl_app_spark.operators.corpus import mixture_epoch_plan_realloc
+
+    rows = [
+        (0, "t " * 100, "a_big"),
+        (1, "t " * 10, "b_small"),
+        (2, "t " * 50, "c_mid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ns = {"a_big": 100, "b_small": 10, "c_mid": 50}
+    for budget in (620, 450, 1000, 100_000):
+        got = {
+            r["domain"]: r.asDict()
+            for r in mixture_epoch_plan_realloc(
+                df, token_budget=budget, alpha=0.5
+            ).collect()
+        }
+        captot = sum(r["capacity_tokens"] for r in got.values())
+        assert sum(r["final_tokens"] for r in got.values()) == min(
+            budget, captot
+        ), budget
+        doms = {d: (ns[d], got[d]["weight"]) for d in got}
+        expect = _waterfill_reference(doms, budget)
+        for d, r in got.items():
+            assert r["capacity_tokens"] == 4 * ns[d]
+            assert 0 <= r["final_tokens"] <= r["capacity_tokens"]
+            assert r["final_tokens"] == expect[d], (d, budget)
+            if r["residual_shortfall"] > 0:
+                assert r["final_tokens"] == r["capacity_tokens"]
+            assert r["final_epochs"] <= 4
+            assert r["extra_tokens"] == r["final_tokens"] - r["realized_tokens"]
+    # budget 620: b_small and c_mid cap out; one-round redistribution
+    # of their shortfall (56+16=72) would land a_big at 306+72=378,
+    # under-filling by 2 ppm-dust tokens — the water fill lands 380.
+    got620 = {
+        r["domain"]: r.asDict()
+        for r in mixture_epoch_plan_realloc(
+            df, token_budget=620, alpha=0.5
+        ).collect()
+    }
+    assert got620["b_small"]["final_tokens"] == 40
+    assert got620["c_mid"]["final_tokens"] == 200
+    assert got620["a_big"]["final_tokens"] == 380
+    one_round = (
+        got620["a_big"]["realized_tokens"]
+        + got620["b_small"]["shortfall_tokens"]
+        + got620["c_mid"]["shortfall_tokens"]
+    )
+    assert one_round == 378  # < 380: one round is not the fixed point
+
+
 def test_mixture_epoch_plan_rejects_bad_params(spark):
     from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
 

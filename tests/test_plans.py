@@ -158,6 +158,12 @@ NESTED_LOOP_OK = {
                              # 1-row normalizer broadcast (the plan
                              # arithmetic runs on the |domains|-row
                              # frame)
+    "mixture_epoch_plan_realloc",  # the base plan's inherited 1-row
+                             # normalizer broadcast plus the water
+                             # fill's three 1-row total broadcasts
+                             # (weight/capacity totals, capped sums,
+                             # placed dust) — every frame past the
+                             # weights is |domains|-row
     "near_dup_banding_frontier",  # per-arm 1-row x 1-row report
                              # assembly crossJoin (the pair fold x
                              # the candidate count — the
