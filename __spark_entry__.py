@@ -4218,8 +4218,11 @@ def _seed_html_expr():
     verbatim DuckDB twin — shared by doc_extracted_text AND the
     curate_corpus extract-stage key so the fixtures can never drift.
     Exercises every kernel pass: a style block, a script block,
-    block-tag line breaks, generic tag strip, all six entities, and
-    a 2-alpha-word nav line the boilerplate filter must drop."""
+    block-tag line breaks, generic tag strip, the named entities, the
+    numeric character references (r11 — incl. the double-escape
+    probes '&amp;#x27;' -> literal '&#x27;' and '&#38;amp;' ->
+    literal '&amp;'), and a 2-alpha-word nav line the boilerplate
+    filter must drop."""
     return (
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -4239,7 +4242,11 @@ def _seed_html_expr():
             F.col("doc_id") % 5 == 1,
             F.concat(
                 F.col("text"),
-                F.lit(" &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end"),
+                F.lit(
+                    " &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end"
+                    " &#x27;a&#x27; &#34;b&#34; c&#8217;s &#8211;"
+                    " d&#8230;&#160;e &amp;#x27; &#38;amp;"
+                ),
             ),
         )
         .otherwise(F.col("text"))
@@ -4253,7 +4260,9 @@ _SEED_HTML_SQL = (
     " '</p><br><script>var x = 1;</script>"
     "<div>Home | Login</div></body></html>'\n"
     "             WHEN doc_id % 5 = 1 THEN"
-    " text || ' &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end'\n"
+    " text || ' &amp; x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end"
+    " &#x27;a&#x27; &#34;b&#34; c&#8217;s &#8211;"
+    " d&#8230;&#160;e &amp;#x27; &#38;amp;'\n"
     "             ELSE text END"
 )
 
@@ -5921,6 +5930,10 @@ _REVERIFY = {
     # extracted into shared functions).
     "near_dup_banding_frontier": 10,
     "minhash_lsh_pairs": 10,
+    # r11: the entity table grew the numeric character references and
+    # the HTML seed now exercises them (VALUES CHANGE on %5==1 docs)
+    "doc_extracted_text": 10,
+    "curated_verdicts_extract": 10,
 }
 
 

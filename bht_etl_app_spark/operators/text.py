@@ -347,15 +347,38 @@ STYLE_BLOCK_PATTERN = r"(?is)<style[^>]*>.*?</style>"
 # strip, so line structure survives into the boilerplate-line filter
 BLOCK_TAG_PATTERN = r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)[^>]*>"
 TAG_PATTERN = r"(?s)<[^>]*>"
-# decode order matters: &amp; LAST, so '&amp;lt;' decodes to the
-# literal '&lt;' and never to '<' (the standard double-escape rule)
+# decode order matters: the amp family LAST, so '&amp;lt;' decodes
+# to the literal '&lt;' and never to '<' (the standard double-escape
+# rule). r11 (VERDICT r10 #4) adds the numeric character references
+# real crawl HTML is full of — same constants-shared literal
+# replaces, non-amp forms before the amp family so a double-escaped
+# numeric ref ('&amp;#x27;') decodes once, to the literal '&#x27;'.
+# The numeric amp forms sit AFTER '&amp;': '&#38;amp;' then decodes
+# correctly to the literal '&amp;' (the replace chain's one
+# fidelity quirk is the mirror input '&amp;#38;', which decodes all
+# the way to '&' — documented, vanishingly rare in crawl text).
 HTML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&#x27;", "'"),
+    ("&#34;", '"'),
+    ("&#x22;", '"'),
+    ("&#160;", " "),
+    ("&#xa0;", " "),
+    ("&#xA0;", " "),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&#8211;", "–"),
+    ("&#8212;", "—"),
+    ("&#8230;", "…"),
     ("&amp;", "&"),
+    ("&#38;", "&"),
+    ("&#x26;", "&"),
 )
 # explicit Java-\s class, spelled out so RE2 (whose \s excludes
 # vertical tab) tokenizes identically — the tokens_sql rule
@@ -368,8 +391,9 @@ def extract_text_expr(col: Column | str, min_line_words: int = 3) -> Column:
     pipeline (CCNet, RefinedWeb, FineWeb) runs FIRST, as one native
     column expression: drop ``<script>``/``<style>`` blocks whole,
     turn block-level tag boundaries into newlines, strip remaining
-    tags, decode the six ubiquitous HTML entities (``&amp;`` last —
-    double-escape rule), then drop boilerplate lines with fewer than
+    tags, decode the ubiquitous HTML entities — named AND the common
+    numeric character references (the amp family last — double-escape
+    rule), then drop boilerplate lines with fewer than
     ``min_line_words`` alphabetic words (nav bars, button labels,
     separator rows — the line-length heuristic of
     boilerplate-removal literature), and collapse whitespace.

@@ -642,6 +642,27 @@ def test_extract_text_expr_kernel(spark):
     assert r["n_extracted_chars"] == len(r["extracted_text"])
 
 
+def test_extract_text_numeric_character_refs(spark):
+    """VERDICT r10 #4 pin: the common numeric character references
+    decode (hex and decimal apostrophe/quote, nbsp forms, the smart
+    punctuation range), and the double-escape rule holds for the
+    numeric forms too: '&amp;#x27;' -> literal '&#x27;', '&#38;amp;'
+    -> literal '&amp;'."""
+    from bht_etl_app_spark.operators.text import extract_markup_text
+
+    html = (
+        "<p>it&#x27;s a &#34;big&#34; day&#8230; said x&#8217;s"
+        " friend &#8211; twice&#160;over &#xa0;and&#xA0;done"
+        " probes &amp;#x27; and &#38;amp; end</p>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    r = extract_markup_text(docs, min_line_words=0).collect()[0]
+    assert r["extracted_text"] == (
+        "it's a \"big\" day… said x’s friend – twice over and done"
+        " probes &#x27; and &amp; end"
+    )
+
+
 def test_extract_text_expr_no_line_filter(spark):
     """min_line_words=0 disables the boilerplate-line drop — the nav
     line survives; tags still strip."""
