@@ -4312,20 +4312,29 @@ def _q_scrub(spark, sf_dir):
 
 
 def _seed_pii_expr():
-    """Extended PII seeding for the four-class scrubber: the
-    _seed_urls_expr URL/email seeds PLUS independent phone and IP
-    terms (separate modulus conditions so the class combinations
-    overlap on some docs). ``_SEED_PII_SQL`` is the verbatim DuckDB
-    twin."""
+    """Extended PII seeding for the six-class scrubber: the
+    _seed_urls_expr URL/email seeds PLUS independent phone/IP and
+    (r11) credit-card/SSN terms (separate modulus conditions so the
+    class combinations overlap on some docs; the %5 branch puts a
+    grouped PAN NEXT TO a phone so the cc-before-phone kernel order
+    is what the hash verifies). ``_SEED_PII_SQL`` is the verbatim
+    DuckDB twin."""
     return F.concat(
         _seed_urls_expr(),
         F.when(
             F.col("doc_id") % 5 == 0,
-            F.lit(" from 192.168.1.100 dial (555) 987-6543"),
+            F.lit(
+                " from 192.168.1.100 dial (555) 987-6543"
+                " card 4111 1111 1111 1111 due"
+            ),
         ).otherwise(F.lit("")),
         F.when(
             F.col("doc_id") % 13 == 0,
             F.lit(" node 10.0.0.7 call +1 555.123.4567"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit(" ssn 123-45-6789 acct 371449635398431 end"),
         ).otherwise(F.lit("")),
     )
 
@@ -4333,9 +4342,12 @@ def _seed_pii_expr():
 _SEED_PII_SQL = (
     "(" + _SEED_URLS_SQL + ")\n"
     "    || CASE WHEN doc_id % 5 = 0 THEN"
-    " ' from 192.168.1.100 dial (555) 987-6543' ELSE '' END\n"
+    " ' from 192.168.1.100 dial (555) 987-6543"
+    " card 4111 1111 1111 1111 due' ELSE '' END\n"
     "    || CASE WHEN doc_id % 13 = 0 THEN"
-    " ' node 10.0.0.7 call +1 555.123.4567' ELSE '' END"
+    " ' node 10.0.0.7 call +1 555.123.4567' ELSE '' END\n"
+    "    || CASE WHEN doc_id % 17 = 0 THEN"
+    " ' ssn 123-45-6789 acct 371449635398431 end' ELSE '' END"
 )
 
 
@@ -4355,10 +4367,12 @@ def _doc_scrubbed_pii_oracle_sql() -> str:
     pattern constants the Spark kernel compiles), per-class counts
     from the same raw-text patterns."""
     from bht_etl_app_spark.operators.text import (
+        CC_PATTERN,
         EMAIL_PATTERN,
         IP_PATTERN,
         PHONE_PATTERN,
         PII_REDACT_CLASSES,
+        SSN_PATTERN,
         URL_PATTERN,
         redact_sql,
     )
@@ -4380,6 +4394,8 @@ SELECT doc_id,
        {count(URL_PATTERN, "n_urls")},
        {count(EMAIL_PATTERN, "n_emails")},
        {count(IP_PATTERN, "n_ips")},
+       {count(CC_PATTERN, "n_ccs")},
+       {count(SSN_PATTERN, "n_ssns")},
        {count(PHONE_PATTERN, "n_phones")}
 FROM seeded
 """
@@ -5934,6 +5950,9 @@ _REVERIFY = {
     # the HTML seed now exercises them (VALUES CHANGE on %5==1 docs)
     "doc_extracted_text": 10,
     "curated_verdicts_extract": 10,
+    # r11: REDACT_CLASSES grew cc + ssn, the PII scrubber report grew
+    # n_ccs/n_ssns (schema + values change), the seed injects both
+    "doc_scrubbed_pii": 10,
 }
 
 

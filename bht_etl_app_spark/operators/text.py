@@ -488,20 +488,36 @@ IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # dotted-quad form can't satisfy the trailing \d{4} — IPs still
 # redact FIRST so the classes can't race
 PHONE_PATTERN = r"(?:\+\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}"
+# credit-card shapes (r11 — VERDICT r10 #5): the 4x4 grouped form
+# (space or dash separated) or a SOLID 15-16 digit run (Amex/Visa
+# lengths); 13-14-digit solid runs are excluded on purpose — they
+# collide with plain numeric ids far more often than they catch real
+# PANs. \b anchors are ASCII word boundaries in both engines.
+CC_PATTERN = r"\b(?:\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}|\d{15,16})\b"
+# national-ID (SSN-style) 3-2-4 with REQUIRED dashes — the
+# separator-required discipline of the phone pattern: a plain
+# 9-digit run never matches
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
 
 # the ONE ordered class table: URLs first (a URL's userinfo part
 # could otherwise be half-eaten by the email pass), then emails,
-# then IPs before phones (both are digit shapes; the dotted quad
-# must be consumed before the phone pass scans). Kernel order is
-# THIS table's order regardless of how a caller lists the classes.
+# then IPs before the digit-run shapes (the dotted quad must be
+# consumed before any digit pass scans), then credit cards BEFORE
+# phones (a grouped PAN's 4-digit groups could otherwise be half
+# eaten by the phone pass's 3-4 tail), SSNs before phones for the
+# same digit-shape reason (3-2-4 vs 3-3-4 — disjoint, but ordered
+# defensively). Kernel order is THIS table's order regardless of how
+# a caller lists the classes.
 REDACT_CLASSES = (
     ("url", URL_PATTERN, "<URL>"),
     ("email", EMAIL_PATTERN, "<EMAIL>"),
     ("ip", IP_PATTERN, "<IP>"),
+    ("cc", CC_PATTERN, "<CC>"),
+    ("ssn", SSN_PATTERN, "<SSN>"),
     ("phone", PHONE_PATTERN, "<PHONE>"),
 )
 DEFAULT_REDACT_CLASSES = ("url", "email")
-PII_REDACT_CLASSES = ("url", "email", "ip", "phone")
+PII_REDACT_CLASSES = ("url", "email", "ip", "cc", "ssn", "phone")
 
 
 def redact_expr(
@@ -515,7 +531,7 @@ def redact_expr(
     composition can never diverge; :func:`redact_sql` is its DuckDB
     twin built from the SAME pattern constants. The default class
     set is URL+email (the r9 contract); ``PII_REDACT_CLASSES`` adds
-    IP and phone."""
+    IP, credit card, SSN, and phone."""
     unknown = set(classes) - {name for name, _, _ in REDACT_CLASSES}
     if unknown:
         raise ValueError(f"unknown redaction classes: {sorted(unknown)}")
@@ -567,17 +583,18 @@ def scrub_text_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Full-PII scrubbing — :func:`scrub_text`'s report shape grown
-    to production's minimum pattern set (VERDICT r9 #3): URLs,
-    emails, IPs, and phone numbers all redact through the ONE
-    :func:`redact_expr` kernel (``PII_REDACT_CLASSES`` order), with a
-    per-class replacement count measured on the raw text — so
+    to production's pattern set (VERDICT r9 #3; r10 #5 adds the
+    other two staples): URLs, emails, IPs, credit-card numbers,
+    SSN-style national IDs, and phone numbers all redact through the
+    ONE :func:`redact_expr` kernel (``PII_REDACT_CLASSES`` order),
+    with a per-class replacement count measured on the raw text — so
     ``n_ips`` counts a dotted quad even when it sits inside a URL
     that the kernel redacts first (count = exposure in the raw
     corpus; the redaction order only decides which token it becomes).
 
     Pure per-row projection — scan speed at 100 TB.
-    Output: ``(doc_id, clean_text, n_urls, n_emails, n_ips,
-    n_phones)``.
+    Output: ``(doc_id, clean_text, n_urls, n_emails, n_ips, n_ccs,
+    n_ssns, n_phones)``.
     """
     return ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -585,6 +602,8 @@ def scrub_text_pii(
         F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
         F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
         F.regexp_count(F.col(text_col), F.lit(IP_PATTERN)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col(text_col), F.lit(CC_PATTERN)).cast("long").alias("n_ccs"),
+        F.regexp_count(F.col(text_col), F.lit(SSN_PATTERN)).cast("long").alias("n_ssns"),
         F.regexp_count(F.col(text_col), F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
     )
 

@@ -532,6 +532,7 @@ def streaming_curate_ingest(
     band_index_table: str | None = None,
     extract_markup: bool = False,
     redact: bool = False,
+    redact_classes: tuple[str, ...] | None = None,
 ):
     """The streaming twin of
     :func:`~bht_etl_app_spark.operators.corpus.curate_corpus`: per
@@ -557,6 +558,7 @@ def streaming_curate_ingest(
             threshold=threshold, n=n, decontam_n=decontam_n,
             min_tokens=min_tokens, band_index_table=band_index_table,
             extract_markup=extract_markup, redact=redact,
+            redact_classes=redact_classes,
         )
 
     return (
@@ -580,16 +582,21 @@ def ingest_curate_batch(
     index_buckets: int = 8,
     extract_markup: bool = False,
     redact: bool = False,
+    redact_classes: tuple[str, ...] | None = None,
 ) -> None:
     """One micro-batch of :func:`streaming_curate_ingest`, exposed for
     replay-idempotency testing (the ingest_corpus_batch contract:
     same (batch_df, batch_id) twice -> identical shard contents).
 
     ``extract_markup`` / ``redact`` run curate_corpus's optional
-    pre-stages (markup extraction first, then URL/email redaction) on
-    the batch BEFORE anything fingerprints — per-row transforms, so
+    pre-stages (markup extraction first, then redaction) on the
+    batch BEFORE anything fingerprints — per-row transforms, so
     they are trivially exactly-once, and the landed text matches the
-    batch chain's byte for byte (pinned in test_streaming)."""
+    batch chain's byte for byte (pinned in test_streaming).
+    ``redact_classes`` mirrors curate_corpus's knob exactly (ADVICE
+    r10): None keeps the default URL+email set, so a batch chain
+    configured with e.g. PII_REDACT_CLASSES has a byte-matching
+    streaming configuration."""
     from bht_etl_app_spark.operators.corpus import (
         decontaminate,
         quality_filter_decisions,
@@ -608,7 +615,12 @@ def ingest_curate_batch(
     if redact:
         from bht_etl_app_spark.operators.text import redact_expr
 
-        batch_df = batch_df.withColumn("text", redact_expr("text"))
+        if redact_classes is None:
+            batch_df = batch_df.withColumn("text", redact_expr("text"))
+        else:
+            batch_df = batch_df.withColumn(
+                "text", redact_expr("text", redact_classes)
+            )
     spark = batch_df.sparkSession
     cols = list(batch_df.columns)
     jvm = spark._jvm

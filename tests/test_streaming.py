@@ -498,3 +498,43 @@ def test_streaming_curate_ingest_extract_redact_pre_stages(spark, tmp_path):
     # landed untransformed if it survived
     rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_off).collect()}
     assert rows[1].startswith("<p>")
+
+
+def test_streaming_curate_redact_classes_matches_batch(spark, tmp_path):
+    """ADVICE r10 pin: the streaming twin's redact_classes
+    passthrough lands text byte-identical to the batch chain's
+    widened-class redact stage — a batch chain configured with
+    PII_REDACT_CLASSES now HAS a matching streaming configuration."""
+    from bht_etl_app_spark.operators.text import (
+        PII_REDACT_CLASSES,
+        redact_expr,
+    )
+    from bht_etl_app_spark.streaming.events import ingest_curate_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the green hills with great speed and joy today"
+    )
+    raw = base + " from 10.0.0.7 card 4111 1111 1111 1111 ssn 123-45-6789"
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")], schema
+    )
+    b0 = spark.createDataFrame([(1, raw)], schema)
+
+    out = str(tmp_path / "pii")
+    ingest_curate_batch(
+        b0, 0, out, bench, redact=True, redact_classes=PII_REDACT_CLASSES
+    )
+    landed = spark.read.parquet(out).collect()
+    want = (
+        b0.select(redact_expr("text", PII_REDACT_CLASSES).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert landed[0]["text"] == want
+    assert "<CC>" in want and "<SSN>" in want and "<IP>" in want
+
+    # default (None) stays the URL+email set — the r9 byte contract
+    out2 = str(tmp_path / "dflt")
+    ingest_curate_batch(b0, 0, out2, bench, redact=True)
+    assert spark.read.parquet(out2).collect()[0]["text"] == raw

@@ -709,7 +709,7 @@ def test_extract_text_sql_parity(spark):
 
 
 def test_scrub_text_pii_classes_and_counts(spark):
-    """Four-class kernel order and raw-text counts: IPs redact before
+    """Six-class kernel order and raw-text counts: IPs redact before
     phones (the dotted quad never becomes <PHONE>), URLs before
     everything, counts measure the RAW text so an IP inside a URL
     still counts as exposure."""
@@ -730,15 +730,41 @@ def test_scrub_text_pii_classes_and_counts(spark):
     assert got[3]["n_phones"] == 1 and got[3]["n_ips"] == 0
 
 
+def test_scrub_text_pii_cc_ssn_classes(spark):
+    """VERDICT r10 #5 pins: grouped and solid credit-card shapes and
+    dashed SSNs redact; the kernel order consumes a grouped PAN
+    BEFORE the phone pass can half-eat its 4-digit groups; a plain
+    9-digit run and 13-digit solid run never match (separator /
+    length discipline)."""
+    from bht_etl_app_spark.operators.text import scrub_text_pii
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now or 4111-1111-1111-1111 later"),
+        (2, "amex 371449635398431 visa 4111111111111111 id 1234567890123"),
+        (3, "ssn 123-45-6789 plain 123456789 stays"),
+        (4, "mixed 4111 1111 1111 1111 call (555) 987-6543 ssn 987-65-4321"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_text_pii(docs).collect()}
+    assert got[1]["clean_text"] == "pay <CC> now or <CC> later"
+    assert got[1]["n_ccs"] == 2
+    assert got[2]["clean_text"] == "amex <CC> visa <CC> id 1234567890123"
+    assert got[2]["n_ccs"] == 2
+    assert got[3]["clean_text"] == "ssn <SSN> plain 123456789 stays"
+    assert got[3]["n_ssns"] == 1 and got[3]["n_ccs"] == 0
+    assert got[4]["clean_text"] == "mixed <CC> call <PHONE> ssn <SSN>"
+    assert (got[4]["n_ccs"], got[4]["n_ssns"], got[4]["n_phones"]) == (1, 1, 1)
+
+
 def test_redact_expr_rejects_unknown_class():
     import pytest as _pytest
 
     from bht_etl_app_spark.operators.text import redact_expr, redact_sql
 
     with _pytest.raises(ValueError):
-        redact_expr("text", ("url", "ssn"))
+        redact_expr("text", ("url", "iban"))
     with _pytest.raises(ValueError):
-        redact_sql("text", ("ssn",))
+        redact_sql("text", ("iban",))
 
 
 def test_redact_sql_default_is_unchanged():
