@@ -4932,6 +4932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_compare_stats": lambda s, d: sampling.packing_compare_stats(
             load_table(s, d, "documents")
         ),
+        # r11: the harmonic layout at chunk granularity — budget 64
+        # sits inside the fixture's 10-99 token range, so class-0
+        # overflow docs really explode into multiple chunk rows
+        "pack_sequences_harmonic_chunks": lambda s, d: (
+            sampling.pack_sequences_harmonic_chunks(
+                load_table(s, d, "documents"), budget=64
+            )
+        ),
         # the budget-256 twin exercises the regime the report exists
         # for: the fixture docs CROSS at 256 (frac_crossing ~0.2 on
         # the chunk leg, structural 0 on the harmonic leg), where the
@@ -6393,6 +6401,9 @@ FROM agg
 """,
         "pack_sequences_bins": sampling.PACK_SEQUENCES_SQL,
         "pack_sequences_harmonic": sampling.pack_sequences_harmonic_sql(),
+        "pack_sequences_harmonic_chunks": (
+            sampling.pack_sequences_harmonic_chunks_sql(budget=64)
+        ),
         "packing_compare_stats": sampling.packing_compare_stats_sql(),
         "packing_compare_stats_256": sampling.packing_compare_stats_sql(256),
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,

@@ -320,6 +320,7 @@ EXCLUDED = {
         "near_dup_jaccard", "order_price_deciles", "packing_compare_stats",
         "packing_compare_stats_256",
         "order_price_percentiles", "orders_unpivot_metrics",
+        "pack_sequences_harmonic_chunks",
         "price_histogram", "props_key_counts", "purchase_and_click_users",
         "purchase_asof_click", "qty_price_correlation", "quantity_moments",
         "running_monthly_revenue", "session_window_stats",

@@ -352,6 +352,57 @@ def test_pack_sequences_harmonic_hand_case(spark):
     assert all(r["bins_used"] == 1 for r in got.values() if r["size_class"] >= 1)
 
 
+def test_pack_sequences_harmonic_chunks_explode_and_reconcile(spark):
+    """VERDICT r10 #6 pins on the hand-case corpus (budget 10): the
+    25-token overflow doc explodes into chunks (10, 10, 5) at starts
+    (0, 10, 20); fitting docs are one whole-document chunk; per
+    source count(chunks) == sum(bins_used) and sum(chunk_tokens) ==
+    total_tokens, and slot count (max(bin)+1 + sum(bins_used-1))
+    equals packing_compare_stats' harmonic n_bins."""
+    from bht_etl_app_spark.operators.sampling import (
+        pack_sequences_harmonic,
+        pack_sequences_harmonic_chunks,
+        packing_compare_stats,
+    )
+
+    rows = [
+        (1, "s", " ".join(f"a{i}" for i in range(6))),
+        (2, "s", " ".join(f"b{i}" for i in range(6))),
+        (3, "s", " ".join(f"c{i}" for i in range(4))),
+        (4, "s", " ".join(f"d{i}" for i in range(4))),
+        (5, "s", " ".join(f"e{i}" for i in range(4))),
+        (6, "s", " ".join(f"f{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    chunks = [r.asDict() for r in
+              pack_sequences_harmonic_chunks(docs, budget=10).collect()]
+    six = sorted(
+        (c for c in chunks if c["doc_id"] == 6),
+        key=lambda c: c["chunk_index"],
+    )
+    assert [(c["chunk_index"], c["chunk_start_tok"], c["chunk_tokens"])
+            for c in six] == [(0, 0, 10), (1, 10, 10), (2, 20, 5)]
+    assert all(c["bin"] == six[0]["bin"] for c in six)
+    for c in chunks:
+        if c["doc_id"] != 6:
+            assert (c["chunk_index"], c["chunk_start_tok"]) == (0, 0)
+            assert c["chunk_tokens"] == c["n_tokens"]
+    packed = [r.asDict() for r in
+              pack_sequences_harmonic(docs, budget=10).collect()]
+    assert len(chunks) == sum(r["bins_used"] for r in packed)
+    assert sum(c["chunk_tokens"] for c in chunks) == sum(
+        r["n_tokens"] for r in packed
+    )
+    slots = max(r["bin"] for r in packed) + 1 + sum(
+        r["bins_used"] - 1 for r in packed
+    )
+    stats = {
+        r["packer"]: r.asDict()
+        for r in packing_compare_stats(docs, budget=10).collect()
+    }
+    assert stats["harmonic"]["n_bins"] == slots
+
+
 def test_packing_compare_stats_harmonic_kills_crossing(spark):
     """The report the packer exists for: harmonic frac_crossing is 0
     (no overflow docs here) while concat-and-chunk fragments, and
