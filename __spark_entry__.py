@@ -3400,41 +3400,51 @@ def _q_ann_recall_frontier(spark, sf_dir):
     books = pq_train(emb, **_PQ_PARAMS)
     rbooks = pq_train_residual(emb, cents, **_PQ_PARAMS)
     return ann_recall_frontier(
-        emb, cents, books, rbooks, k=5, n_queries=32, nprobe=2,
+        emb, cents, books, rbooks, k=5, n_queries=32, nprobes=(1, 2, 4),
         shortlist=20, keep_dims_list=(32, 16),
     )
 
 
-def _ann_recall_frontier_oracle_sql() -> str:
-    """DuckDB replay of ann_recall_frontier: the FOUR verified
+def _ann_recall_frontier_oracle_sql(
+    nprobes: tuple[int, ...] = (1, 2, 4)
+) -> str:
+    """DuckDB replay of ann_recall_frontier: the verified
     recall-report statements wrapped whole as derived tables (the
     hybrid_rrf nesting rule — one hash-match re-proves every
     configuration's chain AND the frontier assembly), each projected
-    to the shared (config, bytes_per_vec, n_queries, k, avg_recall,
-    min_recall) row shape and UNION ALL'd. bytes_per_vec literals
-    match the Spark side's storage accounting (keep_dims x 4-byte
-    float32; m code bytes + 1 coarse list byte for the PQ family)."""
+    to the shared (config, bytes_per_vec, nprobe, n_queries, k,
+    avg_recall, min_recall) row shape and UNION ALL'd — the three
+    PQ-family configurations once per probe count (r11: the nprobe
+    dial), the truncation arms once with a NULL nprobe. bytes_per_vec
+    literals match the Spark side's storage accounting (keep_dims x
+    4-byte float32; m code bytes + the coarse-id byte width, 1 here
+    because the contract trains 8 coarse lists <= 256)."""
     parts = [
         f"""SELECT 'trunc_d{kd}' AS config,
        CAST({kd * 4} AS BIGINT) AS bytes_per_vec,
+       CAST(NULL AS BIGINT) AS nprobe,
        n_queries, k, avg_recall, min_recall
 FROM ({_ann_trunc_recall_oracle_sql(keep_dims=kd)})"""
         for kd in (32, 16)
     ]
-    parts.append(f"""SELECT 'ivf_pq_m2' AS config,
+    for np_ in nprobes:
+        parts.append(f"""SELECT 'ivf_pq_m2' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
+       CAST({np_} AS BIGINT) AS nprobe,
        n_queries, k, avg_recall, min_recall
-FROM ({_ann_ivf_pq_recall_oracle_sql()})""")
-    parts.append(f"""SELECT 'ivf_rpq_m2' AS config,
+FROM ({_ann_ivf_pq_recall_oracle_sql(nprobe=np_)})""")
+        parts.append(f"""SELECT 'ivf_rpq_m2' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
+       CAST({np_} AS BIGINT) AS nprobe,
        n_queries, k,
        avg_recall_rpq AS avg_recall, min_recall_rpq AS min_recall
-FROM ({_ann_ivf_rpq_recall_oracle_sql()})""")
-    parts.append(f"""SELECT 'ivf_pq_m2_rerank20' AS config,
+FROM ({_ann_ivf_rpq_recall_oracle_sql(nprobe=np_)})""")
+        parts.append(f"""SELECT 'ivf_pq_m2_rerank20' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
+       CAST({np_} AS BIGINT) AS nprobe,
        n_queries, k,
        avg_recall_rerank AS avg_recall, min_recall_rerank AS min_recall
-FROM ({_ann_pq_rerank_recall_oracle_sql()})""")
+FROM ({_ann_pq_rerank_recall_oracle_sql(nprobe=np_)})""")
     return "\nUNION ALL\n".join(parts)
 
 
@@ -5961,6 +5971,10 @@ _REVERIFY = {
     # r11: REDACT_CLASSES grew cc + ssn, the PII scrubber report grew
     # n_ccs/n_ssns (schema + values change), the seed injects both
     "doc_scrubbed_pii": 10,
+    # r11: the ANN frontier grew the nprobe dial (PQ-family configs
+    # once per probe count, nprobe column, coarse-id byte width in
+    # bytes_per_vec — schema + rows change)
+    "ann_recall_frontier": 10,
 }
 
 

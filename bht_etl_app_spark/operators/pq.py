@@ -993,7 +993,7 @@ def ann_recall_frontier(
     rpq_codebooks: list[list[list[float]]],
     k: int = 5,
     n_queries: int = 32,
-    nprobe: int = 2,
+    nprobes: tuple[int, ...] = (1, 2, 4),
     shortlist: int = 20,
     keep_dims_list: tuple[int, ...] = (32, 16),
     id_col: str = "vec_id",
@@ -1001,21 +1001,26 @@ def ann_recall_frontier(
 ) -> DataFrame:
     """The ONE storage/recall frontier artifact (VERDICT r9 #4): every
     ANN configuration the harness prices — Matryoshka truncation at
-    each ``keep_dims``, classic IVF-PQ, residual IVF-PQ, and IVF-PQ
-    with exact re-rank — against the SHARED exact squared-L2 baseline
-    in a single hash-verified table, one row per configuration:
-    ``(config, bytes_per_vec, n_queries, k, avg_recall,
-    min_recall)``. A user turning the m / keep_dims / shortlist dials
-    reads the frontier instead of assembling it from four separate
-    reports.
+    each ``keep_dims``, and classic IVF-PQ, residual IVF-PQ, and
+    IVF-PQ with exact re-rank EACH AT EVERY ``nprobes`` probe count
+    (r11, VERDICT r10 #7 — the third dial: query cost vs recall) —
+    against the SHARED exact squared-L2 baseline in a single
+    hash-verified table, one row per configuration: ``(config,
+    bytes_per_vec, nprobe, n_queries, k, avg_recall, min_recall)``.
+    A user turning the m / keep_dims / shortlist / nprobe dials reads
+    the frontier instead of assembling it from separate reports.
+    ``nprobe`` is NULL on the truncation rows (exhaustive scans have
+    no probe dial).
 
     ``bytes_per_vec`` is per-vector INDEX storage: truncation keeps
     ``keep_dims`` float32s (4 bytes each); the PQ family stores m
-    one-byte codes plus a one-byte coarse list id — the re-rank row
-    shares the PQ index bytes exactly (its ``shortlist`` full-vector
-    fetches are query-time traffic, not index storage), which is the
-    point: at IDENTICAL storage, residual encoding and re-ranking
-    each buy measured recall.
+    one-byte codes plus the coarse list id at its ACTUAL byte width
+    (ADVICE r10: 1 byte only up to 256 coarse lists, 2 up to 65536,
+    else 4) — the re-rank row shares the PQ index bytes exactly (its
+    ``shortlist`` full-vector fetches are query-time traffic, not
+    index storage), which is the point: at IDENTICAL storage,
+    residual encoding, re-ranking, and extra probes each buy
+    measured recall.
 
     Scale posture: the exact baseline computes ONCE and persists
     (report-sized — n_queries x k rows); each arm is its verified
@@ -1031,51 +1036,58 @@ def ann_recall_frontier(
     from .similarity import recall_vs_exact
 
     m = len(pq_codebooks)
+    nc = len(coarse_centroids)
+    coarse_id_bytes = 1 if nc <= 256 else (2 if nc <= 65536 else 4)
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), vec_col
     )
     exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    arms: list[tuple[str, int, DataFrame]] = []
+    arms: list[tuple[str, int, int | None, DataFrame]] = []
     for kd in keep_dims_list:
         qt = q.withColumn(vec_col, F.slice(F.col(vec_col), 1, kd))
         embt = emb.select(
             F.col(id_col), F.slice(F.col(vec_col), 1, kd).alias(vec_col)
         )
         arms.append((
-            f"trunc_d{kd}", kd * 4,
+            f"trunc_d{kd}", kd * 4, None,
             l2_knn_join(qt, embt, k=k, c_id=id_col, vec_col=vec_col),
         ))
-    arms.append((
-        f"ivf_pq_m{m}", m + 1,
-        pq_knn_join(
-            q, emb, coarse_centroids, pq_codebooks, k=k, nprobe=nprobe,
-            id_col=id_col, vec_col=vec_col,
-        ),
-    ))
-    arms.append((
-        f"ivf_rpq_m{m}", m + 1,
-        rpq_knn_join(
-            q, emb, coarse_centroids, rpq_codebooks, k=k, nprobe=nprobe,
-            id_col=id_col, vec_col=vec_col,
-        ),
-    ))
-    arms.append((
-        f"ivf_pq_m{m}_rerank{shortlist}", m + 1,
-        rerank_knn_join(
-            q, emb, coarse_centroids, pq_codebooks, k=k,
-            shortlist=shortlist, nprobe=nprobe, id_col=id_col,
-            vec_col=vec_col,
-        ),
-    ))
+    pq_bytes = m + coarse_id_bytes
+    for np_ in nprobes:
+        arms.append((
+            f"ivf_pq_m{m}", pq_bytes, np_,
+            pq_knn_join(
+                q, emb, coarse_centroids, pq_codebooks, k=k, nprobe=np_,
+                id_col=id_col, vec_col=vec_col,
+            ),
+        ))
+        arms.append((
+            f"ivf_rpq_m{m}", pq_bytes, np_,
+            rpq_knn_join(
+                q, emb, coarse_centroids, rpq_codebooks, k=k, nprobe=np_,
+                id_col=id_col, vec_col=vec_col,
+            ),
+        ))
+        arms.append((
+            f"ivf_pq_m{m}_rerank{shortlist}", pq_bytes, np_,
+            rerank_knn_join(
+                q, emb, coarse_centroids, pq_codebooks, k=k,
+                shortlist=shortlist, nprobe=np_, id_col=id_col,
+                vec_col=vec_col,
+            ),
+        ))
     rows = [
         recall_vs_exact(exact, approx, k, id_col=id_col).select(
             F.lit(cfg).alias("config"),
             F.lit(int(nbytes)).cast("long").alias("bytes_per_vec"),
+            (
+                F.lit(int(np_)) if np_ is not None else F.lit(None)
+            ).cast("long").alias("nprobe"),
             "n_queries", "k", "avg_recall", "min_recall",
         )
-        for cfg, nbytes, approx in arms
+        for cfg, nbytes, np_, approx in arms
     ]
     out = reduce(lambda a, b: a.unionByName(b), rows)
     return track_persisted(out, exact)

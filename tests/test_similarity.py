@@ -778,3 +778,53 @@ def test_truncated_dim_recall_full_dims_is_exact(spark, emb_sdf):
         emb_sdf, keep_dims=32, k=3, n_queries=8
     ).collect()[0]
     assert half["avg_recall"] <= 1.0
+
+
+def test_ann_recall_frontier_nprobe_rows_and_byte_widths(spark, emb_sdf):
+    """r11 pins (VERDICT r10 #7 + ADVICE r10): the frontier emits the
+    three PQ-family configs once per probe count with nprobe as its
+    own column (NULL on the exhaustive truncation rows), and
+    bytes_per_vec prices the coarse list id at its ACTUAL width
+    (1 byte at <=256 coarse lists here; the width rule itself is
+    checked at the 2-byte boundary)."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_frontier,
+        pq_train,
+        pq_train_residual,
+    )
+
+    cents = kmeans_fit(emb_sdf, k=4, max_iter=2)
+    books = pq_train(emb_sdf, m=2, k=8, max_iter=2)
+    rbooks = pq_train_residual(emb_sdf, cents, m=2, k=8, max_iter=2)
+    rows = [
+        r.asDict()
+        for r in ann_recall_frontier(
+            emb_sdf, cents, books, rbooks, k=3, n_queries=8,
+            nprobes=(1, 2), shortlist=10, keep_dims_list=(16,),
+        ).collect()
+    ]
+    assert len(rows) == 1 + 3 * 2
+    trunc = [r for r in rows if r["config"] == "trunc_d16"]
+    assert len(trunc) == 1 and trunc[0]["nprobe"] is None
+    assert trunc[0]["bytes_per_vec"] == 64
+    for cfg in ("ivf_pq_m2", "ivf_rpq_m2", "ivf_pq_m2_rerank10"):
+        per = sorted(
+            (r for r in rows if r["config"] == cfg),
+            key=lambda r: r["nprobe"],
+        )
+        assert [r["nprobe"] for r in per] == [1, 2]
+        assert all(r["bytes_per_vec"] == 3 for r in per)  # 2 codes + 1
+        assert all(0.0 <= r["avg_recall"] <= 1.0 for r in per)
+    # the re-rank arm's recall never decreases with more probes (its
+    # exact refinement ranks a superset shortlist)
+    rr = sorted(
+        (r for r in rows if r["config"] == "ivf_pq_m2_rerank10"),
+        key=lambda r: r["nprobe"],
+    )
+    assert rr[0]["avg_recall"] <= rr[1]["avg_recall"] + 1e-9
+    # byte-width rule at the boundaries (pure arithmetic, no Spark)
+    widths = {256: 1, 257: 2, 65536: 2, 65537: 4}
+    for nc, want in widths.items():
+        got = 1 if nc <= 256 else (2 if nc <= 65536 else 4)
+        assert got == want
