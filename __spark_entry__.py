@@ -2063,6 +2063,7 @@ _SUBSTR_K = 5               # ExactSubstr minimum duplicated-run length
 def _q_curated_verdicts(
     spark, sf_dir, lm: bool = False, substr: bool = False,
     redact: bool = False, extract: bool = False,
+    redact_classes: tuple[str, ...] | None = None,
 ):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
@@ -2083,7 +2084,10 @@ def _q_curated_verdicts(
     redacted text. The extract variant (r10) runs markup/boilerplate
     extraction FIRST on train docs seeded with synthetic HTML
     (_seed_html_expr — the doc_extracted_text fixture); every later
-    stage consumes the extracted text."""
+    stage consumes the extracted text. ``redact_classes`` (r11)
+    widens the redact stage to an explicit class set, seeded with the
+    doc_scrubbed_pii fixture (_seed_pii_expr) so the widened patterns
+    are actually fed; None keeps the r9 URL/email fixture."""
     from bht_etl_app_spark.operators.corpus import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2092,7 +2096,11 @@ def _q_curated_verdicts(
     if extract:
         train = train.withColumn("text", _seed_html_expr())
     if redact:
-        train = train.withColumn("text", _seed_urls_expr())
+        train = train.withColumn(
+            "text",
+            _seed_urls_expr() if redact_classes is None
+            else _seed_pii_expr(),
+        )
     return curate_corpus(
         train,
         ref,
@@ -2102,6 +2110,7 @@ def _q_curated_verdicts(
         lm_d=_LM_D,
         substr_k=_SUBSTR_K if substr else None,
         redact=redact,
+        redact_classes=redact_classes,
         extract_markup=extract,
     )
 
@@ -2109,6 +2118,7 @@ def _q_curated_verdicts(
 def _curated_verdicts_oracle_sql(
     lm: bool = False, substr: bool = False, redact: bool = False,
     extract: bool = False,
+    redact_classes: tuple[str, ...] | None = None,
 ) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
@@ -2247,10 +2257,23 @@ UNION ALL
     if redact:
         from bht_etl_app_spark.operators.text import redact_sql
 
-        train_body = f"""SELECT doc_id, {redact_sql("text")} AS text
+        if redact_classes is None:
+            # the r9 URL/email fixture — text byte-identical to the
+            # pre-r11 builder
+            train_body = f"""SELECT doc_id, {redact_sql("text")} AS text
   FROM (
     SELECT doc_id,
            {_SEED_URLS_SQL} AS text
+    FROM documents WHERE source <> 'src0'
+  )"""
+        else:
+            # r11: the widened class set over the doc_scrubbed_pii
+            # seeds — the SAME pattern-constant fragment that oracle
+            # runs, composed pre-quality
+            train_body = f"""SELECT doc_id, {redact_sql("text", redact_classes)} AS text
+  FROM (
+    SELECT doc_id,
+           {_SEED_PII_SQL} AS text
     FROM documents WHERE source <> 'src0'
   )"""
     # extract=True: the train CTE seeds the doc_extracted_text
@@ -4360,6 +4383,12 @@ _SEED_PII_SQL = (
     " ' ssn 123-45-6789 acct 371449635398431 end' ELSE '' END"
 )
 
+# the widened class set the PII keys run (import deferred to module
+# load is fine — text.py has no Spark-session dependency at import)
+from bht_etl_app_spark.operators.text import (  # noqa: E402
+    PII_REDACT_CLASSES as _PII_CLASSES,
+)
+
 
 def _q_scrub_pii(spark, sf_dir):
     """Four-class PII scrubbing (URL/email/IP/phone) over documents
@@ -5503,6 +5532,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_verdicts_redact": lambda s, d: _q_curated_verdicts(
             s, d, redact=True
         ),
+        # r11: the chain with the WIDENED six-class PII redaction
+        # composed pre-quality over the doc_scrubbed_pii seeds — the
+        # cc/ssn/ip/phone patterns proven inside the composition, not
+        # only standalone
+        "curated_verdicts_redact_pii": lambda s, d: _q_curated_verdicts(
+            s, d, redact=True, redact_classes=_PII_CLASSES
+        ),
         "curated_verdicts_full": lambda s, d: _q_curated_verdicts(
             s, d, lm=True, substr=True
         ),
@@ -6343,6 +6379,9 @@ LATERAL (
         "curated_verdicts_lm": _curated_verdicts_oracle_sql(lm=True),
         "curated_verdicts_substr": _curated_verdicts_oracle_sql(substr=True),
         "curated_verdicts_redact": _curated_verdicts_oracle_sql(redact=True),
+        "curated_verdicts_redact_pii": _curated_verdicts_oracle_sql(
+            redact=True, redact_classes=_PII_CLASSES
+        ),
         "curated_verdicts_extract": _curated_verdicts_oracle_sql(extract=True),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True

@@ -290,6 +290,7 @@ EXCLUDED = {
     "twin": [
         "ann_recall_frontier",
         "curated_verdicts_extract",
+        "curated_verdicts_redact_pii",
         "near_dup_banding_frontier",
         "near_dup_recall_sampled",
         "exact_substr_spans_fast", "exact_substr_scrub_fast",

@@ -1075,3 +1075,26 @@ def test_mixture_epoch_plan_rejects_bad_params(spark):
         mixture_epoch_plan(df, token_budget=0)
     with _pytest.raises(ValueError):
         mixture_epoch_plan(df, token_budget=10, max_epochs=0)
+
+
+def test_curated_redact_oracle_default_text_unchanged():
+    """The r11 redact_classes parameter must not disturb the verified
+    r9/r10 composed-oracle texts: redact_classes=None produces the
+    byte-identical statement, and the PII variant embeds the widened
+    redact_sql fragment over the doc_scrubbed_pii seeds."""
+    import __spark_entry__ as m
+    from bht_etl_app_spark.operators.text import (
+        PII_REDACT_CLASSES,
+        redact_sql,
+    )
+
+    dflt = m._curated_verdicts_oracle_sql(redact=True)
+    assert dflt == m._curated_verdicts_oracle_sql(
+        redact=True, redact_classes=None
+    )
+    assert redact_sql("text") in dflt
+    pii = m._curated_verdicts_oracle_sql(
+        redact=True, redact_classes=PII_REDACT_CLASSES
+    )
+    assert redact_sql("text", PII_REDACT_CLASSES) in pii
+    assert m._SEED_PII_SQL in pii and "<CC>" in pii and "<SSN>" in pii
