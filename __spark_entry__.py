@@ -6011,6 +6011,56 @@ _REVERIFY = {
     # once per probe count, nprobe column, coarse-id byte width in
     # bytes_per_vec — schema + rows change)
     "ann_recall_frontier": 10,
+    # r11 file churn (pure-append or param-append edits — no existing
+    # contract value changed, pinned by the local full gate): dedup.py
+    # refactored the lsh candidate/verify halves into shared functions
+    # (every near-dup key's plan path), corpus.py gained the realloc
+    # water-fill, text.py the numeric entities + cc/ssn classes
+    # (default fragments byte-identical, pytest-pinned), sampling.py
+    # the chunk explode, pq.py the nprobe frontier, and the composed
+    # curated builder the redact_classes seam. Front-load their green
+    # keys with the remaining window budget: 3 new keys + 7 semantic
+    # restamps above + these 40 = 50.
+    "near_dup_jaccard": 10,
+    "near_dup_clusters": 10,
+    "dedup_corpus_survivors": 10,
+    "near_dup_incremental_docs": 10,
+    "near_dup_jaccard_ppjoin": 10,
+    "near_dup_recall_report": 10,
+    "near_dup_recall_sampled": 10,
+    "simhash_docs": 10,
+    "simhash_near_dup": 10,
+    "doc_containment_pairs": 10,
+    "source_overlap_matrix": 10,
+    "dedup_exact_docs": 10,
+    "dedup_incremental_docs": 10,
+    "source_dedup_rates": 10,
+    "domain_mixture": 10,
+    "doc_decontaminate": 10,
+    "doc_bloom_decontaminate": 10,
+    "contamination_attribution": 10,
+    "curated_verdicts": 10,
+    "curated_verdicts_lm": 10,
+    "curated_verdicts_substr": 10,
+    "curated_verdicts_full": 10,
+    "curated_verdicts_redact": 10,
+    "mixture_sample_docs": 10,
+    "corpus_datacard": 10,
+    "doc_token_stats": 10,
+    "doc_quality_scores": 10,
+    "doc_lang_id": 10,
+    "doc_scrubbed": 10,
+    "doc_repetition": 10,
+    "doc_char_entropy": 10,
+    "pack_sequences_harmonic": 10,
+    "packing_compare_stats": 10,
+    "packing_compare_stats_256": 10,
+    "pack_sequences_bins": 10,
+    "packing_bin_stats": 10,
+    "ann_recall_report_ivf_pq": 10,
+    "ann_recall_report_ivf_rpq": 10,
+    "ann_recall_report_pq_rerank": 10,
+    "ann_recall_report_truncated_dim": 10,
 }
 
 
