@@ -3428,6 +3428,50 @@ def _q_ann_recall_frontier(spark, sf_dir):
     )
 
 
+def _ann_scanned_oracle_sql(
+    nprobe: int, kc: int = 8, rounds: int = 2, n_queries: int = 32
+) -> str:
+    """Scalar avg_scanned statement for the frontier's query-cost
+    column: the SAME kmeans chain, plain-dot probe ranking, and
+    plain-dot corpus list assignment the IVF-PQ arm oracles use
+    (namespaced ``sv``), then list sizes summed per query (LEFT join
+    — an empty probed list counts 0) and averaged. Mirrors the Spark
+    side's bround(avg, 6)."""
+    return f"""
+WITH {_kmeans_cte(kc, rounds, prefix="sv")},
+sqs AS (SELECT vec_id AS q_id, v AS qv FROM sve WHERE vec_id < {n_queries}),
+sprobe AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM sqs q, svc{rounds} c
+  ) WHERE rn <= {nprobe}
+),
+sassign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid ASC
+           ) AS rn
+    FROM sve e, svc{rounds} c
+  ) WHERE rn = 1
+),
+slsz AS (
+  SELECT list_id, CAST(count(*) AS BIGINT) AS n FROM sassign GROUP BY 1
+),
+sperq AS (
+  SELECT pr.q_id, CAST(sum(coalesce(l.n, 0)) AS DOUBLE) AS s
+  FROM sprobe pr LEFT JOIN slsz l ON l.list_id = pr.cid
+  GROUP BY 1
+)
+SELECT round_even(avg(s), 6) AS avg_scanned FROM sperq
+"""
+
+
 def _ann_recall_frontier_oracle_sql(
     nprobes: tuple[int, ...] = (1, 2, 4)
 ) -> str:
@@ -3435,39 +3479,52 @@ def _ann_recall_frontier_oracle_sql(
     recall-report statements wrapped whole as derived tables (the
     hybrid_rrf nesting rule — one hash-match re-proves every
     configuration's chain AND the frontier assembly), each projected
-    to the shared (config, bytes_per_vec, nprobe, n_queries, k,
-    avg_recall, min_recall) row shape and UNION ALL'd — the three
-    PQ-family configurations once per probe count (r11: the nprobe
-    dial), the truncation arms once with a NULL nprobe. bytes_per_vec
+    to the shared (config, bytes_per_vec, nprobe, avg_scanned,
+    n_queries, k, avg_recall, min_recall) row shape and UNION ALL'd —
+    the three PQ-family configurations once per probe count (r11: the
+    nprobe dial), the truncation arms once with a NULL nprobe and the
+    exhaustive corpus count as their scan cost. bytes_per_vec
     literals match the Spark side's storage accounting (keep_dims x
     4-byte float32; m code bytes + the coarse-id byte width, 1 here
-    because the contract trains 8 coarse lists <= 256)."""
+    because the contract trains 8 coarse lists <= 256); avg_scanned
+    comes from the shared-fragment scalar statement
+    (:func:`_ann_scanned_oracle_sql`), identical for the three
+    configs at one probe count by construction."""
     parts = [
         f"""SELECT 'trunc_d{kd}' AS config,
        CAST({kd * 4} AS BIGINT) AS bytes_per_vec,
        CAST(NULL AS BIGINT) AS nprobe,
+       sc.avg_scanned,
        n_queries, k, avg_recall, min_recall
-FROM ({_ann_trunc_recall_oracle_sql(keep_dims=kd)})"""
+FROM ({_ann_trunc_recall_oracle_sql(keep_dims=kd)}),
+     (SELECT CAST(count(*) AS DOUBLE) AS avg_scanned FROM embeddings) sc"""
         for kd in (32, 16)
     ]
     for np_ in nprobes:
+        scanned = f"({_ann_scanned_oracle_sql(np_)}) sc"
         parts.append(f"""SELECT 'ivf_pq_m2' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
        CAST({np_} AS BIGINT) AS nprobe,
+       sc.avg_scanned,
        n_queries, k, avg_recall, min_recall
-FROM ({_ann_ivf_pq_recall_oracle_sql(nprobe=np_)})""")
+FROM ({_ann_ivf_pq_recall_oracle_sql(nprobe=np_)}),
+     {scanned}""")
         parts.append(f"""SELECT 'ivf_rpq_m2' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
        CAST({np_} AS BIGINT) AS nprobe,
+       sc.avg_scanned,
        n_queries, k,
        avg_recall_rpq AS avg_recall, min_recall_rpq AS min_recall
-FROM ({_ann_ivf_rpq_recall_oracle_sql(nprobe=np_)})""")
+FROM ({_ann_ivf_rpq_recall_oracle_sql(nprobe=np_)}),
+     {scanned}""")
         parts.append(f"""SELECT 'ivf_pq_m2_rerank20' AS config,
        CAST(3 AS BIGINT) AS bytes_per_vec,
        CAST({np_} AS BIGINT) AS nprobe,
+       sc.avg_scanned,
        n_queries, k,
        avg_recall_rerank AS avg_recall, min_recall_rerank AS min_recall
-FROM ({_ann_pq_rerank_recall_oracle_sql(nprobe=np_)})""")
+FROM ({_ann_pq_rerank_recall_oracle_sql(nprobe=np_)}),
+     {scanned}""")
     return "\nUNION ALL\n".join(parts)
 
 

@@ -1022,6 +1022,15 @@ def ann_recall_frontier(
     residual encoding, re-ranking, and extra probes each buy
     measured recall.
 
+    ``avg_scanned`` prices the QUERY-TIME side of the nprobe dial
+    (the dedup frontier's ``n_candidate_pairs`` analogue): the mean
+    over queries of candidates in the probed inverted lists — the
+    same plain-dot list assignment and probe ranking
+    :func:`pq_knn_join` runs, list sizes summed per query (empty
+    probed lists count 0). Truncation rows scan the whole corpus, so
+    their ``avg_scanned`` is N exactly — the frontier's recall /
+    storage / scan-cost trade reads off one table.
+
     Scale posture: the exact baseline computes ONCE and persists
     (report-sized — n_queries x k rows); each arm is its verified
     batched no-corpus-shuffle join; every row folds through the
@@ -1033,7 +1042,7 @@ def ann_recall_frontier(
     from pyspark import StorageLevel
 
     from ..functions.lifecycle import track_persisted
-    from .similarity import recall_vs_exact
+    from .similarity import _ivf_list_id, ivf_scores_expr, recall_vs_exact
 
     m = len(pq_codebooks)
     nc = len(coarse_centroids)
@@ -1044,6 +1053,47 @@ def ann_recall_frontier(
     exact = l2_knn_join(q, emb, k=k, c_id=id_col, vec_col=vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # inverted-list sizes under pq_knn_join's plain-dot assignment —
+    # computed once (<= len(coarse_centroids) rows), feeds every
+    # nprobe's avg_scanned and the trunc rows' corpus total
+    lsz = (
+        emb.select(
+            _ivf_list_id(ivf_scores_expr(F.col(vec_col), coarse_centroids))
+            .cast("int")
+            .alias("__list__")
+        )
+        .groupBy("__list__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__lsz__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_n = lsz.agg(
+        F.sum("__lsz__").cast("double").alias("avg_scanned")
+    )
+
+    def _avg_scanned(np_: int):
+        probes = q.select(
+            F.col("q_id"),
+            F.explode(
+                _probes_expr(F.col(vec_col), coarse_centroids, np_)
+            ).alias("__probe__"),
+        )
+        per_q = (
+            probes.join(
+                F.broadcast(lsz),
+                probes["__probe__"] == lsz["__list__"],
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.coalesce(F.col("__lsz__"), F.lit(0))).alias("__s__")
+            )
+        )
+        return per_q.agg(
+            F.bround(F.avg(F.col("__s__").cast("double")), 6).alias(
+                "avg_scanned"
+            )
+        )
+
     arms: list[tuple[str, int, int | None, DataFrame]] = []
     for kd in keep_dims_list:
         qt = q.withColumn(vec_col, F.slice(F.col(vec_col), 1, kd))
@@ -1055,6 +1105,7 @@ def ann_recall_frontier(
             l2_knn_join(qt, embt, k=k, c_id=id_col, vec_col=vec_col),
         ))
     pq_bytes = m + coarse_id_bytes
+    scanned_by_np = {np_: _avg_scanned(np_) for np_ in nprobes}
     for np_ in nprobes:
         arms.append((
             f"ivf_pq_m{m}", pq_bytes, np_,
@@ -1079,15 +1130,20 @@ def ann_recall_frontier(
             ),
         ))
     rows = [
-        recall_vs_exact(exact, approx, k, id_col=id_col).select(
+        recall_vs_exact(exact, approx, k, id_col=id_col)
+        .crossJoin(
+            F.broadcast(corpus_n if np_ is None else scanned_by_np[np_])
+        )
+        .select(
             F.lit(cfg).alias("config"),
             F.lit(int(nbytes)).cast("long").alias("bytes_per_vec"),
             (
                 F.lit(int(np_)) if np_ is not None else F.lit(None)
             ).cast("long").alias("nprobe"),
+            "avg_scanned",
             "n_queries", "k", "avg_recall", "min_recall",
         )
         for cfg, nbytes, np_, approx in arms
     ]
     out = reduce(lambda a, b: a.unionByName(b), rows)
-    return track_persisted(out, exact)
+    return track_persisted(out, exact, lsz)

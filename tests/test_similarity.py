@@ -805,9 +805,11 @@ def test_ann_recall_frontier_nprobe_rows_and_byte_widths(spark, emb_sdf):
         ).collect()
     ]
     assert len(rows) == 1 + 3 * 2
+    n_corpus = emb_sdf.count()
     trunc = [r for r in rows if r["config"] == "trunc_d16"]
     assert len(trunc) == 1 and trunc[0]["nprobe"] is None
     assert trunc[0]["bytes_per_vec"] == 64
+    assert trunc[0]["avg_scanned"] == float(n_corpus)  # exhaustive
     for cfg in ("ivf_pq_m2", "ivf_rpq_m2", "ivf_pq_m2_rerank10"):
         per = sorted(
             (r for r in rows if r["config"] == cfg),
@@ -816,6 +818,15 @@ def test_ann_recall_frontier_nprobe_rows_and_byte_widths(spark, emb_sdf):
         assert [r["nprobe"] for r in per] == [1, 2]
         assert all(r["bytes_per_vec"] == 3 for r in per)  # 2 codes + 1
         assert all(0.0 <= r["avg_recall"] <= 1.0 for r in per)
+        # scan cost: positive, monotone in probes, bounded by the
+        # corpus, identical across configs at one probe count
+        assert 0 < per[0]["avg_scanned"] <= per[1]["avg_scanned"]
+        assert per[1]["avg_scanned"] <= n_corpus
+    by_np = {}
+    for r in rows:
+        if r["nprobe"] is not None:
+            by_np.setdefault(r["nprobe"], set()).add(r["avg_scanned"])
+    assert all(len(v) == 1 for v in by_np.values())
     # the re-rank arm's recall never decreases with more probes (its
     # exact refinement ranks a superset shortlist)
     rr = sorted(
