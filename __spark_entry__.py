@@ -74,6 +74,9 @@ from bht_etl_app_spark.operators.corpus import (
 from bht_etl_app_spark.operators.corpus import (
     mixture_epoch_plan_realloc as corpus_mixture_epoch_plan_realloc,
 )
+from bht_etl_app_spark.operators.corpus import (
+    mixture_alpha_frontier as corpus_mixture_alpha_frontier,
+)
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import unigram_tok
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
@@ -4066,15 +4069,17 @@ WITH ex_pairs AS MATERIALIZED (
 """
 
 
-def _mixture_epoch_plan_oracle_sql(budget: int = 200000) -> str:
+def _mixture_epoch_plan_oracle_sql(
+    budget: int = 200000, alpha: float = 0.5
+) -> str:
     """DuckDB replay of mixture_epoch_plan — composed from the
     verified domain_mixture weight fragment; everything past the 6dp
     weight is integer arithmetic (HUGEINT multiply + `//`, mirroring
     the Spark side's DECIMAL(38,0) + integral div) so both engines
     land identical integers at ANY long budget. Extracted into a
-    builder in r11 so the realloc key can embed the base plan
-    VERBATIM; the default-budget text is byte-identical to the r10
-    literal."""
+    builder in r11 so the realloc and alpha-frontier keys can embed
+    the base plan VERBATIM; the default-parameter text is
+    byte-identical to the r10 literal."""
     return f"""
 WITH per AS (
   SELECT source AS domain, count(*) AS n_docs,
@@ -4084,8 +4089,8 @@ WITH per AS (
 ),
 w AS (
   SELECT domain, n_tokens,
-         round_even(power(CAST(n_tokens AS DOUBLE), 0.5)
-                    / (SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.5)) FROM per), 6)
+         round_even(power(CAST(n_tokens AS DOUBLE), {alpha})
+                    / (SELECT sum(power(CAST(n_tokens AS DOUBLE), {alpha})) FROM per), 6)
            AS weight
   FROM per
 ),
@@ -4111,6 +4116,36 @@ SELECT domain, n_tokens, weight, target_tokens, epochs, realized_tokens,
        CAST(target_tokens - realized_tokens AS BIGINT) AS shortfall_tokens
 FROM r
 """
+
+
+def _mixture_alpha_frontier_oracle_sql(
+    budget: int = 100_000,
+    alphas: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+) -> str:
+    """DuckDB replay of mixture_alpha_frontier: per temperature, the
+    verified base-plan statement embedded VERBATIM, folded to one row
+    — weight entropy summed in domain-sorted order (list_sum over an
+    ORDER BY list, the recall_vs_exact rule) so the float fold is
+    bit-stable, everything else integer sums / 6dp maxima."""
+    arms = []
+    for a in alphas:
+        arms.append(f"""SELECT CAST({float(a)} AS DOUBLE) AS alpha,
+       CAST(count(*) AS BIGINT) AS n_domains,
+       round_even(-list_sum(list(wlnw ORDER BY domain)), 6)
+         AS weight_entropy,
+       round_even(max(weight), 6) AS max_weight,
+       CAST(sum(target_tokens) AS BIGINT) AS total_target,
+       CAST(sum(realized_tokens) AS BIGINT) AS total_realized,
+       CAST(sum(shortfall_tokens) AS BIGINT) AS total_shortfall,
+       round_even(max(repeated_frac), 6) AS max_repeated_frac
+FROM (
+  SELECT *, CASE WHEN weight > 0 THEN weight * ln(weight)
+                 ELSE 0.0 END AS wlnw
+  FROM (
+{_mixture_epoch_plan_oracle_sql(budget, alpha=a)}
+  )
+)""")
+    return "\nUNION ALL\n".join(arms)
 
 
 def _mixture_epoch_plan_realloc_oracle_sql(
@@ -5224,6 +5259,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 alpha=0.5,
             )
         ),
+        # r11 addendum: the temperature dial in one table — per alpha
+        # the verified plan fragment folded to entropy / skew /
+        # repetition-exposure / shortfall readings at the same mixed
+        # capped/uncapped budget as the realloc key
+        "mixture_alpha_frontier": lambda s, d: (
+            corpus_mixture_alpha_frontier(
+                load_table(s, d, "documents"), token_budget=100_000
+            )
+        ),
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
             load_table(s, d, "documents")
         ),
@@ -6108,7 +6152,9 @@ _REVERIFY = {
     "doc_lang_id": 10,
     "doc_scrubbed": 10,
     "doc_repetition": 10,
-    "doc_char_entropy": 10,
+    # ("doc_char_entropy" was front-loaded here until the post-close
+    # mixture_alpha_frontier key took its window slot — 4 new keys +
+    # 7 semantic restamps + 39 churn front-loads = 50)
     "pack_sequences_harmonic": 10,
     "packing_compare_stats": 10,
     "packing_compare_stats_256": 10,
@@ -6850,6 +6896,9 @@ FROM per
         # the base plan embedded verbatim, then exact integer
         # water-filling (the planner loop's fixed point — r11)
         "mixture_epoch_plan_realloc": _mixture_epoch_plan_realloc_oracle_sql(
+            budget=100_000
+        ),
+        "mixture_alpha_frontier": _mixture_alpha_frontier_oracle_sql(
             budget=100_000
         ),
         "doc_filter_decisions": """

@@ -315,6 +315,7 @@ EXCLUDED = {
         "freq_orderpriority", "grouping_sets_order_stats",
         "high_value_customers", "kmeans_cluster_sizes",
         "latest_event_per_user", "monthly_order_stats",
+        "mixture_alpha_frontier",
         "mixture_epoch_plan",
         "mixture_epoch_plan_realloc",
         "moving_avg_revenue", "multidim_level_pct", "near_dup_clusters",

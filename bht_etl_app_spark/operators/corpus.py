@@ -908,6 +908,72 @@ def mixture_epoch_plan_realloc(
     )
 
 
+def mixture_alpha_frontier(
+    df: DataFrame,
+    token_budget: int,
+    alphas: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The mixture TEMPERATURE dial in one table — the family's twin
+    of the banding/ANN frontiers: one row per alpha, each composing
+    the verified :func:`mixture_epoch_plan` fragment verbatim at that
+    temperature. Output: ``(alpha, n_domains, weight_entropy,
+    max_weight, total_target, total_realized, total_shortfall,
+    max_repeated_frac)``.
+
+    What the rows say: alpha -> 1 follows the natural data
+    distribution (low entropy if sources are skewed, minimal
+    repetition); alpha -> 0 flattens the mixture (entropy climbs
+    toward ln(n_domains)) at the price of asking small domains for
+    more than they hold — ``max_repeated_frac`` is the
+    Muennighoff-decay exposure and ``total_shortfall`` the budget the
+    epoch cap strands. A user picks the temperature off this table
+    instead of folklore.
+
+    ``weight_entropy`` is the Shannon entropy of the 6dp mixture
+    weights in nats, folded in domain-sorted order (the
+    recall_vs_exact rule) so the float sum is bit-stable across
+    engines and partitionings. Every frame is |domains|-row past the
+    verified weights."""
+    from functools import reduce
+
+    rows = []
+    for a in alphas:
+        plan = mixture_epoch_plan(
+            df, token_budget, float(a), max_epochs, domain_col, text_col
+        )
+        wlnw = F.when(
+            F.col("weight") > 0, F.col("weight") * F.log(F.col("weight"))
+        ).otherwise(F.lit(0.0))
+        base = plan.select(
+            "domain", "weight", "target_tokens", "realized_tokens",
+            "shortfall_tokens", "repeated_frac", wlnw.alias("__wlnw__"),
+        )
+        ent = -F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "__wlnw__"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__wlnw__"],
+        )
+        rows.append(
+            base.agg(
+                F.count(F.lit(1)).cast("long").alias("n_domains"),
+                F.bround(ent, 6).alias("weight_entropy"),
+                F.bround(F.max("weight"), 6).alias("max_weight"),
+                F.sum("target_tokens").cast("long").alias("total_target"),
+                F.sum("realized_tokens").cast("long").alias("total_realized"),
+                F.sum("shortfall_tokens").cast("long").alias(
+                    "total_shortfall"
+                ),
+                F.bround(F.max("repeated_frac"), 6).alias(
+                    "max_repeated_frac"
+                ),
+            ).select(F.lit(float(a)).alias("alpha"), "*")
+        )
+    return reduce(lambda x, y: x.unionByName(y), rows)
+
+
 def domain_token_sketches(
     df: DataFrame,
     domain_col: str = "source",

@@ -1098,3 +1098,42 @@ def test_curated_redact_oracle_default_text_unchanged():
     )
     assert redact_sql("text", PII_REDACT_CLASSES) in pii
     assert m._SEED_PII_SQL in pii and "<CC>" in pii and "<SSN>" in pii
+
+
+def test_mixture_alpha_frontier_dial_monotonicity(spark):
+    """The temperature table's structural facts on a skewed corpus:
+    lower alpha flattens the mixture (entropy non-increasing in
+    alpha, max weight non-decreasing) and asks small domains for more
+    than they hold (max repeated-frac exposure non-increasing in
+    alpha); n_domains constant; alpha=1 reproduces the natural
+    distribution's entropy."""
+    import math
+
+    from bht_etl_app_spark.operators.corpus import mixture_alpha_frontier
+
+    rows = [
+        (0, "t " * 160, "big"),
+        (1, "t " * 10, "small"),
+        (2, "t " * 40, "mid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (r.asDict() for r in
+         mixture_alpha_frontier(df, token_budget=620).collect()),
+        key=lambda r: r["alpha"],
+    )
+    assert [r["alpha"] for r in got] == [0.25, 0.5, 0.75, 1.0]
+    assert all(r["n_domains"] == 3 for r in got)
+    ents = [r["weight_entropy"] for r in got]
+    assert ents == sorted(ents, reverse=True), ents  # flatter at low alpha
+    maxw = [r["max_weight"] for r in got]
+    assert maxw == sorted(maxw), maxw
+    reps = [r["max_repeated_frac"] for r in got]
+    assert reps == sorted(reps, reverse=True), reps
+    # alpha=1: entropy of the 6dp natural weights
+    n = {"big": 160, "small": 10, "mid": 40}
+    tot = sum(n.values())
+    w6 = [round(v / tot, 6) for v in n.values()]
+    want = round(-sum(w * math.log(w) for _, w in
+                      sorted(zip(["big", "small", "mid"], w6))), 6)
+    assert abs(got[-1]["weight_entropy"] - want) < 2e-6

@@ -164,6 +164,9 @@ NESTED_LOOP_OK = {
                              # (weight/capacity totals, capped sums,
                              # placed dust) — every frame past the
                              # weights is |domains|-row
+    "mixture_alpha_frontier",  # one inherited 1-row normalizer
+                             # broadcast per temperature arm (the
+                             # mixture_epoch_plan shape x |alphas|)
     "near_dup_banding_frontier",  # per-arm 1-row x 1-row report
                              # assembly crossJoin (the pair fold x
                              # the candidate count — the
