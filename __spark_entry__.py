@@ -4156,8 +4156,10 @@ def _mixture_epoch_plan_realloc_oracle_sql(
     then exact integer water-filling — ratio-ordered prefix sums, the
     integer cross-product capacity-bound test, HUGEINT-proportional
     allocation of the remainder, and the flooring dust (+1 to the
-    first `dust` un-capped domains in domain order). Mirrors the
-    Spark side's DECIMAL(38,0)/div arithmetic step for step."""
+    first `dust` un-capped POSITIVE-weight domains in domain order).
+    Zero-ppm rows are never capped, never dusted, and excluded from
+    the fillable pool (ADVICE r11). Mirrors the Spark side's
+    DECIMAL(38,0)/div arithmetic step for step."""
     me = int(max_epochs)
     return f"""
 WITH base AS (
@@ -4168,7 +4170,9 @@ b AS (
          CAST(n_tokens * {me} AS BIGINT) AS capacity_tokens
   FROM base
 ),
-t AS (SELECT sum(wppm) AS wtot, sum(capacity_tokens) AS captot FROM b),
+t AS (SELECT sum(wppm) AS wtot,
+             coalesce(sum(CASE WHEN wppm > 0 THEN capacity_tokens END), 0)
+               AS captot FROM b),
 o AS (
   SELECT b.*, t.wtot,
          CAST(least({int(budget)}, t.captot) AS BIGINT) AS a,
@@ -4187,7 +4191,7 @@ c AS (
 ),
 k AS (
   SELECT *,
-    (CAST(capacity_tokens AS HUGEINT) * (wtot - cumw))
+    wppm > 0 AND (CAST(capacity_tokens AS HUGEINT) * (wtot - cumw))
       <= (CAST(a AS HUGEINT) - cumcap) * wppm AS capped
   FROM c
 ),
@@ -4203,7 +4207,7 @@ al AS (
          WHEN k.wtot - s.wsum = 0 THEN 0
          ELSE CAST((CAST(k.a - s.capsum AS HUGEINT) * wppm)
                    // (k.wtot - s.wsum) AS BIGINT) END AS alloc0,
-    row_number() OVER (PARTITION BY capped ORDER BY domain) AS rn
+    row_number() OVER (PARTITION BY capped, zw ORDER BY domain) AS rn
   FROM k, s
 ),
 d AS (
@@ -4212,7 +4216,7 @@ d AS (
 ),
 fin AS (
   SELECT al.*,
-    CAST(alloc0 + CASE WHEN NOT capped AND wu > 0
+    CAST(alloc0 + CASE WHEN NOT capped AND wppm > 0 AND wu > 0
                         AND rn <= (rr - d.placed) THEN 1 ELSE 0 END
          AS BIGINT) AS final_tokens
   FROM al, d
@@ -6164,6 +6168,15 @@ _REVERIFY = {
     "ann_recall_report_ivf_rpq": 10,
     "ann_recall_report_pq_rerank": 10,
     "ann_recall_report_truncated_dim": 10,
+    # r12 ADVICE fixes (semantic restamps): the realloc water fill
+    # gained the 0-ppm guard (zero-weight domains allocate 0; the
+    # fillable pool clamps to positive-weight capacity — fixture
+    # values unchanged, arithmetic changed), and CC_PATTERN grew the
+    # Amex 4-6-5 grouped alternative (both redact keys embed it via
+    # redact_sql).
+    "mixture_epoch_plan_realloc": 11,
+    "doc_scrubbed_pii": 11,
+    "curated_verdicts_redact_pii": 11,
 }
 
 

@@ -754,8 +754,15 @@ def mixture_epoch_plan_realloc(
       domain can supply under the epoch cap;
     - ``final_tokens``: the water-filled allocation. Invariant (the
       point of the operator): ``sum(final_tokens) = min(budget,
-      sum(capacity_tokens))`` EXACTLY, and no domain below its
-      capacity holds residual shortfall;
+      sum(capacity_tokens where weight > 0))`` EXACTLY, and no
+      positive-weight domain below its capacity holds residual
+      shortfall. A domain whose 6dp weight rounds to 0 ppm (alpha=1
+      skew past ~2e6:1 — the trillion-token regime) is allocated 0:
+      the mixture asked nothing of it, so the fill must not dump the
+      residual budget into it (ADVICE r11 — the un-guarded capped
+      test degenerated to ``0 <= 0`` for such rows and handed them
+      FULL capacity, driving uncapped domains negative when the
+      budget sat below the zero-weight capacities);
     - ``final_epochs``, ``final_repeated_frac``: the base plan's
       epoch/repeat readings at the final allocation;
     - ``extra_tokens``: ``final - realized`` (the reallocated mass;
@@ -768,9 +775,11 @@ def mixture_epoch_plan_realloc(
     Arithmetic is the base plan's integer discipline end-to-end:
     DECIMAL(38,0) products, integral ``div``, and the flooring dust
     (< one token per un-capped domain) is placed deterministically —
-    +1 to the first ``dust`` un-capped domains in domain order, each
-    of which has >= 1 token of headroom by the strict-inequality
-    definition of un-capped. Every frame past the verified weights is
+    +1 to the first ``dust`` un-capped POSITIVE-WEIGHT domains in
+    domain order, each of which has >= 1 token of headroom by the
+    strict-inequality definition of un-capped (zero-weight rows sit
+    in their own row_number partition so they never shift the dust
+    window). Every frame past the verified weights is
     |domains|-row (the windows below are report-sized by
     construction, same class as the packer's offset table)."""
     base = mixture_epoch_plan(
@@ -783,9 +792,17 @@ def mixture_epoch_plan_realloc(
         "capacity_tokens",
         (F.col("n_tokens") * F.lit(int(max_epochs))).cast("long"),
     )
+    # the fillable pool is the POSITIVE-weight capacity only: a 0-ppm
+    # domain is never allocated, so its capacity must not inflate the
+    # water level's budget clamp (ADVICE r11)
     tot = b.agg(
         F.sum("__wppm__").alias("__wtot__"),
-        F.sum("capacity_tokens").alias("__captot__"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__wppm__") > 0, F.col("capacity_tokens"))
+            ),
+            F.lit(0),
+        ).alias("__captot__"),
     )
     o = (
         b.crossJoin(F.broadcast(tot))
@@ -820,9 +837,13 @@ def mixture_epoch_plan_realloc(
     # capacity-bound iff cap_i / w_i <= water level of the prefix —
     # compared as exact integer cross-products (prefix consistency is
     # the standard water-filling monotonicity argument)
+    # a 0-ppm row must never test capped: both cross-products are 0
+    # there (it sorts last, so cumw == wtot) and the un-guarded `<=`
+    # would hand it FULL capacity (ADVICE r11)
     k = c.withColumn(
         "__capped__",
-        F.expr(
+        (F.col("__wppm__") > 0)
+        & F.expr(
             "CAST(capacity_tokens AS DECIMAL(38,0))"
             " * CAST(__wtot__ - __cumw__ AS DECIMAL(38,0))"
             " <= CAST(__a__ - __cumcap__ AS DECIMAL(38,0))"
@@ -857,7 +878,7 @@ def mixture_epoch_plan_realloc(
         .withColumn(
             "__rn__",
             F.row_number().over(
-                Window.partitionBy("__capped__").orderBy("domain")
+                Window.partitionBy("__capped__", "__zw__").orderBy("domain")
             ),
         )
     )
@@ -872,6 +893,7 @@ def mixture_epoch_plan_realloc(
             F.col("__alloc0__")
             + F.when(
                 ~F.col("__capped__")
+                & (F.col("__wppm__") > 0)
                 & (F.col("__wu__") > 0)
                 & (F.col("__rn__") <= F.col("__rr__") - F.col("__placed__")),
                 F.lit(1),

@@ -519,9 +519,15 @@ def minhash_lsh_pairs(
     candidate generation is linear-ish rather than quadratic.
 
     ``banded``: a precomputed (id, band, bh) frame (ADVICE r10 — the
-    banding frontier persists one per arm); when given, the caller
-    owns its lifecycle and ``num_hashes``/``bands``/``hash_fn`` are
-    ignored for candidate generation.
+    shape an incremental pipeline's persisted band store probes
+    with); when given, the caller owns its lifecycle and
+    ``num_hashes``/``bands``/``hash_fn`` are ignored for candidate
+    generation. CONTRACT (ADVICE r11): the supplied frame must have
+    been banded over signatures built with the SAME shingle ``n``
+    passed here — the exact-Jaccard verify stage re-shingles ``df``
+    at ``n``, so a mismatched banding silently yields an
+    inconsistent candidate/verify pipeline. Pinned by
+    ``test_minhash_lsh_pairs_precomputed_banded``.
     """
     from pyspark import StorageLevel
 

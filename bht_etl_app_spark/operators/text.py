@@ -489,11 +489,18 @@ IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # redact FIRST so the classes can't race
 PHONE_PATTERN = r"(?:\+\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}"
 # credit-card shapes (r11 — VERDICT r10 #5): the 4x4 grouped form
-# (space or dash separated) or a SOLID 15-16 digit run (Amex/Visa
-# lengths); 13-14-digit solid runs are excluded on purpose — they
-# collide with plain numeric ids far more often than they catch real
-# PANs. \b anchors are ASCII word boundaries in both engines.
-CC_PATTERN = r"\b(?:\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}|\d{15,16})\b"
+# (space or dash separated), the Amex 4-6-5 grouped print format
+# (ADVICE r11 — '3714 496353 98431' previously escaped; listed
+# before the phone class so its 4-digit head can't be half-eaten),
+# or a SOLID 15-16 digit run (Amex/Visa lengths); 13-14-digit solid
+# runs are excluded on purpose — they collide with plain numeric ids
+# far more often than they catch real PANs. \b anchors are ASCII
+# word boundaries in both engines.
+CC_PATTERN = (
+    r"\b(?:\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}"
+    r"|\d{4}[ -]\d{6}[ -]\d{5}"
+    r"|\d{15,16})\b"
+)
 # national-ID (SSN-style) 3-2-4 with REQUIRED dashes — the
 # separator-required discipline of the phone pattern: a plain
 # 9-digit run never matches

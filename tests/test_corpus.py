@@ -987,19 +987,21 @@ def _waterfill_reference(doms, budget, max_epochs=4):
         rows.append((wppm == 0, (cap / wppm) if wppm else 0.0, dom, wppm, cap))
     rows.sort(key=lambda r: (r[0], r[1], r[2]))
     wtot = sum(r[3] for r in rows)
-    captot = sum(r[4] for r in rows)
+    # fillable pool = positive-weight capacity only (ADVICE r11):
+    # a 0-ppm domain is never allocated
+    captot = sum(r[4] for r in rows if r[3] > 0)
     a = min(budget, captot)
     cumcap = cumw = 0
     capped = {}
     for zw, _, dom, wppm, cap in rows:
-        capped[dom] = cap * (wtot - cumw) <= (a - cumcap) * wppm
+        capped[dom] = wppm > 0 and cap * (wtot - cumw) <= (a - cumcap) * wppm
         cumcap += cap
         cumw += wppm
     capsum = sum(r[4] for r in rows if capped[r[2]])
     wsum = sum(r[3] for r in rows if capped[r[2]])
     rr, wu = a - capsum, wtot - wsum
     out = {}
-    uncapped = sorted(r[2] for r in rows if not capped[r[2]])
+    uncapped = sorted(r[2] for r in rows if not capped[r[2]] and r[3] > 0)
     for zw, _, dom, wppm, cap in rows:
         out[dom] = cap if capped[dom] else (rr * wppm // wu if wu else 0)
     dust = rr - sum(out[d] for d in uncapped)
@@ -1064,6 +1066,45 @@ def test_mixture_epoch_plan_realloc_waterfill_invariants(spark):
         + got620["c_mid"]["shortfall_tokens"]
     )
     assert one_round == 378  # < 380: one round is not the fixed point
+
+
+def test_mixture_realloc_zero_ppm_weight_domain(spark):
+    """ADVICE r11 (medium): a domain whose 6dp weight rounds to 0 ppm
+    (alpha=1 skew past ~2e6:1) must be allocated 0 — the un-guarded
+    capped test degenerated to ``0 <= 0`` and handed it FULL capacity,
+    driving uncapped domains NEGATIVE when the budget sat below the
+    zero-weight capacities. Pins: final_tokens == 0 for the 0-ppm
+    domain, every allocation in [0, capacity], and
+    sum(final) == min(budget, positive-weight capacity) — at a budget
+    BELOW the zero-weight capacity (the negative-__rr__ trigger) and
+    at a comfortable one."""
+    from bht_etl_app_spark.operators.corpus import mixture_epoch_plan_realloc
+
+    # big: 2,100,000 tokens over 21 docs; tiny: 1 token ->
+    # weight = 1/2100001 ~ 4.76e-7 -> bround 6dp -> 0.0 -> wppm 0
+    rows = [(i, "t " * 100_000, "big") for i in range(21)]
+    rows.append((21, "t", "tiny"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    for budget in (2, 100, 10_000_000):
+        got = {
+            r["domain"]: r.asDict()
+            for r in mixture_epoch_plan_realloc(
+                df, token_budget=budget, alpha=1.0
+            ).collect()
+        }
+        assert got["tiny"]["weight"] == 0.0
+        assert got["tiny"]["final_tokens"] == 0, budget
+        assert got["tiny"]["capacity_tokens"] == 4
+        for r in got.values():
+            assert 0 <= r["final_tokens"] <= r["capacity_tokens"], budget
+        pos_cap = got["big"]["capacity_tokens"]
+        assert sum(r["final_tokens"] for r in got.values()) == min(
+            budget, pos_cap
+        ), budget
+    # budget 2 < tiny's capacity 4: the old code allocated tiny all 4
+    # and pushed big to -2
 
 
 def test_mixture_epoch_plan_rejects_bad_params(spark):

@@ -69,6 +69,37 @@ def test_minhash_lsh_recovers_near_dups(docs):
     assert got[(0, 1)] == 1.0
 
 
+def test_minhash_lsh_pairs_precomputed_banded(docs):
+    """ADVICE r11: the ``banded`` seam (the incremental band-store
+    probe shape) must yield EXACTLY the owns-banded path's pairs when
+    the supplied frame was banded at the same shingle ``n`` — and the
+    caller-owned frame must still be usable afterwards (the operator
+    must not unpersist what it doesn't own)."""
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.operators.dedup import minhash_bands
+
+    banded = minhash_bands(docs, n=3, num_hashes=16, bands=4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        via_seam = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                docs, n=3, threshold=0.5, banded=banded
+            ).collect()
+        }
+        owned = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        assert via_seam == owned and (0, 1) in via_seam
+        # caller-owned frame survives the call
+        assert banded.count() > 0
+    finally:
+        banded.unpersist()
+
+
 def test_minhash_signature_deterministic(docs):
     a = minhash_signatures(docs).orderBy("doc_id").collect()
     b = minhash_signatures(docs).orderBy("doc_id").collect()

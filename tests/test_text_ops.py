@@ -743,6 +743,9 @@ def test_scrub_text_pii_cc_ssn_classes(spark):
         (2, "amex 371449635398431 visa 4111111111111111 id 1234567890123"),
         (3, "ssn 123-45-6789 plain 123456789 stays"),
         (4, "mixed 4111 1111 1111 1111 call (555) 987-6543 ssn 987-65-4321"),
+        # ADVICE r11: the Amex 4-6-5 grouped print format must redact
+        # (it previously escaped — only solid 15-digit runs matched)
+        (5, "amex print 3714 496353 98431 or 3714-496353-98431 ok"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in scrub_text_pii(docs).collect()}
@@ -750,6 +753,8 @@ def test_scrub_text_pii_cc_ssn_classes(spark):
     assert got[1]["n_ccs"] == 2
     assert got[2]["clean_text"] == "amex <CC> visa <CC> id 1234567890123"
     assert got[2]["n_ccs"] == 2
+    assert got[5]["clean_text"] == "amex print <CC> or <CC> ok"
+    assert got[5]["n_ccs"] == 2 and got[5]["n_phones"] == 0
     assert got[3]["clean_text"] == "ssn <SSN> plain 123456789 stays"
     assert got[3]["n_ssns"] == 1 and got[3]["n_ccs"] == 0
     assert got[4]["clean_text"] == "mixed <CC> call <PHONE> ssn <SSN>"
