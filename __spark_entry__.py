@@ -77,6 +77,9 @@ from bht_etl_app_spark.operators.corpus import (
 from bht_etl_app_spark.operators.corpus import (
     mixture_alpha_frontier as corpus_mixture_alpha_frontier,
 )
+from bht_etl_app_spark.operators.corpus import (
+    mixture_plan_realize as corpus_mixture_plan_realize,
+)
 from bht_etl_app_spark.operators import bpe as bpe_ops
 from bht_etl_app_spark.operators import unigram_tok
 from bht_etl_app_spark.operators import ngram_lm as _kn_mod
@@ -4236,6 +4239,48 @@ FROM fin
 """
 
 
+def _mixture_plan_realize_oracle_sql(
+    budget: int = 100_000, max_epochs: int = 4
+) -> str:
+    """DuckDB replay of mixture_plan_realize: the ENTIRE verified
+    realloc statement wrapped as the ``plan`` CTE, then the per-doc
+    repeat split — ``final = full * n_tokens + rem`` via integer
+    ``//`` and ``%`` (non-negative operands, so Spark's DIV agrees),
+    and the partial epoch decided by md5-ordered EXCLUSIVE prefix
+    token sums per domain (the first doc whose exclusive prefix
+    crosses ``rem`` is included — fill within one document). The
+    oracle's plain per-domain window sum equals the Spark side's
+    two-phase bucket-offset cumsum because the md5-prefix buckets
+    are order-preserving."""
+    return f"""
+WITH plan AS MATERIALIZED (
+{_mixture_epoch_plan_realloc_oracle_sql(budget, max_epochs)}
+),
+dreal AS (
+  SELECT doc_id, source AS domain,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS doc_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+cumr AS (
+  SELECT doc_id, domain, doc_tokens,
+         coalesce(sum(doc_tokens) OVER (
+           PARTITION BY domain ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM dreal
+)
+SELECT doc_id, domain, doc_tokens, repeats FROM (
+  SELECT c.doc_id, c.domain, CAST(c.doc_tokens AS BIGINT) AS doc_tokens,
+         CAST((p.final_tokens // p.n_tokens)
+              + CASE WHEN c.cum_prev < (p.final_tokens % p.n_tokens)
+                     THEN 1 ELSE 0 END AS BIGINT) AS repeats
+  FROM cumr c JOIN plan p ON c.domain = p.domain
+) WHERE repeats > 0
+"""
+
+
 def _simhash_near_dup_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB mirror of the banded SimHash hamming join (promoted
     from rows-only in r4): same 16-bit band keys off the shared
@@ -5270,6 +5315,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_alpha_frontier": lambda s, d: (
             corpus_mixture_alpha_frontier(
                 load_table(s, d, "documents"), token_budget=100_000
+            )
+        ),
+        # r12 (VERDICT r11 #1): the accepted water-filled plan turned
+        # into the per-document training list — full-epoch repeats
+        # plus a deterministic md5-ordered partial-epoch prefix per
+        # domain, filled to final_tokens within one document. Same
+        # mixed capped/uncapped budget as the realloc key so both
+        # the DIV/% epoch split and the partial prefix are exercised.
+        "mixture_plan_realize": lambda s, d: (
+            corpus_mixture_plan_realize(
+                load_table(s, d, "documents"), token_budget=100_000,
+                alpha=0.5,
             )
         ),
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
@@ -6912,6 +6969,14 @@ FROM per
             budget=100_000
         ),
         "mixture_alpha_frontier": _mixture_alpha_frontier_oracle_sql(
+            budget=100_000
+        ),
+        # the ENTIRE verified realloc statement wrapped as the plan
+        # CTE (strongest fragment-reuse form), then the per-doc
+        # repeat split: final = full*n + rem via integer // and %,
+        # md5-ordered exclusive prefix sums deciding the partial
+        # epoch (r12)
+        "mixture_plan_realize": _mixture_plan_realize_oracle_sql(
             budget=100_000
         ),
         "doc_filter_decisions": """

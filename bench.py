@@ -87,6 +87,10 @@ HEADLINE = [
     "doc_script_mix",
     "domain_heavy_hitters",
     "mixture_sample_docs",
+    # r12: the realized training list (corpus scan + two-phase
+    # per-domain prefix sums + broadcast plan join — a distinct
+    # kernel from the |domains|-row plan keys)
+    "mixture_plan_realize",
     "lang_token_fertility",
     "source_dedup_rates",
     # r5 additions: xxhash64 production twins of the md5 oracle family,

@@ -132,6 +132,17 @@ def main() -> None:
     mix = domain_mixture_weights(docs, alpha=0.7).orderBy(F.desc("weight"))
     mix.show(5, truncate=False)
 
+    # r12: realize a data-constrained epoch plan into the per-doc
+    # training list — the water-filled budget split becomes actual
+    # repeat counts (full epochs + an md5-ordered partial prefix)
+    from bht_etl_app_spark.operators.corpus import mixture_plan_realize
+
+    realized = mixture_plan_realize(docs, token_budget=50_000, alpha=0.7)
+    realized.groupBy("domain").agg(
+        F.sum(F.col("doc_tokens") * F.col("repeats")).alias("train_tokens"),
+        F.max("repeats").alias("max_repeats"),
+    ).orderBy("domain").show(truncate=False)
+
     # span-level boilerplate report feeding the curation loop
     spans = dedup_spans(docs, max_tokens=8)
     hot = spans.where(F.col("n_copies") >= 3)

@@ -1107,6 +1107,86 @@ def test_mixture_realloc_zero_ppm_weight_domain(spark):
     # and pushed big to -2
 
 
+def test_mixture_plan_realize_reconciles_with_realloc(spark):
+    """VERDICT r11 #1 pins: the realized per-doc training list
+    reconciles with the verified water-filled plan — per domain,
+    ``final_tokens <= sum(doc_tokens * repeats) < final_tokens +
+    max(doc_tokens)`` (equality when the partial remainder is 0),
+    every doc repeats at most ``final_epochs`` times and at least
+    ``full = final DIV n_tokens`` times, and a capacity-bound domain
+    realizes EXACTLY its capacity (every doc at max_epochs)."""
+    import collections
+
+    from bht_etl_app_spark.operators.corpus import (
+        mixture_epoch_plan_realloc,
+        mixture_plan_realize,
+    )
+
+    rows = [
+        (0, "t " * 100, "a"), (1, "t " * 10, "a"), (5, "t " * 40, "a"),
+        (2, "t " * 50, "b"), (3, "t " * 30, "b"),
+        (4, "t " * 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ntok = {0: 100, 1: 10, 5: 40, 2: 50, 3: 30, 4: 5}
+    for budget in (100, 300, 10_000):
+        plan = {
+            r["domain"]: r.asDict()
+            for r in mixture_epoch_plan_realloc(
+                df, token_budget=budget, alpha=0.5
+            ).collect()
+        }
+        real = mixture_plan_realize(df, token_budget=budget, alpha=0.5).collect()
+        per_tok = collections.defaultdict(int)
+        max_doc = collections.defaultdict(int)
+        for r in real:
+            assert r["doc_tokens"] == ntok[r["doc_id"]]
+            p = plan[r["domain"]]
+            full = p["final_tokens"] // p["n_tokens"]
+            assert full <= r["repeats"] <= full + 1 <= p["final_epochs"] + 1
+            assert r["repeats"] <= p["final_epochs"]
+            per_tok[r["domain"]] += r["doc_tokens"] * r["repeats"]
+            max_doc[r["domain"]] = max(max_doc[r["domain"]], r["doc_tokens"])
+        for dom, p in plan.items():
+            realized = per_tok[dom]
+            rem = p["final_tokens"] % p["n_tokens"]
+            if rem == 0:
+                assert realized == p["final_tokens"], (dom, budget)
+            else:
+                assert (
+                    p["final_tokens"]
+                    <= realized
+                    < p["final_tokens"] + max_doc[dom]
+                ), (dom, budget)
+            if p["final_tokens"] == p["capacity_tokens"]:
+                assert realized == p["capacity_tokens"]
+    # num_buckets bounds are validated
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_plan_realize(df, 100, num_buckets=0)
+
+
+def test_mixture_plan_realize_bucket_invariance(spark):
+    """The two-phase bucket-offset prefix sum must be a pure
+    implementation detail: any bucket count yields the identical
+    realized list (the md5 global order decides membership, not the
+    bucketing)."""
+    from bht_etl_app_spark.operators.corpus import mixture_plan_realize
+
+    rows = [(i, "t " * (5 + 7 * (i % 11)), f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = sorted(
+        (r["doc_id"], r["repeats"])
+        for r in mixture_plan_realize(df, 2_000, num_buckets=64).collect()
+    )
+    for nb in (1, 7, 256):
+        got = sorted(
+            (r["doc_id"], r["repeats"])
+            for r in mixture_plan_realize(df, 2_000, num_buckets=nb).collect()
+        )
+        assert got == base, nb
+
+
 def test_mixture_epoch_plan_rejects_bad_params(spark):
     from bht_etl_app_spark.operators.corpus import mixture_epoch_plan
 

@@ -167,6 +167,10 @@ NESTED_LOOP_OK = {
     "mixture_alpha_frontier",  # one inherited 1-row normalizer
                              # broadcast per temperature arm (the
                              # mixture_epoch_plan shape x |alphas|)
+    "mixture_plan_realize",  # inherits the realloc plan's whitelisted
+                             # 1-row broadcasts; the realize stage
+                             # itself adds only equi-joins (broadcast
+                             # offsets + broadcast |domains|-row plan)
     "near_dup_banding_frontier",  # per-arm 1-row x 1-row report
                              # assembly crossJoin (the pair fold x
                              # the candidate count — the
