@@ -3858,6 +3858,30 @@ FROM c2
 """
 
 
+def _split_leakage_audit_sampled_oracle_sql(
+    test_hex_threshold: str = "cccc",
+) -> str:
+    """Replay of the SAMPLED-SLICE deployment of split_leakage_audit
+    (VERDICT r11 #4 — the bench's #2 query gets the same 100 TB
+    deployment shape near_dup_recall_sampled gave the recall
+    harness): the whole verified audit statement with its corpus
+    relation swapped for the shared deterministic ~50% md5 slice.
+    The statement text is otherwise verbatim, so a hash-match
+    re-proves the pair truth, the recursive components, both split
+    rules, the comparison, AND the sampling predicate."""
+    inner = _split_leakage_audit_oracle_sql(test_hex_threshold).replace(
+        "FROM documents", "FROM docs_sample"
+    )
+    return inner.replace(
+        "WITH RECURSIVE ",
+        "WITH RECURSIVE docs_sample AS MATERIALIZED (\n"
+        "  SELECT * FROM documents\n"
+        "  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'\n"
+        "),\n",
+        1,
+    )
+
+
 def _near_dup_recall_oracle_sql() -> str:
     """Replay of near_dup_recall_report: BOTH verified pair oracles
     wrapped whole as CTEs (the lossless PPJoin truth at t=0.8 and the
@@ -4331,6 +4355,16 @@ _SEED_URLS_SQL = (
     "             WHEN doc_id % 11 = 0 THEN ' contact alice@test.net'\n"
     "             ELSE '' END"
 )
+
+
+def _docs_md5_slice(spark, sf_dir):
+    """The deterministic ~50% documents slice every ``_sampled``
+    audit twin runs on (first md5 hex nibble of the id < '8') — the
+    same portable hash family as the split/sample operators, so the
+    slice is reproducible in both engines and stable across rounds."""
+    return load_table(spark, sf_dir, "documents").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
 
 
 def _q_contamination_attr(spark, sf_dir):
@@ -5140,6 +5174,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ngram_jaccard_pairs(
                 load_table(s, d, "documents"), threshold=0.8, max_shingle_df=64
             ),
+        ),
+        # r12 (VERDICT r11 #4): the audit's 100 TB deployment shape —
+        # the SAME harness over a deterministic ~50% md5 slice (the
+        # near_dup_recall_sampled relation-swap rule: components,
+        # both split rules, and the pair truth all replay on the
+        # slice, so the leak rate is a sampled estimate with the
+        # identical arithmetic)
+        "split_leakage_audit_sampled": lambda s, d: (
+            sampling.split_leakage_audit(
+                _docs_md5_slice(s, d),
+                ngram_jaccard_pairs(
+                    _docs_md5_slice(s, d), threshold=0.8, max_shingle_df=64
+                ),
+            )
         ),
         "leakage_safe_split": lambda s, d: sampling.leakage_safe_split(
             load_table(s, d, "documents"),
@@ -6685,6 +6733,9 @@ FROM agg
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE_SQL,
         "leakage_safe_split": _leakage_safe_split_oracle_sql(),
         "split_leakage_audit": _split_leakage_audit_oracle_sql(),
+        "split_leakage_audit_sampled": (
+            _split_leakage_audit_sampled_oracle_sql()
+        ),
         "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id,

@@ -293,6 +293,11 @@ EXCLUDED = {
     ],
     "twin": [
         "ann_recall_frontier",
+        # r12 placement decision (VERDICT r11 #4): the full audit
+        # stays headline as the kernel carrier; the md5-slice twin
+        # exists for the 100 TB deployment shape and its wall is the
+        # same kernel at half the data
+        "split_leakage_audit_sampled",
         "curated_verdicts_extract",
         "curated_verdicts_redact_pii",
         "near_dup_banding_frontier",

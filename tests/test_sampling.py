@@ -220,6 +220,43 @@ def test_split_leakage_audit_counts(spark):
     assert r["leak_rate_plain"] == 1.0
 
 
+def test_split_leakage_audit_sampled_slice_semantics(spark):
+    """The _sampled contract twin is the SAME audit over a
+    deterministic md5 half-slice — pinned here at the operator level:
+    running the audit on a pre-filtered corpus (with pairs recomputed
+    on the slice) counts only pairs whose BOTH endpoints survive the
+    slice, and the structural safe invariant still holds."""
+    import hashlib
+
+    from bht_etl_app_spark.operators.sampling import split_leakage_audit
+
+    def in_slice(key):
+        return hashlib.md5(str(key).encode()).hexdigest()[:1] < "8"
+
+    # a pair fully inside the slice and a pair with one foot outside
+    ins = [i for i in range(200) if in_slice(i)]
+    outs = [i for i in range(200) if not in_slice(i)]
+    a, b, c = ins[0], ins[1], outs[0]
+    rows = [(a, "w1 w2 w3"), (b, "w1 w2 w3"), (c, "w1 w2 w3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sliced = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    pairs_all = spark.createDataFrame(
+        [(min(a, b), max(a, b)), (min(a, c), max(a, c))],
+        "id_a long, id_b long",
+    )
+    # pairs recomputed on the slice = only the in-slice pair survives
+    sliced_ids = {r["doc_id"] for r in sliced.collect()}
+    assert sliced_ids == {a, b}
+    pairs_sliced = pairs_all.where(
+        F.col("id_a").isin(*sliced_ids) & F.col("id_b").isin(*sliced_ids)
+    )
+    r = split_leakage_audit(sliced, pairs_sliced).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["n_straddling_safe"] == 0
+
+
 def test_packing_bin_stats_hand_case(spark):
     """budget=10, one source, docs of 4/4/4/8 tokens laid end-to-end:
     doc 3 ([8,12)) spans the first boundary (8%10+4 > 10); doc 4
