@@ -86,6 +86,7 @@ from bht_etl_app_spark.operators import ngram_lm as _kn_mod
 from bht_etl_app_spark.operators import substr_dedup as _substr_mod
 from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import clustering as _cluster_mod
+from bht_etl_app_spark.operators import urls as url_ops
 from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import graph as _graph_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
@@ -2070,6 +2071,7 @@ def _q_curated_verdicts(
     spark, sf_dir, lm: bool = False, substr: bool = False,
     redact: bool = False, extract: bool = False,
     redact_classes: tuple[str, ...] | None = None,
+    url: bool = False,
 ):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
@@ -2107,6 +2109,15 @@ def _q_curated_verdicts(
             _seed_urls_expr() if redact_classes is None
             else _seed_pii_expr(),
         )
+    # r12: the URL pre-stage variant — seeded page URLs, blocklist +
+    # canonical dedup BEFORE any text stage (its own fixture, like
+    # extract/redact — combinations are not registered fixtures)
+    if url:
+        if extract or redact:
+            raise ValueError(
+                "url+extract/redact composition is not a registered fixture"
+            )
+        train = train.withColumn("url", _seed_page_url_expr())
     return curate_corpus(
         train,
         ref,
@@ -2118,6 +2129,8 @@ def _q_curated_verdicts(
         redact=redact,
         redact_classes=redact_classes,
         extract_markup=extract,
+        url_col="url" if url else None,
+        url_blocklist=["spam.net", "tracker.io"] if url else None,
     )
 
 
@@ -2125,6 +2138,7 @@ def _curated_verdicts_oracle_sql(
     lm: bool = False, substr: bool = False, redact: bool = False,
     extract: bool = False,
     redact_classes: tuple[str, ...] | None = None,
+    url: bool = False,
 ) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
@@ -2296,8 +2310,43 @@ UNION ALL
            {_SEED_HTML_SQL} AS text
     FROM documents WHERE source <> 'src0'
   )"""
+    # url=True (r12): the VERBATIM uparts chain (the
+    # url_canonical_dedup / domain_blocklist_filter oracle fragment)
+    # over the non-benchmark corpus, blocklist drop then canonical
+    # keep-min, and the text chain consumes only the URL survivors;
+    # the two URL verdict legs append after 'kept'
+    url_ctes, url_legs = "", ""
+    if url:
+        if extract or redact:
+            raise ValueError(
+                "url+extract/redact composition is not a registered fixture"
+            )
+        url_ctes = _url_parts_cte().replace(
+            "FROM documents", "FROM documents WHERE source <> 'src0'", 1
+        ) + """,
+ublock AS MATERIALIZED (
+  SELECT doc_id FROM uparts
+  WHERE registered_domain IN ('spam.net', 'tracker.io')
+),
+ukeep AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM uparts
+  WHERE doc_id NOT IN (SELECT doc_id FROM ublock)
+  GROUP BY coalesce(canonical_url, url)
+),
+"""
+        train_body = (
+            "SELECT d.doc_id, d.text FROM documents d "
+            "JOIN ukeep USING (doc_id) WHERE d.source <> 'src0'"
+        )
+        url_legs = """
+UNION ALL
+SELECT doc_id, 'url_blocked' FROM ublock
+UNION ALL
+SELECT u.doc_id, 'url_dup' FROM uparts u
+  WHERE u.doc_id NOT IN (SELECT doc_id FROM ublock)
+    AND u.doc_id NOT IN (SELECT doc_id FROM ukeep)"""
     return f"""
-WITH RECURSIVE train AS MATERIALIZED (
+WITH RECURSIVE {url_ctes}train AS MATERIALIZED (
   {train_body}
 ),
 t AS MATERIALIZED (
@@ -2431,7 +2480,7 @@ UNION ALL
 {lm_leg}{substr_leg}SELECT doc_id, 'contaminated' FROM hit
 UNION ALL
 SELECT {surv}.doc_id, 'kept' FROM {surv}
-  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit)
+  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit){url_legs}
 """
 
 
@@ -4357,6 +4406,130 @@ _SEED_URLS_SQL = (
 )
 
 
+def _seed_page_url_expr():
+    """Deterministic synthetic page URL per document (r12 — the URL
+    family's fixture: the corpus has no url column, so the keys
+    synthesize one from doc_id, the _seed_urls_expr discipline). The
+    seed deliberately exercises every canonicalization rule: mixed
+    host case, www and multi-label public-suffix hosts, blocklisted
+    domains, default ports on both schemes, tracking and kept query
+    params, fragments — and doc_id pairs congruent mod (5, 17, 4)
+    with both in the queryless class collapse to the SAME canonical
+    URL (e.g. 2 and 87), so the dedup key has real groups.
+    ``_SEED_PAGE_URL_SQL`` is the verbatim DuckDB twin."""
+    d = F.col("doc_id")
+    host = F.element_at(
+        F.array(
+            F.lit("Example.COM"),
+            F.lit("news.example.co.uk"),
+            F.lit("blog.spam.net"),
+            F.lit("www.example.com"),
+            F.lit("CDN.Tracker.IO"),
+        ),
+        (d % 5 + 1).cast("int"),
+    )
+    is_http = d % 13 == 7
+    scheme = F.when(is_http, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(
+        d % 3 == 0,
+        F.when(is_http, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    query = (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 7).cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_campaign=x")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host, port,
+        F.lit("/p/"), (d % 17).cast("string"), query, frag,
+    )
+
+
+_SEED_PAGE_URL_SQL = (
+    "CASE WHEN doc_id % 13 = 7 THEN 'http' ELSE 'https' END || '://'\n"
+    "  || (['Example.COM','news.example.co.uk','blog.spam.net',"
+    "'www.example.com','CDN.Tracker.IO'])[CAST(doc_id % 5 + 1 AS INT)]\n"
+    "  || CASE WHEN doc_id % 3 = 0 THEN"
+    " CASE WHEN doc_id % 13 = 7 THEN ':80' ELSE ':443' END ELSE '' END\n"
+    "  || '/p/' || CAST(doc_id % 17 AS VARCHAR)\n"
+    "  || CASE WHEN doc_id % 4 = 0 THEN"
+    " '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)\n"
+    "          WHEN doc_id % 4 = 1 THEN"
+    " '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'\n"
+    "          ELSE '' END\n"
+    "  || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+def _url_parts_cte() -> str:
+    """WITH-body CTE chain ending at ``uparts(doc_id, url, scheme,
+    host, registered_domain, canonical_url)`` — the DuckDB replay of
+    operators/urls.py over the seeded page URLs, built from the SAME
+    four pattern constants (RE2-compatible by construction; the only
+    dialect difference is DuckDB's explicit 'g' flag on the global
+    replace, which Spark applies implicitly)."""
+    from bht_etl_app_spark.operators.urls import (
+        HOSTPORT_RE,
+        REGISTERED_DOMAIN_RE,
+        REST_RE,
+        SCHEME_RE,
+        TRACKING_PARAM_RE,
+    )
+
+    return f"""useed AS (
+  SELECT doc_id, {_SEED_PAGE_URL_SQL} AS url
+  FROM documents
+),
+uraw AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{SCHEME_RE}', 1)) AS scheme,
+         regexp_extract(regexp_extract(url, '{HOSTPORT_RE}', 1),
+                        '([^@]*)$', 1) AS hp,
+         regexp_extract(url, '{REST_RE}', 1) AS rest
+  FROM useed
+),
+usplit AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(hp, '^([^:]*)', 1)) AS host,
+         regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+         regexp_extract(rest, '^([^?]*)', 1) AS path,
+         regexp_replace(
+           regexp_replace('&' || regexp_extract(rest, '[?](.*)$', 1),
+                          '{TRACKING_PARAM_RE}', '', 'g'),
+           '^&', '') AS q
+  FROM uraw
+),
+udom AS (
+  SELECT *, regexp_replace(host, '^www\\.', '') AS no_www
+  FROM usplit
+),
+uparts AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN regexp_extract(no_www, '{REGISTERED_DOMAIN_RE}', 1) = ''
+              THEN no_www
+              ELSE regexp_extract(no_www, '{REGISTERED_DOMAIN_RE}', 1)
+         END AS registered_domain,
+         CASE WHEN scheme <> '' AND host <> '' THEN
+           scheme || '://' || host
+           || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                   THEN '' ELSE ':' || port END
+           || CASE WHEN path = '/' THEN '' ELSE path END
+           || CASE WHEN q = '' THEN '' ELSE '?' || q END
+         END AS canonical_url
+  FROM udom
+)"""
+
+
 def _docs_md5_slice(spark, sf_dir):
     """The deterministic ~50% documents slice every ``_sampled``
     audit twin runs on (first md5 hex nibble of the id < '8') — the
@@ -5298,6 +5471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "doc_bigram_surprise": lambda s, d: _bigram_scores(s, d),
+        # r12 (VERDICT r11 #3): the URL family — the cheapest, FIRST
+        # crawl-curation stage (CCNet/RefinedWeb/FineWeb run URL
+        # filtering + URL dedup before text ever parses). Seeded page
+        # URLs (_seed_page_url_expr) exercise every canonicalization
+        # rule; doc_id pairs congruent mod (5,17,4) in the queryless
+        # class (e.g. 2 and 87) collapse to one canonical URL, so the
+        # dedup key has real groups.
+        "url_canonical_dedup": lambda s, d: url_ops.url_canonical_dedup(
+            load_table(s, d, "documents").withColumn(
+                "url", _seed_page_url_expr()
+            )
+        ),
+        "domain_blocklist_filter": lambda s, d: (
+            url_ops.domain_blocklist_filter(
+                load_table(s, d, "documents").withColumn(
+                    "url", _seed_page_url_expr()
+                ),
+                ["spam.net", "tracker.io"],
+            )
+        ),
         "doc_scrubbed": _q_scrub,
         # r10: markup/boilerplate extraction (the missing first stage
         # of the web-crawl chain) over the seeded-HTML fixture
@@ -5748,6 +5941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only standalone
         "curated_verdicts_redact_pii": lambda s, d: _q_curated_verdicts(
             s, d, redact=True, redact_classes=_PII_CLASSES
+        ),
+        # r12: the chain with the URL pre-stage composed FIRST
+        # (blocklist drop + canonical-URL keep-min over seeded page
+        # URLs — the crawl chain's cheapest gate proven inside the
+        # composition, not only standalone)
+        "curated_verdicts_url": lambda s, d: _q_curated_verdicts(
+            s, d, url=True
         ),
         "curated_verdicts_full": lambda s, d: _q_curated_verdicts(
             s, d, lm=True, substr=True
@@ -6654,6 +6854,7 @@ LATERAL (
             redact=True, redact_classes=_PII_CLASSES
         ),
         "curated_verdicts_extract": _curated_verdicts_oracle_sql(extract=True),
+        "curated_verdicts_url": _curated_verdicts_oracle_sql(url=True),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True
         ),
@@ -7140,6 +7341,23 @@ SELECT d.doc_id,
          round_even(CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE), 6)
        END AS novelty
 FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+        # r12: URL family — one shared parts CTE (seed + parse +
+        # canonicalize from the SAME four pattern constants), then
+        # the min-id group / blocklist verdict projections
+        "url_canonical_dedup": f"""
+WITH {_url_parts_cte()}
+SELECT min(doc_id) AS doc_id,
+       coalesce(canonical_url, url) AS canonical_url,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM uparts
+GROUP BY coalesce(canonical_url, url)
+""",
+        "domain_blocklist_filter": f"""
+WITH {_url_parts_cte()}
+SELECT doc_id, url, host, registered_domain,
+       registered_domain IN ('spam.net', 'tracker.io') AS blocked
+FROM uparts
 """,
         "doc_scrubbed": _doc_scrubbed_oracle_sql(),
         "doc_extracted_text": _doc_extracted_oracle_sql(),

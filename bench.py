@@ -46,6 +46,9 @@ HEADLINE = [
     # training-data pipeline
     "doc_token_stats",
     "dedup_exact_docs",
+    # r12: URL-level exact dedup (canonical-form groupBy — the
+    # pre-text crawl gate)
+    "url_canonical_dedup",
     "minhash_lsh_pairs",
     "simhash_docs",
     "knn_vec0",
@@ -293,6 +296,9 @@ EXCLUDED = {
     ],
     "twin": [
         "ann_recall_frontier",
+        # r12: composition twin of the headline curated chain (the
+        # URL pre-stage adds per-row regexes + one small groupBy)
+        "curated_verdicts_url",
         # r12 placement decision (VERDICT r11 #4): the full audit
         # stays headline as the kernel carrier; the md5-slice twin
         # exists for the 100 TB deployment shape and its wall is the
@@ -318,6 +324,7 @@ EXCLUDED = {
         "distinct_parts_per_supplier", "doc_bigram_surprise",
         "doc_char_entropy", "doc_fingerprint", "doc_lang_id",
         "doc_pagerank", "doc_quality_scores", "doc_scrubbed",
+        "domain_blocklist_filter",
         "doc_scrubbed_pii",
         "domain_quantile_keep", "embedding_norms", "exact_substr_stats",
         "error_recent_click_counts", "ewma_user_values",

@@ -1504,11 +1504,18 @@ def curate_corpus(
     redact_classes: tuple[str, ...] | None = None,
     extract_markup: bool = False,
     persist_scrubbed: bool = False,
+    url_col: str | None = None,
+    url_blocklist: list[str] | DataFrame | None = None,
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
     an auditable verdict for EVERY input document:
 
+    -2. (``url_col`` given) URL stage — the crawl chain's CHEAPEST
+        and therefore FIRST gate (r12): domain-blocklist drop
+        (``url_blocklist`` given)                → ``url_blocked``
+        then URL-level exact dedup on the canonical form, keep-min
+        per canonical URL                        → ``url_dup``
     -1. (``extract_markup=True``) markup/boilerplate
         extraction (tag strip, entity decode,
         thin-line drop)                          → (no verdict leg)
@@ -1572,6 +1579,48 @@ def curate_corpus(
     )
 
     ids = F.col(id_col)
+    # -2. URL stage (optional, r12 — VERDICT r11 #3): blocklist +
+    # canonical-URL dedup run BEFORE any text parses — per-row regex
+    # projections plus one (canonical_url, id) shuffle; at 100 TB
+    # this prunes the corpus at a fraction of the cost of any text
+    # stage, which is exactly why every crawl chain runs it first.
+    # Both kernels are the standalone operators verbatim (the
+    # url_canonical_dedup / domain_blocklist_filter contract keys),
+    # so the stage and the keys can never diverge.
+    url_drop_legs: list[DataFrame] = []
+    url_cached: list[DataFrame] = []
+    if url_col is not None:
+        from pyspark import StorageLevel as _SL
+
+        from bht_etl_app_spark.operators.urls import (
+            domain_blocklist_filter,
+            url_canonical_dedup,
+        )
+
+        if url_blocklist is not None:
+            blocked_ids = (
+                domain_blocklist_filter(df, url_blocklist, url_col, id_col)
+                .where(F.col("blocked"))
+                .select(id_col)
+                .persist(_SL.MEMORY_AND_DISK)
+            )
+            url_cached.append(blocked_ids)
+            url_drop_legs.append(
+                blocked_ids.select(ids, F.lit("url_blocked").alias("verdict"))
+            )
+            df = df.join(blocked_ids, id_col, "left_anti")
+        url_keep_ids = (
+            url_canonical_dedup(df, url_col, id_col)
+            .select(id_col)
+            .persist(_SL.MEMORY_AND_DISK)
+        )
+        url_cached.append(url_keep_ids)
+        url_drop_legs.append(
+            df.select(id_col)
+            .join(url_keep_ids, id_col, "left_anti")
+            .select(ids, F.lit("url_dup").alias("verdict"))
+        )
+        df = df.join(url_keep_ids, id_col, "left_semi")
     # -1. markup/boilerplate extraction (optional): the FIRST stage
     # of every web-crawl chain (CCNet/RefinedWeb/FineWeb start from
     # HTML) — script/style blocks out, tags stripped, entities
@@ -1742,8 +1791,13 @@ def curate_corpus(
     if scr is not None:
         out = out.unionByName(drop_substr)
     out = out.unionByName(drop_cont).unionByName(kept)
+    for leg in url_drop_legs:
+        out = out.unionByName(leg)
     out = carry(
-        track_persisted(out, qdec, exact_keep, drop_near_ids, dec, *extra_cached),
+        track_persisted(
+            out, qdec, exact_keep, drop_near_ids, dec,
+            *extra_cached, *url_cached,
+        ),
         comp,
     )
     if lm_scores is not None:
