@@ -87,6 +87,7 @@ from bht_etl_app_spark.operators import substr_dedup as _substr_mod
 from bht_etl_app_spark.operators import embstats as _emb_mod
 from bht_etl_app_spark.operators import clustering as _cluster_mod
 from bht_etl_app_spark.operators import urls as url_ops
+from bht_etl_app_spark.operators import corpus as corpus_ops
 from bht_etl_app_spark.operators import profiling as _skew_mod
 from bht_etl_app_spark.operators import graph as _graph_mod
 from bht_etl_app_spark.operators import similarity as _sim_mod
@@ -4530,6 +4531,118 @@ uparts AS (
 )"""
 
 
+def _semantic_bench_split(spark, sf_dir):
+    """The semantic-decontamination fixture (r12 — VERDICT r11 #2):
+    benchmark = every 10th embedding labeled 'bench{vec_id % 3}'
+    (three benchmarks, the contamination_attribution rule); train =
+    the other embeddings PLUS planted near-copies of every 20th
+    vector (id + 100000, each dim shifted +0.001*(dim_index % 3)) —
+    the synthetic fixture's random vectors never exceed cosine ~0.49
+    across rows, so paraphrase-level leakage must be PLANTED for the
+    threshold to have anything to catch (the _seed_urls_expr
+    discipline at the embedding level). ``_SEMANTIC_DECON_CTES`` is
+    the verbatim DuckDB twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.concat(F.lit("bench"), (F.col("vec_id") % 3).cast("string")).alias(
+            "benchmark"
+        ),
+        "embedding",
+    )
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.001) * (i % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    train = (
+        emb.where(F.col("vec_id") % 10 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    return train, bench
+
+
+_SEMANTIC_DECON_CTES = """se AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sbe AS (
+  SELECT vec_id AS bench_id,
+         'bench' || CAST(vec_id % 3 AS VARCHAR) AS benchmark, v
+  FROM se WHERE vec_id % 10 = 0
+),
+splant AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] + 0.001 * CAST((i - 1) % 3 AS DOUBLE)) AS v
+  FROM se WHERE vec_id % 20 = 0
+),
+strn AS (
+  SELECT vec_id, v FROM se WHERE vec_id % 10 <> 0
+  UNION ALL
+  SELECT vec_id, v FROM splant
+),
+ssc AS (
+  SELECT t.vec_id, b.bench_id, b.benchmark,
+         round_even(list_cosine_similarity(t.v, b.v), 6) AS c
+  FROM strn t, sbe b
+)"""
+
+
+def _semantic_decontaminate_oracle_sql(threshold: float = 0.9) -> str:
+    """DuckDB replay of semantic_decontaminate over the planted
+    fixture: the shared scoring CTEs, per-train max/hit aggregates,
+    and the (cosine DESC, bench_id) rank-1 nearest — the knn tiebreak
+    rule."""
+    return f"""
+WITH {_SEMANTIC_DECON_CTES},
+per AS (
+  SELECT vec_id, max(c) AS max_cosine,
+         CAST(sum(CASE WHEN c >= {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bench_hits
+  FROM ssc WHERE c IS NOT NULL GROUP BY 1
+),
+near AS (
+  SELECT vec_id, bench_id AS nearest_bench_id,
+         benchmark AS nearest_benchmark
+  FROM (
+    SELECT vec_id, bench_id, benchmark,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, bench_id) AS rn
+    FROM ssc WHERE c IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT t.vec_id, p.max_cosine,
+       CAST(n.nearest_bench_id AS BIGINT) AS nearest_bench_id,
+       n.nearest_benchmark,
+       coalesce(p.n_bench_hits, 0) AS n_bench_hits,
+       coalesce(p.max_cosine >= {threshold}, FALSE) AS contaminated
+FROM strn t LEFT JOIN per p USING (vec_id) LEFT JOIN near n USING (vec_id)
+"""
+
+
+def _semantic_attribution_oracle_sql(threshold: float = 0.9) -> str:
+    """DuckDB replay of semantic_contamination_attribution: the same
+    scoring CTEs aggregated to one row per benchmark label."""
+    return f"""
+WITH {_SEMANTIC_DECON_CTES}
+SELECT b.benchmark,
+       CAST(coalesce(count(DISTINCT CASE WHEN s.c >= {threshold}
+                                         THEN s.vec_id END), 0) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(coalesce(sum(CASE WHEN s.c >= {threshold} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_pair_hits,
+       max(s.c) AS max_cosine
+FROM (SELECT DISTINCT benchmark FROM sbe) b
+LEFT JOIN ssc s ON s.benchmark = b.benchmark AND s.c IS NOT NULL
+GROUP BY 1
+"""
+
+
 def _docs_md5_slice(spark, sf_dir):
     """The deterministic ~50% documents slice every ``_sampled``
     audit twin runs on (first md5 hex nibble of the id < '8') — the
@@ -5568,6 +5681,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus_mixture_plan_realize(
                 load_table(s, d, "documents"), token_budget=100_000,
                 alpha=0.5,
+            )
+        ),
+        # r12 (VERDICT r11 #2): embedding-level decontamination —
+        # paraphrased/translated benchmark leakage that lexical
+        # n-grams cannot see. Broadcast benchmark probe over one
+        # corpus scan; planted near-copies (cos ~0.9997) flag at 0.9
+        # while natural rows (max ~0.49) never do.
+        "semantic_decontaminate": lambda s, d: (
+            corpus_ops.semantic_decontaminate(
+                *_semantic_bench_split(s, d), threshold=0.9
+            )
+        ),
+        "semantic_contamination_attribution": lambda s, d: (
+            corpus_ops.semantic_contamination_attribution(
+                *_semantic_bench_split(s, d), threshold=0.9
             )
         ),
         "doc_filter_decisions": lambda s, d: quality_filter_decisions(
@@ -6936,6 +7064,10 @@ FROM agg
         "split_leakage_audit": _split_leakage_audit_oracle_sql(),
         "split_leakage_audit_sampled": (
             _split_leakage_audit_sampled_oracle_sql()
+        ),
+        "semantic_decontaminate": _semantic_decontaminate_oracle_sql(),
+        "semantic_contamination_attribution": (
+            _semantic_attribution_oracle_sql()
         ),
         "tfidf_top_terms": """
 WITH toks AS (

@@ -65,6 +65,9 @@ HEADLINE = [
     "semantic_dedup_survivors",
     # corpus curation
     "doc_decontaminate",
+    # r12: embedding-level decontamination (broadcast benchmark probe
+    # over one corpus scan — a distinct kernel from the n-gram gate)
+    "semantic_decontaminate",
     "doc_chunks",
     "vocab_coverage",
     "domain_mixture",
@@ -296,6 +299,9 @@ EXCLUDED = {
     ],
     "twin": [
         "ann_recall_frontier",
+        # r12: same broadcast probe as semantic_decontaminate minus
+        # the per-doc legs, aggregated to |benchmarks| rows
+        "semantic_contamination_attribution",
         # r12: composition twin of the headline curated chain (the
         # URL pre-stage adds per-row regexes + one small groupBy)
         "curated_verdicts_url",

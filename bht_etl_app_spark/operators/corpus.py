@@ -208,6 +208,176 @@ def bloom_decontaminate(
     )
 
 
+def _semantic_scores(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str,
+    benchmark_col: str,
+) -> DataFrame:
+    """Shared scoring frame for the semantic-decontamination family:
+    every (train vec, benchmark vec) cosine, 6dp half-even rounded.
+    The benchmark side BROADCASTS (benchmarks are thousands of
+    vectors by nature — the decontaminate/eval-side rule), so the
+    plan is a broadcast nested-loop over one corpus scan: scoring is
+    map-side, nothing corpus-sized shuffles; norms precompute once
+    per row on each side (the knn_join discipline)."""
+    from bht_etl_app_spark.operators.similarity import dot_expr, norm_expr
+
+    bd = F.broadcast(
+        ensure_min_parallelism(bench_emb).select(
+            F.col(bench_id_col).alias("__bid__"),
+            F.col(benchmark_col).alias("__bench__"),
+            F.col(vec_col).cast("array<double>").alias("__bv__"),
+            norm_expr(F.col(vec_col).cast("array<double>")).alias("__bn__"),
+        )
+    )
+    td = ensure_min_parallelism(train_emb).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__tv__"),
+        norm_expr(F.col(vec_col).cast("array<double>")).alias("__tn__"),
+    )
+    cos = dot_expr(F.col("__tv__"), F.col("__bv__")) / F.nullif(
+        F.col("__tn__") * F.col("__bn__"), F.lit(0.0)
+    )
+    return td.crossJoin(bd).select(
+        F.col(id_col),
+        F.col("__bid__"),
+        F.col("__bench__"),
+        F.bround(cos, 6).alias("__c__"),
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    benchmark_col: str = "benchmark",
+) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination (VERDICT r11 #2 —
+    the gap :func:`decontaminate` leaves open): lexical n-gram
+    matching catches verbatim leakage only; a paraphrased or
+    translated benchmark document shares no 5-gram with its source
+    but sits next to it in embedding space. This probes every train
+    embedding against the benchmark embedding set and flags cosine
+    neighbors above ``threshold``. Output one row per train vector:
+    ``(vec_id, max_cosine, nearest_bench_id, nearest_benchmark,
+    n_bench_hits, contaminated)`` — ``nearest_*`` identify the
+    closest benchmark vector (ties to the lowest benchmark id),
+    ``n_bench_hits`` counts benchmark vectors above the threshold,
+    and rows whose cosines are all undefined (zero-norm) report NULL
+    readings and ``contaminated = false``.
+
+    Scale posture: the benchmark side is SMALL BY NATURE (the
+    decontaminate rule — thousands of eval docs vs the 100 TB train
+    corpus) and broadcasts; scoring is one map-side pass over the
+    corpus scan, and the only shuffle is the per-train-id aggregate
+    on ``vec_id``. When the benchmark set outgrows a broadcast, the
+    same verdict frame composes from the existing ANN path
+    (:func:`pq.pq_knn_join` / IVF probe against a persisted index)
+    with this exact brute probe as its recall baseline — the
+    ann_recall_report relationship."""
+    base = ensure_min_parallelism(train_emb).select(F.col(id_col))
+    scored = _semantic_scores(
+        train_emb, bench_emb, id_col, vec_col, bench_id_col, benchmark_col
+    )
+    agg = (
+        scored.where(F.col("__c__").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__c__").alias("c"),
+                    (-F.col("__bid__")).alias("nb"),
+                    F.col("__bench__").alias("bench"),
+                )
+            ).alias("__best__"),
+            F.sum(
+                (F.col("__c__") >= F.lit(float(threshold))).cast("int")
+            )
+            .cast("long")
+            .alias("__hits__"),
+        )
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("__best__.c").alias("max_cosine"),
+        (-F.col("__best__.nb")).cast("long").alias("nearest_bench_id"),
+        F.col("__best__.bench").alias("nearest_benchmark"),
+        F.coalesce(F.col("__hits__"), F.lit(0)).cast("long").alias(
+            "n_bench_hits"
+        ),
+        F.coalesce(
+            F.col("__best__.c") >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
+def semantic_contamination_attribution(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    benchmark_col: str = "benchmark",
+) -> DataFrame:
+    """The audit twin of :func:`semantic_decontaminate` (the
+    :func:`contamination_attribution` shape at the embedding level):
+    WHICH benchmark leaks, and how hard. One row per benchmark:
+    ``(benchmark, n_contaminated_docs, n_pair_hits, max_cosine)`` —
+    distinct train vectors above threshold against that benchmark,
+    total (train, bench-vector) hits, and the hottest cosine
+    anywhere against it (NULL when nothing scores). Same broadcast
+    probe as the verdict operator; the report aggregates the
+    hit-bounded frame to |benchmarks| rows."""
+    scored = _semantic_scores(
+        train_emb, bench_emb, id_col, vec_col, bench_id_col, benchmark_col
+    )
+    per = (
+        scored.where(F.col("__c__").isNotNull())
+        .groupBy("__bench__")
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.col("__c__") >= F.lit(float(threshold)), F.col(id_col)
+                )
+            )
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.sum(
+                (F.col("__c__") >= F.lit(float(threshold))).cast("int")
+            )
+            .cast("long")
+            .alias("n_pair_hits"),
+            F.max("__c__").alias("max_cosine"),
+        )
+    )
+    benches = (
+        ensure_min_parallelism(bench_emb)
+        .select(F.col(benchmark_col).alias("__bench__"))
+        .distinct()
+    )
+    return (
+        benches.join(per, "__bench__", "left")
+        .select(
+            F.col("__bench__").alias("benchmark"),
+            F.coalesce(F.col("n_contaminated_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.coalesce(F.col("n_pair_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_pair_hits"),
+            F.col("max_cosine"),
+        )
+        .orderBy("benchmark")
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     max_tokens: int = 4,

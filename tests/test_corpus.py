@@ -1107,6 +1107,58 @@ def test_mixture_realloc_zero_ppm_weight_domain(spark):
     # and pushed big to -2
 
 
+def test_semantic_decontaminate_hand_case(spark):
+    """Planted near-copy flags, orthogonal vector doesn't, zero-norm
+    reports NULL readings and contaminated=false, nearest ties break
+    to the lowest bench id."""
+    from bht_etl_app_spark.operators.corpus import (
+        semantic_contamination_attribution,
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (10, "benchA", [1.0, 0.0, 0.0]),
+            (11, "benchA", [1.0, 0.0, 0.0]),  # duplicate vector: tie
+            (12, "benchB", [0.0, 1.0, 0.0]),
+        ],
+        "bench_id long, benchmark string, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0]),   # near benchA -> contaminated
+            (2, [0.0, 0.0, 1.0]),      # orthogonal -> clean
+            (3, [0.0, 0.0, 0.0]),      # zero norm -> NULL readings
+            (4, [0.0, 0.95, 0.1]),     # near benchB
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    assert got[1]["contaminated"] is True
+    # cosine tie between bench 10 and 11 -> lowest id wins
+    assert got[1]["nearest_bench_id"] == 10
+    assert got[1]["nearest_benchmark"] == "benchA"
+    assert got[1]["n_bench_hits"] == 2  # both benchA copies above 0.9
+    assert got[2]["contaminated"] is False and got[2]["n_bench_hits"] == 0
+    assert got[3]["max_cosine"] is None
+    assert got[3]["contaminated"] is False
+    assert got[4]["nearest_benchmark"] == "benchB"
+    assert got[4]["contaminated"] is True
+    att = {
+        r["benchmark"]: r.asDict()
+        for r in semantic_contamination_attribution(
+            train, bench, threshold=0.9
+        ).collect()
+    }
+    assert att["benchA"]["n_contaminated_docs"] == 1
+    assert att["benchA"]["n_pair_hits"] == 2
+    assert att["benchB"]["n_contaminated_docs"] == 1
+    assert att["benchB"]["n_pair_hits"] == 1
+
+
 def test_mixture_plan_realize_reconciles_with_realloc(spark):
     """VERDICT r11 #1 pins: the realized per-doc training list
     reconciles with the verified water-filled plan — per domain,

@@ -171,6 +171,13 @@ NESTED_LOOP_OK = {
                              # 1-row broadcasts; the realize stage
                              # itself adds only equi-joins (broadcast
                              # offsets + broadcast |domains|-row plan)
+    "semantic_decontaminate",  # broadcast nested-loop probe of the
+                             # EVAL-SCALE benchmark embedding side
+                             # against one corpus scan (the knn_join
+                             # documented shape — benchmarks are small
+                             # by nature, the decontaminate rule)
+    "semantic_contamination_attribution",  # same broadcast probe,
+                             # aggregated to |benchmarks| rows
     "near_dup_banding_frontier",  # per-arm 1-row x 1-row report
                              # assembly crossJoin (the pair fold x
                              # the candidate count — the
