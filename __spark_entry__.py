@@ -41,6 +41,8 @@ from bht_etl_app_spark.operators import (
     fingerprint,
     image_features,
     knn_for_query,
+    lang_id_confusion,
+    lang_nb_classify,
     language_id,
     minhash_lsh_pairs,
     containment_pairs,
@@ -4643,6 +4645,128 @@ GROUP BY 1
 """
 
 
+# extracted to a module constant (byte-identical to the r1 dict
+# literal — no restamp) so the NB-distillation oracles can compose the
+# marker-heuristic teacher fragment verbatim (the tokenizer_fertility
+# CTE-wrapping rule)
+_DOC_LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
+         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) AS s_es,
+         len(list_filter(toks, x -> list_contains(['yang','dan','di','ini','itu','dengan','untuk','dari'], x))) AS s_id
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_id) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_id) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_id) THEN 'es'
+            ELSE 'id' END AS lang_pred,
+       CAST(greatest(s_en, s_es, s_id) AS BIGINT) AS lang_score
+FROM s
+"""
+
+
+def _lang_nb_scores_oracle_sql(n: int = 3, num_buckets: int = 256) -> str:
+    """DuckDB replay of the full NB distillation pipeline
+    (``lang_nb_classify`` — r12, VERDICT r11 #5): the marker-teacher
+    fragment verbatim, char-n-gram hashing (unsigned ``% B`` ==
+    Spark's signed ``pmod`` because B is a power of two), closed-form
+    add-one-smoothed counts quantized to 9 dp, per-(doc, lang) scores
+    as bucket-ORDERED folds rounded to 6 dp, and the
+    (score DESC, lang) rank-1 argmax."""
+    b = num_buckets
+    return f"""
+WITH mk AS MATERIALIZED (
+{_DOC_LANG_ID_SQL}
+),
+lab AS MATERIALIZED (
+  SELECT doc_id, lang_pred AS lang FROM mk WHERE lang_pred <> 'und'
+),
+nrm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(s) - {n} + 2),
+                               i -> substr(s, CAST(i AS INTEGER), {n}))) AS g
+  FROM nrm WHERE length(s) >= {n}
+),
+ft AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % {b} AS BIGINT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM gr GROUP BY 1, 2
+),
+cls AS (SELECT unnest(['en', 'es', 'id']) AS lang),
+ntr AS (SELECT count(*) AS nt FROM lab),
+pri AS MATERIALIZED (
+  SELECT c.lang,
+         round_even(ln((coalesce(t.cnt, 0) + 1.0)
+                       / ((SELECT nt FROM ntr) + 3)), 9) AS lp
+  FROM cls c
+  LEFT JOIN (SELECT lang, count(*) AS cnt FROM lab GROUP BY 1) t USING (lang)
+),
+cc AS (
+  SELECT l.lang, f.bucket, sum(f.cnt) AS cnt
+  FROM ft f JOIN lab l USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(cnt) AS t FROM cc GROUP BY 1),
+mb AS MATERIALIZED (
+  SELECT c.lang, bk.bucket,
+         round_even(ln((coalesce(cc.cnt, 0) + 1.0)
+                       / (coalesce(t.t, 0) + {b})), 9) AS llw
+  FROM cls c
+  CROSS JOIN (SELECT CAST(unnest(range(0, {b})) AS BIGINT) AS bucket) bk
+  LEFT JOIN cc ON cc.lang = c.lang AND cc.bucket = bk.bucket
+  LEFT JOIN tot t ON t.lang = c.lang
+),
+sc AS MATERIALIZED (
+  SELECT f.doc_id, m.lang,
+         round_even(any_value(p.lp)
+                    + list_sum(list(CAST(f.cnt AS DOUBLE) * m.llw
+                                    ORDER BY f.bucket)), 6) AS score
+  FROM ft f JOIN mb m USING (bucket) JOIN pri p ON p.lang = m.lang
+  GROUP BY f.doc_id, m.lang
+)
+SELECT d.doc_id, coalesce(w.lang, 'und') AS lang_nb, w.score AS nb_logscore
+FROM documents d LEFT JOIN (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM sc
+  ) WHERE rn = 1
+) w USING (doc_id)
+"""
+
+
+def _lang_id_confusion_oracle_sql() -> str:
+    """The whole verified scores replay wrapped as one CTE (the
+    quality_calibration_bins rule), joined back to the teacher
+    fragment and aggregated to the |langs|²-bounded confusion
+    cells."""
+    return f"""
+WITH nb AS MATERIALIZED (
+{_lang_nb_scores_oracle_sql()}
+),
+mk2 AS MATERIALIZED (
+{_DOC_LANG_ID_SQL}
+)
+SELECT m.lang_pred AS lang_marker, n.lang_nb,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM mk2 m JOIN nb n USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def _docs_md5_slice(spark, sf_dir):
     """The deterministic ~50% documents slice every ``_sampled``
     audit twin runs on (first md5 hex nibble of the id < '8') — the
@@ -5261,6 +5385,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_quality_scores": lambda s, d: quality_scores(load_table(s, d, "documents")),
         "doc_lang_id": lambda s, d: language_id(load_table(s, d, "documents")),
+        # r12 (VERDICT r11 #5): char-n-gram NB classifier distilled
+        # from the marker heuristic — closed-form one-pass training
+        # (the langid.py design), supplies signal on short /
+        # no-stopword docs where the markers are silent
+        "lang_nb_scores": lambda s, d: lang_nb_classify(
+            load_table(s, d, "documents")
+        ),
+        "lang_id_confusion": lambda s, d: lang_id_confusion(
+            load_table(s, d, "documents")
+        ),
         "doc_fingerprint": lambda s, d: fingerprint(load_table(s, d, "documents")),
         # r9: per-doc corpus-unique 5-gram fraction (novelty signal)
         "doc_ngram_novelty": lambda s, d: _text_mod.ngram_novelty(
@@ -7151,27 +7285,9 @@ SELECT doc_id,
              / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS digit_ratio
 FROM t
 """,
-        "doc_lang_id": """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
-  FROM documents
-),
-s AS (
-  SELECT doc_id,
-         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with'], x))) AS s_en,
-         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) AS s_es,
-         len(list_filter(toks, x -> list_contains(['yang','dan','di','ini','itu','dengan','untuk','dari'], x))) AS s_id
-  FROM t
-)
-SELECT doc_id,
-       CASE WHEN greatest(s_en, s_es, s_id) <= 0 THEN 'und'
-            WHEN s_en = greatest(s_en, s_es, s_id) THEN 'en'
-            WHEN s_es = greatest(s_en, s_es, s_id) THEN 'es'
-            ELSE 'id' END AS lang_pred,
-       CAST(greatest(s_en, s_es, s_id) AS BIGINT) AS lang_score
-FROM s
-""",
+        "doc_lang_id": _DOC_LANG_ID_SQL,
+        "lang_nb_scores": _lang_nb_scores_oracle_sql(),
+        "lang_id_confusion": _lang_id_confusion_oracle_sql(),
         "doc_fingerprint": """
 SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM documents

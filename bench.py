@@ -62,6 +62,10 @@ HEADLINE = [
     "simhash_near_dup",
     "ann_knn_join",
     "doc_repetition",
+    # r12: char-n-gram NB lang classifier distillation (a new kernel:
+    # char-trigram explode + closed-form NB fit + broadcast-model
+    # scoring in one pipeline)
+    "lang_nb_scores",
     "semantic_dedup_survivors",
     # corpus curation
     "doc_decontaminate",
@@ -302,6 +306,9 @@ EXCLUDED = {
         # r12: same broadcast probe as semantic_decontaminate minus
         # the per-doc legs, aggregated to |benchmarks| rows
         "semantic_contamination_attribution",
+        # r12: wraps the lang_nb_scores chain whole and adds one
+        # |langs|²-row aggregate on top
+        "lang_id_confusion",
         # r12: composition twin of the headline curated chain (the
         # URL pre-stage adds per-row regexes + one small groupBy)
         "curated_verdicts_url",

@@ -1852,3 +1852,335 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-n-gram naive-Bayes language classifier (r12 — VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def char_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 256,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-doc hashed CHARACTER-n-gram histogram ``(doc_id, bucket,
+    cnt)`` — the feature space of the NB language classifier (the
+    ``selection.hashed_feature_counts`` shape one level below words:
+    char n-grams carry language signal even on short / no-stopword /
+    unseen-vocabulary docs, where whitespace tokens say nothing).
+
+    Text normalizes as lower+trim+whitespace-collapse (the
+    ``fingerprint`` discipline — spaces stay, word boundaries are
+    signal); docs shorter than ``n`` normalized chars emit no rows.
+    ``num_buckets`` MUST be a power of two: Spark buckets with
+    ``pmod(signed_md5_64, B)`` while the DuckDB oracle uses the
+    unsigned ``% B`` — the two agree exactly iff B divides 2^64.
+
+    Scale posture: projection → explode → (doc_id, bucket) count with
+    map-side combine; no corpus-wide state, shuffle rows bounded by
+    min(doc_len, B) per doc."""
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    from bht_etl_app_spark.operators.dedup import base_hash_expr
+
+    h = base_hash_expr(hash_fn)
+    s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    grams = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), s.alias("__s__"))
+        .where(F.length("__s__") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__s__") - n + 1),
+                    lambda i: F.col("__s__").substr(i, F.lit(n)),
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.pmod(h(F.col("g")), F.lit(num_buckets)).cast("long").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def lang_nb_fit(
+    df: DataFrame,
+    label_col: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 256,
+    hash_fn: str = "md5",
+    classes: list[str] | None = None,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Multinomial naive Bayes over hashed char n-grams — the
+    langid.py design (Lui & Baldwin: NB over byte n-grams), chosen
+    over the ``selection.logreg_fit`` GD loop deliberately: NB is
+    CLOSED FORM, so training is ONE corpus pass producing integer
+    per-(class, bucket) counts, where n_iter gradient steps would be
+    n_iter corpus passes — the difference that matters at 100 TB.
+
+    Returns the model as a K×(B+1)-row DataFrame ``(lang, bucket,
+    llw)``: rows with ``bucket >= 0`` hold the add-one-smoothed
+    log-likelihood ``ln((cnt_cb + 1) / (tot_c + B))``; the
+    ``bucket = -1`` row per class holds the smoothed log-prior
+    ``ln((docs_c + 1) / (n_train + K))`` (the ``logreg_fit`` bias
+    slot convention). All weights quantize HALF-EVEN to 9 dp so the
+    model is engine-portable and parallelism-invariant. Training rows
+    are those whose ``label_col`` value is in ``classes`` (default
+    ``LANG_PRIORITY``); priors count labeled DOCS regardless of gram
+    yield — both mirrored verbatim in the oracle.
+
+    ``feats``: a precomputed :func:`char_ngram_buckets` frame over
+    the SAME docs/params (caller owns its lifecycle) — the
+    distillation chain computes the histogram once, persists it, and
+    shares it between fit and score (the oracle's single
+    ``ft AS MATERIALIZED`` CTE)."""
+    if classes is None:
+        classes = list(LANG_PRIORITY)
+    k = len(classes)
+    labeled = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), label_col.alias("__lang__"))
+        .where(F.col("__lang__").isin(list(classes)))
+    )
+    if feats is None:
+        feats = char_ngram_buckets(
+            df, text_col, id_col, n, num_buckets, hash_fn
+        )
+    cls = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in classes])).alias("lang")
+    )
+    # 1-row broadcast normalizer (the crossJoin-whitelist class): the
+    # training-doc total feeds every prior denominator
+    ntr = labeled.agg(F.count(F.lit(1)).cast("long").alias("__ntr__"))
+    prc = labeled.groupBy(F.col("__lang__").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("__dc__")
+    )
+    pri = (
+        cls.join(prc, "lang", "left")
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "lang",
+            F.lit(-1).cast("long").alias("bucket"),
+            F.bround(
+                F.log(
+                    (F.coalesce(F.col("__dc__"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("__ntr__") + F.lit(k)).cast("double")
+                ),
+                9,
+            ).alias("llw"),
+        )
+    )
+    cc = (
+        feats.join(labeled, "doc_id")
+        .groupBy(F.col("__lang__").alias("lang"), "bucket")
+        .agg(F.sum("cnt").cast("long").alias("__cc__"))
+    )
+    tot = cc.groupBy("lang").agg(F.sum("__cc__").cast("long").alias("__t__"))
+    dense = cls.select(
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias(
+            "__b__"
+        ),
+    ).select("lang", F.col("__b__").cast("long").alias("bucket"))
+    mb = (
+        dense.join(cc, ["lang", "bucket"], "left")
+        .join(tot, "lang", "left")
+        .select(
+            "lang",
+            "bucket",
+            F.bround(
+                F.log(
+                    (F.coalesce(F.col("__cc__"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (
+                        F.coalesce(F.col("__t__"), F.lit(0))
+                        + F.lit(num_buckets)
+                    ).cast("double")
+                ),
+                9,
+            ).alias("llw"),
+        )
+    )
+    return mb.unionByName(pri)
+
+
+def lang_nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 256,
+    hash_fn: str = "md5",
+    classes: list[str] | None = None,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Score docs under a fitted NB model: ``(doc_id, lang_nb,
+    nb_logscore)`` — the winning class and its unnormalized log
+    posterior (prior + Σ cnt·loglik, 6 dp half-even). Ties after
+    rounding break to the alphabetically smallest class (the SQL
+    ``ORDER BY score DESC, lang`` rule); docs that yield no n-grams
+    report ``('und', NULL)`` — the marker heuristic's no-evidence
+    convention.
+
+    The model (K×(B+1) rows — parameter-sized, the centroid/codebook
+    class) persists and BROADCASTS into the scoring join, so
+    inference is one corpus scan + a (doc_id, lang) aggregate; the
+    per-doc dot product is an ordered fold over bucket-sorted terms
+    (the recall_vs_exact float-sum discipline) so the score is
+    parallelism-invariant and engine-portable."""
+    from pyspark import StorageLevel
+
+    if classes is None:
+        classes = list(LANG_PRIORITY)
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    pri = model.where(F.col("bucket") == -1).select(
+        "lang", F.col("llw").alias("__lp__")
+    )
+    mb = model.where(F.col("bucket") >= 0)
+    if feats is None:
+        feats = char_ngram_buckets(
+            df, text_col, id_col, n, num_buckets, hash_fn
+        )
+    scored = (
+        feats.join(F.broadcast(mb), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            F.struct(
+                F.col("bucket"),
+                (F.col("cnt").cast("double") * F.col("llw")).alias("x"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("__dot__")
+        )
+        .join(F.broadcast(pri), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.bround(F.col("__lp__") + F.col("__dot__"), 6).alias("score"),
+        )
+    )
+    carr = F.array(*[F.lit(c) for c in sorted(classes)])
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("sc"),
+                (-F.array_position(carr, F.col("lang"))).alias("ni"),
+                F.col("lang").alias("lang"),
+            )
+        ).alias("b")
+    )
+    base = ensure_min_parallelism(df).select(F.col(id_col).alias("doc_id"))
+    out = base.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("b.lang"), F.lit("und")).alias("lang_nb"),
+        F.col("b.sc").alias("nb_logscore"),
+    )
+    return track_persisted(out, model)
+
+
+def lang_nb_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 256,
+    hash_fn: str = "md5",
+    teacher: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end distillation of the stopword-marker heuristic into
+    the char-n-gram NB classifier (VERDICT r11 #5 — the marker argmax
+    at :func:`language_id` is silent on short / no-stopword docs; the
+    char-n-gram student generalizes to them from the same evidence):
+    weak labels = the teacher's non-``'und'`` predictions, fit, then
+    score ALL docs. ``teacher`` lets a caller that already computed
+    :func:`language_id` (the confusion report) pass it in rather than
+    re-deriving the projection.
+
+    At 100 TB the fit stage would run on a sampled slice (weak labels
+    are cheap to re-derive; the model is K×(B+1) numbers either way)
+    — the ``_sampled`` relation-swap seam; the fixture fits on the
+    full table so the oracle replays one deterministic pipeline."""
+    from pyspark import StorageLevel
+
+    if teacher is None:
+        teacher = language_id(df, text_col, id_col)
+    lab = teacher.select(F.col(id_col).alias("doc_id"), F.col("lang_pred"))
+    # one char-n-gram histogram, persisted and shared by fit (joined
+    # to the training labels) and score — the oracle's single
+    # ft AS MATERIALIZED CTE; (doc_id, bucket, cnt) is min(len, B)
+    # rows per doc, the standard feature materialization at scale
+    feats = char_ngram_buckets(
+        df, text_col, id_col, n, num_buckets, hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    joined = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(lab, "doc_id")
+    )
+    model = lang_nb_fit(
+        joined, F.col("lang_pred"), text_col, "doc_id", n, num_buckets,
+        hash_fn, feats=feats,
+    )
+    scored = lang_nb_score(
+        df, model, text_col, id_col, n, num_buckets, hash_fn, feats=feats
+    )
+    return track_persisted(scored, feats)
+
+
+def lang_id_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 256,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Teacher-vs-student agreement report: one row per
+    ``(lang_marker, lang_nb)`` cell with its doc count — the
+    confusion matrix between :func:`language_id` and its distilled NB
+    student (VERDICT r11 #5's acceptance artifact). The diagonal is
+    agreement; the ``('und', *)`` row is exactly the docs where the
+    student supplies signal the markers cannot.
+
+    The teacher frame is a per-row scan-bound projection referenced
+    twice (labels + report column) — two corpus scans, the audit-class
+    cost posture; |langs|² output rows."""
+    teacher = language_id(df, text_col, id_col)
+    nb = lang_nb_classify(
+        df, text_col, id_col, n, num_buckets, hash_fn, teacher=teacher
+    )
+    mk = teacher.select(
+        F.col(id_col).alias("doc_id"), F.col("lang_pred").alias("lang_marker")
+    )
+    return (
+        mk.join(nb.select("doc_id", "lang_nb"), "doc_id")
+        .groupBy("lang_marker", "lang_nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang_marker", "lang_nb")
+    )

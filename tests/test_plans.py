@@ -171,6 +171,10 @@ NESTED_LOOP_OK = {
                              # 1-row broadcasts; the realize stage
                              # itself adds only equi-joins (broadcast
                              # offsets + broadcast |domains|-row plan)
+    "lang_nb_scores",        # 1-row broadcast normalizer (the
+                             # training-doc total feeding every NB
+                             # prior denominator)
+    "lang_id_confusion",     # same chain wrapped whole
     "semantic_decontaminate",  # broadcast nested-loop probe of the
                              # EVAL-SCALE benchmark embedding side
                              # against one corpus scan (the knn_join

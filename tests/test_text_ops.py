@@ -786,3 +786,88 @@ def test_redact_sql_default_is_unchanged():
         "regexp_replace(regexp_replace(text, '" + URL_PATTERN
         + "', '<URL>', 'g'), '" + EMAIL_PATTERN + "', '<EMAIL>', 'g')"
     )
+
+
+def test_char_ngram_buckets_basics(spark):
+    from bht_etl_app_spark.operators.text import char_ngram_buckets
+
+    df = spark.createDataFrame(
+        [(1, "  AbC  dE "), (2, "ab"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = char_ngram_buckets(df, n=3, num_buckets=256).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # "abc de" normalized -> 5 trigrams: abc, "bc ", "c d", " de"
+    # (4 positions for len 6... len("abc de")=6 -> 4 grams)
+    assert sum(r["cnt"] for r in by_doc[1]) == 4
+    # shorter than n and empty emit no rows
+    assert 2 not in by_doc and 3 not in by_doc
+    with pytest.raises(ValueError):
+        char_ngram_buckets(df, num_buckets=100)
+
+
+def test_lang_nb_distillation_generalizes_and_handles_edges(spark):
+    """VERDICT r11 #5 pins: the NB student (a) reproduces the teacher
+    on marker-bearing docs, (b) supplies a prediction on a
+    marker-silent doc whose char n-grams match one training class,
+    (c) reports ('und', NULL) on docs yielding no n-grams, and the
+    confusion report counts every (teacher, student) cell."""
+    from bht_etl_app_spark.operators.text import (
+        lang_id_confusion,
+        lang_nb_classify,
+        language_id,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park with the ball"),
+            (2, "el perro y el gato de la casa que en los campos del sur"),
+            (3, "yang dan di ini itu dengan untuk dari jalan kota"),
+            (4, "the quick brown fox is of the lazy dog and in that with"),
+            (5, "la casa de el que y en los del mar la playa"),
+            (6, "cats dogs parks balls"),  # marker-silent, en trigrams
+            (7, "ab"),                     # shorter than n
+            (8, ""),                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    teacher = {
+        r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()
+    }
+    assert teacher[6] == "und"
+    got = {
+        r["doc_id"]: (r["lang_nb"], r["nb_logscore"])
+        for r in lang_nb_classify(docs).collect()
+    }
+    assert got[1][0] == "en" and got[4][0] == "en"
+    assert got[2][0] == "es" and got[5][0] == "es"
+    assert got[3][0] == "id"
+    # the student generalizes where the markers are silent
+    assert got[6][0] == "en" and got[6][1] is not None
+    assert got[7] == ("und", None) and got[8] == ("und", None)
+    conf = {
+        (r["lang_marker"], r["lang_nb"]): r["n_docs"]
+        for r in lang_id_confusion(docs).collect()
+    }
+    assert conf[("en", "en")] == 2 and conf[("es", "es")] == 2
+    assert conf[("id", "id")] == 1
+    assert conf[("und", "en")] == 1  # doc 6: the distillation win
+    assert conf[("und", "und")] == 2  # docs 7, 8
+    assert sum(conf.values()) == 8
+
+
+def test_lang_nb_no_training_docs_is_deterministic(spark):
+    """All-'und' teacher: uniform smoothed priors/likelihoods, every
+    scoring doc ties across classes and breaks to the alphabetically
+    smallest ('en') — deterministic on both engines rather than an
+    error."""
+    from bht_etl_app_spark.operators.text import lang_nb_classify
+
+    docs = spark.createDataFrame(
+        [(1, "zzz qqq xxx"), (2, "qpqpqp zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_nb"] for r in lang_nb_classify(docs).collect()}
+    assert got == {1: "en", 2: "en"}
