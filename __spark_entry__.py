@@ -3486,6 +3486,86 @@ def _q_ann_recall_frontier(spark, sf_dir):
     )
 
 
+def _opq_bench_emb(spark, sf_dir):
+    """The OPQ fixture (r12 — VERDICT r11 #6): a deterministic
+    ANISOTROPIC + CROSS-SUBSPACE-MIXED view of the embeddings table.
+    The synthetic fixture's raw vectors are near-isotropic (mean
+    |corr| ~0.04 at sf0.01 — Wishart sample noise), so a rotation
+    has NOTHING to undo and parametric OPQ measures parity-or-noise;
+    like the planted near-copies of ``_semantic_bench_split``, the
+    correlation structure OPQ exists for must be PLANTED: scale dim
+    i by 0.93^i (geometric variance decay, ~1e-2 ratio across the
+    band), then mix dim i with dim i+32 through a 45-degree pairwise
+    rotation — every pair straddles PQ's [0..31]/[32..63] subspace
+    cut, so the axis-aligned codebooks see correlated half-pairs
+    while OPQ's PCA recovers the decayed axes and re-balances them.
+    Deterministic literal expressions only (no randomness)."""
+    import math as _math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    S = F.array(*[F.lit(0.93 ** i) for i in range(64)])
+    c = F.lit(_math.sqrt(0.5))
+    sc = F.zip_with(F.col("embedding"), S, lambda a, s: a * s)
+    return emb.select(
+        "vec_id",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: c
+                * (
+                    F.element_at(sc, (i + 1).cast("int"))
+                    - F.element_at(sc, (i + 33).cast("int"))
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: c
+                * (
+                    F.element_at(sc, (i + 1).cast("int"))
+                    + F.element_at(sc, (i + 33).cast("int"))
+                ),
+            ),
+        ).alias("embedding"),
+    )
+
+
+def _q_ann_frontier_opq(spark, sf_dir):
+    """The OPQ addendum row-set (r12 — VERDICT r11 #6): classic
+    IVF-PQ vs PCA-rotated, eigenvalue-balanced IVF-PQ (parametric
+    OPQ, Ge et al. CVPR 2013) at IDENTICAL bytes_per_vec across the
+    same nprobe dial, against the shared original-space exact
+    baseline — on the planted-anisotropy fixture
+    (:func:`_opq_bench_emb`), where the rotation buys measured
+    recall (~+0.12 avg at every nprobe, sf0.01) instead of pricing
+    sample noise. Rows-only: the rotation is a driver-side
+    eigensolve (the embedding_pca_coords seam) no SQL engine
+    replays; construction parity is pytest-pinned (orthogonality,
+    distance preservation, balanced eigenvalue allocation,
+    recall-gain hand case) and every reused stage is the
+    oracle-verified kmeans/PQ chain."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_frontier_opq,
+        opq_rotation,
+        pq_train,
+        rotate_embeddings,
+    )
+
+    emb = _opq_bench_emb(spark, sf_dir)
+    rot = opq_rotation(emb, m=_PQ_PARAMS["m"])
+    remb = rotate_embeddings(emb, rot)
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books = pq_train(emb, **_PQ_PARAMS)
+    rcents = kmeans_fit(remb, k=8, max_iter=2)
+    rbooks = pq_train(remb, **_PQ_PARAMS)
+    return ann_recall_frontier_opq(
+        emb, remb, cents, books, rcents, rbooks,
+        k=5, n_queries=32, nprobes=(1, 2, 4),
+    )
+
+
 def _ann_scanned_oracle_sql(
     nprobe: int, kc: int = 8, rounds: int = 2, n_queries: int = 32
 ) -> str:
@@ -5898,6 +5978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report_pq_rerank": _q_ann_recall_pq_rerank,
         # r10: every configuration's storage/recall row in ONE table
         "ann_recall_frontier": _q_ann_recall_frontier,
+        # r12 (VERDICT r11 #6): the OPQ rotation priced against
+        # classic IVF-PQ at identical bytes (rows-only — driver-side
+        # eigensolve, the embedding_pca_coords precedent)
+        "ann_recall_frontier_opq": _q_ann_frontier_opq,
         # r9: the Matryoshka storage dial — exact search on the
         # first half of the dims vs the full-dim exact baseline
         "ann_recall_report_truncated_dim": lambda s, d: (

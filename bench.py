@@ -303,6 +303,10 @@ EXCLUDED = {
     ],
     "twin": [
         "ann_recall_frontier",
+        # r12: the OPQ addendum — same priced kernels as the parent
+        # frontier plus the rotation projection, at 2x the model
+        # training (both spaces)
+        "ann_recall_frontier_opq",
         # r12: same broadcast probe as semantic_decontaminate minus
         # the per-doc legs, aggregated to |benchmarks| rows
         "semantic_contamination_attribution",

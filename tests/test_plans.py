@@ -171,6 +171,9 @@ NESTED_LOOP_OK = {
                              # 1-row broadcasts; the realize stage
                              # itself adds only equi-joins (broadcast
                              # offsets + broadcast |domains|-row plan)
+    "ann_recall_frontier_opq",  # per-row 1-row broadcast avg_scanned
+                             # normalizers (the parent frontier's
+                             # whitelisted report-assembly shape)
     "lang_nb_scores",        # 1-row broadcast normalizer (the
                              # training-doc total feeding every NB
                              # prior denominator)

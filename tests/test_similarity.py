@@ -839,3 +839,146 @@ def test_ann_recall_frontier_nprobe_rows_and_byte_widths(spark, emb_sdf):
     for nc, want in widths.items():
         got = 1 if nc <= 256 else (2 if nc <= 65536 else 4)
         assert got == want
+
+
+# --- OPQ rotation (r12 — VERDICT r11 #6) ----------------------------
+
+
+def _planted_anisotropic(emb_sdf):
+    """The _opq_bench_emb transform (geometric dim decay + 45-degree
+    cross-subspace pair mixing) on the test fixture — deterministic
+    correlation structure for the rotation to undo."""
+    S = F.array(*[F.lit(0.93 ** i) for i in range(64)])
+    c = F.lit(math.sqrt(0.5))
+    sc = F.zip_with(
+        F.col("embedding").cast("array<double>"), S, lambda a, s: a * s
+    )
+    return emb_sdf.select(
+        "vec_id",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: c * (
+                    F.element_at(sc, (i + 1).cast("int"))
+                    - F.element_at(sc, (i + 33).cast("int"))
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: c * (
+                    F.element_at(sc, (i + 1).cast("int"))
+                    + F.element_at(sc, (i + 33).cast("int"))
+                ),
+            ),
+        ).alias("embedding"),
+    )
+
+
+def test_opq_rotation_orthogonal_balanced_deterministic(spark, emb_sdf):
+    """The rows-only parity pins (the embedding_pca_coords
+    precedent): R is orthogonal to LAPACK precision, subspace groups
+    are exactly d/m dims each, the greedy allocation balances
+    log-eigenvalue load to within one dim's worth, and the whole
+    construction is run-to-run deterministic."""
+    import numpy as np
+
+    from bht_etl_app_spark.operators.embstats import embedding_covariance
+    from bht_etl_app_spark.operators.pq import opq_rotation
+
+    rot = opq_rotation(emb_sdf, m=2)
+    R = np.array(rot)
+    assert R.shape == (64, 64)
+    assert float(np.abs(R @ R.T - np.eye(64)).max()) < 1e-9
+    # determinism: same input -> bit-identical basis
+    assert opq_rotation(emb_sdf, m=2) == rot
+    # balanced allocation: per-group log-eigenvalue loads differ by
+    # at most the largest single log-eigenvalue spread (greedy bound)
+    cov_rows = embedding_covariance(emb_sdf).collect()
+    cov = np.zeros((64, 64))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals = np.linalg.eigvalsh(cov)
+    loads = []
+    for g in range(2):
+        block = R[g * 32:(g + 1) * 32]
+        ev = [float(v.T @ cov @ v) for v in block]
+        loads.append(sum(np.log(np.maximum(ev, 1e-12))))
+    spread = float(np.log(vals.max()) - np.log(np.maximum(vals.min(), 1e-12)))
+    assert abs(loads[0] - loads[1]) <= spread + 1e-6
+    with pytest.raises(ValueError):
+        opq_rotation(emb_sdf, m=3)  # 3 does not divide 64
+
+
+def test_rotate_embeddings_preserves_exact_knn(spark, emb_sdf):
+    """Rotation invariance — the property that makes the ORIGINAL
+    space's exact neighbors the shared ground truth for both frontier
+    arms: pairwise L2 is preserved to float tolerance and the exact
+    kNN id sets are identical before/after rotation."""
+    from bht_etl_app_spark.operators.pq import (
+        l2_knn_join,
+        opq_rotation,
+        rotate_embeddings,
+    )
+
+    base = _planted_anisotropic(emb_sdf)
+    rot = opq_rotation(base, m=2)
+    rotated = rotate_embeddings(base, rot)
+    q = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    rq = rotated.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact_o = {
+        (r["q_id"], r["vec_id"])
+        for r in l2_knn_join(q, base, k=3, c_id="vec_id").collect()
+    }
+    exact_r = {
+        (r["q_id"], r["vec_id"])
+        for r in l2_knn_join(rq, rotated, k=3, c_id="vec_id").collect()
+    }
+    assert exact_o == exact_r
+
+
+def test_opq_frontier_beats_classic_on_planted_anisotropy(spark, emb_sdf):
+    """The recall-gain pin: on the planted anisotropic fixture the
+    rotated arm's summed recall strictly beats classic IVF-PQ at
+    IDENTICAL bytes_per_vec and IDENTICAL avg_scanned (rotation
+    equivariance of the smallest-id-seeded kmeans makes the coarse
+    lists the rotated images of each other). Everything in the chain
+    is deterministic, so this is an exact replay, not a statistical
+    bet (0.5 vs 0.375 summed at this fixture)."""
+    from bht_etl_app_spark.operators.clustering import kmeans_fit
+    from bht_etl_app_spark.operators.pq import (
+        ann_recall_frontier_opq,
+        opq_rotation,
+        pq_train,
+        rotate_embeddings,
+    )
+
+    base = _planted_anisotropic(emb_sdf).persist()
+    rot = opq_rotation(base, m=2)
+    rotated = rotate_embeddings(base, rot)
+    cents = kmeans_fit(base, k=4, max_iter=2)
+    books = pq_train(base, m=2, k=8, max_iter=2)
+    rcents = kmeans_fit(rotated, k=4, max_iter=2)
+    rbooks = pq_train(rotated, m=2, k=8, max_iter=2)
+    rows = [
+        r.asDict()
+        for r in ann_recall_frontier_opq(
+            base, rotated, cents, books, rcents, rbooks,
+            k=3, n_queries=8, nprobes=(1, 2),
+        ).collect()
+    ]
+    base.unpersist()
+    assert len(rows) == 4  # 2 configs x 2 probes
+    assert {r["bytes_per_vec"] for r in rows} == {3}
+    by_np = {}
+    for r in rows:
+        by_np.setdefault(r["nprobe"], set()).add(r["avg_scanned"])
+    assert all(len(v) == 1 for v in by_np.values())  # equivariance
+    tot = {}
+    for r in rows:
+        tot[r["config"]] = tot.get(r["config"], 0.0) + r["avg_recall"]
+    assert tot["ivf_opq_m2"] > tot["ivf_pq_m2"]
