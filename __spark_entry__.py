@@ -4623,11 +4623,21 @@ def _semantic_bench_split(spark, sf_dir):
     across rows, so paraphrase-level leakage must be PLANTED for the
     threshold to have anything to catch (the _seed_urls_expr
     discipline at the embedding level). ``_SEMANTIC_DECON_CTES`` is
-    the verbatim DuckDB twin."""
+    the verbatim DuckDB twin.
+
+    The benchmark side additionally caps at ``vec_id < 5000`` — not
+    binding at the driver SFs (sf0.01/sf0.1 hold 500/5000 vectors),
+    but at the 10x/30x scale fixtures it pins the EVAL SUITE at a
+    fixed size while the train corpus grows, which is the shape the
+    operator prices at 100 TB (a benchmark does not grow with the
+    crawl); without it a scale step would measure the quadratic
+    fixture coupling, not the linear operator."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    bench = emb.where(F.col("vec_id") % 10 == 0).select(
+    bench = emb.where(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)
+    ).select(
         F.col("vec_id").alias("bench_id"),
         F.concat(F.lit("bench"), (F.col("vec_id") % 3).cast("string")).alias(
             "benchmark"
@@ -4655,7 +4665,7 @@ _SEMANTIC_DECON_CTES = """se AS (
 sbe AS (
   SELECT vec_id AS bench_id,
          'bench' || CAST(vec_id % 3 AS VARCHAR) AS benchmark, v
-  FROM se WHERE vec_id % 10 = 0
+  FROM se WHERE vec_id % 10 = 0 AND vec_id < 5000
 ),
 splant AS (
   SELECT vec_id + 100000 AS vec_id,
