@@ -2074,7 +2074,7 @@ def _q_curated_verdicts(
     spark, sf_dir, lm: bool = False, substr: bool = False,
     redact: bool = False, extract: bool = False,
     redact_classes: tuple[str, ...] | None = None,
-    url: bool = False,
+    url: bool = False, semantic: bool = False,
 ):
     """End-to-end curation: quality gate -> exact dedup -> MinHash
     near-dup keep-min -> [lm=True: CCNet KN perplexity filter ->]
@@ -2121,6 +2121,32 @@ def _q_curated_verdicts(
                 "url+extract/redact composition is not a registered fixture"
             )
         train = train.withColumn("url", _seed_page_url_expr())
+    # r12 (VERDICT r11 #2's composition): the embedding-level stage's
+    # fixture — each doc's embedding is its vec_id row; the benchmark
+    # embedding set is every 10th vector (eval-suite-capped at id
+    # < 5000, the _semantic_bench_split rule), so a lexical survivor
+    # whose OWN embedding seeded a benchmark flags at cosine 1.0 —
+    # planted leakage the n-gram stage cannot see (word-soup docs
+    # share no 5-gram with the src0 reference by construction)
+    sem_emb = sem_bench = None
+    if semantic:
+        if lm or substr or redact or extract or url:
+            raise ValueError(
+                "semantic composition is registered on the plain chain only"
+            )
+        sem_emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        sem_bench = sem_emb.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat(
+                F.lit("bench"), (F.col("doc_id") % 3).cast("string")
+            ).alias("benchmark"),
+            "embedding",
+        )
     return curate_corpus(
         train,
         ref,
@@ -2134,6 +2160,8 @@ def _q_curated_verdicts(
         extract_markup=extract,
         url_col="url" if url else None,
         url_blocklist=["spam.net", "tracker.io"] if url else None,
+        semantic_emb=sem_emb,
+        semantic_bench_emb=sem_bench,
     )
 
 
@@ -2141,7 +2169,7 @@ def _curated_verdicts_oracle_sql(
     lm: bool = False, substr: bool = False, redact: bool = False,
     extract: bool = False,
     redact_classes: tuple[str, ...] | None = None,
-    url: bool = False,
+    url: bool = False, semantic: bool = False,
 ) -> str:
     """DuckDB replay of the END-TO-END curation pipeline
     (corpus.curate_corpus): quality rules → exact md5 keep-min →
@@ -2266,6 +2294,38 @@ UNION ALL
         hit_from = "dct"
     if hit_from is None:
         hit_from = f"t JOIN {surv} USING (doc_id)"
+    # semantic=True (r12): the embedding-level stage after the n-gram
+    # gate — lexical survivors whose embedding scores round_even 6dp
+    # cosine >= 0.9 against the every-10th (eval-capped) benchmark
+    # embedding set drop as semantic_contaminated; the SAME scoring
+    # rule as the standalone semantic_decontaminate oracle
+    sem_ctes = ""
+    sem_final = f"""SELECT {surv}.doc_id, 'kept' FROM {surv}
+  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit)"""
+    if semantic:
+        if lm or substr or redact or extract or url:
+            raise ValueError(
+                "semantic composition is registered on the plain chain only"
+            )
+        sem_ctes = f""",
+sem_srv AS MATERIALIZED (
+  SELECT {surv}.doc_id FROM {surv}
+  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit)
+),
+sem_b AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 10 = 0 AND vec_id < 5000
+),
+sem_hit AS MATERIALIZED (
+  SELECT DISTINCT e.vec_id AS doc_id
+  FROM embeddings e JOIN sem_srv s ON s.doc_id = e.vec_id, sem_b b
+  WHERE round_even(list_cosine_similarity(
+          CAST(e.embedding AS DOUBLE[]), b.v), 6) >= 0.9
+)"""
+        sem_final = """SELECT doc_id, 'semantic_contaminated' FROM sem_hit
+UNION ALL
+SELECT doc_id, 'kept' FROM sem_srv
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_hit)"""
     # redact=True: the train CTE seeds the doc_scrubbed fixture's
     # synthetic URLs (_SEED_URLS_SQL verbatim) and applies
     # text.redact_sql — the SAME pattern-constant fragment the
@@ -2471,7 +2531,7 @@ hit AS MATERIALIZED (
     FROM {hit_from}
     WHERE len(tk) >= 5
   ) WHERE g IN (SELECT g FROM ev)
-)
+){sem_ctes}
 SELECT tr.doc_id, 'quality' AS verdict FROM train tr
   WHERE tr.doc_id NOT IN (SELECT doc_id FROM qkeep)
 UNION ALL
@@ -2482,8 +2542,7 @@ SELECT doc_id, 'near_dup' FROM ndrop
 UNION ALL
 {lm_leg}{substr_leg}SELECT doc_id, 'contaminated' FROM hit
 UNION ALL
-SELECT {surv}.doc_id, 'kept' FROM {surv}
-  WHERE {surv}.doc_id NOT IN (SELECT doc_id FROM hit){url_legs}
+{sem_final}{url_legs}
 """
 
 
@@ -6305,6 +6364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_verdicts_url": lambda s, d: _q_curated_verdicts(
             s, d, url=True
         ),
+        # r12 (VERDICT r11 #2 composition): the embedding-level
+        # decontamination stage after the n-gram gate — survivors
+        # whose embeddings seeded the benchmark set drop as
+        # semantic_contaminated
+        "curated_verdicts_semantic": lambda s, d: _q_curated_verdicts(
+            s, d, semantic=True
+        ),
         "curated_verdicts_full": lambda s, d: _q_curated_verdicts(
             s, d, lm=True, substr=True
         ),
@@ -7211,6 +7277,9 @@ LATERAL (
         ),
         "curated_verdicts_extract": _curated_verdicts_oracle_sql(extract=True),
         "curated_verdicts_url": _curated_verdicts_oracle_sql(url=True),
+        "curated_verdicts_semantic": (
+            _curated_verdicts_oracle_sql(semantic=True)
+        ),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True
         ),

@@ -316,6 +316,9 @@ EXCLUDED = {
         # r12: composition twin of the headline curated chain (the
         # URL pre-stage adds per-row regexes + one small groupBy)
         "curated_verdicts_url",
+        # r12: composition twin — the semantic stage adds the
+        # survivor-bounded broadcast probe to the headline chain
+        "curated_verdicts_semantic",
         # r12 placement decision (VERDICT r11 #4): the full audit
         # stays headline as the kernel carrier; the md5-slice twin
         # exists for the 100 TB deployment shape and its wall is the

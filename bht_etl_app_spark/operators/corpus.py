@@ -1676,6 +1676,10 @@ def curate_corpus(
     persist_scrubbed: bool = False,
     url_col: str | None = None,
     url_blocklist: list[str] | DataFrame | None = None,
+    semantic_emb: DataFrame | None = None,
+    semantic_bench_emb: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_vec_col: str = "embedding",
 ) -> DataFrame:
     """The END-TO-END curation pipeline, composed the way a full
     pretraining-corpus run chains it (RefinedWeb/FineWeb order), with
@@ -1696,6 +1700,10 @@ def curate_corpus(
     3b. (``lm_ref`` given) KN perplexity filter  → ``lm_ppl``
     3c. (``substr_k`` given) ExactSubstr scrub   → ``substr_dup``
     4. benchmark n-gram decontamination          → ``contaminated``
+    4b. (``semantic_emb`` given) embedding-level
+        decontamination (r12 — the leakage the
+        n-gram gate cannot see: paraphrase /
+        translation)                             → ``semantic_contaminated``
     5. survivors                                 → ``kept``
 
     Output: ``(doc_id, verdict)`` — verdict is the FIRST stage that
@@ -1952,15 +1960,47 @@ def curate_corpus(
     drop_cont = dec.where(F.col("contaminated")).select(
         ids, F.lit("contaminated").alias("verdict")
     )
-    kept = dec.where(~F.col("contaminated")).select(
-        ids, F.lit("kept").alias("verdict")
-    )
+    surv = dec.where(~F.col("contaminated")).select(id_col)
+    # 4b. embedding-level decontamination (optional, r12 — VERDICT
+    # r11 #2's curate_corpus composition): the paraphrase/translation
+    # leakage invisible to stage 4's n-grams. Scores ONLY the lexical
+    # survivors (embedding side semi-joins to the survivor ids before
+    # the broadcast probe — at 100 TB nothing already dropped pays
+    # for a cosine), through the SAME semantic_decontaminate kernel
+    # as the standalone contract key, so the stage and the key can
+    # never diverge. Docs with no embedding row PASS — no evidence is
+    # not contamination, the lm_ppl-stage inverse convention
+    # (documented asymmetry: the LM judges missing scores as drops
+    # because ppl gates on quality; decontamination drops only on
+    # positive evidence of leakage).
+    drop_sem = None
+    if semantic_emb is not None and semantic_bench_emb is not None:
+        emb_surv = semantic_emb.join(surv, id_col, "left_semi")
+        sem_flag_ids = (
+            semantic_decontaminate(
+                emb_surv, semantic_bench_emb,
+                threshold=semantic_threshold, id_col=id_col,
+                vec_col=semantic_vec_col,
+            )
+            .where(F.col("contaminated"))
+            .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        extra_cached.append(sem_flag_ids)
+        drop_sem = surv.join(sem_flag_ids, id_col, "left_semi").select(
+            ids, F.lit("semantic_contaminated").alias("verdict")
+        )
+        surv = surv.join(sem_flag_ids, id_col, "left_anti")
+    kept = surv.select(ids, F.lit("kept").alias("verdict"))
     out = drop_quality.unionByName(drop_exact).unionByName(drop_near)
     if lm_scores is not None:
         out = out.unionByName(drop_lm)
     if scr is not None:
         out = out.unionByName(drop_substr)
-    out = out.unionByName(drop_cont).unionByName(kept)
+    out = out.unionByName(drop_cont)
+    if drop_sem is not None:
+        out = out.unionByName(drop_sem)
+    out = out.unionByName(kept)
     for leg in url_drop_legs:
         out = out.unionByName(leg)
     out = carry(

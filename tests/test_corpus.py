@@ -1310,3 +1310,57 @@ def test_mixture_alpha_frontier_dial_monotonicity(spark):
     want = round(-sum(w * math.log(w) for _, w in
                       sorted(zip(["big", "small", "mid"], w6))), 6)
     assert abs(got[-1]["weight_entropy"] - want) < 2e-6
+
+
+def test_curate_corpus_semantic_stage_flags_embedding_leakage(spark):
+    """r12 pins (VERDICT r11 #2 composition): the embedding stage
+    runs AFTER the n-gram gate on its survivors only — a doc the
+    lexical gate already dropped never reaches it; a lexical survivor
+    whose embedding sits next to a benchmark embedding drops as
+    semantic_contaminated; survivors without an embedding row pass
+    (no evidence is not contamination)."""
+    import pyspark.sql.functions as F
+
+    from bht_etl_app_spark.operators.corpus import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the green hills with great speed and joy "
+    )
+    rows = [
+        (1, base + "alpha beta gamma delta"),      # kept
+        (2, base + "epsilon zeta eta theta"),      # semantic_contaminated
+        (3, base + "iota kappa lam mu"),           # kept (no embedding)
+        (4, "completely different content about engines and pipelines "
+            "rolling through twenty distinct tokens without repetition "
+            "while quoting benchmark marker five gram match here now"),
+        # lexically contaminated AND embedding-near — first stage wins
+    ]
+    bench_txt = spark.createDataFrame(
+        [(100, "benchmark marker five gram match here now indeed")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.995, 0.1]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(200, "benchA", [0.0, 1.0, 0.0])],
+        "bench_id long, benchmark string, embedding array<double>",
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(
+            train, bench_txt, hash_fn="md5",
+            semantic_emb=emb, semantic_bench_emb=bench_emb,
+        ).collect()
+    }
+    assert got[2] == "semantic_contaminated"
+    assert got[4] == "contaminated"  # the n-gram stage drops it first
+    assert got[1] == "kept" and got[3] == "kept"
+    assert len(got) == 4

@@ -171,6 +171,9 @@ NESTED_LOOP_OK = {
                              # 1-row broadcasts; the realize stage
                              # itself adds only equi-joins (broadcast
                              # offsets + broadcast |domains|-row plan)
+    "curated_verdicts_semantic",  # inherits semantic_decontaminate's
+                             # broadcast nested-loop benchmark probe,
+                             # bounded to the lexical survivors
     "ann_recall_frontier_opq",  # per-row 1-row broadcast avg_scanned
                              # normalizers (the parent frontier's
                              # whitelisted report-assembly shape)
