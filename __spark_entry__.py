@@ -6904,6 +6904,50 @@ _REVERIFY = {
     "mixture_epoch_plan_realloc": 11,
     "doc_scrubbed_pii": 11,
     "curated_verdicts_redact_pii": 11,
+    # r12 file churn (pure-append or default-byte-identical edits —
+    # no existing contract value changed, pinned by the local full
+    # gate): corpus.py gained the semantic_decontaminate family and
+    # the curate_corpus 4b stage, text.py the char-n-gram NB
+    # classifier, pq.py the OPQ rotation + frontier twin, dedup.py
+    # the banded-contract doc pin (ADVICE r11 #3). Front-load their
+    # green keys with the remaining window budget: 11 new keys + 3
+    # semantic restamps above + these 36 = exactly 50.
+    "curated_verdicts": 11,
+    "curated_verdicts_lm": 11,
+    "curated_verdicts_substr": 11,
+    "curated_verdicts_extract": 11,
+    "curated_verdicts_redact": 11,
+    "curated_verdicts_full": 11,
+    "doc_decontaminate": 11,
+    "doc_bloom_decontaminate": 11,
+    "contamination_attribution": 11,
+    "mixture_sample_docs": 11,
+    "domain_mixture": 11,
+    "mixture_epoch_plan": 11,
+    "mixture_alpha_frontier": 11,
+    "corpus_datacard": 11,
+    "doc_token_stats": 11,
+    "doc_quality_scores": 11,
+    "doc_lang_id": 11,
+    "doc_fingerprint": 11,
+    "doc_repetition": 11,
+    "doc_char_entropy": 11,
+    "doc_bigram_surprise": 11,
+    "doc_scrubbed": 11,
+    "doc_extracted_text": 11,
+    "tfidf_top_terms": 11,
+    "bm25_query_scores": 11,
+    "doc_script_mix": 11,
+    "pq_codes": 11,
+    "ann_ivf_pq_topk": 11,
+    "ann_ivf_rpq_topk": 11,
+    "ann_recall_report_ivf_pq": 11,
+    "ann_recall_report_ivf_rpq": 11,
+    "ann_recall_report_pq_rerank": 11,
+    "ann_recall_frontier": 11,
+    "minhash_lsh_pairs": 11,
+    "dedup_exact_docs": 11,
+    "near_dup_jaccard": 11,
 }
 
 
