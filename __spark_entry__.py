@@ -4916,6 +4916,74 @@ GROUP BY 1, 2
 """
 
 
+def _decontaminate_scrub_oracle_sql(n: int = 5) -> str:
+    """DuckDB replay of corpus.decontaminate_scrub: benchmark gram
+    fingerprints (distinct md5 of space-joined n-token windows over
+    src0), covered train positions via the hit semi-join, the
+    exact_substr gaps-and-islands merge (same SQL text as
+    substr_dedup._spans_ctes' m/isl/spans tail), then the VERBATIM
+    :func:`substr_dedup._scrub_ctes` remover — one hash-match
+    re-proves the shared remover fragment under a second upstream."""
+    from bht_etl_app_spark.operators.substr_dedup import _scrub_ctes
+    from bht_etl_app_spark.operators.text import tokens_sql
+
+    tok = tokens_sql()
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {tok} AS tk FROM documents WHERE source <> 'src0'
+),
+bt AS (
+  SELECT {tok} AS tk FROM documents WHERE source = 'src0'
+),
+bfp AS MATERIALIZED (
+  SELECT DISTINCT md5(array_to_string(list_slice(tk, i, i + {n} - 1), ' ')) AS fp
+  FROM (
+    SELECT tk, unnest(range(1, len(tk) - {n} + 2)) AS i
+    FROM bt WHERE len(tk) >= {n}
+  )
+),
+g AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(tk, i, i + {n} - 1), ' ')) AS fp
+  FROM (
+    SELECT doc_id, tk, unnest(range(1, len(tk) - {n} + 2)) AS i
+    FROM t WHERE len(tk) >= {n}
+  )
+),
+d AS MATERIALIZED (
+  SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM bfp)
+),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + {n} - 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {n} - 1 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+{_scrub_ctes(n)}
+SELECT tr.doc_id,
+       coalesce(ka.scrubbed_text, '') AS scrubbed_text,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(len(tr.tk), 0) - coalesce(ka.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM trow tr LEFT JOIN keptagg ka USING (rid)
+"""
+
+
 def _docs_md5_slice(spark, sf_dir):
     """The deterministic ~50% documents slice every ``_sampled``
     audit twin runs on (first md5 hex nibble of the id < '8') — the
@@ -5898,6 +5966,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").where(F.col("source") != "src0"),
             load_table(s, d, "documents").where(F.col("source") == "src0"),
             n=5,
+        ),
+        # r12 post-close: the scrub-not-drop deployment of the gate —
+        # remove only benchmark-covered token runs (the ExactSubstr
+        # remover pointed at an eval hit set; broadcast map-side hit
+        # detection, no corpus-duplication count needed)
+        "doc_decontaminate_scrub": lambda s, d: (
+            corpus_ops.decontaminate_scrub(
+                load_table(s, d, "documents").where(
+                    F.col("source") != "src0"
+                ),
+                load_table(s, d, "documents").where(
+                    F.col("source") == "src0"
+                ),
+                n=5,
+            )
         ),
         # r10: the audit twin — WHICH benchmark leaks WHERE, per
         # (train source, benchmark); the src0 eval shard is split
@@ -6947,7 +7030,9 @@ _REVERIFY = {
     "ann_recall_frontier": 11,
     "minhash_lsh_pairs": 11,
     "dedup_exact_docs": 11,
-    "near_dup_jaccard": 11,
+    # ("near_dup_jaccard" ceded its churn slot to the post-close
+    # doc_decontaminate_scrub key — 12 new + 3 restamps + 35 churn
+    # front-loads = exactly 50, the r11 rebalancing rule)
 }
 
 
@@ -7324,6 +7409,7 @@ LATERAL (
         "curated_verdicts_semantic": (
             _curated_verdicts_oracle_sql(semantic=True)
         ),
+        "doc_decontaminate_scrub": _decontaminate_scrub_oracle_sql(),
         "curated_verdicts_full": _curated_verdicts_oracle_sql(
             lm=True, substr=True
         ),

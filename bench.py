@@ -69,6 +69,10 @@ HEADLINE = [
     "semantic_dedup_survivors",
     # corpus curation
     "doc_decontaminate",
+    # r12 post-close: span-level decontamination (broadcast hit set +
+    # the gaps-and-islands remover — a distinct kernel from both the
+    # doc-level gate and the substr count path)
+    "doc_decontaminate_scrub",
     # r12: embedding-level decontamination (broadcast benchmark probe
     # over one corpus scan — a distinct kernel from the n-gram gate)
     "semantic_decontaminate",

@@ -208,6 +208,124 @@ def bloom_decontaminate(
     )
 
 
+def decontaminate_scrub(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """SPAN-level decontamination — the scrub-not-drop deployment of
+    the n-gram gate (r12): :func:`decontaminate` discards a whole
+    document for sharing ONE n-gram with a benchmark, which at real
+    contamination rates throws away mostly-clean documents wholesale.
+    This removes only the contaminated token runs — every maximal
+    span covered by a benchmark n-gram — and keeps the rest, the
+    ExactSubstr remover pointed at an eval-set hit list instead of a
+    corpus-duplication count (:mod:`substr_dedup`'s gram-cover
+    equivalence: a token leaks iff some covering ``n``-gram appears
+    in the benchmark). Output one row per input row:
+    ``(doc_id, scrubbed_text, n_kept, n_removed)`` — clean docs pass
+    through re-joined (whitespace normalized), fully-contaminated
+    docs scrub to the empty string (the exact_substr_scrub edge
+    contract).
+
+    Scale posture — CHEAPER than the substr scrub it mirrors: the
+    benchmark fingerprint set is eval-sized and BROADCASTS, so hit
+    detection is map-side on one corpus scan (the substr variant
+    needs two corpus-scale exchanges for its duplication count);
+    the only shuffles are the covered-(id, pos) frame — bounded by
+    the HIT count, not the corpus — through the per-document
+    gaps-and-islands windows (partitioned by id, never global).
+    ``hash_fn`` is the dedup family's portable/production seam
+    (md5 replayed by the oracle; xxhash64 for 8-byte wire weight)."""
+    from bht_etl_app_spark.operators.substr_dedup import _gram_fp_structs
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    bfp = (
+        ensure_min_parallelism(eval_df)
+        .select(
+            F.explode(
+                _gram_fp_structs(bench_text_col, n, hash_fn)
+            ).alias("g")
+        )
+        .select(F.col("g.fp").alias("fp"))
+        .distinct()
+    )
+    grams = (
+        ensure_min_parallelism(train)
+        .select(
+            F.col(id_col),
+            F.explode(_gram_fp_structs(text_col, n, hash_fn)).alias("g"),
+        )
+        .select(id_col, "g.pos", "g.fp")
+    )
+    d = grams.join(F.broadcast(bfp), "fp", "left_semi").select(id_col, "pos")
+    # maximal covered runs: the exact_substr_spans gaps-and-islands
+    # merge verbatim (overlapping AND abutting covers merge)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = d.select(
+        id_col,
+        "pos",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0).alias("__new__"),
+    )
+    spans = (
+        flagged.select(
+            id_col, "pos", F.sum("__new__").over(w).alias("__island__")
+        )
+        .groupBy(id_col, "__island__")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+        )
+    )
+    # the exact_substr_scrub remover tail: per-row token filter
+    # against the doc-level covered spans, array-native
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans__")
+    )
+    toks = ensure_min_parallelism(train).select(
+        F.col(id_col),
+        F.coalesce(
+            tokens_expr(text_col), F.array().cast("array<string>")
+        ).alias("__toks__"),
+    )
+    indexed = F.transform(
+        F.col("__toks__"),
+        lambda t, i: F.struct((i + 1).cast("long").alias("pos"), t.alias("t")),
+    )
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            sp, lambda r: (x["pos"] >= r["s"]) & (x["pos"] <= r["e"])
+        ),
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(
+            "scrubbed_text"
+        ),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def _semantic_scores(
     train_emb: DataFrame,
     bench_emb: DataFrame,

@@ -1364,3 +1364,57 @@ def test_curate_corpus_semantic_stage_flags_embedding_leakage(spark):
     assert got[4] == "contaminated"  # the n-gram stage drops it first
     assert got[1] == "kept" and got[3] == "kept"
     assert len(got) == 4
+
+
+def test_decontaminate_scrub_removes_only_covered_spans(spark):
+    """r12 pins: benchmark-covered maximal runs scrub out, clean
+    tokens survive in order, abutting covers merge, clean docs pass
+    through whitespace-normalized, a fully-contaminated doc scrubs
+    to '', and docs shorter than n never scrub."""
+    from bht_etl_app_spark.operators.corpus import decontaminate_scrub
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval answer key here")],  # one 5-token doc -> one 5-gram
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # the 5-gram sits at positions 3..7 of 9 tokens
+            (1, "alpha beta secret eval answer key here gamma delta"),
+            (2, "totally clean text with  extra   spaces"),
+            (3, "secret eval answer key here"),        # fully covered
+            (4, "tiny doc"),                            # shorter than n
+            (5, ""),                                    # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate_scrub(train, bench, n=5).collect()
+    }
+    assert got[1]["scrubbed_text"] == "alpha beta gamma delta"
+    assert got[1]["n_kept"] == 4 and got[1]["n_removed"] == 5
+    assert got[2]["scrubbed_text"] == "totally clean text with extra spaces"
+    assert got[2]["n_removed"] == 0
+    assert got[3]["scrubbed_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["n_removed"] == 0 and got[5]["scrubbed_text"] == ""
+    assert len(got) == 5
+
+
+def test_decontaminate_scrub_merges_abutting_benchmark_grams(spark):
+    """Two distinct benchmark 3-grams covering abutting train runs
+    report as ONE maximal scrubbed run (the exact_substr maximal-
+    covered-run contract under the benchmark hit set)."""
+    from bht_etl_app_spark.operators.corpus import decontaminate_scrub
+
+    bench = spark.createDataFrame(
+        [(100, "aa bb cc"), (101, "dd ee ff")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "x aa bb cc dd ee ff y")],
+        "doc_id long, text string",
+    )
+    got = decontaminate_scrub(train, bench, n=3).collect()[0]
+    assert got["scrubbed_text"] == "x y"
+    assert got["n_removed"] == 6
