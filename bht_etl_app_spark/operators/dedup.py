@@ -581,7 +581,17 @@ def verify_candidate_jaccard(
     pair (semi join first): at scale the candidate set is a tiny
     fraction of the corpus and shingling the full corpus again would
     dominate. Output: ``(id_a, id_b, jaccard)`` at or above
-    ``threshold``."""
+    ``threshold``.
+
+    The candidate shingle frame persists (r12 optimization): both
+    aliased sides of the verify join read it and Catalyst does not
+    reuse work across aliased sides, so without the cache the
+    semi-join + tokenize + shingle of every candidate doc ran twice.
+    The cached rows are (id, shingles) for CANDIDATE docs only —
+    bounded by the candidate set, a small fraction of the corpus at
+    scale."""
+    from pyspark import StorageLevel
+
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -590,8 +600,8 @@ def verify_candidate_jaccard(
     sh = _shingled(
         df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
         text_col, id_col, n, "shingles",
-    ).withColumnRenamed(id_col, "id")
-    return (
+    ).withColumnRenamed(id_col, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    out = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .select(
@@ -605,6 +615,7 @@ def verify_candidate_jaccard(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return track_persisted(out, sh)
 
 
 def simhash64(

@@ -777,9 +777,23 @@ def split_leakage_audit(
     Scale posture: two id-keyed joins of the (pair-sized) edge list
     against each split assignment — the corpus contributes the split
     projections; nothing pair-quadratic, nothing corpus-shuffled
-    beyond leakage_safe_split's own component join."""
-    from bht_etl_app_spark.functions.lifecycle import carry
+    beyond leakage_safe_split's own component join.
 
+    Materialize-or-recompute (r12 optimization): the ``pairs`` plan —
+    usually a full inverted-index Jaccard computation — has TWO
+    consumers here (the component build inside leakage_safe_split and
+    the straddle join below), and ``both`` has two (the a/b endpoint
+    legs). Catalyst reuses neither across aliased consumers, so
+    without persisting, the whole pair pipeline evaluated twice and
+    the split-assignment join twice (measured ~2x the audit's wall at
+    sf0.1). Both frames are pair-/corpus-id-sized — (id, 2 labels)
+    and (id_a, id_b, jaccard) — never document text, the canonical
+    thing to materialize at 100 TB too."""
+    from pyspark import StorageLevel
+
+    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     # threshold forwards to BOTH split rules (r9 ADVICE, medium): the
     # audit compares the per-id and component assignments AT THE SAME
     # split fraction — defaulting one side made any non-default
@@ -790,7 +804,7 @@ def split_leakage_audit(
     safe = leakage_safe_split(df, pairs, id_col, test_hex_threshold)
     both = plain.join(
         safe.select(F.col(id_col), F.col("split").alias("__s__")), id_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = both.select(
         F.col(id_col).alias("id_a"),
         F.col("__p__").alias("p_a"),
@@ -824,7 +838,7 @@ def split_leakage_audit(
             ),
         ).alias("leak_rate_plain"),
     )
-    return carry(out, safe)
+    return carry(track_persisted(out, pairs, both), safe)
 
 
 def packing_bin_stats(

@@ -274,13 +274,25 @@ def exact_substr_scrub(
     re-joined (whitespace normalized); fully-duplicated docs scrub to
     the empty string; empty docs stay empty. Token filtering is
     array-native per document (no extra shuffle beyond the spans
-    computation itself)."""
+    computation itself).
+
+    The per-doc span table persists (r12 optimization): scrub output
+    routinely has two consumers (curate_corpus reads it for the keep
+    list AND for the decontamination input), and without the cache
+    each consumer re-ran the whole spans pipeline — dup-fp count,
+    semi-join, islands windows — per evaluation. The cached frame is
+    ``(doc_id, span list)`` for docs with at least one duplicated
+    run — doc-bounded and text-free, so the no-text-persists
+    discipline holds; a re-evaluation now recomputes only the
+    tokenize+join half."""
+    from pyspark import StorageLevel
+
     spans = exact_substr_spans(df, k, text_col, id_col, hash_fn)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
         ).alias("__spans__")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # NULL text scrubs like the empty string ('' / 0 / 0) — without
     # the coalesce, size(NULL array) is NULL and n_kept/n_removed
     # diverge from the oracle's coalesced counts (r7 review)
@@ -315,7 +327,7 @@ def exact_substr_scrub(
             (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
-    return carry(out, spans)
+    return carry(track_persisted(out, per_doc), spans)
 
 
 def _spans_ctes(k: int, table: str, prefix: str = "") -> str:
