@@ -2631,6 +2631,23 @@ def _q_corpus_datacard(spark, sf_dir):
 _PQ_PARAMS = {"m": 2, "k": 16, "max_iter": 2}
 
 
+def _overlap(*thunks):
+    """Run independent driver-blocking model trainings concurrently
+    (r12 optimization, guide §2.6): each k-means/PQ fit is a chain of
+    tiny k-row collect jobs whose wall is sequential driver
+    round-trips, and the trainings passed here share no inputs — so
+    overlapping them changes no computation (each thunk's jobs,
+    seeds, and rounding are untouched) while the idle cores back-fill
+    between collect rounds. Returns the thunk results in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product-quantization codes (Jégou et al. 2011): m=2 subspace
     codebooks of k=16 codewords, trained by the deterministic
@@ -2820,8 +2837,10 @@ def _q_ann_ivf_pq_topk(spark, sf_dir):
         float(x)
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
-    books = pq_train(emb, **_PQ_PARAMS)
-    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books, cents = _overlap(
+        lambda: pq_train(emb, **_PQ_PARAMS),
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+    )
     return ann_ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=2)
 
 
@@ -2870,8 +2889,10 @@ def _q_ann_pq_store_topk(spark, sf_dir):
         float(x)
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
-    books = pq_train(emb, **_PQ_PARAMS)
-    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books, cents = _overlap(
+        lambda: pq_train(emb, **_PQ_PARAMS),
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+    )
     path = tempfile.mkdtemp(prefix="bht-pq-index-")
     write_pq_index(pq_index_rows(emb, cents, books), path)
     return ann_pq_index_topk(
@@ -3471,8 +3492,10 @@ def _q_ann_recall_ivf_pq(spark, sf_dir):
     from bht_etl_app_spark.operators.pq import ann_recall_report_pq, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, **_PQ_PARAMS)
-    cents = kmeans_fit(emb, k=8, max_iter=2)
+    books, cents = _overlap(
+        lambda: pq_train(emb, **_PQ_PARAMS),
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+    )
     return ann_recall_report_pq(
         emb, cents, books, k=5, n_queries=32, nprobe=2
     )
@@ -3494,8 +3517,10 @@ def _q_ann_recall_ivf_rpq(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, max_iter=2)
-    pq_books = pq_train(emb, **_PQ_PARAMS)
+    cents, pq_books = _overlap(
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+        lambda: pq_train(emb, **_PQ_PARAMS),
+    )
     rpq_books = pq_train_residual(emb, cents, **_PQ_PARAMS)
     return ann_recall_report_rpq_vs_pq(
         emb, cents, pq_books, rpq_books, k=5, n_queries=32, nprobe=2
@@ -3516,8 +3541,10 @@ def _q_ann_recall_pq_rerank(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, max_iter=2)
-    books = pq_train(emb, **_PQ_PARAMS)
+    cents, books = _overlap(
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+        lambda: pq_train(emb, **_PQ_PARAMS),
+    )
     return ann_recall_report_pq_rerank(
         emb, cents, books, k=5, shortlist=20, n_queries=32, nprobe=2
     )
@@ -3536,8 +3563,10 @@ def _q_ann_recall_frontier(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, max_iter=2)
-    books = pq_train(emb, **_PQ_PARAMS)
+    cents, books = _overlap(
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+        lambda: pq_train(emb, **_PQ_PARAMS),
+    )
     rbooks = pq_train_residual(emb, cents, **_PQ_PARAMS)
     return ann_recall_frontier(
         emb, cents, books, rbooks, k=5, n_queries=32, nprobes=(1, 2, 4),
@@ -3615,10 +3644,12 @@ def _q_ann_frontier_opq(spark, sf_dir):
     emb = _opq_bench_emb(spark, sf_dir)
     rot = opq_rotation(emb, m=_PQ_PARAMS["m"])
     remb = rotate_embeddings(emb, rot)
-    cents = kmeans_fit(emb, k=8, max_iter=2)
-    books = pq_train(emb, **_PQ_PARAMS)
-    rcents = kmeans_fit(remb, k=8, max_iter=2)
-    rbooks = pq_train(remb, **_PQ_PARAMS)
+    cents, books, rcents, rbooks = _overlap(
+        lambda: kmeans_fit(emb, k=8, max_iter=2),
+        lambda: pq_train(emb, **_PQ_PARAMS),
+        lambda: kmeans_fit(remb, k=8, max_iter=2),
+        lambda: pq_train(remb, **_PQ_PARAMS),
+    )
     return ann_recall_frontier_opq(
         emb, remb, cents, books, rcents, rbooks,
         k=5, n_queries=32, nprobes=(1, 2, 4),

@@ -1014,9 +1014,23 @@ def dedup_clusters(
 
     edges, edge_ids = _truncate(
         # duplicate edges are harmless under the min-aggregate, so no
-        # distinct() shuffle here — callers emit unique a<b pairs
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # distinct() shuffle here — callers emit unique a<b pairs.
+        # Both directions come from ONE explode over each pair row,
+        # NOT a union of two selects (r12 optimization): the union's
+        # two legs are aliased consumers of the same (un-persisted)
+        # pair plan, and Catalyst reuses nothing across them — with a
+        # full inverted-index Jaccard upstream the entire pair
+        # pipeline evaluated TWICE before the checkpoint (two
+        # identical corpus-scale stages in the leakage_safe_split
+        # profile). The explode reads each pair row once.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e__")
+        ).select("__e__.src", "__e__.dst")
         # materialized once: every round re-joins the edge set
     )
     # edges holds each input pair TWICE (both directions, no distinct),

@@ -100,22 +100,38 @@ def pq_train(
     each is one narrow projection + k-row reduction per iteration
     (``clustering.kmeans_fit``); nothing here shuffles the corpus.
     The driver loop over subspaces is bounded by ``m`` (a config,
-    single digits in practice)."""
+    single digits in practice).
+
+    The ``m`` fits run CONCURRENTLY from a small driver thread pool
+    (r12 optimization, guide §2.6 overlap-independent-jobs): each
+    fit's per-iteration jobs are tiny k-row reductions whose wall is
+    dominated by sequential driver round-trips, and the subspace fits
+    share no state — so overlapping them leaves every fit's
+    computation (seeds, per-round 9 dp quantization, convergence)
+    bit-identical while the cluster back-fills the idle capacity
+    between collect rounds. Spark's scheduler runs concurrent jobs
+    FIFO; correctness does not depend on ordering."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .clustering import kmeans_fit
 
     dim = len(emb.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = []
-    for s in range(m):
+
+    def _fit(s: int) -> list[list[float]]:
         sub = emb.select(
             F.col(id_col), _subvec(F.col(vec_col), s, d_sub).alias(vec_col)
         )
-        books.append(
-            kmeans_fit(sub, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+        return kmeans_fit(
+            sub, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
         )
-    return books
+
+    if m == 1:
+        return [_fit(0)]
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(
