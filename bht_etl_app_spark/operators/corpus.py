@@ -247,19 +247,17 @@ def decontaminate_scrub(
         raise ValueError(f"n must be >= 2, got {n}")
     bfp = (
         ensure_min_parallelism(eval_df)
-        .select(
-            F.explode(
-                _gram_fp_structs(bench_text_col, n, hash_fn)
-            ).alias("g")
-        )
+        .select(tokens_expr(bench_text_col).alias("__toks__"))
+        .select(F.explode(_gram_fp_structs("__toks__", n, hash_fn)).alias("g"))
         .select(F.col("g.fp").alias("fp"))
         .distinct()
     )
     grams = (
         ensure_min_parallelism(train)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
         .select(
             F.col(id_col),
-            F.explode(_gram_fp_structs(text_col, n, hash_fn)).alias("g"),
+            F.explode(_gram_fp_structs("__toks__", n, hash_fn)).alias("g"),
         )
         .select(id_col, "g.pos", "g.fp")
     )
@@ -1867,12 +1865,43 @@ def curate_corpus(
     """
     from pyspark import StorageLevel
 
-    from bht_etl_app_spark.functions.lifecycle import carry, track_persisted
+    from bht_etl_app_spark.functions.lifecycle import (
+        carry,
+        persistent_rdd_ids,
+        track_checkpoint_rdds,
+        track_persisted,
+    )
     from bht_etl_app_spark.operators.dedup import (
         dedup_clusters,
         dedup_exact,
         minhash_lsh_pairs,
     )
+
+    # Stage boundaries TRUNCATE the logical plan (r12 optimization):
+    # every boundary is an id-keyed decision/survivor list with
+    # multiple consumers (the next stage's semi-join AND a verdict
+    # leg), and under plain persist each consumer's LOGICAL plan
+    # still embeds the whole upstream chain — stage k's tree contains
+    # stage k-1's several times over (the KN stage alone references
+    # its model tables five ways), so the composed plan grew
+    # EXPONENTIALLY in stage count: curated_verdicts_full's formatted
+    # plan was 46 MB / 71,752 Exchange nodes, and Catalyst re-analyzed
+    # that tree on every DataFrame operation — ~2/3 of the query's
+    # wall was DRIVER planning, not execution (measured: 39 s build +
+    # 13 s execute at sf0.1). An eager localCheckpoint materializes
+    # the same id-keyed rows the persist held (document text still
+    # never hits a boundary) and replaces the subtree with a leaf —
+    # plan growth drops to linear in stages. Blocks are
+    # non-recomputable, so they follow the lifecycle registry's
+    # explicit-release contract (the dedup_clusters precedent).
+    sc = df.sparkSession.sparkContext
+    _ckpt_ids: set[int] = set()
+
+    def _boundary(frame: DataFrame) -> DataFrame:
+        before = persistent_rdd_ids(sc)
+        out = frame.localCheckpoint(eager=True)
+        _ckpt_ids.update(persistent_rdd_ids(sc) - before)
+        return out
 
     ids = F.col(id_col)
     # -2. URL stage (optional, r12 — VERDICT r11 #3): blocklist +
@@ -1884,33 +1913,25 @@ def curate_corpus(
     # url_canonical_dedup / domain_blocklist_filter contract keys),
     # so the stage and the keys can never diverge.
     url_drop_legs: list[DataFrame] = []
-    url_cached: list[DataFrame] = []
     if url_col is not None:
-        from pyspark import StorageLevel as _SL
-
         from bht_etl_app_spark.operators.urls import (
             domain_blocklist_filter,
             url_canonical_dedup,
         )
 
         if url_blocklist is not None:
-            blocked_ids = (
+            blocked_ids = _boundary(
                 domain_blocklist_filter(df, url_blocklist, url_col, id_col)
                 .where(F.col("blocked"))
                 .select(id_col)
-                .persist(_SL.MEMORY_AND_DISK)
             )
-            url_cached.append(blocked_ids)
             url_drop_legs.append(
                 blocked_ids.select(ids, F.lit("url_blocked").alias("verdict"))
             )
             df = df.join(blocked_ids, id_col, "left_anti")
-        url_keep_ids = (
-            url_canonical_dedup(df, url_col, id_col)
-            .select(id_col)
-            .persist(_SL.MEMORY_AND_DISK)
+        url_keep_ids = _boundary(
+            url_canonical_dedup(df, url_col, id_col).select(id_col)
         )
-        url_cached.append(url_keep_ids)
         url_drop_legs.append(
             df.select(id_col)
             .join(url_keep_ids, id_col, "left_anti")
@@ -1958,9 +1979,11 @@ def curate_corpus(
     # sf0.01 before persisting). All cached frames are id-keyed
     # decision/survivor lists — document text never persists.
     # 1. quality
-    qdec = quality_filter_decisions(
-        df, min_tokens=min_tokens, text_col=text_col, id_col=id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qdec = _boundary(
+        quality_filter_decisions(
+            df, min_tokens=min_tokens, text_col=text_col, id_col=id_col
+        )
+    )
     drop_quality = qdec.where(~F.col("keep")).select(
         ids, F.lit("quality").alias("verdict")
     )
@@ -1968,9 +1991,7 @@ def curate_corpus(
         qdec.where(F.col("keep")).select(id_col), id_col, "left_semi"
     )
     # 2. exact dedup
-    exact_keep = dedup_exact(qs, text_col, id_col).select(id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    exact_keep = _boundary(dedup_exact(qs, text_col, id_col).select(id_col))
     drop_exact = qs.select(id_col).join(exact_keep, id_col, "left_anti").select(
         ids, F.lit("exact_dup").alias("verdict")
     )
@@ -1984,9 +2005,11 @@ def curate_corpus(
         es, text_col, id_col, threshold=near_dup_threshold, hash_fn=hash_fn
     )
     comp = dedup_clusters(pairs)
-    drop_near_ids = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    drop_near_ids = _boundary(
+        comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    )
     drop_near = drop_near_ids.select(ids, F.lit("near_dup").alias("verdict"))
     ns = es.join(drop_near_ids, id_col, "left_anti")
     # 3b. CCNet perplexity filter (optional): score the dedup
@@ -2004,15 +2027,12 @@ def curate_corpus(
         lm_scores = kn_doc_logprob(
             ns, text_col, id_col, d=lm_d, train_df=lm_ref, final_round=6
         )
-        lm_keep_ids = (
+        lm_keep_ids = _boundary(
             lm_scores.where(
                 F.col("avg_logprob").isNotNull()
                 & (F.col("avg_logprob") >= F.lit(float(lm_min_avg_logprob)))
-            )
-            .select(id_col)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ).select(id_col)
         )
-        extra_cached.append(lm_keep_ids)
         drop_lm = ns.select(id_col).join(
             lm_keep_ids, id_col, "left_anti"
         ).select(ids, F.lit("lm_ppl").alias("verdict"))
@@ -2059,12 +2079,10 @@ def curate_corpus(
         # 'substr_dup' verdict even though nothing was duplicated;
         # unreachable under the default quality gate, pinned in
         # tests/test_corpus.py::test_curate_substr_empty_doc_edge)
-        substr_keep_ids = (
+        substr_keep_ids = _boundary(
             scr_txt.where((F.col("n_kept") > 0) | (F.col("n_removed") == 0))
             .select(id_col)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        extra_cached.append(substr_keep_ids)
         drop_substr = ns.select(id_col).join(
             substr_keep_ids, id_col, "left_anti"
         ).select(ids, F.lit("substr_dup").alias("verdict"))
@@ -2072,9 +2090,11 @@ def curate_corpus(
             F.col(id_col), F.col("scrubbed_text").alias(text_col)
         )
     # 4. decontamination
-    dec = decontaminate(
-        ns, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dec = _boundary(
+        decontaminate(
+            ns, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+        )
+    )
     drop_cont = dec.where(F.col("contaminated")).select(
         ids, F.lit("contaminated").alias("verdict")
     )
@@ -2094,7 +2114,7 @@ def curate_corpus(
     drop_sem = None
     if semantic_emb is not None and semantic_bench_emb is not None:
         emb_surv = semantic_emb.join(surv, id_col, "left_semi")
-        sem_flag_ids = (
+        sem_flag_ids = _boundary(
             semantic_decontaminate(
                 emb_surv, semantic_bench_emb,
                 threshold=semantic_threshold, id_col=id_col,
@@ -2102,9 +2122,7 @@ def curate_corpus(
             )
             .where(F.col("contaminated"))
             .select(id_col)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        extra_cached.append(sem_flag_ids)
         drop_sem = surv.join(sem_flag_ids, id_col, "left_semi").select(
             ids, F.lit("semantic_contaminated").alias("verdict")
         )
@@ -2121,13 +2139,15 @@ def curate_corpus(
     out = out.unionByName(kept)
     for leg in url_drop_legs:
         out = out.unionByName(leg)
-    out = carry(
-        track_persisted(
-            out, qdec, exact_keep, drop_near_ids, dec,
-            *extra_cached, *url_cached,
-        ),
-        comp,
-    )
+    # Boundary checkpoint blocks are non-recomputable: registered for
+    # explicit freeing (release(out) / sweep_checkpoints), never a GC
+    # finalizer — the dedup_clusters contract. Recomputable persisted
+    # frames (the opt-in scrubbed-text boundary) keep the finalizer
+    # contract; comp / lm_scores / scr stay carried for their own
+    # internal caches (the scrub's per-doc span cache is still read
+    # by the decontamination stage's plan).
+    out = track_checkpoint_rdds(out, sc, _ckpt_ids)
+    out = carry(track_persisted(out, *extra_cached), comp)
     if lm_scores is not None:
         out = carry(out, lm_scores)
     if scr is not None:

@@ -252,14 +252,32 @@ def triangle_stats(
     left-semi probe of the oriented edge set — every shuffle keys on
     a vertex id, nothing is ever quadratic in the graph.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    # Materialize-or-recompute (r12 optimization): this operator runs
+    # FOUR actions (triangles, nodes, edges, wedge power sum), and
+    # every frame here derives from the caller's pair plan — often a
+    # basket self-join over the whole fact table. Un-persisted, that
+    # upstream evaluated once PER ACTION (4x; measured ~3x the
+    # operator's wall at sf0.1). The edge list, the degree table, and
+    # the oriented edge set (three consumers: both wedge arms + the
+    # closing semi-join probe) are all edge-/vertex-sized — the
+    # canonical things to materialize at 100 TB too. All actions
+    # complete inside this function, so the caches are released
+    # before returning — no lifecycle registry needed.
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # both endpoint legs from ONE explode per edge row, not a union of
+    # two selects — Catalyst reuses nothing across the union's aliased
+    # consumers (the dedup_clusters r12 rule)
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ed = (
         e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
@@ -272,7 +290,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w1 = o.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     # keep each out-neighbor pair ONCE, ordered by the same total
@@ -285,18 +303,32 @@ def triangle_stats(
         .where(x_first)
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
     )
-    # left-semi keeps every matched wedge row (one per CENTER vertex —
-    # distinct centers are distinct triangles; semi join preserves
-    # left multiplicity, it only collapses the build side)
-    tri = cands.join(o.select("src", "dst"), ["src", "dst"], "left_semi").count()
-    nodes = deg.count()
+    # materialize e then deg once (these two actions ARE two of the
+    # four outputs), then overlap the remaining independent jobs from
+    # a driver thread pool (guide §2.6) — the wedge join's straggler
+    # tail backfills with the trivial power-sum aggregate
     edges = e.count()
-    wedges_row = deg.agg(
-        F.sum(
-            F.col("deg").cast("decimal(38,0)")
-            * (F.col("deg") - 1).cast("decimal(38,0)")
-        ).alias("w2x")
-    ).head()
+    nodes = deg.count()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        # left-semi keeps every matched wedge row (one per CENTER
+        # vertex — distinct centers are distinct triangles; semi join
+        # preserves left multiplicity, it only collapses the build
+        # side)
+        f_tri = pool.submit(
+            cands.join(o.select("src", "dst"), ["src", "dst"], "left_semi").count
+        )
+        f_wedges = pool.submit(
+            deg.agg(
+                F.sum(
+                    F.col("deg").cast("decimal(38,0)")
+                    * (F.col("deg") - 1).cast("decimal(38,0)")
+                ).alias("w2x")
+            ).head
+        )
+        tri = f_tri.result()
+        wedges_row = f_wedges.result()
+    for cached in (o, deg, e):
+        cached.unpersist()
     wedges = int(wedges_row["w2x"]) // 2 if wedges_row["w2x"] is not None else 0
     coeff = (3.0 * float(tri) / float(wedges)) if wedges > 0 else None
     spark = pairs.sparkSession
@@ -525,9 +557,11 @@ def degree_histogram(
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
+    # one explode per edge row, not a union of two aliased selects —
+    # the union's legs would each evaluate the caller's pair plan
+    # (the dedup_clusters r12 rule)
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )

@@ -72,10 +72,17 @@ __all__ = [
 _TOK_SQL = tokens_sql()
 
 
-def _gram_fp_structs(text_col: str, k: int, hash_fn: str = "md5") -> Column:
+def _gram_fp_structs(tok_col: str, k: int, hash_fn: str = "md5") -> Column:
     """``array<struct<pos,fp>>`` — 1-based start position and a hash
     of the space-joined k-token window (tokens cannot contain spaces,
     so the join is collision-free); docs shorter than k emit none.
+    ``tok_col`` must be an ALREADY-MATERIALIZED token-array column,
+    never the inline ``tokens_expr`` tree: higher-order lambdas are
+    interpreted with no common-subexpression elimination, so an
+    inline tree re-runs split+filter once per gram position (the
+    shingles_expr two-projection rule; r12 optimization — the
+    positions ride a zipped ``sequence`` instead of a per-position
+    struct build).
 
     ``hash_fn`` is the family's production/portable seam (the dedup
     family's r5 pattern — the fp is equality-only, so any injective
@@ -88,7 +95,7 @@ def _gram_fp_structs(text_col: str, k: int, hash_fn: str = "md5") -> Column:
       long on the wire — the shuffle-weight cut that matters when
       the (id,pos,fp) frame is corpus-token-sized (r7 VERDICT #4).
     """
-    toks = tokens_expr(text_col)
+    toks = F.col(tok_col)
     if hash_fn == "md5":
         fp_of = F.md5
         fp_type = "string"
@@ -97,15 +104,16 @@ def _gram_fp_structs(text_col: str, k: int, hash_fn: str = "md5") -> Column:
         fp_type = "bigint"
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    n = F.size(toks)
     return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k) + 1),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                fp_of(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
-            ),
-        ),
+        n >= k,
+        F.arrays_zip(
+            F.sequence(F.lit(1).cast("long"), (n - F.lit(k) + 1).cast("long")).alias("pos"),
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k) + 1),
+                lambda i: fp_of(F.concat_ws(" ", F.slice(toks, i, k))),
+            ).alias("fp"),
+        ).cast(f"array<struct<pos:bigint,fp:{fp_type}>>"),
     ).otherwise(
         F.array().cast(f"array<struct<pos:bigint,fp:{fp_type}>>")
     )
@@ -126,9 +134,10 @@ def _dup_positions(
 
     grams = (
         ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks__"))
         .select(
             F.col(id_col),
-            F.explode(_gram_fp_structs(text_col, k, hash_fn)).alias("g"),
+            F.explode(_gram_fp_structs("__toks__", k, hash_fn)).alias("g"),
         )
         .select(id_col, "g.pos", "g.fp")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -126,6 +126,43 @@ def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES):
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def _source_parallelism(plan) -> int | None:
+    """Structural source-parallelism estimate over a (pre-preparation)
+    physical plan: how many splits feed this subtree. Joins follow the
+    streamed side (a broadcast build side contributes no partitions),
+    unions sum, everything else takes the max over children; file
+    scans answer exactly (``inputRDD`` is the split computation Spark
+    itself will run — metadata only, listing is session-cached).
+    Returns None for leaves it cannot price (local relations,
+    RDD-backed frames) — the caller falls back to the exact probe.
+    """
+    def walk(p, depth):
+        if depth > 256:
+            return None
+        name = p.getClass().getSimpleName()
+        if name == "FileSourceScanExec":
+            return p.inputRDD().getNumPartitions()
+        ch = p.children()
+        k = ch.size()
+        if k == 0:
+            return None
+        if name in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
+            side = 1 if p.buildSide().toString() == "BuildLeft" else 0
+            return walk(ch.apply(side), depth + 1)
+        vals = []
+        for i in range(k):
+            v = walk(ch.apply(i), depth + 1)
+            if v is None:
+                return None
+            vals.append(v)
+        return sum(vals) if name == "UnionExec" else max(vals)
+
+    try:
+        return walk(plan, 0)
+    except Exception:
+        return None
+
+
 def ensure_min_parallelism(df, factor: int = 1):
     """Repartition a narrow scan up to the session's parallelism before
     a CPU-heavy projection (regex tokenization, shingling, hashing).
@@ -136,9 +173,26 @@ def ensure_min_parallelism(df, factor: int = 1):
     and this is a no-op (the check is driver-side metadata only), so
     the extra shuffle is paid exactly when it is cheap: on inputs small
     enough to fit in one split.
+
+    The probe reads SOURCE parallelism off the pre-preparation
+    physical plan (r12 optimization): the previous ``df.rdd``
+    partition count looked exact but was anything but metadata-only —
+    under AQE, converting a shuffle-bearing frame to an RDD EXECUTES
+    its upstream query stages (and compiles every codegen stage), so
+    each call on a composed frame cost seconds of driver/cluster time
+    and the curation chain paid it per stage (measured ~10 s of the
+    curated_verdicts build at sf0.1). ``sparkPlan`` is planned but
+    not prepared — no exchanges yet, nothing executes — and the
+    walk bottoms out at the file-scan split counts, which is the
+    quantity this guard was documented to act on all along. Frames
+    whose leaves it cannot price (driver-local data, RDD-backed
+    boundaries) keep the exact probe — those plans are leaf-shaped,
+    so the probe is cheap exactly there.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    est = _source_parallelism(df._jdf.queryExecution().sparkPlan())
+    n = est if est is not None else df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df

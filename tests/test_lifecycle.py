@@ -69,7 +69,16 @@ CASES = {
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_operator_frees_cached_blocks_on_drop(spark, name):
-    spark.catalog.clearCache()  # isolate from earlier tests only
+    # isolate from earlier tests only: clearCache covers SQL-cached
+    # frames; the sweep covers explicit-release checkpoint blocks an
+    # earlier test may have left (building a curate_corpus query now
+    # materializes its stage boundaries — r12 plan-truncation — and
+    # those blocks await release()/sweep by contract, so a plan-pin
+    # or oracle test running first legitimately leaves them)
+    from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
+
+    spark.catalog.clearCache()
+    sweep_checkpoints(spark.sparkContext)
     gc.collect()
     assert _n_persistent(spark) == 0
 
@@ -167,10 +176,11 @@ def test_release_traverses_carried_parents(spark):
 def test_release_frees_blocks_while_result_alive(spark):
     """Explicit release(): frees the cache immediately, result stays
     usable (recomputes instead of reading cache)."""
-    from bht_etl_app_spark.functions.lifecycle import release
+    from bht_etl_app_spark.functions.lifecycle import release, sweep_checkpoints
     from bht_etl_app_spark.operators.dedup import minhash_lsh_pairs
 
     spark.catalog.clearCache()
+    sweep_checkpoints(spark.sparkContext)
     gc.collect()
     out = minhash_lsh_pairs(_docs(spark))
     n1 = out.count()
@@ -185,9 +195,11 @@ def test_tracking_is_actually_exercised(spark):
     """Guard against the lifecycle silently tracking nothing: while
     the result is alive and consumed, the persisted intermediate must
     be present in the JVM's persistent-RDD registry."""
+    from bht_etl_app_spark.functions.lifecycle import sweep_checkpoints
     from bht_etl_app_spark.operators.text import tfidf_top_terms
 
     spark.catalog.clearCache()
+    sweep_checkpoints(spark.sparkContext)
     gc.collect()
     out = tfidf_top_terms(_docs(spark))
     out.count()
