@@ -46,13 +46,23 @@ def shingles_expr(tok_col: Column | str, n: int = 3) -> Column:
     split+filter once PER GRAM POSITION (measured 5x at sf0.1).
     ``_shingled()`` below does the two-projection dance."""
     toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    sz = F.size(toks)
+    # n shifted slice views zipped positionally, then one concat per
+    # position (r12 optimization): the previous per-position lambda
+    # called slice() inside the interpreted transform — a fresh
+    # n-element array allocation per gram position; the zip form does
+    # n whole-array slices once and the per-position work is three
+    # struct reads + a concat (measured 2x on the shingle explode at
+    # sf0.1; identical grams)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)]
     )
-    # guard: sequence(0, negative) would DESCEND in Spark and produce
-    # invalid slice starts — docs shorter than n tokens get no shingles
-    return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(n)])
+    )
+    # guard: slice with a non-positive length is invalid — docs
+    # shorter than n tokens get no shingles
+    return F.when(sz >= n, F.array_sort(F.array_distinct(grams))).otherwise(
         F.array().cast("array<string>")
     )
 

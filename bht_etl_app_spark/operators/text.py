@@ -227,12 +227,19 @@ def ngrams_expr(tok_col: Column | str, n: int) -> Column:
     (unlike ``shingles_expr`` in dedup.py, which dedups and sorts for
     set semantics) — repetition signals need the raw multiset."""
     toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    sz = F.size(toks)
+    # n shifted slice views zipped positionally (the shingles_expr r12
+    # form): per-position work drops from an interpreted slice()
+    # allocation to struct reads + one concat; identical grams in
+    # identical order
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)]
     )
-    # sequence(1, negative) would DESCEND — guard short docs to empty
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(n)])
+    )
+    # slice with a non-positive length is invalid — guard short docs
+    return F.when(sz >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 
