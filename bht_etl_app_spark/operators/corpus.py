@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bht_etl_app_spark.operators.text import (
+    LANG_PRIORITY,
+    lang_count_exprs,
     lang_scores_exprs,
     ngrams_expr,
     repetition_signals,
@@ -795,10 +797,23 @@ def quality_filter_decisions(
     toks = ensure_min_parallelism(df).select(
         F.col(id_col), tokens_expr(text_col).alias("__toks__")
     )
-    pred, _ = lang_scores_exprs(F.col("__toks__"))
-    q = toks.select(
+    # counts materialized in their own projection (r13: the argmax
+    # CASE references each count ~5x; over raw size(filter(...)) trees
+    # that re-ran the token filters per branch — see lang_scores_exprs)
+    counted = toks.select(
         F.col(id_col),
         F.size("__toks__").cast("long").alias("n_tokens"),
+        *[
+            c.alias(f"__c_{lang}__")
+            for lang, c in lang_count_exprs(F.col("__toks__")).items()
+        ],
+    )
+    pred, _ = lang_scores_exprs(
+        {lang: F.col(f"__c_{lang}__") for lang in LANG_PRIORITY}
+    )
+    q = counted.select(
+        F.col(id_col),
+        "n_tokens",
         pred.alias("lang_pred"),
     )
     r = repetition_signals(df, id_col=id_col, tokens_df=toks).select(

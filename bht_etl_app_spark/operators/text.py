@@ -120,20 +120,32 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def lang_scores_exprs(toks: Column) -> tuple[Column, Column]:
-    """(lang_pred, lang_score) expressions over an ALREADY-MATERIALIZED
-    token-array column (interpreted lambdas have no CSE — the caller
-    must project the token array first). Shared by ``language_id`` and
-    the fused composite gate in ``operators/corpus.py``."""
-    scores = {}
+def lang_count_exprs(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit count expressions (one array-filter pass
+    each) over an ALREADY-MATERIALIZED token-array column (interpreted
+    lambdas have no CSE — the caller must project the token array
+    first)."""
+    counts = {}
     for lang in LANG_PRIORITY:
         arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return counts
 
-    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+
+def lang_scores_exprs(counts: dict[str, Column]) -> tuple[Column, Column]:
+    """(lang_pred, lang_score) expressions over ALREADY-MATERIALIZED
+    per-language marker-count columns (from :func:`lang_count_exprs`,
+    projected by the caller). The argmax CASE references every count
+    up to |langs|+2 times, so feeding it the raw ``size(filter(...))``
+    trees re-ran the token filters ~15x per row (r13: the three-
+    projection dance now also covers the count layer — counts are
+    plain ints here, so the CASE is branch-cheap). Shared by
+    ``language_id`` and the fused composite gate in
+    ``operators/corpus.py``."""
+    best = F.greatest(*[counts[lang] for lang in LANG_PRIORITY])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_PRIORITY:
-        pred = pred.when(scores[lang] == best, F.lit(lang))
+        pred = pred.when(counts[lang] == best, F.lit(lang))
     return pred, best.cast("long")
 
 
@@ -143,10 +155,19 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hits at all). Output: ``(doc_id, lang_pred, lang_score)`` where
     lang_score is the winning marker-hit count.
     """
-    pred, best = lang_scores_exprs(F.col("__toks__"))
-    return ensure_min_parallelism(df).select(
+    counted = ensure_min_parallelism(df).select(
         F.col(id_col), tokens_expr(text_col).alias("__toks__")
     ).select(
+        F.col(id_col),
+        *[
+            c.alias(f"__c_{lang}__")
+            for lang, c in lang_count_exprs(F.col("__toks__")).items()
+        ],
+    )
+    pred, best = lang_scores_exprs(
+        {lang: F.col(f"__c_{lang}__") for lang in LANG_PRIORITY}
+    )
+    return counted.select(
         F.col(id_col),
         pred.alias("lang_pred"),
         best.alias("lang_score"),
@@ -1896,16 +1917,30 @@ def char_ngram_buckets(
 
     h = base_hash_expr(hash_fn)
     s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # char array materialized once, then n shifted slice views zipped
+    # positionally and concatenated per position (r13: the shingles_expr
+    # zip form applied at the character level — the previous per-
+    # position substr lambda paid UTF8String's O(position) char-offset
+    # scan per gram, O(len^2) per doc; split+slice is O(len·n) and the
+    # per-position work is n struct reads + one concat; identical grams
+    # verified at sf0.1)
+    sz = F.size(F.col("__c__"))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("__c__"), i + 1, sz - (n - 1)).alias(f"c{i}")
+            for i in range(n)
+        ]
+    )
     grams = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), s.alias("__s__"))
         .where(F.length("__s__") >= n)
+        .select("doc_id", F.split(F.col("__s__"), "").alias("__c__"))
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.length("__s__") - n + 1),
-                    lambda i: F.col("__s__").substr(i, F.lit(n)),
+                    zipped, lambda x: F.concat(*[x[f"c{i}"] for i in range(n)])
                 )
             ).alias("g"),
         )
@@ -2058,52 +2093,69 @@ def lang_nb_score(
 
     if classes is None:
         classes = list(LANG_PRIORITY)
+    order = sorted(classes)
+    k = len(order)
     model = model.persist(StorageLevel.MEMORY_AND_DISK)
-    pri = model.where(F.col("bucket") == -1).select(
-        "lang", F.col("llw").alias("__lp__")
+    # r13: the model is pivoted to ONE row per bucket carrying all K
+    # log-likelihoods in sorted-class order, so the scoring join no
+    # longer expands feats K-fold (the previous (doc, bucket) x lang
+    # join shuffled 3x the rows into a (doc, lang) aggregate, then a
+    # second (doc) aggregate picked the argmax). One broadcast join +
+    # one per-doc fold now computes all K dot products at once and the
+    # argmax is a row-local greatest() — no second shuffle. Each
+    # class's additions happen in the same bucket-ascending order as
+    # before, so every score is bit-identical (the recall_vs_exact
+    # float-sum discipline).
+    pri = model.where((F.col("bucket") == -1) & F.col("lang").isin(order))
+    mb = model.where((F.col("bucket") >= 0) & F.col("lang").isin(order))
+    per_lang_arr = lambda frame: F.transform(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct("lang", "llw"))),
+        lambda s: s["llw"],
     )
-    mb = model.where(F.col("bucket") >= 0)
+    mbp = mb.groupBy("bucket").agg(per_lang_arr(mb).alias("__ws__"))
+    prim = pri.agg(per_lang_arr(pri).alias("__lps__"))
     if feats is None:
         feats = char_ngram_buckets(
             df, text_col, id_col, n, num_buckets, hash_fn
         )
-    scored = (
-        feats.join(F.broadcast(mb), "bucket")
-        .select(
-            "doc_id",
-            "lang",
-            F.struct(
-                F.col("bucket"),
-                (F.col("cnt").cast("double") * F.col("llw")).alias("x"),
-            ).alias("s"),
-        )
-        .groupBy("doc_id", "lang")
+    dots = (
+        feats.join(F.broadcast(mbp), "bucket")
+        .groupBy("doc_id")
         .agg(
             F.aggregate(
-                F.sort_array(F.collect_list("s")),
-                F.lit(0.0),
-                lambda acc, s: acc + s["x"],
-            ).alias("__dot__")
+                F.sort_array(
+                    F.collect_list(F.struct("bucket", "cnt", "__ws__"))
+                ),
+                F.array(*[F.lit(0.0) for _ in range(k)]),
+                lambda acc, x: F.array(
+                    *[
+                        acc[i] + x["cnt"].cast("double") * x["__ws__"][i]
+                        for i in range(k)
+                    ]
+                ),
+            ).alias("__dots__")
         )
-        .join(F.broadcast(pri), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.bround(F.col("__lp__") + F.col("__dot__"), 6).alias("score"),
-        )
+        .crossJoin(F.broadcast(prim))
     )
-    carr = F.array(*[F.lit(c) for c in sorted(classes)])
-    best = scored.groupBy("doc_id").agg(
-        F.max(
+    best = F.greatest(
+        *[
             F.struct(
-                F.col("score").alias("sc"),
-                (-F.array_position(carr, F.col("lang"))).alias("ni"),
-                F.col("lang").alias("lang"),
+                F.bround(
+                    F.col("__lps__")[i] + F.col("__dots__")[i], 6
+                ).alias("sc"),
+                F.lit(-(i + 1)).cast("long").alias("ni"),
+                F.lit(c).alias("lang"),
             )
-        ).alias("b")
+            for i, c in enumerate(order)
+        ]
     )
-    base = ensure_min_parallelism(df).select(F.col(id_col).alias("doc_id"))
-    out = base.join(best, "doc_id", "left").select(
+    bestdf = dots.select("doc_id", best.alias("b"))
+    # no ensure_min_parallelism here (r13): base is a pure id
+    # projection feeding a join — no CPU-heavy per-row work follows,
+    # so the round-robin repartition was one shuffle stage of pure
+    # overhead
+    base = df.select(F.col(id_col).alias("doc_id"))
+    out = base.join(bestdf, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("b.lang"), F.lit("und")).alias("lang_nb"),
         F.col("b.sc").alias("nb_logscore"),
@@ -2137,7 +2189,18 @@ def lang_nb_classify(
 
     if teacher is None:
         teacher = language_id(df, text_col, id_col)
-    lab = teacher.select(F.col(id_col).alias("doc_id"), F.col("lang_pred"))
+    # label projection persisted (r13): the fit references the labeled
+    # frame three ways (prior total, per-class doc counts, gram-count
+    # join), and without a materialization boundary Catalyst inlines
+    # the teacher's argmax CASE into each subtree — predicate pushdown
+    # then copies the whole marker-count expression into the scan
+    # FILTER of three separate parquet scans, re-running tokenization
+    # ~15x per row per scan (measured: the lang_nb_scores plan was 105
+    # Exchanges / 3 teacher scans). The label table is (doc_id, lang)
+    # — corpus-id-sized, the canonical thing to materialize.
+    lab = teacher.select(
+        F.col(id_col).alias("doc_id"), F.col("lang_pred")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # one char-n-gram histogram, persisted and shared by fit (joined
     # to the training labels) and score — the oracle's single
     # ft AS MATERIALIZED CTE; (doc_id, bucket, cnt) is min(len, B)
@@ -2145,19 +2208,19 @@ def lang_nb_classify(
     feats = char_ngram_buckets(
         df, text_col, id_col, n, num_buckets, hash_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    joined = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(lab, "doc_id")
-    )
+    # the fit consumes its df ONLY for the (id, label) projection when
+    # feats is supplied; the teacher's labels are derived from the same
+    # docs (lab ids are a subset of df ids, one row each), so joining
+    # docs back onto lab is an identity — hand fit the persisted label
+    # table directly and save a corpus scan + broadcast join (r13)
     model = lang_nb_fit(
-        joined, F.col("lang_pred"), text_col, "doc_id", n, num_buckets,
+        lab, F.col("lang_pred"), text_col, "doc_id", n, num_buckets,
         hash_fn, feats=feats,
     )
     scored = lang_nb_score(
         df, model, text_col, id_col, n, num_buckets, hash_fn, feats=feats
     )
-    return track_persisted(scored, feats)
+    return track_persisted(scored, feats, lab)
 
 
 def lang_id_confusion(

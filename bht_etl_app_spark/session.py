@@ -142,9 +142,20 @@ def _source_parallelism(plan) -> int | None:
         name = p.getClass().getSimpleName()
         if name == "FileSourceScanExec":
             return p.inputRDD().getNumPartitions()
+        if name == "ShuffleExchangeExec":
+            # explicit repartition/repartitionByRange in the plan (the
+            # only exchanges present pre-preparation): its output
+            # partition count IS the frame's parallelism — walking
+            # through to the source would re-price an already-
+            # repartitioned frame by its scan splits and trigger a
+            # redundant second shuffle (r12 ADVICE, medium)
+            return p.outputPartitioning().numPartitions()
         ch = p.children()
         k = ch.size()
         if k == 0:
+            # non-file leaves (InMemoryTableScanExec, BatchScanExec,
+            # LocalTableScanExec, RDD-backed): fall back to the exact
+            # probe — cached/local leaves are cheap to probe exactly
             return None
         if name in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
             side = 1 if p.buildSide().toString() == "BuildLeft" else 0
